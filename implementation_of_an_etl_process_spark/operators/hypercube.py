@@ -1,0 +1,157 @@
+"""Multi-dimensional cube aggregation.
+
+The reference's entire engine is one hard-coded instance of this
+operator: denormalize a fact table against two dimension tables, then
+aggregate SUM / COUNT / COUNT-DISTINCT measures over a 5-dim group key
+(reference ``hypercube.sql:1-14``; execution ``ETL.java:94-252``). Here
+it is a parameterized builder:
+
+- ``denormalize``  = the reference's phase-1/2 build-side joins
+  (``ETL.java:94-111``), expressed as chained **broadcast hash joins**
+  so the big fact side streams through one codegen stage, exactly like
+  the reference's single probe per invoice record.
+- ``build_cube``   = the dense-array aggregate (``ETL.java:116-174``),
+  expressed as ``groupBy().agg()`` — Tungsten's HashAggregateExec does
+  the partial/final split the reference hand-codes with per-thread
+  arrays + merge locks (``ETL.java:130-132,181-192``).
+- ``GROUPING SETS`` variants via ``df.rollup`` / ``df.cube`` — the
+  capability the name "hypercube" gestures at but the reference lacks
+  (single granularity only, ``hypercube.sql:14``).
+
+Scale notes (100 TB discipline):
+- Exact COUNT(DISTINCT x, y) forces an Expand (row duplication per
+  distinct aggregate). ``distinct_mode="approx"`` switches to HLL++
+  (``approx_count_distinct``), the right answer at cluster scale.
+- Dimension tables broadcast; only the final aggregate shuffles, keyed
+  by the group columns. With AQE, skewed group keys re-split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def denormalize(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Column | str, str]],
+    *,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Chain dimension joins onto a fact table.
+
+    ``dims`` is a sequence of ``(dim_df, join_condition_or_key, how)``.
+    Small sides are broadcast (the reference's direct-address lookup
+    arrays, ``ETL.java:106-108,153``, are exactly a broadcast hash map).
+    """
+    out = fact
+    for dim, on, how in dims:
+        side = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(side, on, how)
+    return out
+
+
+def build_cube(
+    df: DataFrame,
+    dims: Sequence[str],
+    measures: Sequence[Column],
+    *,
+    grouping: str = "groupby",
+    ordered: bool = True,
+) -> DataFrame:
+    """Aggregate measures over dimension columns.
+
+    ``grouping``: ``"groupby"`` (single granularity, reference
+    semantics), ``"rollup"`` or ``"cube"`` (full lattice).
+    Only observed dim combinations materialize — the reference restores
+    this inner-join-GROUP-BY semantics by skipping empty dense-array
+    cells (``ETL.java:265``); Spark's hash aggregate never creates them.
+    """
+    if grouping == "groupby":
+        grouped = df.groupBy(*dims)
+    elif grouping == "rollup":
+        grouped = df.rollup(*dims)
+    elif grouping == "cube":
+        grouped = df.cube(*dims)
+    else:
+        raise ValueError(f"unknown grouping {grouping!r}")
+    out = grouped.agg(*measures)
+    if ordered:
+        # The reference emits rows in ascending dim order for free from
+        # its dense layout (ETL.java:259-264); declarative engines pay
+        # one explicit sort.
+        out = out.orderBy(*dims)
+    return out
+
+
+def reference_hypercube(
+    clients: DataFrame,
+    contracts: DataFrame,
+    invoices: DataFrame,
+    *,
+    distinct_mode: str = "exact",
+    grouping: str = "groupby",
+) -> DataFrame:
+    """The reference query (``hypercube.sql:1-14``), Spark-first.
+
+    Output schema matches ``schemas.HYPERCUBE`` (reference output header
+    at ``ETL.java:258``; we use the SQL alias spelling ``ncontracts``,
+    not the header typo ``ncontrats``).
+    """
+    if distinct_mode == "exact":
+        nclients = F.countDistinct("client_id")
+        ncontracts = F.countDistinct("contract_id")
+    elif distinct_mode == "approx":
+        nclients = F.approx_count_distinct("client_id")
+        ncontracts = F.approx_count_distinct("contract_id")
+    else:
+        raise ValueError(f"unknown distinct_mode {distinct_mode!r}")
+
+    enriched = (
+        contracts.select(
+            F.col("id").alias("contract_id"),
+            F.col("id_client").alias("client_id"),
+            "nature",
+        )
+        # J1 (ETL.java:94-111): denormalize client dims onto contracts so
+        # the fact scan probes ONE broadcast map, like the reference's
+        # precomputed contractIndex (ETL.java:109).
+        .join(
+            F.broadcast(
+                clients.select(
+                    F.col("id").alias("client_id"), "type", "geo", "misc"
+                )
+            ),
+            "client_id",
+            "inner",
+        )
+    )
+    joined = denormalize(
+        # J2 (ETL.java:153): probe with the streamed fact side. Invoice
+        # id is discarded here like the reference's decoder (ETL.java:147)
+        # — Catalyst prunes it out of the scan entirely.
+        invoices.select(
+            F.col("id_contract").alias("contract_id"),
+            "time",
+            "amount",
+            "consumption",
+        ),
+        [(enriched, "contract_id", "inner")],
+    )
+    return build_cube(
+        joined,
+        ["geo", "type", "misc", "nature", "time"],
+        [
+            # A1 (ETL.java:116-118): sums accumulate wide (long/double),
+            # exactly like the reference's long[]/double[] accumulators.
+            F.sum("consumption").cast("long").alias("consumption"),
+            F.round(F.sum(F.col("amount").cast("double")), 2).alias("amount"),
+            # A2/A3 (ETL.java:159-174,216-252): per-group distinct sets.
+            nclients.cast("long").alias("nclients"),
+            ncontracts.cast("long").alias("ncontracts"),
+            F.count(F.lit(1)).alias("ninvoices"),
+        ],
+        grouping=grouping,
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode knobs are sized from ``SPARK_GRAFT_CPUS`` (default 32); on a
+real cluster the same settings (AQE on, adaptive coalescing, skew-join
+handling) are the ones that matter at 100 TB — partition counts are then
+driven by AQE rather than the static ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "implementation-of-an-etl-process-spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    AQE is enabled so runtime statistics re-plan joins (broadcast
+    promotion, skew splitting) and coalesce small shuffle partitions —
+    the behaviors that keep one static config valid from sf0.001 tests
+    to a 1000-executor cluster.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # --- Adaptive execution: the scale story -------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Python boundary: Arrow everywhere ---------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- Determinism for oracle comparison ---------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- Quieter local runs ------------------------------------------
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    # Local mode: single JVM, driver memory is the only pool. Guard with
+    # an env override so constrained environments can shrink it.
+    if master.startswith("local"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,40 @@
+"""Sinks. The reference's only sink is an ordered header CSV
+(reference ``ETL.java:254-270``)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    single_file: bool = False,
+    header: bool = True,
+    mode: str = "overwrite",
+) -> str:
+    """Write a CSV sink.
+
+    ``single_file=True`` reproduces the reference's one-output-file
+    convention (coalesce to one task, then promote the part file to
+    ``path``). Leave it False at scale — a 100 TB result wants one file
+    per task, not a single-writer bottleneck.
+    """
+    if not single_file:
+        df.write.mode(mode).csv(path, header=header)
+        return path
+    tmp = path + ".spark-tmp"
+    df.coalesce(1).write.mode("overwrite").csv(tmp, header=header)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+    return path
