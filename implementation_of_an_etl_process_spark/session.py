@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- Determinism for oracle comparison ---------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # Read INT64 TIMESTAMP(NANOS) parquet columns as long (Spark has
+        # no nanos type); loaders convert to TimestampType at micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- Quieter local runs ------------------------------------------
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
