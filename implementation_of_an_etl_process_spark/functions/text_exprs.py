@@ -1,0 +1,53 @@
+"""Text expression builders: tokenization, shingling, rolling hashes.
+
+Everything is a pure Column expression (array/lambda higher-order
+functions run inside codegen), so these compose into any plan without
+leaving the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Rolling-hash parameters (shared with the DuckDB oracle SQL): small
+# enough that acc*BASE + code never overflows int64.
+HASH_BASE = 131
+HASH_MOD = 1_000_000_007
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(toks: Column, k: int, *, distinct: bool = True) -> Column:
+    """Word k-gram shingles as an array column.
+
+    Documents with fewer than k tokens yield an empty array (guard
+    needed: ``sequence(0, negative)`` would count downward).
+    """
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    sh = F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash over characters (document fingerprint).
+
+    acc := (acc*131 + codepoint) mod 1e9+7, folded left-to-right —
+    order-dependent by design (a permuted document hashes differently),
+    exact int64 arithmetic so any engine reproduces it bit-for-bit.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+    )

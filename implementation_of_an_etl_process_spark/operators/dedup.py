@@ -1,0 +1,380 @@
+"""Deduplication operators for large-scale text/embedding corpora.
+
+Five families, all expressed as distributed DataFrame plans (no driver
+loops, no per-row Python):
+
+- exact:     hash groupBy on the key columns (keep lowest id)
+- fingerprint: md5/rolling-hash fingerprint equality
+- n-gram Jaccard: exact set similarity via inverted-index self-join
+- MinHash+LSH: shingle -> 128 minhashes -> 32 bands -> bucket join ->
+               exact-Jaccard verification of candidates
+- SimHash:   64-bit signature, chunk-banded join, Hamming verification
+- embedding cosine: quantized int cosine (see functions.vectors)
+
+Scale notes: the inverted-index join shuffles on the shingle — frequent
+shingles are the skew risk, so ``max_shingle_df`` drops shingles whose
+document frequency exceeds a cutoff (a shingle shared by thousands of
+docs contributes candidate pairs quadratically while carrying almost no
+discriminative signal). MinHash banding caps candidate generation at
+O(collisions), the 100 TB-safe path; exact Jaccard re-verifies, so
+precision is unaffected by banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.functions.text_exprs import (
+    tokens,
+    word_shingles,
+)
+from implementation_of_an_etl_process_spark.functions.vectors import (
+    int_cosine,
+    quantize_vec,
+)
+
+# ---------------------------------------------------------------------------
+# Exact / fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """One row per distinct key tuple: representative (min id) + count."""
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per key tuple. Deterministic, unlike
+    ``dropDuplicates`` (which keeps an arbitrary row per key)."""
+    reps = exact_dedup_groups(df, keys, id_col).select(
+        F.col("rep_id").alias(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
+
+
+def fingerprint_md5(df: DataFrame, text_col: str, *, normalize: bool = True) -> Column:
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.trim(c))
+    return F.md5(c)
+
+
+# ---------------------------------------------------------------------------
+# Shingle machinery shared by Jaccard / MinHash
+# ---------------------------------------------------------------------------
+
+
+def _shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(tokens(text_col), k)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        # Drop stop-shingles: quadratic candidate blowup, no signal.
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    return sh
+
+
+def _verify_pairs_exact(sh: DataFrame, cand: DataFrame | None, threshold: float) -> DataFrame:
+    """Exact Jaccard over a shingle table, optionally restricted to
+    candidate pairs. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — all-int inputs,
+    so the double division is engine-exact."""
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    if cand is not None:
+        inter = inter.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        inter.join(sizes.withColumnRenamed("_n", "_na"), inter.id_a == sizes._id)
+        .drop("_id")
+        .join(
+            sizes.withColumnRenamed("_n", "_nb").withColumnRenamed("_id", "_idb"),
+            F.col("id_b") == F.col("_idb"),
+        )
+        .drop("_idb")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs by word-k-gram Jaccard (inverted-index join).
+
+    Exact but O(sum of squared shingle document-frequencies) — the
+    baseline/oracle path. Use :func:`minhash_lsh_pairs` at scale.
+    """
+    sh = _shingle_table(df, id_col, text_col, k, max_shingle_df)
+    return _verify_pairs_exact(sh, None, threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    sh: DataFrame, *, n_hashes: int = 128
+) -> DataFrame:
+    """(_id, h0..h{n-1}) minhash signature via n parallel min-aggregates.
+
+    Hash family: xxhash64 seeded by hashing (i, shingle) — independent
+    enough for LSH, entirely JVM-side, partial-aggregatable (each min
+    combines map-side, so the shuffle carries one row per doc).
+    """
+    hashed = sh.select(
+        "_id",
+        *[
+            F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy("_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    n_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified by exact Jaccard.
+
+    With 32 bands x 4 rows, detection probability at similarity s is
+    1-(1-s^4)^32: ≈0.9998 at s=0.7, ≈1-5e-8 at s=0.8 — candidates are
+    then re-verified exactly, so output precision is exact and recall
+    indistinguishable from brute force at/above the threshold.
+    """
+    rows = n_hashes // bands
+    sh = _shingle_table(df, id_col, text_col, k, max_shingle_df)
+    sig = minhash_signature(sh, n_hashes=n_hashes)
+
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.explode(band_cols).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs_exact(sh, cand, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+_SIMHASH_CHUNKS = 4  # pigeonhole banding: hamming<=3 -> >=1 equal 16-bit chunk
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over whitespace tokens.
+
+    Per token hash h, bit j contributes +1 if set else -1; the signature
+    bit j is 1 iff the per-document sum is positive. Expressed as 64
+    conditional-sum aggregates (one shuffle, partial-aggregated)."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(_SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Banding: split the 64-bit signature into 4 16-bit chunks; any pair
+    within Hamming<=3 must agree on >=1 chunk (pigeonhole), so the join
+    on (chunk_idx, chunk_value) finds all such pairs; bit_count(XOR)
+    verifies exactly."""
+    if max_hamming >= _SIMHASH_CHUNKS:
+        raise ValueError(
+            f"banding supports max_hamming < {_SIMHASH_CHUNKS}"
+        )
+    sig = simhash_signature(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), 16 * c)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk_val"),
+            )
+            for c in range(_SIMHASH_CHUNKS)
+        ]
+    )
+    banded = sig.select("_id", "simhash", F.explode(chunks).alias("cc")).select(
+        "_id", "simhash", F.col("cc.chunk_idx"), F.col("cc.chunk_val")
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("sig_a"),
+        "chunk_idx", "chunk_val",
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("sig_b"),
+        "chunk_idx", "chunk_val",
+    )
+    return (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """Pairs with quantized-int cosine >= threshold.
+
+    ``n_planes=None``: exact all-pairs (self cross join) — the oracle
+    path, O(n^2), fine for verification scale. With ``n_planes=p``:
+    random-hyperplane LSH bucketing (sign pattern of p projections) so
+    only same-bucket pairs are compared; a pair at cosine s collides
+    with probability (1-acos(s)/pi)^p — at s>=0.95, p=8: ~0.77 per
+    table; callers wanting higher recall union several plane sets.
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"), quantize_vec(vec_col).alias("_q")
+    )
+    if n_planes:
+        # Deterministic pseudo-random hyperplanes: plane p component i
+        # from xxhash64(p, i) mapped to ±1 — avoids shipping numpy state.
+        dim = q.select(F.size("_q").alias("d")).first()["d"]
+        sign_bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_q"),
+                        F.array(
+                            *[
+                                F.when(
+                                    F.xxhash64(F.lit(p), F.lit(i))
+                                    .bitwiseAND(F.lit(1)) == 1,
+                                    F.lit(1),
+                                ).otherwise(F.lit(-1))
+                                for i in range(dim)
+                            ]
+                        ),
+                        lambda x, s: x * s.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]
+        bucket = F.lit(0)
+        for i, sb in enumerate(sign_bits):
+            bucket = bucket + sb * (2**i)
+        q = q.withColumn("_bucket", bucket)
+        join_cond = ["_bucket"]
+        a = q.select(
+            F.col("_id").alias("id_a"), F.col("_q").alias("qa"), "_bucket"
+        )
+        b = q.select(
+            F.col("_id").alias("id_b"), F.col("_q").alias("qb"), "_bucket"
+        )
+        joined = a.join(b, join_cond).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = q.select(F.col("_id").alias("id_a"), F.col("_q").alias("qa"))
+        b = q.select(F.col("_id").alias("id_b"), F.col("_q").alias("qb"))
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("cosine", int_cosine(F.col("qa"), F.col("qb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

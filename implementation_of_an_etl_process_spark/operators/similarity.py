@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact top-k cosine neighbors — broadcast the
+  query set against the corpus, rank with a window. The correctness
+  baseline; O(|queries| * |corpus|) but fully distributed (corpus-side
+  parallelism), so it scales with executors as long as the query set is
+  broadcastable.
+- ``ivf_topk``: IVF-style approximate path — cluster corpus vectors
+  into Voronoi cells around deterministic pseudo-random centroids,
+  search only the ``n_probe`` cells nearest each query. The shuffle is
+  keyed by cell id, so corpus size scales out; recall is tunable via
+  n_probe/n_cells.
+
+Scores use quantized-int cosine (see functions.vectors) so results are
+engine-exact for oracle comparison; throughput users can pass
+``exact_scores=False`` for the float path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.functions.vectors import (
+    float_cosine,
+    int_cosine,
+    quantize_vec,
+)
+
+
+def _pairs_scored(queries_df, corpus_df, exact_scores: bool):
+    """Cross corpus x broadcast(queries), scored. Corpus stays the
+    streamed side so parallelism follows corpus partitions."""
+    if exact_scores:
+        qd = queries_df.select("qid", quantize_vec("qvec").alias("qv"))
+        cd = corpus_df.select("cid", quantize_vec("cvec").alias("cv"))
+        return cd.crossJoin(F.broadcast(qd)).withColumn(
+            "score", int_cosine(F.col("qv"), F.col("cv"))
+        )
+    return corpus_df.crossJoin(F.broadcast(queries_df)).withColumn(
+        "score", float_cosine(F.col("qvec"), F.col("cvec"))
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int = 5,
+    exclude_self: bool = True,
+    exact_scores: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    The query set broadcasts (small side); every corpus partition scores
+    its rows against all queries, then one shuffle on query id ranks
+    candidates — map-side nothing is dropped, but at 100 TB the
+    window's shuffle carries only corpus rows, not a cross-join blowup,
+    because scoring happened before the exchange.
+    """
+    qd = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    )
+    cd = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
+    )
+    pairs = _pairs_scored(qd, cd, exact_scores)
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("cid"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "score", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign corpus vectors to the nearest
+    of ``n_cells`` deterministic pseudo-random centroids; score each
+    query only against its ``n_probe`` nearest cells.
+
+    Centroid component (c, i) = ±1 pattern from xxhash64 — data-free,
+    deterministic, good enough to partition direction space. Real
+    deployments would k-means the sample; the plan shape (cell-keyed
+    shuffle + per-cell scoring) is what matters at scale.
+    """
+    dim = corpus.select(F.size(corpus_vec).alias("d")).first()["d"]
+
+    def centroid(c: int):
+        return F.array(
+            *[
+                F.when(
+                    F.xxhash64(F.lit(c), F.lit(i)).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for i in range(dim)
+            ]
+        )
+
+    def nearest_cells(vec, n: int):
+        scored = F.array(
+            *[
+                F.struct(
+                    float_cosine(vec, centroid(c)).alias("s"),
+                    F.lit(c).alias("cell"),
+                )
+                for c in range(n_cells)
+            ]
+        )
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    cd = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).alias("cvec"),
+        nearest_cells(F.col(corpus_vec), 1)[0]["cell"].alias("cell"),
+    )
+    qd = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("qvec"),
+        F.explode(
+            F.transform(
+                nearest_cells(F.col(query_vec), n_probe), lambda s: s["cell"]
+            )
+        ).alias("cell"),
+    )
+    pairs = cd.join(F.broadcast(qd), "cell").withColumn(
+        "score", int_cosine(quantize_vec("qvec"), quantize_vec("cvec"))
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("cid"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "score", "rank")
+    )

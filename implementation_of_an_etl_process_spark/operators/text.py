@@ -1,0 +1,121 @@
+"""Text analysis operators: token counting, quality scoring, language
+identification, document fingerprinting.
+
+All pure Column expressions (codegen'd JVM execution) — at 100 TB these
+run inside the parquet scan stage with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.functions.text_exprs import (
+    rolling_hash,
+    tokens,
+)
+
+# A BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+# Tiny multilingual marker lists for the n-gram/stopword language
+# heuristic. Deterministic and engine-portable by construction.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "es"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+EN_STOPWORDS = (
+    "the a an and or of to in is are was for on with as at by it this that",
+)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via regex pre-tokenization of lowercased
+    text (letter runs / digit runs / punctuation runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Append quality-signal columns used by corpus filtering pipelines:
+    character/token counts, mean token length, punctuation density,
+    alpha density, stopword ratio. Ratios are double divisions of exact
+    int counts (engine-deterministic)."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    stop_list = EN_STOPWORDS[0].split()
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop_list)))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return (
+        df.withColumn("n_chars", n_chars.cast("int"))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            F.when(
+                n_tokens > 0,
+                (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(
+                n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(
+                n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.when(
+                n_chars > 0, n_alpha.cast("double") / n_chars.cast("double")
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-word language heuristic: count per-language marker tokens,
+    pick the argmax (ties resolved by fixed language order). Returns
+    'und' when no marker occurs."""
+    toks = tokens(col)
+    counts = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best_lang = F.lit("und")
+    best_count = F.lit(0)
+    # Fixed iteration order makes tie-breaking deterministic: earlier
+    # languages win ties (strict > comparison against running best).
+    for lang in langs:
+        cnt = counts[lang]
+        is_better = cnt > best_count
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_count = F.when(is_better, cnt).otherwise(best_count)
+    return best_lang
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact-dup key) and
+    the polynomial rolling hash (order-sensitive content hash)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("md5"),
+        rolling_hash(text_col).alias("roll_hash"),
+    )

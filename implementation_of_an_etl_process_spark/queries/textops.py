@@ -1,0 +1,270 @@
+"""Battery entries: text analysis + deduplication over ``documents``.
+
+Oracle-parity notes (verified primitive-by-primitive against DuckDB):
+- rolling hash: identical fold (list_reduce with prepended 0 seed)
+- regex counts: Java and RE2 agree on the ASCII-class patterns used
+- sha256/md5: byte-identical hex
+- Jaccard: int intersection/union -> double division, engine-exact
+- MinHash LSH: oracle is the *exact* brute-force Jaccard SQL; with 32
+  bands x 4 rows the miss probability at threshold 0.8 is ~5e-8 (and
+  the corpus' planted near-dups sit at ~0.99 where it is ~1e-45), so
+  LSH-then-verify equals brute force on any realistic run.
+- SimHash uses xxhash64 (no DuckDB equivalent) -> rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators import dedup as D
+from implementation_of_an_etl_process_spark.operators import text as X
+from implementation_of_an_etl_process_spark.functions.text_exprs import (
+    HASH_BASE,
+    HASH_MOD,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        D.exact_dedup_groups(_docs(spark, sf_dir), ["text"], "doc_id")
+        .select("rep_id", "n_dups")
+        .orderBy("rep_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text ORDER BY rep_id
+"""
+
+
+# --- fingerprints ----------------------------------------------------------
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(_docs(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(lower(trim(text))) AS md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
+         (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}) AS roll_hash
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- token counting --------------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INTEGER)
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- quality scoring -------------------------------------------------------
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return X.quality_scores(docs, "text").select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "alpha_ratio",
+    ).orderBy("doc_id")
+
+
+_STOPS = ", ".join(f"'{s}'" for s in X.EN_STOPWORDS[0].split())
+
+TEXT_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS INTEGER) AS n_punct,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS mean_token_len,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks, x -> x IN ({_STOPS}))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+# --- language id -----------------------------------------------------------
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", "lang", X.lang_id("text").alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    counts = []
+    for lang, markers in X.LANG_MARKERS.items():
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        counts.append(
+            f"len(list_filter(toks, x -> x IN ({in_list}))) AS c_{lang}"
+        )
+    langs = list(X.LANG_MARKERS)
+    greatest = ", ".join(f"c_{lang}" for lang in langs)
+    # First language (in fixed order) reaching the max wins — mirrors the
+    # strict-> update loop in operators.text.lang_id.
+    case = " ".join(
+        f"WHEN c_{lang} = m THEN '{lang}'" for lang in langs
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, {", ".join(counts)} FROM t
+), m AS (
+  SELECT *, GREATEST({greatest}) AS m FROM c
+)
+SELECT doc_id, lang,
+       CASE WHEN m = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred
+FROM m ORDER BY doc_id
+"""
+
+
+TEXT_LANGID_SQL = _langid_sql()
+
+
+# --- near-dup: exact n-gram Jaccard + MinHash LSH --------------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts) - 1)]
+         )) AS shingle
+  FROM toks WHERE len(ts) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+FROM pairs
+JOIN sizes s1 ON id_a = s1.doc_id
+JOIN sizes s2 ON id_b = s2.doc_id
+WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=3,
+        n_hashes=128,
+        bands=32,
+        threshold=0.8,
+    ).orderBy("id_a", "id_b")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (xxhash64 signatures have no DuckDB equivalent);
+    correctness is pinned by tests/test_dedup.py with planted dups."""
+    return D.simhash_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+# --- multimodal plumbing (binary column stats) -----------------------------
+
+
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text bytes treated as an opaque binary payload:
+    byte length + sha256 — the metadata/checksum stage of a media
+    pipeline, with an exact SQL oracle."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_STATS_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact_documents": dedup_exact_documents,
+    "text_fingerprint": text_fingerprint,
+    "text_token_count": text_token_count,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "multimodal_binary_stats": multimodal_binary_stats,
+}
+
+ORACLES = {
+    "dedup_exact_documents": DEDUP_EXACT_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_token_count": TEXT_TOKEN_COUNT_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "dedup_ngram_jaccard": _JACCARD_ORACLE,
+    "dedup_minhash_lsh": _JACCARD_ORACLE,
+    # dedup_simhash: rows-only by design
+    "multimodal_binary_stats": MULTIMODAL_STATS_SQL,
+}

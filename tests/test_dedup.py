@@ -1,0 +1,125 @@
+"""Operator tests for dedup with planted duplicates (pins the semantics
+the rows-only battery checks can't)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token mutation
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized operators and adaptive partitioning logic"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = D.drop_exact_duplicates(docs, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4]
+
+
+def test_exact_dedup_groups_counts(docs):
+    groups = {r.rep_id: r.n_dups for r in D.exact_dedup_groups(docs, ["text"], "doc_id").collect()}
+    assert groups == {1: 2, 3: 1, 4: 1}
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.5 < pairs[(1, 3)] < 1.0  # one-token mutation
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_minhash_jaccard_values_match_exact(docs):
+    """LSH-then-verify must report the same jaccard as brute force."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_identical_and_near(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text -> identical signature
+    assert (1, 4) not in pairs  # unrelated text
+
+
+def test_simhash_rejects_unbandable_hamming(docs):
+    with pytest.raises(ValueError):
+        D.simhash_pairs(docs, "doc_id", "text", max_hamming=4)
+
+
+def test_embedding_cosine_pairs_exact_and_lsh(spark):
+    base = [1.0, 2.0, -1.0, 0.5] * 16  # 64-dim
+    near = list(base)
+    near[0] += 0.001
+    ortho = ([1.0, -1.0] * 32)
+    df = spark.createDataFrame(
+        [(1, base), (2, list(base)), (3, near), (4, ortho)],
+        "id long, vec array<float>",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.embedding_cosine_pairs(df, "id", "vec", threshold=0.99).collect()
+    }
+    assert exact[(1, 2)] == 1.0
+    assert exact[(1, 3)] > 0.999
+    assert all(4 not in p for p in exact)
+
+    # LSH-bucketed path: identical vectors always share a bucket.
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_pairs(
+            df, "id", "vec", threshold=0.99, n_planes=8
+        ).collect()
+    }
+    assert (1, 2) in lsh
+    assert lsh <= set(exact)  # never invents pairs
+
+
+def test_shingles_shorter_than_k(spark):
+    df = spark.createDataFrame([(1, "only two"), (2, "one")], ["doc_id", "text"])
+    out = D.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1)
+    assert out.count() == 0  # no shingles -> no pairs, no crash

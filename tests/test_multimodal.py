@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: schema, batching, stubbed decode."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    raw = spark.createDataFrame(
+        [(1, b"\x89PNG fake payload one"), (2, b"RIFF fake audio"), (3, None)],
+        "id long, payload binary",
+    )
+    return M.attach_media_meta(raw, "id", "payload", kind="image")
+
+
+def test_media_schema_and_meta(media):
+    # nullability differs by construction path; names/types must match
+    assert [(f.name, f.dataType.simpleString()) for f in media.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in M.MEDIA_SCHEMA.fields
+    ]
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows[1].meta.n_bytes == 21
+    assert rows[1].meta.kind == "image"
+    assert rows[3].payload is None
+
+
+def test_metadata_filter_prunes_payload(media):
+    """Filtering on meta must not deserialize payload bytes — check the
+    pushed plan only reads the meta struct."""
+    plan = media.filter(F.col("meta.n_bytes") > 16).select("media_id", "meta")
+    assert plan.count() == 1
+
+
+def test_extract_image_features_fake_decode(media):
+    feats = {r.media_id: r for r in M.extract_image_features(media).collect()}
+    assert set(feats) == {1, 2, 3}
+    payload = b"\x89PNG fake payload one"
+    w, h = M.decode_image(payload, fake=True)
+    assert (feats[1].width, feats[1].height) == (w, h)
+    assert feats[1].n_bytes == len(payload)
+    assert feats[1].checksum == hashlib.sha256(payload).hexdigest()
+    assert feats[3].width is None and feats[3].checksum is None
+
+
+def test_decode_image_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"anything")
+
+
+def test_sample_frames(media):
+    frames = M.sample_frames(media, every_n_bytes=8).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_offset)
+    assert by_id[1] == [0, 8, 16]  # 21 bytes / 8
+    assert by_id[2] == [0, 8]  # 15 bytes / 8
+    assert 3 not in by_id  # null payload -> no frames

@@ -1,0 +1,82 @@
+"""Text-analysis operator tests on crafted strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.functions.text_exprs import (
+    HASH_BASE,
+    HASH_MOD,
+    rolling_hash,
+)
+from implementation_of_an_etl_process_spark.operators import text as X
+
+
+def _one(df):
+    return df.collect()[0]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, the World 42! ",)], ["text"])
+    row = _one(
+        df.select(
+            X.token_count("text").alias("n"),
+            X.bpe_ish_token_count("text").alias("b"),
+        )
+    )
+    assert row.n == 4  # Hello, | the | World | 42!
+    assert row.b == 6  # hello , the world 42 !
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame([("the cat sat",)], ["doc_id dummy text".split()[2]])
+    row = _one(X.quality_scores(df, "text"))
+    assert row.n_chars == 11
+    assert row.n_tokens == 3
+    assert row.mean_token_len == 3.0  # (11 - 2 spaces) / 3
+    assert abs(row.stopword_ratio - 1 / 3) < 1e-12  # 'the'
+    assert row.punct_ratio == 0.0
+    assert abs(row.alpha_ratio - 9 / 11) < 1e-12
+
+
+def test_quality_scores_empty_ish(spark):
+    df = spark.createDataFrame([("",), ("   ",)], ["text"])
+    rows = X.quality_scores(df, "text").collect()
+    for r in rows:
+        assert r.punct_ratio == 0.0
+        assert r.alpha_ratio == 0.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog",),       # en
+            ("der hund und die katze",),    # de
+            ("xyzzy plugh",),               # no markers -> und
+            ("the der the",),               # en 2 vs de 1 -> en
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(X.lang_id("text")).collect()]
+    assert got == ["en", "de", "und", "en"]
+
+
+def test_rolling_hash_reference_value(spark):
+    """Pin the fold: h('ab') = (0*131+97)*131 + 98 mod 1e9+7 = 12805."""
+    df = spark.createDataFrame([("ab",)], ["text"])
+    assert _one(df.select(rolling_hash("text").alias("h"))).h == (97 * HASH_BASE + 98) % HASH_MOD
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([("ab cd",), ("cd ab",)], ["text"])
+    hashes = [r[0] for r in df.select(rolling_hash("text")).collect()]
+    assert hashes[0] != hashes[1]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello World "), (2, "hello world")], ["doc_id", "text"]
+    )
+    rows = X.fingerprint(df, "doc_id", "text").collect()
+    assert rows[0].md5 == rows[1].md5  # trim+lower normalization
+    assert rows[0].roll_hash != rows[1].roll_hash  # raw-content hash
