@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion via the noop sink (full computation,
+no driver-side result transfer skewing the numbers). Timings exclude
+SparkSession startup; the first (warmup) run of the flagship is
+reported separately inside "queries" as "_warmup".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "hypercube",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier",
+    "window_topk_orders",
+    "events_sessionize",
+    "dedup_exact_documents",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+
+    from implementation_of_an_etl_process_spark import get_spark
+    from implementation_of_an_etl_process_spark import queries as battery
+
+    spark = get_spark("bench")
+    qs = battery.queries()
+
+    def run(name: str) -> float:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.monotonic() - t0, 3)
+
+    timings: dict[str, float] = {}
+    timings["_warmup"] = run(HEADLINE[0])  # JVM/codegen warmup, reported apart
+    for name in HEADLINE:
+        timings[name] = run(name)
+
+    total = round(sum(v for k, v in timings.items() if not k.startswith("_")), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

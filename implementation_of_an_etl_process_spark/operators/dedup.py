@@ -33,6 +33,7 @@ from implementation_of_an_etl_process_spark.functions.vectors import (
     int_cosine,
     quantize_vec,
 )
+from implementation_of_an_etl_process_spark.plans import spread
 
 # ---------------------------------------------------------------------------
 # Exact / fingerprint dedup
@@ -75,7 +76,7 @@ def _shingle_table(
     max_shingle_df: int | None,
 ) -> DataFrame:
     """(id, shingle) pairs, distinct per document."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(tokens(text_col), k)).alias("shingle"),
     )
@@ -94,18 +95,30 @@ def _shingle_table(
 def _verify_pairs_exact(sh: DataFrame, cand: DataFrame | None, threshold: float) -> DataFrame:
     """Exact Jaccard over a shingle table, optionally restricted to
     candidate pairs. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — all-int inputs,
-    so the double division is engine-exact."""
+    so the double division is engine-exact.
+
+    With candidates, intersections are computed by joining each pair to
+    its two shingle sets — cost O(|candidates| * doc_len), independent
+    of corpus size (the point of LSH). Without, the full inverted-index
+    self-join (the exact/brute path)."""
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    if cand is not None:
-        inter = inter.join(cand, ["id_a", "id_b"], "left_semi")
+    if cand is None:
+        a = sh.select(F.col("_id").alias("id_a"), "shingle")
+        b = sh.select(F.col("_id").alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+    else:
+        a_sh = cand.join(
+            sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a"
+        )
+        inter = a_sh.join(
+            sh.select(F.col("_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        ).groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_inter"))
     return (
         inter.join(sizes.withColumnRenamed("_n", "_na"), inter.id_a == sizes._id)
         .drop("_id")
@@ -148,7 +161,7 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    sh: DataFrame, *, n_hashes: int = 128
+    sh: DataFrame, *, n_hashes: int = 64
 ) -> DataFrame:
     """(_id, h0..h{n-1}) minhash signature via n parallel min-aggregates.
 
@@ -174,17 +187,19 @@ def minhash_lsh_pairs(
     text_col: str,
     *,
     k: int = 3,
-    n_hashes: int = 128,
-    bands: int = 32,
+    n_hashes: int = 64,
+    bands: int = 16,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard.
 
-    With 32 bands x 4 rows, detection probability at similarity s is
-    1-(1-s^4)^32: ≈0.9998 at s=0.7, ≈1-5e-8 at s=0.8 — candidates are
-    then re-verified exactly, so output precision is exact and recall
-    indistinguishable from brute force at/above the threshold.
+    With 16 bands x 4 rows, detection probability at similarity s is
+    1-(1-s^4)^16: ≈0.9998 at s=0.8, ≈1 above 0.9 — candidates are then
+    re-verified exactly, so output precision is exact and recall
+    indistinguishable from brute force at/above the threshold. (128/32
+    buys ~1-5e-8 miss probability at s=0.8 if needed; the 64-wide
+    signature keeps the generated aggregate inside codegen limits.)
     """
     rows = n_hashes // bands
     sh = _shingle_table(df, id_col, text_col, k, max_shingle_df)
@@ -229,7 +244,7 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Per token hash h, bit j contributes +1 if set else -1; the signature
     bit j is 1 iff the per-document sum is positive. Expressed as 64
     conditional-sum aggregates (one shuffle, partial-aggregated)."""
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(text_col)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -325,7 +340,7 @@ def embedding_cosine_pairs(
     with probability (1-acos(s)/pi)^p — at s>=0.95, p=8: ~0.77 per
     table; callers wanting higher recall union several plane sets.
     """
-    q = df.select(
+    q = spread(df).select(
         F.col(id_col).alias("_id"), quantize_vec(vec_col).alias("_q")
     )
     if n_planes:

@@ -100,13 +100,7 @@ def reference_hypercube(
     at ``ETL.java:258``; we use the SQL alias spelling ``ncontracts``,
     not the header typo ``ncontrats``).
     """
-    if distinct_mode == "exact":
-        nclients = F.countDistinct("client_id")
-        ncontracts = F.countDistinct("contract_id")
-    elif distinct_mode == "approx":
-        nclients = F.approx_count_distinct("client_id")
-        ncontracts = F.approx_count_distinct("contract_id")
-    else:
+    if distinct_mode not in ("exact", "approx", "exact_expand"):
         raise ValueError(f"unknown distinct_mode {distinct_mode!r}")
 
     enriched = (
@@ -140,9 +134,43 @@ def reference_hypercube(
         ),
         [(enriched, "contract_id", "inner")],
     )
+    dims = ["geo", "type", "misc", "nature", "time"]
+    if distinct_mode == "exact" and grouping == "groupby":
+        # Two-level exact-distinct rewrite. client_id is functionally
+        # dependent on contract_id (a contract has one client), so after
+        # pre-aggregating on (dims, contract_id, client_id):
+        #   ncontracts = COUNT(*)            (contract unique per row)
+        #   nclients   = COUNT(DISTINCT client_id)   (single distinct,
+        #                no Expand duplication of the fact rows)
+        # This is the same trick as the reference's derived phase-5 pass,
+        # which computes client distincts FROM the per-group contract
+        # sets (ETL.java:226-252) instead of re-scanning the facts.
+        lvl1 = joined.groupBy(*dims, "contract_id", "client_id").agg(
+            F.sum("consumption").alias("_c"),
+            F.sum(F.col("amount").cast("double")).alias("_a"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        return (
+            lvl1.groupBy(*dims)
+            .agg(
+                F.sum("_c").cast("long").alias("consumption"),
+                F.round(F.sum("_a"), 2).alias("amount"),
+                F.countDistinct("client_id").cast("long").alias("nclients"),
+                F.count(F.lit(1)).cast("long").alias("ncontracts"),
+                F.sum("_n").alias("ninvoices"),
+            )
+            .orderBy(*dims)
+        )
+
+    if distinct_mode == "approx":
+        nclients = F.approx_count_distinct("client_id")
+        ncontracts = F.approx_count_distinct("contract_id")
+    else:  # exact_expand: the planner's Expand-based exact path
+        nclients = F.countDistinct("client_id")
+        ncontracts = F.countDistinct("contract_id")
     return build_cube(
         joined,
-        ["geo", "type", "misc", "nature", "time"],
+        dims,
         [
             # A1 (ETL.java:116-118): sums accumulate wide (long/double),
             # exactly like the reference's long[]/double[] accumulators.

@@ -26,6 +26,7 @@ from implementation_of_an_etl_process_spark.functions.vectors import (
     int_cosine,
     quantize_vec,
 )
+from implementation_of_an_etl_process_spark.plans import spread
 
 
 def _pairs_scored(queries_df, corpus_df, exact_scores: bool):
@@ -65,8 +66,10 @@ def brute_force_topk(
     qd = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
     )
-    cd = corpus.select(
-        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
+    cd = spread(
+        corpus.select(
+            F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
+        )
     )
     pairs = _pairs_scored(qd, cd, exact_scores)
     if exclude_self:
@@ -126,7 +129,7 @@ def ivf_topk(
         )
         return F.slice(F.reverse(F.array_sort(scored)), 1, n)
 
-    cd = corpus.select(
+    cd = spread(corpus).select(
         F.col(corpus_id).alias("cid"),
         F.col(corpus_vec).alias("cvec"),
         nearest_cells(F.col(corpus_vec), 1)[0]["cell"].alias("cell"),

@@ -77,23 +77,31 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == order_dim.o_orderkey,
         "inner",
     )
-    return (
-        joined.groupBy(
-            "n_name",
-            "c_mktsegment",
-            "o_orderstatus",
-            F.month("l_shipdate").alias("ship_month"),
-        )
+    dims = ["n_name", "c_mktsegment", "o_orderstatus", "ship_month"]
+    # Two-level exact-distinct rewrite (see operators.hypercube): custkey
+    # is functionally dependent on orderkey, so pre-aggregating on
+    # (dims, orderkey, custkey) makes norders a plain COUNT(*) and
+    # leaves a single distinct — no Expand duplication of fact rows.
+    # Measured 2x faster than the Expand plan at sf0.1, same result.
+    lvl1 = (
+        joined.withColumn("ship_month", F.month("l_shipdate"))
+        .groupBy(*dims, "o_orderkey", "o_custkey")
         .agg(
-            _dsum("l_quantity", "sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)), 2)
-            .cast("double")
-            .alias("amount"),
-            F.countDistinct("o_custkey").alias("ncustomers"),
-            F.countDistinct("o_orderkey").alias("norders"),
-            F.count(F.lit(1)).alias("nitems"),
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("_price"),
+            F.count(F.lit(1)).alias("_n"),
         )
-        .orderBy("n_name", "c_mktsegment", "o_orderstatus", "ship_month")
+    )
+    return (
+        lvl1.groupBy(*dims)
+        .agg(
+            F.sum("_qty").cast("double").alias("sum_qty"),
+            F.round(F.sum("_price"), 2).cast("double").alias("amount"),
+            F.countDistinct("o_custkey").alias("ncustomers"),
+            F.count(F.lit(1)).alias("norders"),
+            F.sum("_n").alias("nitems"),
+        )
+        .orderBy(*dims)
     )
 
 

@@ -5,10 +5,11 @@ Oracle-parity notes (verified primitive-by-primitive against DuckDB):
 - regex counts: Java and RE2 agree on the ASCII-class patterns used
 - sha256/md5: byte-identical hex
 - Jaccard: int intersection/union -> double division, engine-exact
-- MinHash LSH: oracle is the *exact* brute-force Jaccard SQL; with 32
-  bands x 4 rows the miss probability at threshold 0.8 is ~5e-8 (and
-  the corpus' planted near-dups sit at ~0.99 where it is ~1e-45), so
-  LSH-then-verify equals brute force on any realistic run.
+- MinHash LSH: oracle is the *exact* brute-force Jaccard SQL; with 16
+  bands x 4 rows the miss probability at threshold 0.8 is ~2e-4 per
+  borderline pair (and the corpus' planted near-dups sit at ~0.99 where
+  it is ~1e-23), so LSH-then-verify equals brute force on any realistic
+  run.
 - SimHash uses xxhash64 (no DuckDB equivalent) -> rows-only check.
 """
 
@@ -204,13 +205,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
-        _docs(spark, sf_dir),
-        "doc_id",
-        "text",
-        k=3,
-        n_hashes=128,
-        bands=32,
-        threshold=0.8,
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8
     ).orderBy("id_a", "id_b")
 
 
