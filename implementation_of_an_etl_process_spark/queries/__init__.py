@@ -28,6 +28,12 @@ try:
     _MODULES.append(similarity)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import streamingops
+
+    _MODULES.append(streamingops)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

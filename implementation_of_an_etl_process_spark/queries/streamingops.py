@@ -1,0 +1,68 @@
+"""Battery entry that runs a real Structured Streaming pipeline.
+
+The stream is driven with ``availableNow`` over a staged copy of the
+events table and aggregated in complete mode — which must equal the
+batch tumbling-window aggregation, so this streaming query gets a full
+SQL oracle (same as events_tumbling_1h) rather than a rows-only check.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark import streaming as S
+from implementation_of_an_etl_process_spark.queries.relational import (
+    EVENTS_TUMBLING_SQL,
+)
+
+
+def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage the events table as a streaming file source (ts re-encoded
+    # to micros: the streaming scan declares TimestampType and cannot
+    # use the batch nanosAsLong fallback).
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    try:
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+        q = (
+            S.tumbling_counts(
+                S.read_events_stream(spark, stage), exact_sums=True
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table(name)
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .orderBy("window_start", "event_type")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+QUERIES = {"streaming_tumbling_1h": streaming_tumbling_1h}
+ORACLES = {"streaming_tumbling_1h": EVENTS_TUMBLING_SQL}

@@ -1,0 +1,21 @@
+"""Structured Streaming operators."""
+
+from implementation_of_an_etl_process_spark.streaming.events import (
+    read_events_stream,
+    tumbling_counts,
+    sliding_counts,
+    session_windows,
+    dedupe_stream,
+    running_user_totals,
+    incremental_cube_sink,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_windows",
+    "dedupe_stream",
+    "running_user_totals",
+    "incremental_cube_sink",
+]

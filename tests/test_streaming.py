@@ -1,0 +1,129 @@
+"""Structured Streaming tests: file source + availableNow triggers,
+results cross-checked against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark import streaming as S
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events split into two parquet files in a streaming source dir —
+    ts re-encoded to micros (streaming schema declares TimestampType)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "a"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "b"))
+    src = d / "src"
+    src.mkdir()
+    i = 0
+    for sub in ["a", "b"]:
+        for f in os.listdir(d / sub):
+            if f.endswith(".parquet"):
+                shutil.copy(d / sub / f, src / f"{i}.parquet")
+                i += 1
+    return str(src)
+
+
+def _run_to_memory(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _batch_events(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def test_tumbling_counts_match_batch(spark, events_dir):
+    stream = S.read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        spark, S.tumbling_counts(stream), "t_tumbling", "complete"
+    )
+    expected = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert got.count() == expected.count()
+    assert got.agg(F.sum("n_events")).first()[0] == 1000
+
+
+def test_session_windows_stream(spark, events_dir):
+    stream = S.read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        spark, S.session_windows(stream, gap="30 minutes"), "t_sessions", "complete"
+    )
+    # one row per (user, session); total events preserved
+    assert got.agg(F.sum("n_events")).first()[0] == 1000
+    assert got.filter(F.col("session_end") <= F.col("session_start")).count() == 0
+
+
+def test_dedupe_stream_drops_duplicate_ids(spark, events_dir, tmp_path):
+    # duplicate every event by copying the source files
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    for i, f in enumerate(sorted(os.listdir(events_dir))):
+        shutil.copy(os.path.join(events_dir, f), dup_dir / f"{i}.parquet")
+        shutil.copy(os.path.join(events_dir, f), dup_dir / f"dup_{i}.parquet")
+    stream = S.read_events_stream(spark, str(dup_dir))
+    got = _run_to_memory(
+        spark, S.dedupe_stream(stream), "t_dedupe", "append"
+    )
+    assert got.count() == 1000  # 2000 rows in, exact-once out
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    stream = S.read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        spark, S.running_user_totals(stream), "t_state", "update"
+    )
+    # last update per user must equal the batch totals
+    latest = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expected = _batch_events(spark).groupBy("user_id").count()
+    joined = latest.join(expected, "user_id")
+    assert joined.filter(F.col("n_events") != F.col("count")).count() == 0
+    assert latest.agg(F.sum("n_events")).first()[0] == 1000
+
+
+def test_incremental_cube_sink(spark, events_dir, tmp_path):
+    state = str(tmp_path / "cube_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    cube = S.tumbling_counts(stream)
+    q = S.incremental_cube_sink(
+        cube,
+        state,
+        ckpt,
+        dims=["window_start", "event_type"],
+        measure_sums=["n_events", "total_value"],
+    ).start()
+    q.awaitTermination(180)
+    final = spark.read.parquet(state)
+    batch = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert final.agg(F.sum("n_events")).first()[0] == 1000
+    assert final.count() == batch.count()
