@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from implementation_of_an_etl_process_spark.queries import relational
+from implementation_of_an_etl_process_spark.queries import relational, relational2
 
-_MODULES = [relational]
+_MODULES = [relational, relational2]
 
 try:  # registered as they land
     from implementation_of_an_etl_process_spark.queries import textops

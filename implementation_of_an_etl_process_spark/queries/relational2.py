@@ -1,0 +1,436 @@
+"""Second relational battery: outer joins, aggregate subqueries,
+GROUPING SETS (SQL API), array aggregation, exact percentiles, lag/lead
+windows, HAVING, null handling, date arithmetic, explode.
+
+Same determinism discipline as ``relational`` (decimal-exact sums,
+BIGINT casts, string temporals, total orders under LIMIT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.queries.relational import (
+    _DEC,
+    _dsum,
+    _dsum_sql,
+    _t,
+)
+
+
+# --- outer joins -----------------------------------------------------------
+
+
+def left_join_part_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts LEFT JOIN their lineitems — parts never ordered stay with
+    zero counts (the outer-join semantics the reference lacks)."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_outer")
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),  # counts non-null only
+            _dsum(F.coalesce(F.col("l_quantity"), F.lit(0.0)), "total_qty"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+LEFT_JOIN_SQL = f"""
+SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_items,
+       {_dsum_sql("COALESCE(l_quantity, 0.0)", "total_qty")}
+FROM part LEFT OUTER JOIN lineitem ON p_partkey = l_partkey
+GROUP BY p_partkey, p_brand ORDER BY p_partkey
+"""
+
+
+def full_outer_buyer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN of early vs late buyer cohorts per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    early = (
+        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_early"))
+        .select(F.col("o_custkey").alias("ek"), "n_early")
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .select(F.col("o_custkey").alias("lk"), "n_late")
+    )
+    return (
+        early.join(late, early.ek == late.lk, "full_outer")
+        .select(
+            F.coalesce("ek", "lk").alias("custkey"),
+            F.coalesce("n_early", F.lit(0)).alias("n_early"),
+            F.coalesce("n_late", F.lit(0)).alias("n_late"),
+        )
+        .orderBy("custkey")
+    )
+
+
+FULL_OUTER_SQL = """
+WITH early AS (
+  SELECT o_custkey AS ek, COUNT(*) AS n_early FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY o_custkey
+), late AS (
+  SELECT o_custkey AS lk, COUNT(*) AS n_late FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' GROUP BY o_custkey
+)
+SELECT COALESCE(ek, lk) AS custkey,
+       CAST(COALESCE(n_early, 0) AS BIGINT) AS n_early,
+       CAST(COALESCE(n_late, 0) AS BIGINT) AS n_late
+FROM early FULL OUTER JOIN late ON ek = lk
+ORDER BY custkey
+"""
+
+
+# --- aggregate subquery (Q17-shaped) ---------------------------------------
+
+
+def subquery_above_avg_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems priced above their part's average — the scalar-subquery
+    pattern, expressed as an aggregate join (what any engine rewrites a
+    correlated subquery into)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    avg_per_part = lineitem.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        lineitem.join(F.broadcast(avg_per_part), "l_partkey")
+        .filter(F.col("l_extendedprice") > F.col("avg_price"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            _dsum("l_extendedprice", "sum_above"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+SUBQUERY_SQL = f"""
+WITH avg_per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*)
+           AS avg_price
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey, COUNT(*) AS n_above,
+       {_dsum_sql("l.l_extendedprice", "sum_above")}
+FROM lineitem l JOIN avg_per_part a ON l.l_partkey = a.l_partkey
+WHERE l.l_extendedprice > a.avg_price
+GROUP BY l.l_partkey ORDER BY l.l_partkey
+"""
+
+
+# --- GROUPING SETS via the SQL API -----------------------------------------
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                 AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {_dsum_sql("o_totalprice", "total_price")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --- array aggregation -----------------------------------------------------
+
+
+def array_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ARRAY_AGG_SQL = """
+SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# --- exact median (manual midpoint: engine-identical arithmetic) -----------
+
+
+def median_retail_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-brand median via row_number midpoints — written out
+    manually so both engines compute (lo+hi)/2 with identical doubles
+    (percentile implementations differ in interpolation arithmetic)."""
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    ranked = part.select(
+        "p_brand",
+        "p_retailprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("p_brand")).alias("n"),
+    )
+    mid = ranked.filter(
+        ((F.col("n") % 2 == 1) & (F.col("rn") == (F.col("n") + 1) / 2))
+        | (
+            (F.col("n") % 2 == 0)
+            & ((F.col("rn") == F.col("n") / 2) | (F.col("rn") == F.col("n") / 2 + 1))
+        )
+    )
+    return (
+        mid.groupBy("p_brand")
+        .agg(
+            (F.sum("p_retailprice") / F.count(F.lit(1))).alias("median_price"),
+            F.max("n").alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT p_brand, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice ASC, p_partkey ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n
+  FROM part
+), mid AS (
+  SELECT * FROM ranked
+  WHERE (n % 2 = 1 AND rn = (n + 1) / 2)
+     OR (n % 2 = 0 AND rn IN (n / 2, n / 2 + 1))
+)
+SELECT p_brand,
+       SUM(p_retailprice) / COUNT(*) AS median_price,
+       CAST(MAX(n) AS BIGINT) AS n_parts
+FROM mid GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# --- lag/lead windows ------------------------------------------------------
+
+
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("days_since_prev"),
+            F.datediff(
+                F.lead("o_orderdate").over(w), F.col("o_orderdate")
+            ).alias("days_to_next"),
+        )
+        .filter(F.col("days_since_prev").isNotNull())
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS INTEGER)
+         AS days_since_prev,
+       CAST(date_diff('day', o_orderdate, LEAD(o_orderdate) OVER w) AS INTEGER)
+         AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+QUALIFY days_since_prev IS NOT NULL
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- HAVING (Q18-shaped) ---------------------------------------------------
+
+
+def having_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity", "total_qty"), F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy("l_orderkey")
+    )
+
+
+HAVING_SQL = f"""
+SELECT l_orderkey, {_dsum_sql("l_quantity", "total_qty")},
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_orderkey
+HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) > 150
+ORDER BY l_orderkey
+"""
+
+
+# --- null handling ---------------------------------------------------------
+
+
+def null_handling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: nullif creates them, coalesce/count navigate them
+    (the reference has no null path at all, SURVEY.md §2.2)."""
+    orders = _t(spark, sf_dir, "orders")
+    masked = orders.withColumn(
+        "status_or_null", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    )
+    return (
+        masked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("status_or_null").alias("n_nonpending"),
+            F.sum(
+                F.when(F.col("status_or_null").isNull(), 1).otherwise(0)
+            ).alias("n_pending"),
+            F.countDistinct(
+                F.coalesce("status_or_null", F.lit("PENDING"))
+            ).alias("n_status_kinds"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+NULL_HANDLING_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_total,
+       COUNT(NULLIF(o_orderstatus, 'P')) AS n_nonpending,
+       CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pending,
+       COUNT(DISTINCT COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING'))
+         AS n_status_kinds
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- date arithmetic -------------------------------------------------------
+
+
+def date_arith_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias(
+                "due_day"
+            ),
+            F.datediff(F.lit("2002-01-01"), F.col("o_orderdate")).alias(
+                "days_to_epoch_end"
+            ),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .filter(F.col("dow") == 1)  # Sundays
+        .orderBy("o_orderkey")
+    )
+
+
+DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_day,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')
+            AS INTEGER) AS days_to_epoch_end,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+FROM orders
+WHERE dayofweek(o_orderdate) + 1 = 1
+ORDER BY o_orderkey
+"""
+
+
+# --- explode / unnest ------------------------------------------------------
+
+
+def explode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.explode(F.split(F.col("p_name"), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+    )
+
+
+EXPLODE_SQL = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+GROUP BY word ORDER BY n DESC, word
+"""
+
+
+# --- approximate distinct (scale path; rows-only) --------------------------
+
+
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx distinct — the 100 TB alternative to exact
+    countDistinct. Rows-only check (sketches aren't oracle-portable);
+    tests bound its error against the exact count."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES = {
+    "left_join_part_usage": left_join_part_usage,
+    "full_outer_buyer_cohorts": full_outer_buyer_cohorts,
+    "subquery_above_avg_items": subquery_above_avg_items,
+    "grouping_sets_orders": grouping_sets_orders,
+    "array_agg_segments": array_agg_segments,
+    "median_retail_price": median_retail_price,
+    "window_order_gaps": window_order_gaps,
+    "having_bulk_orders": having_bulk_orders,
+    "null_handling_orders": null_handling_orders,
+    "date_arith_orders": date_arith_orders,
+    "explode_part_words": explode_part_words,
+    "approx_distinct_customers": approx_distinct_customers,
+}
+
+ORACLES = {
+    "left_join_part_usage": LEFT_JOIN_SQL,
+    "full_outer_buyer_cohorts": FULL_OUTER_SQL,
+    "subquery_above_avg_items": SUBQUERY_SQL,
+    "grouping_sets_orders": GROUPING_SETS_SQL,
+    "array_agg_segments": ARRAY_AGG_SQL,
+    "median_retail_price": MEDIAN_SQL,
+    "window_order_gaps": WINDOW_GAPS_SQL,
+    "having_bulk_orders": HAVING_SQL,
+    "null_handling_orders": NULL_HANDLING_SQL,
+    "date_arith_orders": DATE_ARITH_SQL,
+    "explode_part_words": EXPLODE_SQL,
+    # approx_distinct_customers: rows-only by design
+}

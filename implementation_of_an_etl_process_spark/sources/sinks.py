@@ -8,6 +8,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_csv(
@@ -38,3 +39,25 @@ def write_csv(
     shutil.move(part, path)
     shutil.rmtree(tmp)
     return path
+
+
+def write_reference_csv(df: DataFrame, path: str) -> str:
+    """Byte-format parity with the reference's output conventions
+    (SURVEY.md §2 X1/K1):
+
+    - header spells ``ncontrats`` (the reference's typo, ETL.java:258)
+    - ``amount`` printed DecimalFormat("#.00")-style: two decimals with
+      NO leading zero before the point (0.47 -> ".47", -0.3 -> "-.30",
+      ETL.java:255,266)
+    """
+    amount_fmt = F.regexp_replace(
+        F.format_string("%.2f", F.col("amount")), r"^(-?)0\.", r"$1."
+    )
+    out = df.select(
+        "geo", "type", "misc", "nature", "time", "consumption",
+        amount_fmt.alias("amount"),
+        "nclients",
+        F.col("ncontracts").alias("ncontrats"),
+        "ninvoices",
+    )
+    return write_csv(out, path, single_file=True)

@@ -1,0 +1,72 @@
+"""Source/sink tests: Python DataSource parity, reference CSV format."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import REF_SAMPLE
+
+BIN = os.path.join(REF_SAMPLE, "invoices.bin")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(BIN), reason="reference sample not present"
+)
+
+
+def test_invoice_datasource_matches_mapinpandas_reader(spark):
+    from implementation_of_an_etl_process_spark.sources import read_invoices_bin
+    from implementation_of_an_etl_process_spark.sources.invoice_datasource import (
+        InvoiceBinaryDataSource,
+    )
+
+    spark.dataSource.register(InvoiceBinaryDataSource)
+    via_ds = (
+        spark.read.format("invoicebin").option("path", BIN).load()
+    )
+    via_mip = read_invoices_bin(spark, BIN)
+    assert via_ds.schema.fieldNames() == via_mip.schema.fieldNames()
+    assert via_ds.count() == via_mip.count() == 58176
+    a = via_ds.orderBy("id", "id_contract", "time", "consumption").toPandas()
+    b = via_mip.orderBy("id", "id_contract", "time", "consumption").toPandas()
+    assert a.equals(b)
+
+
+def test_invoice_datasource_split_partitioning(spark):
+    from implementation_of_an_etl_process_spark.sources.invoice_datasource import (
+        InvoiceBinaryDataSource,
+    )
+
+    spark.dataSource.register(InvoiceBinaryDataSource)
+    df = (
+        spark.read.format("invoicebin")
+        .option("path", BIN)
+        .option("split_bytes", 16 * 4096)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 15  # 930816 B / 65536 B
+    assert df.count() == 58176
+
+
+def test_write_reference_csv_format(spark, tmp_path):
+    from implementation_of_an_etl_process_spark.sources.sinks import (
+        write_reference_csv,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1, 10, 0.47, 1, 2, 3),
+            (2, 1, 1, 1, 1, 10, -0.3, 1, 2, 3),
+            (3, 1, 1, 1, 1, 10, 12.0, 1, 2, 3),
+        ],
+        "geo int, type int, misc int, nature int, time int, consumption long,"
+        "amount double, nclients long, ncontracts long, ninvoices long",
+    )
+    out = write_reference_csv(df.orderBy("geo"), str(tmp_path / "ref.csv"))
+    lines = open(out).read().splitlines()
+    assert lines[0] == (
+        "geo,type,misc,nature,time,consumption,amount,nclients,ncontrats,ninvoices"
+    )
+    amounts = [ln.split(",")[6] for ln in lines[1:]]
+    assert amounts == [".47", "-.30", "12.00"]
