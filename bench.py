@@ -44,17 +44,25 @@ def main() -> None:
     spark = get_spark("bench")
     qs = battery.queries()
 
-    def run(name: str) -> float:
+    def run(name: str) -> float | None:
+        """Per-query wall time; a failing query reports null instead of
+        killing the whole bench line."""
         t0 = time.monotonic()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            return None
         return round(time.monotonic() - t0, 3)
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     timings["_warmup"] = run(HEADLINE[0])  # JVM/codegen warmup, reported apart
     for name in HEADLINE:
         timings[name] = run(name)
 
-    total = round(sum(v for k, v in timings.items() if not k.startswith("_")), 3)
+    total = round(
+        sum(v for k, v in timings.items() if not k.startswith("_") and v), 3
+    )
     print(
         json.dumps(
             {

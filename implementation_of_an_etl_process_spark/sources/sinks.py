@@ -61,3 +61,37 @@ def write_reference_csv(df: DataFrame, path: str) -> str:
         "ninvoices",
     )
     return write_csv(out, path, single_file=True)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    *,
+    mode: str = "overwrite",
+) -> str:
+    """Hive-style partitioned parquet: queries filtering on the
+    partition columns prune directories at planning time (zero I/O for
+    excluded partitions) — the layout a 100 TB fact table wants."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    *,
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at
+    WRITE time, so joins/aggregations on those columns skip the shuffle
+    entirely (the biggest cost at scale). Both sides of a join bucketed
+    the same way -> SortMergeJoin with NO Exchange in the plan."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table, format="parquet")
+    return table
