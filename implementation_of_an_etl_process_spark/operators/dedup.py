@@ -6,9 +6,14 @@ loops, no per-row Python):
 - exact:     hash groupBy on the key columns (keep lowest id)
 - fingerprint: md5/rolling-hash fingerprint equality
 - n-gram Jaccard: exact set similarity via inverted-index self-join
-- MinHash+LSH: shingle -> 128 minhashes -> 32 bands -> bucket join ->
+- MinHash+LSH: shingle -> minhash signature -> banded bucket join ->
                exact-Jaccard verification of candidates
+               (min-wise hashing per Broder, "On the resemblance and
+               containment of documents", 1997; banding per
+               Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3)
 - SimHash:   64-bit signature, chunk-banded join, Hamming verification
+               (random-projection hashing per Charikar, "Similarity
+               estimation techniques from rounding algorithms", 2002)
 - embedding cosine: quantized int cosine (see functions.vectors)
 
 Scale notes: the inverted-index join shuffles on the shingle — frequent
@@ -191,6 +196,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard.
 
@@ -203,6 +209,13 @@ def minhash_lsh_pairs(
     """
     rows = n_hashes // bands
     sh = _shingle_table(df, id_col, text_col, k, max_shingle_df)
+    if persist_shingles:
+        # the shingle table feeds BOTH the signature and the verify
+        # stage (diamond plan) — persist so it's computed once; spills
+        # to disk under pressure, LRU-evicted when unused
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(sh, n_hashes=n_hashes)
 
     band_cols = F.array(

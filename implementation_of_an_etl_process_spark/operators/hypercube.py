@@ -21,7 +21,8 @@ it is a parameterized builder:
 Scale notes (100 TB discipline):
 - Exact COUNT(DISTINCT x, y) forces an Expand (row duplication per
   distinct aggregate). ``distinct_mode="approx"`` switches to HLL++
-  (``approx_count_distinct``), the right answer at cluster scale.
+  (``approx_count_distinct``; Heule/Nunkesser/Hall, "HyperLogLog in
+  practice", 2013), the right answer at cluster scale.
 - Dimension tables broadcast; only the final aggregate shuffles, keyed
   by the group columns. With AQE, skewed group keys re-split.
 """

@@ -7,9 +7,11 @@
   broadcastable.
 - ``ivf_topk``: IVF-style approximate path — cluster corpus vectors
   into Voronoi cells around deterministic pseudo-random centroids,
-  search only the ``n_probe`` cells nearest each query. The shuffle is
-  keyed by cell id, so corpus size scales out; recall is tunable via
-  n_probe/n_cells.
+  search only the ``n_probe`` cells nearest each query (inverted-file
+  indexing per Jégou/Douze/Schmid, "Product quantization for nearest
+  neighbor search", 2011 — the coarse quantizer stage, without PQ).
+  The shuffle is keyed by cell id, so corpus size scales out; recall is
+  tunable via n_probe/n_cells.
 
 Scores use quantized-int cosine (see functions.vectors) so results are
 engine-exact for oracle comparison; throughput users can pass
