@@ -36,10 +36,29 @@ except ImportError:  # pragma: no cover
     pass
 
 
+def _with_engine_confs(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """The driver calls these with ITS SparkSession, which lacks the
+    engine's session confs (nanos-parquet reads, UTC) — apply them at
+    call time; they are runtime-settable and idempotent."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from implementation_of_an_etl_process_spark.session import (
+            ensure_engine_confs,
+        )
+
+        ensure_engine_confs(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
-        out.update(m.QUERIES)
+        out.update({k: _with_engine_confs(v) for k, v in m.QUERIES.items()})
     return out
 
 

@@ -14,6 +14,24 @@ from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "implementation-of-an-etl-process-spark"
 
+# Session confs the engine's queries rely on. All runtime-settable, so
+# they can be applied to a session the engine didn't create (e.g. the
+# verification driver's): nanos parquet columns read as long, and a
+# fixed UTC timezone so temporal formatting is deterministic.
+RUNTIME_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs the engine's plans assume.
+    Idempotent; safe on foreign sessions."""
+    for k, v in RUNTIME_REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+    return spark
+
 
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
