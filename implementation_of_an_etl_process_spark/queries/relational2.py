@@ -434,3 +434,122 @@ ORACLES = {
     "explode_part_words": EXPLODE_SQL,
     # approx_distinct_customers: rows-only by design
 }
+
+
+# --- full window-rank family ----------------------------------------------
+
+
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile in one pass — the
+    ranking family beyond row_number. percent_rank's (rank-1)/(n-1) is a
+    double division of exact ints, engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 50)
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(rnk AS INTEGER) AS rnk,
+       CAST(drnk AS INTEGER) AS drnk,
+       prnk,
+       CAST(quartile AS INTEGER) AS quartile
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk,
+         PERCENT_RANK() OVER w AS prnk,
+         NTILE(4) OVER w AS quartile
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+WHERE rnk <= 50
+ORDER BY o_orderpriority, rnk, o_orderkey
+"""
+
+
+# --- multi-column distinct (the Expand path) -------------------------------
+
+
+def multi_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates over different columns in one GROUP BY —
+    the planner's Expand path (each row replicated per distinct set).
+    The hypercube avoids this with its two-level rewrite; this entry
+    keeps the general path covered."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+MULTI_DISTINCT_SQL = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --- regex extraction ------------------------------------------------------
+
+
+def regex_extract_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the numeric id out of 'Customer#000000042' names and prove
+    it round-trips to the key column."""
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+            .cast("long")
+            .alias("parsed_id"),
+        )
+        .filter(F.col("parsed_id") == F.col("c_custkey"))
+        .orderBy("c_custkey")
+    )
+
+
+REGEX_EXTRACT_SQL = r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS parsed_id
+FROM customer
+WHERE CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) = c_custkey
+ORDER BY c_custkey
+"""
+
+
+QUERIES.update(
+    {
+        "window_rank_family": window_rank_family,
+        "multi_distinct_orders": multi_distinct_orders,
+        "regex_extract_customer_ids": regex_extract_customer_ids,
+    }
+)
+ORACLES.update(
+    {
+        "window_rank_family": WINDOW_RANK_SQL,
+        "multi_distinct_orders": MULTI_DISTINCT_SQL,
+        "regex_extract_customer_ids": REGEX_EXTRACT_SQL,
+    }
+)
