@@ -406,3 +406,79 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs -> connected components -> keep representative
+# ---------------------------------------------------------------------------
+
+
+def cluster_pairs(pairs: DataFrame, *, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs via min-label
+    propagation: every vertex repeatedly adopts the smallest id
+    reachable in one hop until fixpoint (converges in O(diameter)
+    rounds; near-dup clusters are shallow, so a handful).
+
+    Returns (``_id``, ``cluster``) where cluster = min id of the
+    component. The per-round work is two joins + an aggregate — all
+    distributed; the driver only orchestrates rounds and checks the
+    convergence counter (control plane, not data plane).
+    ``localCheckpoint`` cuts lineage so plans stay flat across rounds.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("_id"))
+        .distinct()
+        .withColumn("cluster", F.col("_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels._id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels._id == neighbor_min.src, "left")
+            .select(
+                "_id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+                (
+                    F.coalesce("nbr_cluster", F.col("cluster"))
+                    < F.col("cluster")
+                ).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        if new_labels.filter(F.col("_changed")).limit(1).count() == 0:
+            labels = new_labels.drop("_changed")
+            break
+        labels = new_labels.drop("_changed")
+    edges.unpersist()
+    return labels
+
+
+def drop_near_duplicates(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster.
+
+    Greedy pair-dropping under-deletes on transitive chains (a~b, b~c
+    but a!~c would keep a and c); clustering deletes every non-minimum
+    member of each connected component."""
+    clusters = cluster_pairs(pairs)
+    losers = clusters.filter(F.col("_id") != F.col("cluster")).select(
+        F.col("_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

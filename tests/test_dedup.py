@@ -123,3 +123,29 @@ def test_shingles_shorter_than_k(spark):
     df = spark.createDataFrame([(1, "only two"), (2, "one")], ["doc_id", "text"])
     out = D.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1)
     assert out.count() == 0  # no shingles -> no pairs, no crash
+
+
+def test_cluster_pairs_transitive_chain(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    got = {
+        r._id: r.cluster for r in D.cluster_pairs(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_drop_near_duplicates_keeps_cluster_minimum(spark, docs):
+    # chain: 1~2 (exact), 1~3 (near) -> one cluster {1,2,3}; 4 alone
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    out = D.drop_near_duplicates(docs, "doc_id", pairs)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 4]
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    n = 40  # longer than typical near-dup diameters; still < max_iterations bound via doubling? plain propagation needs ~n rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = {r._id: r.cluster for r in D.cluster_pairs(pairs, max_iterations=n + 1).collect()}
+    assert set(got.values()) == {0}

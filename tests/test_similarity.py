@@ -75,3 +75,15 @@ def test_ivf_more_probes_higher_recall(spark):
     one = S.ivf_topk(q, emb, n_probe=1, **kwargs)
     assert full.count() == 50
     assert one.count() <= 50
+
+
+def test_arrow_topk_agrees_with_expression(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    kw = dict(query_id="qid", query_vec="qvec", corpus_id="cid", corpus_vec="cvec", k=5)
+    expr = {(r.qid, r.cid) for r in S.brute_force_topk(q, c, **kw).collect()}
+    arrow = {(r.qid, r.cid) for r in S.brute_force_topk_arrow(q, c, **kw).collect()}
+    assert expr == arrow
