@@ -1,0 +1,80 @@
+"""Temporal join operators Spark lacks natively: as-of join and range
+(interval) join — composed from built-in DataFrame ops per the engine's
+design rule (composition first, Pandas UDF only if semantics demand).
+
+- ``asof_join``: for each left row, the latest right row with
+  ``right_ts <= left_ts`` per key. Implemented with the union +
+  last-ignorenulls-window trick: one shuffle on (key), no range
+  explosion, scales as a plain window. (This is how event-time feature
+  lookup/backfill works in training-data pipelines.)
+- ``range_join``: non-equi join of points into intervals. The bands
+  side is broadcast (bounded literal table) so Catalyst plans a
+  BroadcastNestedLoopJoin — the right physical shape when intervals
+  are few; interval tables that are themselves huge would bucket by
+  range instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Left as-of join (backward): append the payload of the latest
+    right row at-or-before each left row's timestamp, per ``by`` key.
+
+    ``tiebreak`` must be a unique right-side column: among right rows
+    sharing (by, ts) the one with the greatest tiebreak wins, making
+    results deterministic.
+    """
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            by,
+            F.col(right_ts).alias("_ts"),
+            F.col(tiebreak).alias("_tb"),
+            *payload_cols,
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows order before left rows at equal ts (inclusive <=);
+    # tiebreak orders equal-ts right rows deterministically
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in payload_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_ts", "_side", "_tb")
+
+
+def range_join(
+    points: DataFrame,
+    bands: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    inclusive_hi: bool = False,
+) -> DataFrame:
+    """Join point rows into [lo, hi) interval rows (broadcast bands)."""
+    upper = (
+        F.col(value_col) <= F.col(hi_col)
+        if inclusive_hi
+        else F.col(value_col) < F.col(hi_col)
+    )
+    return points.join(
+        F.broadcast(bands), (F.col(value_col) >= F.col(lo_col)) & upper, "inner"
+    )

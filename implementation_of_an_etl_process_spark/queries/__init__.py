@@ -34,6 +34,12 @@ try:
     _MODULES.append(streamingops)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import temporal
+
+    _MODULES.append(temporal)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(

@@ -1,0 +1,103 @@
+"""Battery entries: as-of join and range join, oracle-checked against
+DuckDB's native ASOF JOIN and interval join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+from implementation_of_an_etl_process_spark.queries.relational import _t
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event: the value of the user's latest purchase
+    at-or-before the click (event-time feature lookup)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # one row per (user, ts): greatest event_id wins ties, making the
+    # as-of target unique (mirrored exactly in the oracle SQL)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"),
+             F.max("event_id").alias("p_eid"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["purchase_value"],
+        tiebreak="p_eid",
+    )
+    return (
+        out.select(
+            "event_id",
+            "user_id",
+            F.round(F.coalesce("purchase_value", F.lit(-1.0)), 6).alias(
+                "last_purchase_value"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, max_by(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       ROUND(COALESCE(p.purchase_value, -1.0), 6) AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+ORDER BY c.event_id
+"""
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join(part, bands, value_col="p_retailprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+        .orderBy("band")
+    )
+
+
+RANGE_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget', 0.0, 930.0), ('mid', 930.0, 970.0), ('premium', 970.0, 1e9)
+)
+SELECT band, COUNT(*) AS n_parts,
+       MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+QUERIES = {
+    "asof_join_events": asof_join_events,
+    "range_join_price_bands": range_join_price_bands,
+}
+ORACLES = {
+    "asof_join_events": ASOF_SQL,
+    "range_join_price_bands": RANGE_SQL,
+}
