@@ -36,6 +36,7 @@ from implementation_of_an_etl_process_spark.functions.text_exprs import (
 )
 from implementation_of_an_etl_process_spark.functions.vectors import (
     int_cosine,
+    int_dot,
     quantize_vec,
 )
 from implementation_of_an_etl_process_spark.plans import spread
@@ -353,9 +354,16 @@ def embedding_cosine_pairs(
     with probability (1-acos(s)/pi)^p — at s>=0.95, p=8: ~0.77 per
     table; callers wanting higher recall union several plane sets.
     """
-    q = spread(df).select(
-        F.col(id_col).alias("_id"), quantize_vec(vec_col).alias("_q")
+    from implementation_of_an_etl_process_spark.functions.vectors import (
+        int_norm2,
     )
+
+    # hoist the squared norm: computed once per vector here, instead of
+    # twice per PAIR inside the cosine (O(n) vs O(n^2) norm work)
+    q = spread(df).select(
+        F.col(id_col).alias("_id"),
+        quantize_vec(vec_col).alias("_q"),
+    ).withColumn("_n2", int_norm2(F.col("_q")).cast("double"))
     if n_planes:
         # Deterministic pseudo-random hyperplanes: plane p component i
         # from xxhash64(p, i) mapped to ±1 — avoids shipping numpy state.
@@ -389,20 +397,34 @@ def embedding_cosine_pairs(
         for i, sb in enumerate(sign_bits):
             bucket = bucket + sb * (2**i)
         q = q.withColumn("_bucket", bucket)
-        join_cond = ["_bucket"]
         a = q.select(
-            F.col("_id").alias("id_a"), F.col("_q").alias("qa"), "_bucket"
+            F.col("_id").alias("id_a"), F.col("_q").alias("qa"),
+            F.col("_n2").alias("na2"), "_bucket",
         )
         b = q.select(
-            F.col("_id").alias("id_b"), F.col("_q").alias("qb"), "_bucket"
+            F.col("_id").alias("id_b"), F.col("_q").alias("qb"),
+            F.col("_n2").alias("nb2"), "_bucket",
         )
-        joined = a.join(b, join_cond).filter(F.col("id_a") < F.col("id_b"))
+        joined = a.join(b, ["_bucket"]).filter(F.col("id_a") < F.col("id_b"))
     else:
-        a = q.select(F.col("_id").alias("id_a"), F.col("_q").alias("qa"))
-        b = q.select(F.col("_id").alias("id_b"), F.col("_q").alias("qb"))
+        a = q.select(
+            F.col("_id").alias("id_a"), F.col("_q").alias("qa"),
+            F.col("_n2").alias("na2"),
+        )
+        b = q.select(
+            F.col("_id").alias("id_b"), F.col("_q").alias("qb"),
+            F.col("_n2").alias("nb2"),
+        )
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # same arithmetic as functions.vectors.int_cosine, with the norms
+    # hoisted out of the pair loop
+    cosine = F.round(
+        int_dot(F.col("qa"), F.col("qb")).cast("double")
+        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        6,
+    )
     return (
-        joined.withColumn("cosine", int_cosine(F.col("qa"), F.col("qb")))
+        joined.withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -40,6 +40,12 @@ try:
     _MODULES.append(temporal)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import udfs
+
+    _MODULES.append(udfs)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(
