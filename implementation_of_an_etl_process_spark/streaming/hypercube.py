@@ -1,0 +1,108 @@
+"""Incremental maintenance of the reference hypercube from a stream of
+invoice records (SURVEY.md §7 M4: "incremental cube maintenance via
+foreachBatch merge").
+
+Exact COUNT DISTINCT is not streaming-incremental as a single
+aggregate, but the two-level functional-dependency rewrite (see
+operators.hypercube) IS: the streaming aggregation maintains the
+level-1 state keyed by (dims, contract, client) — plain mergeable sums
+and counts, bounded by the number of distinct (dims, contract) pairs —
+and each micro-batch's foreachBatch upserts those cumulative rows into
+a parquet-backed level-1 table, then derives the final cube (including
+exact nclients/ncontracts) by re-grouping level-1. Deriving from lvl1
+costs O(|lvl1|), independent of how many invoices have streamed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIMS = ["geo", "type", "misc", "nature", "time"]
+
+
+def streaming_hypercube_lvl1(
+    invoice_stream: DataFrame, contracts: DataFrame, clients: DataFrame
+) -> DataFrame:
+    """Stream-static plan: streaming invoices joined to broadcast static
+    dims, aggregated to the level-1 granularity (update mode emits the
+    CUMULATIVE row per key each batch)."""
+    enriched = (
+        contracts.select(
+            F.col("id").alias("contract_id"),
+            F.col("id_client").alias("client_id"),
+            "nature",
+        ).join(
+            F.broadcast(
+                clients.select(F.col("id").alias("client_id"), "type", "geo", "misc")
+            ),
+            "client_id",
+        )
+    )
+    return (
+        invoice_stream.select(
+            F.col("id_contract").alias("contract_id"),
+            "time",
+            "amount",
+            "consumption",
+        )
+        .join(F.broadcast(enriched), "contract_id")
+        .groupBy(*DIMS, "contract_id", "client_id")
+        .agg(
+            F.sum("consumption").cast("long").alias("_c"),
+            F.sum(F.col("amount").cast("double")).alias("_a"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+
+
+def hypercube_from_lvl1(lvl1: DataFrame) -> DataFrame:
+    """Final cube (exact distincts) from the level-1 state table."""
+    return (
+        lvl1.groupBy(*DIMS)
+        .agg(
+            F.sum("_c").cast("long").alias("consumption"),
+            F.round(F.sum("_a"), 2).alias("amount"),
+            F.countDistinct("client_id").cast("long").alias("nclients"),
+            F.count(F.lit(1)).cast("long").alias("ncontracts"),
+            F.sum("_n").alias("ninvoices"),
+        )
+        .orderBy(*DIMS)
+    )
+
+
+def incremental_hypercube_sink(
+    lvl1_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch upsert of cumulative level-1 rows into parquet state.
+    Read the maintained cube at any time with
+    ``hypercube_from_lvl1(spark.read.parquet(state_dir))``."""
+    keys = [*DIMS, "contract_id", "client_id"]
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new = batch
+        if os.path.exists(state_dir):
+            old = spark.read.parquet(state_dir)
+            new = old.join(new, keys, "left_anti").unionByName(new)
+        tmp = state_dir + ".tmp"
+        new.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    writer = (
+        lvl1_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
