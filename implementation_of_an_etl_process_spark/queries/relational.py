@@ -72,28 +72,32 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.o_custkey == cust_dim.c_custkey,
         "inner",
     ).select("o_orderkey", "o_custkey", "o_orderstatus", "c_mktsegment", "n_name")
-    joined = lineitem.select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate").join(
-        F.broadcast(order_dim),
-        F.col("l_orderkey") == order_dim.o_orderkey,
-        "inner",
-    )
     dims = ["n_name", "c_mktsegment", "o_orderstatus", "ship_month"]
-    # Two-level exact-distinct rewrite (see operators.hypercube): custkey
-    # is functionally dependent on orderkey, so pre-aggregating on
-    # (dims, orderkey, custkey) makes norders a plain COUNT(*) and
-    # leaves a single distinct — no Expand duplication of fact rows.
-    # Measured 2x faster than the Expand plan at sf0.1, same result.
+    # Narrow-first two-level exact-distinct rewrite (see
+    # operators.hypercube): pre-aggregate the fact table on the
+    # narrowest determining key (orderkey, ship_month) BEFORE the join
+    # widens rows — the one big shuffle carries 2 int keys + 3 decimals.
+    # custkey is functionally dependent on orderkey, so downstream
+    # norders is a plain COUNT(*) and only one distinct remains.
     lvl1 = (
-        joined.withColumn("ship_month", F.month("l_shipdate"))
-        .groupBy(*dims, "o_orderkey", "o_custkey")
+        lineitem.select(
+            "l_orderkey",
+            F.month("l_shipdate").alias("ship_month"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .groupBy("l_orderkey", "ship_month")
         .agg(
             F.sum(F.col("l_quantity").cast(_DEC)).alias("_qty"),
             F.sum(F.col("l_extendedprice").cast(_DEC)).alias("_price"),
             F.count(F.lit(1)).alias("_n"),
         )
     )
+    post = lvl1.join(
+        F.broadcast(order_dim), lvl1.l_orderkey == order_dim.o_orderkey, "inner"
+    )
     return (
-        lvl1.groupBy(*dims)
+        post.groupBy(*dims)
         .agg(
             F.sum("_qty").cast("double").alias("sum_qty"),
             F.round(F.sum("_price"), 2).cast("double").alias("amount"),
