@@ -166,7 +166,11 @@ def array_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            # String, not array<string>: the correctness driver canonicalizes
+            # by sorting pandas columns, and raw list cells are unhashable.
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+                "segments"
+            ),
             F.count(F.lit(1)).alias("n_customers"),
         )
         .orderBy("n_name")
@@ -174,7 +178,8 @@ def array_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ARRAY_AGG_SQL = """
-SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+SELECT n_name,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
        COUNT(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
