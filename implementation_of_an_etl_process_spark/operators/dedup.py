@@ -198,6 +198,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
     persist_shingles: bool = True,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard.
 
@@ -207,6 +208,14 @@ def minhash_lsh_pairs(
     indistinguishable from brute force at/above the threshold. (128/32
     buys ~1-5e-8 miss probability at s=0.8 if needed; the 64-wide
     signature keeps the generated aggregate inside codegen limits.)
+
+    Cache lifetime: the shingle table is persisted for the signature/
+    verify diamond. By default the (small, post-threshold) pair set is
+    eagerly materialized via ``localCheckpoint`` and the shingle cache
+    released before returning — long-lived sessions don't accumulate
+    cached partitions across calls. Callers wanting a fully lazy plan
+    pass ``cache_registry``, receive the persisted handle, and unpersist
+    after materializing the result themselves.
     """
     rows = n_hashes // bands
     sh = _shingle_table(df, id_col, text_col, k, max_shingle_df)
@@ -217,6 +226,8 @@ def minhash_lsh_pairs(
         from pyspark.storagelevel import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(sh)
     sig = minhash_signature(sh, n_hashes=n_hashes)
 
     band_cols = F.array(
@@ -241,7 +252,11 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_pairs_exact(sh, cand, threshold)
+    out = _verify_pairs_exact(sh, cand, threshold)
+    if persist_shingles and cache_registry is None:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

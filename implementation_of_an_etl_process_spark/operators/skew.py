@@ -17,6 +17,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt from the full row content.
+
+    NOT ``monotonically_increasing_id()``: that value depends on task/
+    partition numbering, so a shuffle-map task recomputed after executor
+    loss could assign different salts than the lost attempt — the classic
+    nondeterministic-shuffle-input hazard that duplicates/drops rows.
+    Hashing the row's own columns makes retries reproduce identical
+    salts. Fully duplicate rows share a salt, which only costs spreading
+    when a hot KEY is also all-duplicate in every payload column.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
 def salted_group_sum(
     df: DataFrame,
     keys: Sequence[str],
@@ -35,7 +49,7 @@ def salted_group_sum(
     the stage partial aggregation can't help when one reduce key owns
     10% of all rows.)
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = _row_salt(df, n_salts)
     aggs1 = [F.sum(c).alias(f"_s_{c}") for c in sum_cols]
     aggs2 = [F.sum(f"_s_{c}").alias(c) for c in sum_cols]
     if count_alias:
@@ -68,7 +82,5 @@ def salted_join(
         F.array(*[F.lit(i) for i in range(n_salts)])
     ).alias("_salt")
     small_rep = small.select("*", salts)
-    big_salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    big_salted = big.withColumn("_salt", _row_salt(big, n_salts))
     return big_salted.join(small_rep, [key, "_salt"], how).drop("_salt")

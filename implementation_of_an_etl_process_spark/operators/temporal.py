@@ -43,7 +43,11 @@ def asof_join(
             by,
             F.col(right_ts).alias("_ts"),
             F.col(tiebreak).alias("_tb"),
-            *payload_cols,
+            # One struct per right row, never NULL even when every payload
+            # field is NULL: last(ignorenulls) then picks the latest right
+            # ROW atomically — per-column last() would let an older row's
+            # non-null value leak past a newer row's genuine NULL.
+            F.struct(*payload_cols).alias("_payload"),
         )
         .withColumn("_side", F.lit(0))
     )
@@ -55,9 +59,10 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    u = u.withColumn("_payload", F.last("_payload", ignorenulls=True).over(w))
     for c in payload_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_ts", "_side", "_tb")
+        u = u.withColumn(c, F.col("_payload")[c])
+    return u.filter(F.col("_side") == 1).drop("_ts", "_side", "_tb", "_payload")
 
 
 def range_join(

@@ -33,7 +33,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is INT64 TIMESTAMP(NANOS); with nanosAsLong it scans
         # as long nanos — convert to TimestampType (micros precision).
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
 

@@ -30,7 +30,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             spark.read.parquet(f"{sf_dir}/events.parquet")
             .withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
             .coalesce(1)
             .write.mode("overwrite")

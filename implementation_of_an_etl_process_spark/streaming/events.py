@@ -189,34 +189,55 @@ def incremental_cube_sink(
     trigger_available_now: bool = True,
 ):
     """Maintain a materialized cube from a stream via foreachBatch:
-    each micro-batch's partial aggregate is merged (re-grouped) into the
-    parquet-backed cube state.
+    each micro-batch's update-mode rows are upserted into the
+    parquet-backed cube state at the stream's own key granularity
+    (``dims`` must be a subset of that key; extra stream-key columns —
+    e.g. a window_end that rides along with window_start — are kept, so
+    any dims-level view is an exact rollup of current values).
 
     Plain parquet overwrite keeps this dependency-free; on a real
     deployment the body becomes a Delta/Iceberg MERGE INTO keyed on the
-    dims (idempotent under retries) — the plan shape is identical.
+    stream key (idempotent under retries) — the plan shape is identical.
     """
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         import os
 
-        # Update-mode rows carry the CURRENT cumulative value per key
-        # (streaming agg state is checkpointed upstream), so the merge
-        # is an upsert — replacing stale rows, never re-summing them.
-        agg = [F.sum(m).alias(m) for m in measure_sums]
-        new = batch.groupBy(*dims).agg(*agg)
+        # Update-mode rows carry the CURRENT cumulative value per the
+        # STREAM's grouping key, so the only sound merge is an upsert at
+        # that full key granularity — rolling up to ``dims`` first would
+        # replace a dims-row with a sum over just the finer keys present
+        # in THIS batch, dropping prior contributions. Key = every
+        # non-measure column of the batch; ``dims`` must be part of it.
+        key_cols = [c for c in batch.columns if c not in set(measure_sums)]
+        missing = set(dims) - set(key_cols)
+        if missing:
+            raise ValueError(
+                f"incremental_cube_sink: dims {sorted(missing)} absent from "
+                f"stream key columns {key_cols}; the stream must group by "
+                "(at least) the cube dims"
+            )
+        new = batch.select(*key_cols, *measure_sums)
         if os.path.exists(state_dir):
             old = spark.read.parquet(state_dir)
-            new = old.join(new, dims, "left_anti").unionByName(new)
+            new = old.join(new, key_cols, "left_anti").unionByName(new)
         # write-then-swap to stay readable mid-update
         tmp = state_dir + ".tmp"
         new.write.mode("overwrite").parquet(tmp)
         import shutil
 
+        # rename-aside then rename-in shrinks the no-state crash window
+        # to a single metadata op (rmtree of the LIVE dir had a window
+        # where readers found nothing at all)
+        aside = state_dir + ".old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
         if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
+            os.rename(state_dir, aside)
         os.rename(tmp, state_dir)
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
 
     writer = (
         cube_stream.writeStream.outputMode("update")

@@ -19,7 +19,7 @@ def events_dir(spark, tmp_path_factory):
     ts re-encoded to micros (streaming schema declares TimestampType)."""
     d = tmp_path_factory.mktemp("events_stream")
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "a"))
     ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "b"))
@@ -48,7 +48,7 @@ def _run_to_memory(spark, stream_df, name, output_mode):
 
 def _batch_events(spark):
     return spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
