@@ -34,6 +34,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from implementation_of_an_etl_process_spark.plans import maybe_broadcast
+
 
 def denormalize(
     fact: DataFrame,
@@ -45,11 +47,14 @@ def denormalize(
 
     ``dims`` is a sequence of ``(dim_df, join_condition_or_key, how)``.
     Small sides are broadcast (the reference's direct-address lookup
-    arrays, ``ETL.java:106-108,153``, are exactly a broadcast hash map).
+    arrays, ``ETL.java:106-108,153``, are exactly a broadcast hash map);
+    the hint is size-gated (``plans.maybe_broadcast``) so a dimension
+    that has grown past broadcast scale degrades to an AQE-planned
+    shuffle join instead of overriding the safety nets and OOMing.
     """
     out = fact
     for dim, on, how in dims:
-        side = F.broadcast(dim) if broadcast_dims else dim
+        side = maybe_broadcast(dim) if broadcast_dims else dim
         out = out.join(side, on, how)
     return out
 
@@ -114,7 +119,7 @@ def reference_hypercube(
         # the fact scan probes ONE broadcast map, like the reference's
         # precomputed contractIndex (ETL.java:109).
         .join(
-            F.broadcast(
+            maybe_broadcast(
                 clients.select(
                     F.col("id").alias("client_id"), "type", "geo", "misc"
                 )

@@ -1,5 +1,10 @@
 """Plan-shaping utilities: parallelism spreading, plan inspection."""
 
-from implementation_of_an_etl_process_spark.plans.shape import spread, explain_str
+from implementation_of_an_etl_process_spark.plans.shape import (
+    explain_str,
+    leaf_scan_bytes,
+    maybe_broadcast,
+    spread,
+)
 
-__all__ = ["spread", "explain_str"]
+__all__ = ["spread", "explain_str", "leaf_scan_bytes", "maybe_broadcast"]

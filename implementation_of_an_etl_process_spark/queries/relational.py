@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from implementation_of_an_etl_process_spark.plans import maybe_broadcast
+
 # Exact, order-independent accumulation type for double measures.
 _DEC = "decimal(20,6)"
 
@@ -68,7 +70,7 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
     ).select("c_custkey", "c_mktsegment", "n_name")
     order_dim = orders.join(
-        F.broadcast(cust_dim),
+        maybe_broadcast(cust_dim),
         orders.o_custkey == cust_dim.c_custkey,
         "inner",
     ).select("o_orderkey", "o_custkey", "o_orderstatus", "c_mktsegment", "n_name")
@@ -94,7 +96,7 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     post = lvl1.join(
-        F.broadcast(order_dim), lvl1.l_orderkey == order_dim.o_orderkey, "inner"
+        maybe_broadcast(order_dim), lvl1.l_orderkey == order_dim.o_orderkey, "inner"
     )
     return (
         post.groupBy(*dims)
@@ -183,7 +185,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(
             orders.join(
-                F.broadcast(customer),
+                maybe_broadcast(customer),
                 orders.o_custkey == customer.c_custkey,
                 "inner",
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
@@ -230,7 +232,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = customer.join(F.broadcast(dims), customer.c_nationkey == dims.n_nationkey).select(
         "c_custkey", "n_nationkey", "n_name"
     )
-    ords = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    ords = orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "n_nationkey", "n_name"
     )
     # local supplier: supplier nation == customer nation
@@ -238,7 +240,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(ords, lineitem.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(maybe_broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .filter(F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(

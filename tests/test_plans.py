@@ -21,6 +21,33 @@ def test_hypercube_plan_shape(spark):
     assert "Expand" not in plan
 
 
+def test_maybe_broadcast_degrades_oversized_dim(spark):
+    """A dimension past the size gate must NOT carry a forced broadcast
+    hint: the join degrades to an AQE-planned shuffle join (SMJ here)
+    instead of overriding the safety nets — the behavior that matters
+    when a 'small' dim has grown 100x."""
+    from implementation_of_an_etl_process_spark.plans import maybe_broadcast
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    # disable auto-broadcast so only the HINT decides (models the
+    # at-scale planner seeing a genuinely big dim)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = maybe_broadcast(customer)  # under the default 128 MB gate
+        plan = explain_str(
+            orders.join(small, orders.o_custkey == small.c_custkey)
+        )
+        assert "BroadcastHashJoin" in plan
+
+        big = maybe_broadcast(customer, limit_bytes=1)  # modeled "oversized"
+        plan = explain_str(orders.join(big, orders.o_custkey == big.c_custkey))
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_q1_scan_pruning_and_pushdown(spark):
     plan = explain_str(R.q1_pricing_summary(spark, SF_ORACLE))
     # the shipdate filter reaches the parquet scan
