@@ -267,16 +267,49 @@ _SIMHASH_BITS = 64
 _SIMHASH_CHUNKS = 4  # pigeonhole banding: hamming<=3 -> >=1 equal 16-bit chunk
 
 
-def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def portable_hash64(col: Column) -> Column:
+    """64-bit hash other engines can reproduce: the first 16 hex chars
+    of md5, assembled from two 32-bit halves (8 hex chars each fit a
+    long exactly; shift+or is pure bit arithmetic, ANSI-safe).
+
+    DuckDB equivalent, bit-for-bit::
+
+        ('0x'||substr(md5(x),1,8))::UBIGINT -- high half
+        ('0x'||substr(md5(x),9,8))::UBIGINT -- low half
+
+    md5 costs ~2x xxhash64 per value — pay it when cross-engine
+    verification matters; flip to ``hash_fn="xxhash64"`` in pure-Spark
+    production runs.
+    """
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash_signature(
+    df: DataFrame, id_col: str, text_col: str, *, hash_fn: str = "md5"
+) -> DataFrame:
     """(id, simhash) — 64-bit SimHash over whitespace tokens.
 
     Per token hash h, bit j contributes +1 if set else -1; the signature
     bit j is 1 iff the per-document sum is positive. Expressed as 64
-    conditional-sum aggregates (one shuffle, partial-aggregated)."""
+    conditional-sum aggregates (one shuffle, partial-aggregated).
+
+    ``hash_fn="md5"`` (default) uses :func:`portable_hash64` so results
+    are verifiable against a DuckDB oracle; ``"xxhash64"`` is the faster
+    JVM-only hash for production."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    token_hash = (
+        portable_hash64(F.col("tok"))
+        if hash_fn == "md5"
+        else F.xxhash64("tok")
+    )
     tok = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(text_col)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash)
     bit_sums = tok.groupBy("_id").agg(
         *[
             F.sum(
@@ -300,6 +333,7 @@ def simhash_pairs(
     text_col: str,
     *,
     max_hamming: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
@@ -311,7 +345,7 @@ def simhash_pairs(
         raise ValueError(
             f"banding supports max_hamming < {_SIMHASH_CHUNKS}"
         )
-    sig = simhash_signature(df, id_col, text_col)
+    sig = simhash_signature(df, id_col, text_col, hash_fn=hash_fn)
     chunks = F.array(
         *[
             F.struct(

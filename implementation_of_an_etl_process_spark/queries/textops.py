@@ -10,7 +10,9 @@ Oracle-parity notes (verified primitive-by-primitive against DuckDB):
   borderline pair (and the corpus' planted near-dups sit at ~0.99 where
   it is ~1e-23), so LSH-then-verify equals brute force on any realistic
   run.
-- SimHash uses xxhash64 (no DuckDB equivalent) -> rows-only check.
+- SimHash: md5-derived portable 64-bit token hash; the oracle rebuilds
+  signatures bit-for-bit and brute-force-verifies Hamming distance
+  (banding is pigeonhole-exact at hamming<=3, so sets are identical).
 """
 
 from __future__ import annotations
@@ -215,11 +217,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (xxhash64 signatures have no DuckDB equivalent);
-    correctness is pinned by tests/test_dedup.py with planted dups."""
+    """Fully oracle-checked: signatures use the md5-derived portable
+    64-bit token hash, and the DuckDB oracle rebuilds the signature
+    bit-for-bit (64 conditional sums -> BIT string) then verifies ALL
+    pairs by Hamming distance — the banding on the Spark side is exact
+    for hamming<=3 (pigeonhole), so the two result sets are identical,
+    not probabilistically close."""
     return D.simhash_pairs(
         _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
     ).orderBy("id_a", "id_b")
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    # mirror operators.dedup.simhash_signature: token hash = first 16
+    # md5 hex chars as two 32-bit halves; bit j of the hash read from
+    # the matching half (assembly-free — UBIGINT << 63 overflows).
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    # BIT-string signature (bit order is irrelevant to Hamming distance
+    # as long as both sides of the xor agree)
+    bit_str = " || ".join(
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(63, -1, -1)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::UBIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::UBIGINT AS lo
+  FROM tok
+), bsum AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, ({bit_str})::BIT AS sig FROM bsum
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
 
 
 # --- multimodal plumbing (binary column stats) -----------------------------
@@ -265,6 +313,6 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
-    # dedup_simhash: rows-only by design
+    "dedup_simhash": SIMHASH_SQL,
     "multimodal_binary_stats": MULTIMODAL_STATS_SQL,
 }
