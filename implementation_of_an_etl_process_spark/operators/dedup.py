@@ -386,6 +386,21 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def plane_signs(set_idx: int, plane_idx: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane components, generated driver-side
+    (md5 of "set:plane:component") and embedded as literals — the SAME
+    matrix is reproducible in any engine (the DuckDB oracle embeds
+    these very numbers), and task retries can't perturb it."""
+    import hashlib
+
+    return [
+        1
+        if hashlib.md5(f"{set_idx}:{plane_idx}:{i}".encode()).digest()[0] & 1
+        else -1
+        for i in range(dim)
+    ]
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -393,15 +408,25 @@ def embedding_cosine_pairs(
     *,
     threshold: float = 0.95,
     n_planes: int | None = None,
+    n_plane_sets: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with quantized-int cosine >= threshold.
 
-    ``n_planes=None``: exact all-pairs (self cross join) — the oracle
-    path, O(n^2), fine for verification scale. With ``n_planes=p``:
-    random-hyperplane LSH bucketing (sign pattern of p projections) so
-    only same-bucket pairs are compared; a pair at cosine s collides
-    with probability (1-acos(s)/pi)^p — at s>=0.95, p=8: ~0.77 per
-    table; callers wanting higher recall union several plane sets.
+    ``n_planes=None``: exact all-pairs (self cross join) — O(n^2), the
+    verification path for small corpora ONLY. With ``n_planes=p``:
+    random-hyperplane LSH (sign pattern of p ±1-projections; Charikar
+    2002) — only same-bucket pairs are compared, then re-verified with
+    the exact cosine, so precision is exact and recall is the collision
+    probability: a pair at cosine s shares a bucket with probability
+    (1 - acos(s)/pi)^p per plane set. ``n_plane_sets=L`` unions L
+    independent sets (miss probability to the L-th power) — the
+    banded-LSH recall lever, same as MinHash bands.
+
+    The scale path: candidates are (id, id) pairs from a bucket
+    equi-join (shuffle on bucket), vectors re-joined only for the
+    candidate set — no cross join anywhere in the plan. ``dim`` avoids
+    a driver metadata read when the caller knows the width.
     """
     from implementation_of_an_etl_process_spark.functions.vectors import (
         int_norm2,
@@ -413,48 +438,67 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("_id"),
         quantize_vec(vec_col).alias("_q"),
     ).withColumn("_n2", int_norm2(F.col("_q")).cast("double"))
+    cosine = F.round(
+        int_dot(F.col("qa"), F.col("qb")).cast("double")
+        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        6,
+    )
     if n_planes:
-        # Deterministic pseudo-random hyperplanes: plane p component i
-        # from xxhash64(p, i) mapped to ±1 — avoids shipping numpy state.
-        dim = q.select(F.size("_q").alias("d")).first()["d"]
-        sign_bits = [
-            F.when(
-                F.aggregate(
+        if dim is None:
+            # bounded driver read: one row of metadata, not data
+            dim = q.select(F.size("_q").alias("d")).first()["d"]
+
+        def bucket_col(set_idx: int) -> Column:
+            b = F.lit(0)
+            for p in range(n_planes):
+                signs = F.array(
+                    *[F.lit(s) for s in plane_signs(set_idx, p, dim)]
+                )
+                proj = F.aggregate(
                     F.zip_with(
-                        F.col("_q"),
-                        F.array(
-                            *[
-                                F.when(
-                                    F.xxhash64(F.lit(p), F.lit(i))
-                                    .bitwiseAND(F.lit(1)) == 1,
-                                    F.lit(1),
-                                ).otherwise(F.lit(-1))
-                                for i in range(dim)
-                            ]
-                        ),
-                        lambda x, s: x * s.cast("long"),
+                        F.col("_q"), signs, lambda x, s: x * s.cast("long")
                     ),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 )
-                > 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            for p in range(n_planes)
-        ]
-        bucket = F.lit(0)
-        for i, sb in enumerate(sign_bits):
-            bucket = bucket + sb * (2**i)
-        q = q.withColumn("_bucket", bucket)
-        a = q.select(
-            F.col("_id").alias("id_a"), F.col("_q").alias("qa"),
-            F.col("_n2").alias("na2"), "_bucket",
+                b = b + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+            return b
+
+        banded = q.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(l).alias("s"), bucket_col(l).alias("bkt")
+                        )
+                        for l in range(n_plane_sets)
+                    ]
+                )
+            ).alias("sb"),
+        ).select("_id", F.col("sb.s").alias("s"), F.col("sb.bkt").alias("bkt"))
+        cand = (
+            banded.alias("a")
+            .join(banded.alias("b"), ["s", "bkt"])
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
         )
-        b = q.select(
-            F.col("_id").alias("id_b"), F.col("_q").alias("qb"),
-            F.col("_n2").alias("nb2"), "_bucket",
+        joined = cand.join(
+            q.select(
+                F.col("_id").alias("id_a"), F.col("_q").alias("qa"),
+                F.col("_n2").alias("na2"),
+            ),
+            "id_a",
+        ).join(
+            q.select(
+                F.col("_id").alias("id_b"), F.col("_q").alias("qb"),
+                F.col("_n2").alias("nb2"),
+            ),
+            "id_b",
         )
-        joined = a.join(b, ["_bucket"]).filter(F.col("id_a") < F.col("id_b"))
     else:
         a = q.select(
             F.col("_id").alias("id_a"), F.col("_q").alias("qa"),
@@ -467,11 +511,6 @@ def embedding_cosine_pairs(
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     # same arithmetic as functions.vectors.int_cosine, with the norms
     # hoisted out of the pair loop
-    cosine = F.round(
-        int_dot(F.col("qa"), F.col("qb")).cast("double")
-        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
-        6,
-    )
     return (
         joined.withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)

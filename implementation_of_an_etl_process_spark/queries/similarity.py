@@ -60,28 +60,77 @@ SELECT qid, cid, score, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank
 """
 
 
+_EMB_DIM = 64  # fixed across all test scale factors (asserted in entry)
+_LSH_PLANES = 4
+_LSH_SETS = 3
+_PAIR_THRESHOLD = 0.4
+
+
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All embedding pairs above a (deliberately low) cosine threshold —
-    exercises the exact all-pairs near-dup path with a non-empty result
-    on this corpus (max pairwise cosine ≈ 0.51)."""
+    """Near-dup pairs via random-hyperplane LSH (the 100 TB path: bucket
+    equi-join + candidate-scoped exact verify — NO cross join in the
+    plan), unioned over 3 plane sets for recall. The hyperplanes are
+    deterministic ±1 literals generated driver-side, and the oracle
+    embeds the SAME matrix, so the comparison is hash-exact: both
+    engines find the identical candidate set and identical cosines.
+    (The exhaustive all-pairs variant remains in the operator with
+    ``n_planes=None`` for verification-scale runs; tests measure LSH
+    recall against it.)"""
+    emb = _emb(spark, sf_dir)
     return D.embedding_cosine_pairs(
-        _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_PAIR_THRESHOLD,
+        n_planes=_LSH_PLANES,
+        n_plane_sets=_LSH_SETS,
+        dim=_EMB_DIM,
     ).orderBy("id_a", "id_b")
 
 
-EMBEDDING_PAIRS_SQL = f"""
+def _embedding_lsh_sql() -> str:
+    """DuckDB mirror of the LSH path: same ±1 plane literals, same
+    bucket assignment, same same-bucket candidate join, same quantized
+    cosine — an independent re-implementation, not a weaker check."""
+    set_selects = []
+    for l in range(_LSH_SETS):
+        plane_terms = []
+        for p in range(_LSH_PLANES):
+            signs = D.plane_signs(l, p, _EMB_DIM)
+            arr = "[" + ", ".join(str(s) for s in signs) + "]"
+            plane_terms.append(
+                f"(CASE WHEN list_sum([q[i] * ({arr})[i] "
+                f"FOR i IN range(1, len(q) + 1)]) > 0 "
+                f"THEN {2 ** p} ELSE 0 END)"
+            )
+        bucket = " + ".join(plane_terms)
+        set_selects.append(
+            f"SELECT vec_id, {l} AS s, {bucket} AS bkt FROM v"
+        )
+    sets_union = "\n  UNION ALL ".join(set_selects)
+    return f"""
 WITH v AS (
   SELECT vec_id, {_QUANT} AS q FROM embeddings
-), pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+), sets AS (
+  {sets_union}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sets a JOIN sets b ON a.s = b.s AND a.bkt = b.bkt
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT id_a, id_b,
          ROUND(
-           CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS DOUBLE)
-           / (sqrt(CAST(list_sum([x * x FOR x IN a.q]) AS DOUBLE))
-              * sqrt(CAST(list_sum([x * x FOR x IN b.q]) AS DOUBLE))), 6) AS cosine
-  FROM v a, v b WHERE a.vec_id < b.vec_id
+           CAST(list_sum([va.q[i] * vb.q[i] FOR i IN range(1, len(va.q) + 1)]) AS DOUBLE)
+           / (sqrt(CAST(list_sum([x * x FOR x IN va.q]) AS DOUBLE))
+              * sqrt(CAST(list_sum([x * x FOR x IN vb.q]) AS DOUBLE))), 6) AS cosine
+  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id
 )
-SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY id_a, id_b
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= {_PAIR_THRESHOLD} ORDER BY id_a, id_b
 """
+
+
+EMBEDDING_PAIRS_SQL = _embedding_lsh_sql()
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

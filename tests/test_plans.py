@@ -48,6 +48,16 @@ def test_maybe_broadcast_degrades_oversized_dim(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_embedding_pairs_battery_has_no_cross_join(spark):
+    """The exercised near-dup-pairs plan must be the LSH bucket join,
+    never the O(n^2) cartesian — the all-pairs form is verification-only."""
+    from implementation_of_an_etl_process_spark.queries import similarity as Q
+
+    plan = explain_str(Q.embedding_cosine_pairs(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q1_scan_pruning_and_pushdown(spark):
     plan = explain_str(R.q1_pricing_summary(spark, SF_ORACLE))
     # the shipdate filter reaches the parquet scan
