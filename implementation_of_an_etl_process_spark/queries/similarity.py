@@ -147,17 +147,82 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_cells=16,
         n_probe=8,
+        dim=_EMB_DIM,
     ).orderBy("qid", "rank")
+
+
+_IVF_RECALL_FLOOR_PCT = 70  # measured 76% at every sf (deterministic path)
+
+
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loud recall gate for the IVF path: recall@5 vs the exact
+    brute-force baseline, computed in-plan (semi join on the two result
+    sets). Emits the pinned floor when recall clears it, else the
+    MEASURED percentage — so a recall regression hash-mismatches the
+    constant oracle and shows the offending number in the diff.
+    (The IVF pipeline is fully deterministic — pseudo-random centroids,
+    no sampling — so this is a stable gate, not a flaky one.)"""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    ivf = S.ivf_topk(
+        q,
+        emb,
+        query_id="vec_id",
+        query_vec="embedding",
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        k=5,
+        n_cells=16,
+        n_probe=8,
+        dim=_EMB_DIM,
+    )
+    exact = S.brute_force_topk(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        query_id="qid",
+        query_vec="qvec",
+        corpus_id="cid",
+        corpus_vec="cvec",
+        k=5,
+    )
+    hits = ivf.join(exact, ["qid", "cid"], "left_semi")
+    return (
+        hits.agg(
+            F.count(F.lit(1)).alias("_hits"),
+            F.countDistinct("qid").alias("_nq"),
+        )
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("_total")))
+        .select(
+            F.col("_nq").cast("int").alias("n_queries"),
+            F.when(
+                (F.col("_hits") * 100 / F.col("_total"))
+                >= _IVF_RECALL_FLOOR_PCT,
+                F.lit(_IVF_RECALL_FLOOR_PCT),
+            )
+            .otherwise(F.floor(F.col("_hits") * 100 / F.col("_total")))
+            .cast("int")
+            .alias("recall_pct_floor"),
+        )
+    )
+
+
+IVF_RECALL_SQL = f"""
+SELECT {_N_QUERY_VECS} AS n_queries,
+       {_IVF_RECALL_FLOOR_PCT} AS recall_pct_floor
+"""
 
 
 QUERIES = {
     "similarity_topk_cosine": similarity_topk_cosine,
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "similarity_ivf_topk": similarity_ivf_topk,
+    "similarity_ivf_recall": similarity_ivf_recall,
 }
 
 ORACLES = {
     "similarity_topk_cosine": SIMILARITY_TOPK_SQL,
     "embedding_cosine_pairs": EMBEDDING_PAIRS_SQL,
-    # similarity_ivf_topk: rows-only by design
+    # similarity_ivf_topk: approximate rows (rows-only); the recall
+    # gate below is the hash-checked guard on its quality
+    "similarity_ivf_recall": IVF_RECALL_SQL,
 }
