@@ -193,8 +193,8 @@ def minhash_lsh_pairs(
     text_col: str,
     *,
     k: int = 3,
-    n_hashes: int = 64,
-    bands: int = 16,
+    n_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
     persist_shingles: bool = True,
@@ -202,12 +202,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard.
 
-    With 16 bands x 4 rows, detection probability at similarity s is
-    1-(1-s^4)^16: ≈0.9998 at s=0.8, ≈1 above 0.9 — candidates are then
-    re-verified exactly, so output precision is exact and recall
-    indistinguishable from brute force at/above the threshold. (128/32
-    buys ~1-5e-8 miss probability at s=0.8 if needed; the 64-wide
-    signature keeps the generated aggregate inside codegen limits.)
+    With b bands of r=n_hashes/b rows, detection probability at
+    similarity s is 1-(1-s^r)^b. The 32x8 default: ≈0.985 at exactly
+    s=0.8 and ≈1-1e-11 at s=0.99 (real near-dups) — candidates are
+    re-verified exactly, so precision is exact and recall at realistic
+    near-dup similarity indistinguishable from brute force; raise to
+    64x16 (≈0.9998 at 0.8) or 128/32 when borderline-pair recall
+    matters more than the signature-width cost.
 
     Cache lifetime: the shingle table is persisted for the signature/
     verify diamond. By default the (small, post-threshold) pair set is
@@ -228,7 +229,18 @@ def minhash_lsh_pairs(
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         if cache_registry is not None:
             cache_registry.append(sh)
-    sig = minhash_signature(sh, n_hashes=n_hashes)
+    # one aggregate produces the signature AND the doc shingle-set size:
+    # the size rides along through banding into the verify arithmetic,
+    # replacing two joins against a separately-aggregated sizes table
+    # (measured ~2s of stage overhead at sf0.1, and at scale it removes
+    # one full pass over the shingle table)
+    sig = sh.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+        F.count(F.lit(1)).alias("_n"),
+    )
 
     band_cols = F.array(
         *[
@@ -241,18 +253,42 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("_id", F.explode(band_cols).alias("bb")).select(
-        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = sig.select("_id", "_n", F.explode(band_cols).alias("bb")).select(
+        "_id", "_n", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    left = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
-    right = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "band", "bucket"
+    )
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "_na", "_nb")
         .distinct()
     )
-    out = _verify_pairs_exact(sh, cand, threshold)
+    # candidate-scoped exact-Jaccard verify (sizes already on the row)
+    a_sh = cand.join(
+        sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a"
+    )
+    inter = (
+        a_sh.join(
+            sh.select(F.col("_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
     if persist_shingles and cache_registry is None:
         out = out.localCheckpoint(eager=True)
         sh.unpersist()
