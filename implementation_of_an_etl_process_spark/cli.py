@@ -32,7 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="output CSV path")
     ap.add_argument("-t", "--threads", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("-s", "--split-bytes", type=int, default=32 * 1024 * 1024)
+    ap.add_argument("-s", "--split-bytes", type=int, default=16 * 1024 * 1024)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="default: 4x threads (measured best for the "
+                         "full-scale aggregate; smaller tables are "
+                         "AQE-coalesced back down anyway)")
     ap.add_argument("-l", "--log-level", type=int, default=1, choices=[0, 1, 2])
     ap.add_argument("--distinct", choices=["exact", "approx"], default="exact",
                     help="exact COUNT DISTINCT or HLL++ approx (scale mode)")
@@ -63,7 +67,11 @@ def main(argv: list[str] | None = None) -> int:
         write_reference_csv,
     )
 
-    spark = get_spark("etl-cli", master=f"local[{args.threads}]")
+    spark = get_spark(
+        "etl-cli",
+        master=f"local[{args.threads}]",
+        shuffle_partitions=args.shuffle_partitions or args.threads * 4,
+    )
     log(1, f"session up in {time.monotonic() - t0:.1f}s ({args.threads} threads)")
 
     t1 = time.monotonic()
@@ -73,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
         spark,
         os.path.join(args.data_dir, "invoices.bin"),
         split_bytes=args.split_bytes,
+        keep_id=False,  # reference parity (ETL.java:147) AND the id
+        # bytes never cross the Arrow boundary (mapInPandas sources
+        # cannot be column-pruned by Catalyst)
     )
     cube = reference_hypercube(
         clients, contracts, invoices,

@@ -142,22 +142,30 @@ def reference_hypercube(
     )
     dims = ["geo", "type", "misc", "nature", "time"]
     if distinct_mode == "exact" and grouping == "groupby":
-        # Two-level exact-distinct rewrite, NARROW-FIRST:
-        # 1. Pre-aggregate the raw facts on (contract_id, time) — the
-        #    narrowest key that determines every dimension (geo/type/
-        #    misc/nature are functions of the contract). The one big
-        #    shuffle carries 2 int keys + 3 numeric payloads, BEFORE
-        #    any join widens the rows (2.3x faster than aggregating
-        #    the joined rows at 57.6M-fact scale).
-        # 2. Join the pre-aggregate to the broadcast dims.
-        # 3. Final aggregate per dims: each contract contributes exactly
-        #    ONE level-1 row per (dims, time) group, so
-        #      ncontracts = COUNT(*)     and client_id being functionally
-        #      dependent on contract_id leaves a single
-        #      nclients = COUNT(DISTINCT client_id)  (no Expand).
-        # This mirrors the reference's derived phase-5 pass, which
-        # computes client distincts FROM per-group contract sets
-        # (ETL.java:226-252) instead of re-scanning the facts.
+        # Three-level functional-dependency rewrite — NO distinct
+        # aggregate anywhere, so every level is a pure algebraic
+        # aggregate with full map-side combining and narrow int keys:
+        #
+        # 1. lvl1 on (contract_id, time) — the narrowest key that
+        #    determines every dimension; the first big shuffle carries
+        #    2 int keys + 3 numeric buffers, BEFORE any join widens
+        #    rows (2.3x faster than aggregating joined rows at
+        #    57.6M-fact scale).
+        # 2. lvl2 on (client_id, nature, time) after broadcasting ONLY
+        #    the contract->(client,nature) map: contract appears once
+        #    per lvl1 (contract,time) row, so per-(client,nature,time)
+        #    ncontracts is a plain COUNT(*).
+        # 3. Final on dims after broadcasting client attributes:
+        #    (geo,type,misc) are functions of client_id, so inside a
+        #    (geo,type,misc,nature,time) group each client contributes
+        #    exactly ONE lvl2 row -> nclients = COUNT(*) and
+        #    ncontracts = SUM of lvl2 partials. COUNT DISTINCT is gone
+        #    entirely — the physical plan has no Expand and no
+        #    (dims, client) re-shuffle, which at benchmark scale
+        #    removes the single biggest exchange.
+        # This is the reference's derived phase-5 trick (client
+        # distincts computed FROM per-group contract sets,
+        # ETL.java:226-252) pushed one level further.
         lvl1 = (
             invoices.select(
                 F.col("id_contract").alias("contract_id"),
@@ -172,14 +180,32 @@ def reference_hypercube(
                 F.count(F.lit(1)).alias("_n"),
             )
         )
-        post = denormalize(lvl1, [(enriched, "contract_id", "inner")])
+        contract_map = contracts.select(
+            F.col("id").alias("contract_id"),
+            F.col("id_client").alias("client_id"),
+            "nature",
+        )
+        lvl2 = (
+            denormalize(lvl1, [(contract_map, "contract_id", "inner")])
+            .groupBy("client_id", "nature", "time")
+            .agg(
+                F.sum("_c").alias("_c"),
+                F.sum("_a").alias("_a"),
+                F.sum("_n").alias("_n"),
+                F.count(F.lit(1)).alias("_nk"),
+            )
+        )
+        client_map = clients.select(
+            F.col("id").alias("client_id"), "type", "geo", "misc"
+        )
+        post = denormalize(lvl2, [(client_map, "client_id", "inner")])
         return (
             post.groupBy(*dims)
             .agg(
                 F.sum("_c").cast("long").alias("consumption"),
                 F.round(F.sum("_a"), 2).alias("amount"),
-                F.countDistinct("client_id").cast("long").alias("nclients"),
-                F.count(F.lit(1)).cast("long").alias("ncontracts"),
+                F.count(F.lit(1)).cast("long").alias("nclients"),
+                F.sum("_nk").cast("long").alias("ncontracts"),
                 F.sum("_n").alias("ninvoices"),
             )
             .orderBy(*dims)

@@ -22,21 +22,31 @@ def write_csv(
     """Write a CSV sink.
 
     ``single_file=True`` reproduces the reference's one-output-file
-    convention (coalesce to one task, then promote the part file to
-    ``path``). Leave it False at scale — a 100 TB result wants one file
-    per task, not a single-writer bottleneck.
+    convention WITHOUT a single-writer task: every partition formats its
+    rows in parallel, then the driver stitches the part files in
+    partition order (a sorted DataFrame's range partitions concatenate
+    to the globally sorted file). ``coalesce(1)`` — the obvious spelling
+    — would collapse the upstream sort AND the CSV formatting of every
+    row into one task: measured minutes at 3.12M output rows. Stitching
+    is sequential I/O over final bytes only. Leave it False at scale —
+    a 100 TB result wants one file per task.
     """
     if not single_file:
         df.write.mode(mode).csv(path, header=header)
         return path
     tmp = path + ".spark-tmp"
-    df.coalesce(1).write.mode("overwrite").csv(tmp, header=header)
-    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    df.write.mode("overwrite").csv(tmp, header=False)
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*.csv")))
     if os.path.isdir(path):
         shutil.rmtree(path)
     elif os.path.exists(path):
         os.remove(path)
-    shutil.move(part, path)
+    with open(path, "wb") as out:
+        if header:
+            out.write((",".join(df.columns) + "\n").encode())
+        for p in parts:
+            with open(p, "rb") as fh:
+                shutil.copyfileobj(fh, out, 1 << 20)
     shutil.rmtree(tmp)
     return path
 
