@@ -63,24 +63,20 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
 
-    # Denormalize dims (customer->nation) then join the fact last, so the
-    # big side streams through broadcast probes (reference phase order,
-    # ETL.java:310-326).
-    cust_dim = customer.join(
-        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
-    ).select("c_custkey", "c_mktsegment", "n_name")
-    order_dim = orders.join(
-        maybe_broadcast(cust_dim),
-        orders.o_custkey == cust_dim.c_custkey,
-        "inner",
-    ).select("o_orderkey", "o_custkey", "o_orderstatus", "c_mktsegment", "n_name")
     dims = ["n_name", "c_mktsegment", "o_orderstatus", "ship_month"]
-    # Narrow-first two-level exact-distinct rewrite (see
-    # operators.hypercube): pre-aggregate the fact table on the
-    # narrowest determining key (orderkey, ship_month) BEFORE the join
-    # widens rows — the one big shuffle carries 2 int keys + 3 decimals.
-    # custkey is functionally dependent on orderkey, so downstream
-    # norders is a plain COUNT(*) and only one distinct remains.
+    # Three-level functional-dependency rewrite (see
+    # operators.hypercube for the full derivation) — NO distinct
+    # aggregate anywhere:
+    # 1. lvl1 on (orderkey, ship_month), the narrowest determining key,
+    #    BEFORE any join widens rows; decimal accumulators are
+    #    associative, so every level partial-aggregates exactly.
+    # 2. lvl2 on (custkey, orderstatus, ship_month) after broadcasting
+    #    only orders' (orderkey -> custkey, status) map: orderkey is
+    #    unique per lvl1 row, so norders partials are plain COUNT(*).
+    # 3. Final on dims after broadcasting customer->(segment, nation):
+    #    (n_name, c_mktsegment) are functions of custkey, so each
+    #    customer contributes exactly one lvl2 row per final group ->
+    #    ncustomers = COUNT(*), norders = SUM of lvl2 partials.
     lvl1 = (
         lineitem.select(
             "l_orderkey",
@@ -95,16 +91,36 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("_n"),
         )
     )
-    post = lvl1.join(
-        maybe_broadcast(order_dim), lvl1.l_orderkey == order_dim.o_orderkey, "inner"
+    order_map = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+    lvl2 = (
+        lvl1.join(
+            maybe_broadcast(order_map),
+            lvl1.l_orderkey == order_map.o_orderkey,
+            "inner",
+        )
+        .groupBy("o_custkey", "o_orderstatus", "ship_month")
+        .agg(
+            F.sum("_qty").alias("_qty"),
+            F.sum("_price").alias("_price"),
+            F.sum("_n").alias("_n"),
+            F.count(F.lit(1)).alias("_no"),
+        )
+    )
+    cust_dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
+    ).select("c_custkey", "c_mktsegment", "n_name")
+    post = lvl2.join(
+        maybe_broadcast(cust_dim),
+        lvl2.o_custkey == cust_dim.c_custkey,
+        "inner",
     )
     return (
         post.groupBy(*dims)
         .agg(
             F.sum("_qty").cast("double").alias("sum_qty"),
             F.round(F.sum("_price"), 2).cast("double").alias("amount"),
-            F.countDistinct("o_custkey").alias("ncustomers"),
-            F.count(F.lit(1)).alias("norders"),
+            F.count(F.lit(1)).alias("ncustomers"),
+            F.sum("_no").alias("norders"),
             F.sum("_n").alias("nitems"),
         )
         .orderBy(*dims)
