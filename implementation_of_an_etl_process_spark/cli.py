@@ -30,8 +30,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--data-dir", required=True,
                     help="directory with clients.csv, contracts.csv, invoices.bin")
     ap.add_argument("--output", required=True, help="output CSV path")
+    # -t and -p both map to local parallelism: the reference separates
+    # worker threads (-t, ETL.java:282) from an I/O pool size (-p,
+    # ETL.java:283); under Spark both are the scheduler's task slots,
+    # so -p is accepted for CLI parity and the larger of the two wins.
     ap.add_argument("-t", "--threads", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("-p", "--pool-size", type=int, default=None,
+                    help="reference-parity alias: max(threads, pool size) "
+                         "becomes local parallelism")
     ap.add_argument("-s", "--split-bytes", type=int, default=16 * 1024 * 1024)
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="default: 4x threads (measured best for the "
@@ -49,6 +56,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.split_bytes % 16:
         ap.error("--split-bytes must be a multiple of 16")  # ETL.java:287-290
+    if args.pool_size:
+        args.threads = max(args.threads, args.pool_size)
 
     def log(level: int, msg: str) -> None:
         if args.log_level >= level:
