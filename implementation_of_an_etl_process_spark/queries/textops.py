@@ -270,6 +270,58 @@ ORDER BY id_a, id_b
 SIMHASH_SQL = _simhash_sql()
 
 
+# --- near-dup clustering: pairs -> connected components --------------------
+
+
+def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash-LSH near-dup pairs: every
+    clustered doc labeled with its component's minimum doc_id. Drives
+    the ITERATIVE operator (distributed min-label propagation,
+    operators.dedup.cluster_pairs) through the driver gate — the oracle
+    recomputes components independently via a recursive transitive-
+    closure CTE over brute-force Jaccard pairs."""
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8
+    )
+    return (
+        D.cluster_pairs(pairs)
+        .select(F.col("_id").alias("doc_id"), "cluster")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTER_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts) - 1)]
+         )) AS shingle
+  FROM toks WHERE len(ts) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+)
+SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node
+ORDER BY doc_id
+"""
+
+
 # --- multimodal plumbing (binary column stats) -----------------------------
 
 
@@ -302,6 +354,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_cluster_docs": dedup_cluster_docs,
     "multimodal_binary_stats": multimodal_binary_stats,
 }
 
@@ -314,5 +367,6 @@ ORACLES = {
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
     "dedup_simhash": SIMHASH_SQL,
+    "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
     "multimodal_binary_stats": MULTIMODAL_STATS_SQL,
 }
