@@ -1,0 +1,131 @@
+"""Training-data pipeline operators: the corpus-preparation steps that
+sit between raw documents and a tokenizer at 100 TB scale.
+
+- ``vocab_topk``: corpus vocabulary with counts, top-k. One shuffle on
+  the token (classic wordcount: fully map-side combined — the exchange
+  carries one row per distinct token per task, not per occurrence).
+- ``hash_split``: deterministic train/val/test assignment from a
+  content-stable hash of the document id. No randomness, no state: any
+  worker, any retry, any engine assigns the same split — the property
+  that makes splits reproducible across reruns and auditable in SQL.
+- ``pack_sequences``: GPT-style document packing — concatenate the
+  corpus in a deterministic order, cut every ``budget`` tokens; a
+  document's pack is the chunk its first token lands in. Expressed as
+  a window cumulative sum; ``partition_by`` shards the packing (the
+  scale path: one global ORDER BY is a single-sequencer at 100 TB, so
+  pack per language/source shard — which is also what training mixes
+  want).
+- ``stratified_sample``: per-stratum deterministic sampling by hash
+  threshold (keep iff h(id) mod D < rate*D). Unlike ``df.sample``,
+  membership is a pure function of the row — stable across retries,
+  reproducible for lineage audits, and exactly mirrorable in SQL.
+
+All four are pure DataFrame/Column compositions — no UDFs, no
+collect; the only Python is literal arithmetic at plan-build time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.functions.text_exprs import tokens
+
+# Denominator for hash-bucket assignment. 10_000 gives basis-point
+# resolution for split weights / sample rates.
+HASH_BUCKETS = 10_000
+
+
+def id_hash_bucket(col: Column | str, *, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from the decimal rendering
+    of an id: first 8 md5 hex chars as an int (engine-portable — DuckDB:
+    ``('0x'||substr(md5(CAST(id AS VARCHAR)),1,8))::UBIGINT % buckets``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str, *, k: int = 100, min_count: int = 1
+) -> DataFrame:
+    """Top-k corpus vocabulary: (token, n_docs, n_occurrences), ordered
+    by occurrences desc then token asc (deterministic tie-break)."""
+    tok = df.select(
+        F.col("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    val_pct: int = 100,
+    test_pct: int = 100,
+) -> DataFrame:
+    """Append a ``split`` column: 'val' for the first ``val_pct``
+    buckets, 'test' for the next ``test_pct``, 'train' for the rest
+    (percentages in basis points of :data:`HASH_BUCKETS`)."""
+    b = id_hash_bucket(id_col)
+    return df.withColumn(
+        "split",
+        F.when(b < val_pct, F.lit("val"))
+        .when(b < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    budget: int,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """(id, n_tokens, start_offset, pack_id): concatenate documents in
+    ``id_col`` order (within ``partition_by`` shards if given) and cut
+    every ``budget`` tokens; ``pack_id`` is the chunk the document
+    STARTS in. A document longer than the budget spans chunks — exactly
+    what block-wise pretraining tokenization does."""
+    n_tok = F.size(tokens(text_col))
+    w = (
+        W.partitionBy(partition_by) if partition_by else W.partitionBy()
+    ).orderBy(F.col(id_col).asc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    out_cols = ([partition_by] if partition_by else []) + [id_col]
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        *out_cols,
+        n_tok.alias("n_tokens"),
+        (cum - n_tok).alias("start_offset"),
+        F.floor((cum - n_tok) / budget).alias("pack_id"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its id-hash bucket falls under its stratum's
+    rate. ``rates`` maps stratum value -> fraction in [0,1]."""
+    b = id_hash_bucket(id_col)
+    thresh: Column = F.lit(int(default_rate * HASH_BUCKETS))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * HASH_BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(b < thresh)

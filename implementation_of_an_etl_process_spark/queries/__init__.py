@@ -52,6 +52,12 @@ try:
     _MODULES.append(refnative)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import pipelineops
+
+    _MODULES.append(pipelineops)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(

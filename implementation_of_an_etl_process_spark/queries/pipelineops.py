@@ -1,0 +1,150 @@
+"""Battery entries: training-data pipeline operators over ``documents``
+(operators.pipeline) — vocabulary, deterministic splits, sequence
+packing, stratified sampling. Every entry is hash-checked against a
+DuckDB oracle that reimplements the operator independently (same
+md5-bucket arithmetic, same window frames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators import pipeline as P
+
+_BUCKET_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+    f"% {P.HASH_BUCKETS}"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from implementation_of_an_etl_process_spark.plans import spread
+
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# --- vocabulary ------------------------------------------------------------
+
+
+def vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.vocab_topk(_docs(spark, sf_dir), "text", k=50)
+
+
+VOCAB_TOPK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+)
+SELECT token, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 50
+"""
+
+
+# --- deterministic split ---------------------------------------------------
+
+
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment is a pure function of doc_id (md5 bucket), so
+    the per-split counts are engine-independent constants — the oracle
+    recomputes the assignment from scratch in SQL."""
+    return (
+        P.hash_split(_docs(spark, sf_dir), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+DOC_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT CASE WHEN {_BUCKET_SQL} < 100 THEN 'val'
+              WHEN {_BUCKET_SQL} < 200 THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs FROM b GROUP BY split ORDER BY split
+"""
+
+
+# --- sequence packing ------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.pack_sequences(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        budget=_PACK_BUDGET,
+        partition_by="lang",
+    ).orderBy("lang", "doc_id")
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+           AS start_offset
+  FROM t
+)
+SELECT lang, doc_id, n_tokens, start_offset,
+       start_offset // {_PACK_BUDGET} AS pack_id
+FROM c ORDER BY lang, doc_id
+"""
+
+
+# --- stratified sampling ---------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.2, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 1.0}
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample the dominant language, keep the rest — the standard
+    training-mix rebalancing move, deterministic by id hash."""
+    return (
+        P.stratified_sample(
+            _docs(spark, sf_dir), "doc_id", "lang", _SAMPLE_RATES
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(r * P.HASH_BUCKETS)}"
+        for v, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_BUCKET_SQL} < (CASE {cases} ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _stratified_sql()
+
+
+QUERIES = {
+    "vocab_topk_documents": vocab_topk_documents,
+    "doc_split_counts": doc_split_counts,
+    "pack_sequences_docs": pack_sequences_docs,
+    "stratified_sample_docs": stratified_sample_docs,
+}
+
+ORACLES = {
+    "vocab_topk_documents": VOCAB_TOPK_SQL,
+    "doc_split_counts": DOC_SPLIT_SQL,
+    "pack_sequences_docs": PACK_SEQUENCES_SQL,
+    "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
+}

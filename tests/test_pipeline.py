@@ -1,0 +1,80 @@
+"""Training-pipeline operator semantics: packing offsets/straddles,
+split determinism and disjointness, stratified sampling rates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators import pipeline as P
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_pack_sequences_offsets_and_straddle(spark):
+    df = _docs_df(
+        spark,
+        [
+            (1, "en", "a b c"),          # 3 tokens -> offset 0, pack 0
+            (2, "en", "d e f g"),        # 4 tokens -> offset 3, pack 0
+            (3, "en", " ".join("x" * 1 for _ in range(10))),  # 10 -> offset 7, pack 1
+            (4, "fr", "un deux"),        # fr shard packs independently
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in P.pack_sequences(
+            df, "doc_id", "text", budget=4, partition_by="lang"
+        ).collect()
+    }
+    assert out[1]["start_offset"] == 0 and out[1]["pack_id"] == 0
+    assert out[2]["start_offset"] == 3 and out[2]["pack_id"] == 0
+    # doc 3 STARTS at offset 7 -> chunk 1, even though it spans past it
+    assert out[3]["start_offset"] == 7 and out[3]["pack_id"] == 1
+    assert out[4]["start_offset"] == 0 and out[4]["pack_id"] == 0
+
+
+def test_hash_split_deterministic_and_partitioning_invariant(spark):
+    df = _docs_df(
+        spark, [(i, "en", "t") for i in range(500)]
+    )
+    a = P.hash_split(df, "doc_id").select("doc_id", "split")
+    b = P.hash_split(df.repartition(7), "doc_id").select("doc_id", "split")
+    # identical assignment regardless of physical layout
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    counts = dict(
+        a.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    # 1% val / 1% test of 500 ids: small but non-degenerate buckets
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 450
+
+
+def test_stratified_sample_respects_rates(spark):
+    rows = [(i, "en" if i % 2 else "de", "t") for i in range(1000)]
+    df = _docs_df(spark, rows)
+    out = P.stratified_sample(
+        df, "doc_id", "lang", {"en": 0.25, "de": 1.0}
+    )
+    got = dict(
+        out.groupBy("lang").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert got["de"] == 500  # rate 1.0 keeps everything
+    assert 75 <= got["en"] <= 175  # ~125 expected at rate 0.25
+    # unknown stratum drops by default
+    assert (
+        P.stratified_sample(df, "doc_id", "lang", {"fr": 1.0}).count() == 0
+    )
+
+
+def test_vocab_topk_counts(spark):
+    df = _docs_df(
+        spark,
+        [(1, "en", "a a b"), (2, "en", "a c"), (3, "en", "b")],
+    )
+    rows = P.vocab_topk(df, "text", k=2).collect()
+    assert [(r["token"], r["n_docs"], r["n_occurrences"]) for r in rows] == [
+        ("a", 2, 3),
+        ("b", 2, 2),
+    ]
