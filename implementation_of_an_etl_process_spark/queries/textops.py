@@ -345,6 +345,62 @@ FROM documents ORDER BY doc_id
 """
 
 
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the full mapInPandas media pipeline (attach typed meta ->
+    Arrow-batched per-payload decode -> feature rows, payload dropped
+    before any shuffle) under the driver gate. The codec is the
+    documented deterministic FAKE (no image libs in this container) —
+    pure byte arithmetic the oracle reproduces: the plumbing (schema,
+    batching, null handling, checksums) is what's being verified; a
+    real deployment swaps one function body for PIL."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    media = M.attach_media_meta(docs, "doc_id", "blob", "image")
+    return M.extract_image_features(media, fake_decode=True).orderBy("media_id")
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         ('0x' || rpad(substr(hex(encode(text)), 1, 16), 16, '0'))::UBIGINT AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS checksum
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(64 + (h % 1024) AS INTEGER) AS width,
+       CAST(64 + ((h >> 10) % 1024) AS INTEGER) AS height,
+       n_bytes, checksum
+FROM m ORDER BY media_id
+"""
+
+
+def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (one row per 1 KiB offset, exploded
+    executor-side) — the row-explosion shape of keyframe extraction."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    media = M.attach_media_meta(docs, "doc_id", "blob", "video")
+    return M.sample_frames(media, every_n_bytes=1024).orderBy(
+        "media_id", "frame_offset"
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, octet_length(encode(text)), 1024)) AS BIGINT)
+         AS frame_offset
+FROM documents
+ORDER BY media_id, frame_offset
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "text_fingerprint": text_fingerprint,
@@ -356,6 +412,8 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_cluster_docs": dedup_cluster_docs,
     "multimodal_binary_stats": multimodal_binary_stats,
+    "multimodal_image_features": multimodal_image_features,
+    "multimodal_frame_offsets": multimodal_frame_offsets,
 }
 
 ORACLES = {
@@ -369,4 +427,6 @@ ORACLES = {
     "dedup_simhash": SIMHASH_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
     "multimodal_binary_stats": MULTIMODAL_STATS_SQL,
+    "multimodal_image_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_frame_offsets": MULTIMODAL_FRAMES_SQL,
 }
