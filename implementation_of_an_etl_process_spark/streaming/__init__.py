@@ -8,6 +8,7 @@ from implementation_of_an_etl_process_spark.streaming.events import (
     dedupe_stream,
     running_user_totals,
     incremental_cube_sink,
+    attribution_join,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "dedupe_stream",
     "running_user_totals",
     "incremental_cube_sink",
+    "attribution_join",
 ]

@@ -176,6 +176,60 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# --- stream-stream interval join ------------------------------------------
+
+
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    view events in the preceding ``attribution_window`` (classic
+    attribution). Both sides are watermarked and the join condition
+    bounds event-time distance, so Spark can expire join state — the
+    requirement for an unbounded stream-stream join to run forever
+    (state per side is O(watermark x arrival rate), not O(stream)).
+    """
+    v = (
+        views.select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"""
+            v_user = p_user AND
+            view_ts <= purchase_ts AND
+            view_ts >= purchase_ts - INTERVAL {attribution_window}
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "purchase_ts",
+        "view_ts",
+        "purchase_value",
+    )
+
+
 # --- incremental cube maintenance -----------------------------------------
 
 

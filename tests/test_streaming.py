@@ -106,6 +106,41 @@ def test_running_user_totals_stateful(spark, events_dir):
     assert latest.agg(F.sum("n_events")).first()[0] == 1000
 
 
+def test_attribution_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join == the equivalent batch range join
+    (availableNow processes everything, so no rows are watermark-late)."""
+    stream = S.read_events_stream(spark, events_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    got = _run_to_memory(
+        spark,
+        S.attribution_join(views, purchases),
+        "t_attrib",
+        "append",
+    )
+    ev = _batch_events(spark)
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expected = bv.join(
+        bp,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+    ).select("purchase_id", "view_id")
+    assert got.count() == expected.count() > 0
+    assert (
+        got.select("purchase_id", "view_id").subtract(expected).count() == 0
+    )
+
+
 def test_incremental_cube_sink(spark, events_dir, tmp_path):
     state = str(tmp_path / "cube_state")
     ckpt = str(tmp_path / "ckpt")
