@@ -58,6 +58,12 @@ try:
     _MODULES.append(pipelineops)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import formats
+
+    _MODULES.append(formats)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(

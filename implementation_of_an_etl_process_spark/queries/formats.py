@@ -1,0 +1,102 @@
+"""Battery entries: non-parquet source formats (JSON lines, ORC).
+
+Each entry STAGES a table into the format under test with Spark's
+writer, re-reads it with an explicit schema (no inference — SURVEY §1.3
+discipline), and aggregates; the oracle is plain SQL over the original
+parquet, so a round-trip corruption in either the writer or the reader
+breaks the hash. Staging is Spark-side and partition-parallel — at
+100 TB these are the same `spark.read.json/orc` scans with pushdown and
+pruning, not a special path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WORKDIR = "/tmp/implementation_of_an_etl_process_formats"
+
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), True),
+        T.StructField("o_custkey", T.LongType(), True),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("o_totalprice", T.DoubleType(), True),
+        T.StructField("o_orderpriority", T.StringType(), True),
+    ]
+)
+
+
+def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(_WORKDIR, f"orders_{tag}.{fmt}")
+    if not os.path.exists(path):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+            )
+            .write.mode("overwrite")
+            .format(fmt)
+            .save(path)
+        )
+    return path
+
+
+_AGG_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> JSON lines -> explicit-schema read -> aggregate.
+    Doubles survive the text round-trip because Spark prints them
+    shortest-round-trip (reparses to the identical bit pattern)."""
+    path = _stage(spark, sf_dir, "json")
+    return _roundtrip_agg(spark.read.schema(ORDERS_SCHEMA).json(path))
+
+
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> ORC -> read -> aggregate (columnar alt-format path:
+    predicate pushdown and column pruning work the same as parquet)."""
+    path = _stage(spark, sf_dir, "orc")
+    return _roundtrip_agg(spark.read.schema(ORDERS_SCHEMA).orc(path))
+
+
+QUERIES = {
+    "json_source_roundtrip": json_source_roundtrip,
+    "orc_source_roundtrip": orc_source_roundtrip,
+}
+
+ORACLES = {
+    "json_source_roundtrip": _AGG_SQL,
+    "orc_source_roundtrip": _AGG_SQL,
+}
