@@ -64,7 +64,13 @@ def main(argv: list[str] | None = None) -> int:
             print(msg, file=sys.stderr)
 
     t0 = time.monotonic()
+    from pyspark.sql import SparkSession
+
     from implementation_of_an_etl_process_spark import get_spark
+
+    # getOrCreate may hand us a session some host process (notebook,
+    # test harness) already owns — only stop what we created.
+    owns_session = SparkSession.getActiveSession() is None
     from implementation_of_an_etl_process_spark.operators import reference_hypercube
     from implementation_of_an_etl_process_spark.sources import (
         read_clients,
@@ -106,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
         write_csv(cube, args.output, single_file=True)
     log(1, f"pipeline (read+join+aggregate+write) in {time.monotonic() - t1:.1f}s")
     log(1, f"total {time.monotonic() - t0:.1f}s -> {args.output}")
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

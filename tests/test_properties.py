@@ -64,6 +64,94 @@ def test_rolling_hash_matches_python_reference(spark, text):
 
 @given(seed=st.integers(min_value=0, max_value=2**31 - 1))
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_python_reference(spark, seed):
+    """asof_join vs a brute-force per-row reference on random data,
+    INCLUDING NULL payload values on the latest right row — the payload
+    must come atomically from ONE right row (a NULL on the winner must
+    not be patched with an older row's value)."""
+    from implementation_of_an_etl_process_spark.operators.temporal import (
+        asof_join,
+    )
+
+    rng = random.Random(seed)
+    keys = [1, 2, 3]
+    right = [
+        (
+            rng.choice(keys),
+            rng.randint(0, 50),
+            i,  # unique tiebreak
+            rng.choice([None, float(rng.randint(1, 9))]),
+            rng.choice([None, rng.randint(100, 999)]),
+        )
+        for i in range(rng.randint(1, 25))
+    ]
+    left = [
+        (rng.choice(keys), rng.randint(0, 50), 1000 + i)
+        for i in range(rng.randint(1, 25))
+    ]
+    ldf = spark.createDataFrame(left, "k int, ts int, lid int")
+    rdf = spark.createDataFrame(right, "k int, rts int, rid int, v double, w int")
+    got = {
+        r["lid"]: (r["v"], r["w"])
+        for r in asof_join(
+            ldf,
+            rdf,
+            by="k",
+            left_ts="ts",
+            right_ts="rts",
+            payload_cols=["v", "w"],
+            tiebreak="rid",
+        ).collect()
+    }
+    for k, ts, lid in left:
+        cands = [r for r in right if r[0] == k and r[1] <= ts]
+        if cands:
+            win = max(cands, key=lambda r: (r[1], r[2]))
+            assert got[lid] == (win[3], win[4]), (seed, lid)
+        else:
+            assert got[lid] == (None, None)
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_salted_group_sum_equals_unsalted(spark, seed):
+    """Salting changes partitioning only — results must be identical,
+    including on fully-duplicate rows (the deterministic row-content
+    salt maps them to one salt; counts must still be exact)."""
+    from implementation_of_an_etl_process_spark.operators.skew import (
+        salted_group_sum,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randint(1, 3), rng.randint(0, 5)) for _ in range(rng.randint(1, 60))
+    ] * 2  # force duplicate rows
+    df = spark.createDataFrame(rows, "k int, x int")
+    got = {
+        r.k: (r.x, r.n)
+        for r in salted_group_sum(
+            df, ["k"], ["x"], n_salts=4, count_alias="n"
+        ).collect()
+    }
+    exp = {
+        r.k: (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(
     max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
