@@ -410,6 +410,64 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_TOL_PCT = 5  # rsd 0.02 requested; 5% gate = 2.5 sigma of headroom
+
+
+def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked guard on the HLL++ sketch: per-status relative error
+    vs the exact distinct count, computed in-plan. Emits one row
+    (n_groups, max_err_pct_floor) where the error column is the pinned
+    tolerance when every group is inside it, else the worst MEASURED
+    percentage — a sketch regression mismatches the constant oracle and
+    surfaces the number. (HLL++ is deterministic for fixed input, so
+    this is a stable gate.)"""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("a"),
+        F.countDistinct("o_custkey").alias("e"),
+    )
+    err = F.abs(F.col("a") - F.col("e")) * 100.0 / F.col("e")
+    return per.agg(
+        F.count(F.lit(1)).cast("int").alias("n_groups"),
+        F.when(F.max(err) <= _HLL_TOL_PCT, F.lit(_HLL_TOL_PCT))
+        .otherwise(F.ceil(F.max(err)))
+        .cast("int")
+        .alias("max_err_pct_floor"),
+    )
+
+
+APPROX_DISTINCT_GATE_SQL = f"""
+SELECT 3 AS n_groups, {_HLL_TOL_PCT} AS max_err_pct_floor
+"""
+
+
+_QUANTILE_TOL_PCT = 2
+
+
+def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same loud-gate pattern for the quantile sketch
+    (approx_percentile, Greenwald-Khanna): median estimate must sit
+    within the pinned relative tolerance of the exact manual median."""
+    orders = _t(spark, sf_dir, "orders")
+    got = orders.agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("a"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("e"),
+    )
+    err = F.abs(F.col("a") - F.col("e")) * 100.0 / F.col("e")
+    return got.select(
+        F.lit(1).cast("int").alias("n_checks"),
+        F.when(err <= _QUANTILE_TOL_PCT, F.lit(_QUANTILE_TOL_PCT))
+        .otherwise(F.ceil(err))
+        .cast("int")
+        .alias("err_pct_floor"),
+    )
+
+
+APPROX_QUANTILE_GATE_SQL = f"""
+SELECT 1 AS n_checks, {_QUANTILE_TOL_PCT} AS err_pct_floor
+"""
+
+
 QUERIES = {
     "left_join_part_usage": left_join_part_usage,
     "full_outer_buyer_cohorts": full_outer_buyer_cohorts,
@@ -423,6 +481,8 @@ QUERIES = {
     "date_arith_orders": date_arith_orders,
     "explode_part_words": explode_part_words,
     "approx_distinct_customers": approx_distinct_customers,
+    "approx_distinct_gate": approx_distinct_gate,
+    "approx_quantile_gate": approx_quantile_gate,
 }
 
 ORACLES = {
@@ -438,6 +498,8 @@ ORACLES = {
     "date_arith_orders": DATE_ARITH_SQL,
     "explode_part_words": EXPLODE_SQL,
     # approx_distinct_customers: rows-only by design
+    "approx_distinct_gate": APPROX_DISTINCT_GATE_SQL,
+    "approx_quantile_gate": APPROX_QUANTILE_GATE_SQL,
 }
 
 
