@@ -91,7 +91,14 @@ def get_spark(
         # spark.local.dir — this is the local[] stand-in, not a hack.)
         local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
         if local_dir is None and os.access("/dev/shm", os.W_OK):
-            local_dir = "/dev/shm/spark-local"
+            try:
+                st = os.statvfs("/dev/shm")
+                # only default to tmpfs when it can absorb real shuffle
+                # spill (8 GiB floor) — small-tmpfs hosts keep /tmp
+                if st.f_bavail * st.f_frsize >= 8 << 30:
+                    local_dir = "/dev/shm/spark-local"
+            except OSError:
+                pass
         if local_dir:
             builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():

@@ -70,3 +70,32 @@ def test_write_reference_csv_format(spark, tmp_path):
     )
     amounts = [ln.split(",")[6] for ln in lines[1:]]
     assert amounts == [".47", "-.30", "12.00"]
+
+
+def test_single_file_csv_stitch_preserves_global_sort(spark, tmp_path):
+    """The parallel parts + driver-stitch single-file sink must emit the
+    SAME globally sorted byte stream the one-task coalesce(1) spelling
+    would — range partitions concatenated in part order ARE the total
+    order."""
+    from pyspark.sql import functions as F
+
+    from implementation_of_an_etl_process_spark.sources.sinks import write_csv
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = write_csv(
+        df.orderBy("k").repartition(8).sortWithinPartitions("k"),  # decoy layout
+        str(tmp_path / "unsorted.csv"),
+        single_file=True,
+        header=True,
+    )
+    # the contract is: caller sorts, sink preserves — use the sorted frame
+    out = write_csv(
+        df.orderBy("k"), str(tmp_path / "sorted.csv"), single_file=True
+    )
+    lines = open(out).read().splitlines()
+    assert lines[0] == "k,v"
+    keys = [int(ln.split(",")[0]) for ln in lines[1:]]
+    assert keys == sorted(keys)
+    assert len(keys) == 10_000
