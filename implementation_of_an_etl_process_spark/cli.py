@@ -56,7 +56,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.split_bytes % 16:
         ap.error("--split-bytes must be a multiple of 16")  # ETL.java:287-290
-    if args.pool_size:
+    if args.pool_size is not None:
+        if args.pool_size <= 0:
+            ap.error("--pool-size must be positive")
         args.threads = max(args.threads, args.pool_size)
 
     def log(level: int, msg: str) -> None:

@@ -167,24 +167,25 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    sh: DataFrame, *, n_hashes: int = 64
+    sh: DataFrame, *, n_hashes: int = 64, include_size: bool = False
 ) -> DataFrame:
-    """(_id, h0..h{n-1}) minhash signature via n parallel min-aggregates.
+    """(_id, h0..h{n-1}[, _n]) minhash signature via n parallel
+    min-aggregates — the single definition of the hash family
+    (xxhash64 seeded by (i, shingle)): independent enough for LSH,
+    entirely JVM-side, partial-aggregatable (each min combines
+    map-side, so the shuffle carries one row per doc).
 
-    Hash family: xxhash64 seeded by hashing (i, shingle) — independent
-    enough for LSH, entirely JVM-side, partial-aggregatable (each min
-    combines map-side, so the shuffle carries one row per doc).
+    ``include_size=True`` adds the doc's shingle-set size ``_n`` to the
+    SAME aggregate — callers that need sizes downstream (the LSH verify
+    stage) get them without a second pass over the shingle table.
     """
-    hashed = sh.select(
-        "_id",
-        *[
-            F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    return hashed.groupBy("_id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
-    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    if include_size:
+        aggs.append(F.count(F.lit(1)).alias("_n"))
+    return sh.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -234,13 +235,7 @@ def minhash_lsh_pairs(
     # replacing two joins against a separately-aggregated sizes table
     # (measured ~2s of stage overhead at sf0.1, and at scale it removes
     # one full pass over the shingle table)
-    sig = sh.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
-        F.count(F.lit(1)).alias("_n"),
-    )
+    sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True)
 
     band_cols = F.array(
         *[

@@ -47,17 +47,22 @@ def id_hash_bucket(col: Column | str, *, buckets: int = HASH_BUCKETS) -> Column:
 
 
 def vocab_topk(
-    df: DataFrame, text_col: str, *, k: int = 100, min_count: int = 1
+    df: DataFrame,
+    text_col: str,
+    *,
+    k: int = 100,
+    min_count: int = 1,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-k corpus vocabulary: (token, n_docs, n_occurrences), ordered
     by occurrences desc then token asc (deterministic tie-break)."""
     tok = df.select(
-        F.col("doc_id"), F.explode(tokens(text_col)).alias("token")
+        F.col(id_col).alias("_vid"), F.explode(tokens(text_col)).alias("token")
     )
     return (
         tok.groupBy("token")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("_vid").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .filter(F.col("n_occurrences") >= min_count)

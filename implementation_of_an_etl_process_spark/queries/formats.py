@@ -34,7 +34,10 @@ ORDERS_SCHEMA = T.StructType(
 def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(_WORKDIR, f"orders_{tag}.{fmt}")
-    if not os.path.exists(path):
+    # reuse only a COMPLETE prior stage (Spark writes _SUCCESS last); a
+    # killed half-write is restaged via tmp-dir + atomic rename
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".tmp"
         (
             spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
             .select(
@@ -46,8 +49,13 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             )
             .write.mode("overwrite")
             .format(fmt)
-            .save(path)
+            .save(tmp)
         )
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
     return path
 
 

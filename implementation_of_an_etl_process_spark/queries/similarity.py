@@ -60,7 +60,20 @@ SELECT qid, cid, score, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank
 """
 
 
-_EMB_DIM = 64  # fixed across all test scale factors (asserted in entry)
+_EMB_DIM = 64  # fixed across all test scale factors (checked below)
+
+
+def _check_dim(emb: DataFrame) -> None:
+    """Fail loudly if the embedding width drifts from the constant the
+    LSH plane literals and oracle SQL are generated for — a silent
+    mismatch would null-pad zip_with and collapse every Spark bucket
+    while the oracle kept real ones. One-row metadata read, bounded."""
+    row = emb.select(F.size("embedding").alias("d")).first()
+    if row is not None and row["d"] != _EMB_DIM:
+        raise ValueError(
+            f"embeddings dim {row['d']} != expected {_EMB_DIM}; regenerate "
+            "the plane/centroid literals (similarity.py _EMB_DIM)"
+        )
 _LSH_PLANES = 4
 _LSH_SETS = 3
 _PAIR_THRESHOLD = 0.4
@@ -77,6 +90,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_planes=None`` for verification-scale runs; tests measure LSH
     recall against it.)"""
     emb = _emb(spark, sf_dir)
+    _check_dim(emb)
     return D.embedding_cosine_pairs(
         emb,
         "vec_id",
@@ -187,11 +201,16 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = ivf.join(exact, ["qid", "cid"], "left_semi")
     return (
-        hits.agg(
-            F.count(F.lit(1)).alias("_hits"),
-            F.countDistinct("qid").alias("_nq"),
+        hits.agg(F.count(F.lit(1)).alias("_hits"))
+        # n_queries counts the QUERY SET (from the exact side) — counting
+        # distinct qids over the hits would spuriously fail the gate when
+        # one query has zero IVF/exact overlap but overall recall is fine
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("_total"),
+                F.countDistinct("qid").alias("_nq"),
+            )
         )
-        .crossJoin(exact.agg(F.count(F.lit(1)).alias("_total")))
         .select(
             F.col("_nq").cast("int").alias("n_queries"),
             F.when(

@@ -34,6 +34,8 @@ def write_csv(
     if not single_file:
         df.write.mode(mode).csv(path, header=header)
         return path
+    if mode != "overwrite" and os.path.exists(path):
+        raise FileExistsError(f"{path} exists and mode={mode!r}")
     tmp = path + ".spark-tmp"
     df.write.mode("overwrite").csv(tmp, header=False)
     parts = sorted(glob.glob(os.path.join(tmp, "part-*.csv")))
@@ -41,9 +43,16 @@ def write_csv(
         shutil.rmtree(path)
     elif os.path.exists(path):
         os.remove(path)
+
+    def quote(name: str) -> str:
+        # same minimal quoting Spark's CSV writer applies to headers
+        if any(ch in name for ch in ',"\n\r'):
+            return '"' + name.replace('"', '""') + '"'
+        return name
+
     with open(path, "wb") as out:
         if header:
-            out.write((",".join(df.columns) + "\n").encode())
+            out.write((",".join(quote(c) for c in df.columns) + "\n").encode())
         for p in parts:
             with open(p, "rb") as fh:
                 shutil.copyfileobj(fh, out, 1 << 20)

@@ -240,6 +240,7 @@ def incremental_cube_sink(
     *,
     dims: list[str],
     measure_sums: list[str],
+    key_cols: list[str] | None = None,
     trigger_available_now: bool = True,
 ):
     """Maintain a materialized cube from a stream via foreachBatch:
@@ -262,20 +263,25 @@ def incremental_cube_sink(
         # STREAM's grouping key, so the only sound merge is an upsert at
         # that full key granularity — rolling up to ``dims`` first would
         # replace a dims-row with a sum over just the finer keys present
-        # in THIS batch, dropping prior contributions. Key = every
-        # non-measure column of the batch; ``dims`` must be part of it.
-        key_cols = [c for c in batch.columns if c not in set(measure_sums)]
-        missing = set(dims) - set(key_cols)
+        # in THIS batch, dropping prior contributions. Default key =
+        # every non-measure column of the batch; streams that also emit
+        # derived NON-key metrics (an avg, a last-updated ts) must pass
+        # ``key_cols`` explicitly, else each metric change would look
+        # like a brand-new key and duplicate state rows.
+        keys = key_cols or [
+            c for c in batch.columns if c not in set(measure_sums)
+        ]
+        missing = set(dims) - set(keys)
         if missing:
             raise ValueError(
                 f"incremental_cube_sink: dims {sorted(missing)} absent from "
-                f"stream key columns {key_cols}; the stream must group by "
+                f"stream key columns {keys}; the stream must group by "
                 "(at least) the cube dims"
             )
-        new = batch.select(*key_cols, *measure_sums)
+        new = batch.select(*keys, *measure_sums)
         if os.path.exists(state_dir):
             old = spark.read.parquet(state_dir)
-            new = old.join(new, key_cols, "left_anti").unionByName(new)
+            new = old.join(new, keys, "left_anti").unionByName(new)
         # write-then-swap to stay readable mid-update
         tmp = state_dir + ".tmp"
         new.write.mode("overwrite").parquet(tmp)
