@@ -64,6 +64,12 @@ try:
     _MODULES.append(formats)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import functions2
+
+    _MODULES.append(functions2)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(

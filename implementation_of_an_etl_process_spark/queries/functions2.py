@@ -1,0 +1,152 @@
+"""Battery entries: the remaining scalar-function families from the
+SURVEY §2.2 checklist — MAP functions, exact math functions, and
+higher-order array functions.
+
+Parity notes:
+- map outputs are serialized to sorted strings (driver canonicalizer
+  can't hash dict cells; same rule as arrays).
+- math entry restricts itself to IEEE-exact operations (sqrt, abs,
+  floor/ceil, sign, pmod, exact integer powers) — exp/ln/trig differ
+  between libm implementations in the last ulp and would flake.
+- array HOF entry mirrors transform/filter/aggregate with DuckDB list
+  comprehensions and list_reduce (fold parity proven by the rolling
+  hash oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.queries.relational import _t
+
+
+def map_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a status->count map per priority with
+    map_from_entries, then read it back via map_keys/element_at. The
+    map is emitted as a sorted "k:v|k:v" string for hashability."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("status_counts")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.size("status_counts").alias("n_statuses"),
+        F.array_join(
+            F.transform(
+                F.map_keys("status_counts"),
+                lambda k: F.concat_ws(
+                    ":", k, F.element_at(F.col("status_counts"), k)
+                ),
+            ),
+            "|",
+        ).alias("counts_str"),
+        F.aggregate(
+            F.map_values("status_counts"),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n_orders"),
+    ).orderBy("o_orderpriority")
+
+
+MAP_FUNCS_SQL = """
+WITH per AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS INTEGER) AS n_statuses,
+       string_agg(o_orderstatus || ':' || n, '|' ORDER BY o_orderstatus)
+         AS counts_str,
+       CAST(SUM(n) AS BIGINT) AS n_orders
+FROM per GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-exact math functions over lineitem (sqrt/abs/floor/ceil/
+    sign/pmod and an exact integer power) — deterministic across
+    engines, unlike exp/ln/trig."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt(F.col("l_quantity")).alias("sqrt_qty"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("floor_price"),
+        F.ceil(F.col("l_extendedprice")).cast("long").alias("ceil_price"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("sign_qty"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("int").alias("mod7"),
+        F.pow(F.col("l_linenumber").cast("double"), 3).alias("line_cubed"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+MATH_FUNCS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       sqrt(l_quantity) AS sqrt_qty,
+       abs(l_discount - 0.05) AS abs_disc,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+       CAST(sign(l_quantity - 25) AS INTEGER) AS sign_qty,
+       CAST(l_orderkey % 7 AS INTEGER) AS mod7,
+       CAST(l_linenumber AS DOUBLE) ** 3 AS line_cubed
+FROM lineitem WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def array_hof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: per-order sorted quantity array ->
+    transform (double it), filter (>= 20), aggregate (exact int fold).
+    Quantities cast to int first so every step is integer-exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("int"))).alias(
+            "qtys"
+        )
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_items"),
+        F.array_join(
+            F.transform(F.col("qtys"), lambda q: (q * 2).cast("string")), ","
+        ).alias("doubled"),
+        F.size(F.filter(F.col("qtys"), lambda q: q >= 20)).alias("n_big"),
+        F.aggregate(
+            F.col("qtys"), F.lit(0).cast("long"), lambda acc, q: acc + q
+        ).alias("qty_sum"),
+    ).orderBy("l_orderkey")
+
+
+ARRAY_HOF_SQL = """
+WITH arrs AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS INTEGER))) AS qtys
+  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qtys) AS INTEGER) AS n_items,
+       array_to_string([CAST(q * 2 AS VARCHAR) FOR q IN qtys], ',') AS doubled,
+       CAST(len(list_filter(qtys, q -> q >= 20)) AS INTEGER) AS n_big,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), qtys),
+                   (acc, q) -> acc + q) AS qty_sum
+FROM arrs ORDER BY l_orderkey
+"""
+
+
+QUERIES = {
+    "map_funcs_orders": map_funcs_orders,
+    "math_funcs_lineitem": math_funcs_lineitem,
+    "array_hof_orders": array_hof_orders,
+}
+
+ORACLES = {
+    "map_funcs_orders": MAP_FUNCS_SQL,
+    "math_funcs_lineitem": MATH_FUNCS_SQL,
+    "array_hof_orders": ARRAY_HOF_SQL,
+}
