@@ -127,11 +127,119 @@ ORDER BY purchase_id, view_id
 """
 
 
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under the
+    driver gate: after availableNow drains the source, each user's LAST
+    update-mode emission is the final running total, which must equal
+    the batch aggregate — value sums rounded to 4dp on both sides
+    (python accumulates sequentially per batch; the oracle in one pass;
+    identical up to summation order)."""
+    from pyspark.sql import Window as W
+
+    stage = tempfile.mkdtemp(prefix="events_totals_")
+    try:
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        name = f"stream_totals_{uuid.uuid4().hex[:8]}"
+        q = (
+            S.running_user_totals(S.read_events_stream(spark, stage))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            spark.table(name)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                F.round("total_value", 4).alias("total_value"),
+            )
+            .orderBy("user_id")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAMING_USER_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0.0)), 4) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def streaming_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window / 15m slide): every event lands in
+    exactly 4 overlapping epoch-aligned windows — the oracle rebuilds
+    that expansion with a generated offset join."""
+    stage = tempfile.mkdtemp(prefix="events_sliding_")
+    try:
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+        q = (
+            S.sliding_counts(S.read_events_stream(spark, stage))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table(name)
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+            )
+            .orderBy("window_start", "event_type")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAMING_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT strftime(
+           time_bucket(INTERVAL '15 minutes', ts)
+             - i * INTERVAL '15 minutes',
+           '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type
+  FROM events, unnest([0, 1, 2, 3]) AS t(i)
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM expanded GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
 QUERIES = {
     "streaming_tumbling_1h": streaming_tumbling_1h,
     "streaming_attribution_join": streaming_attribution_join,
+    "streaming_user_totals": streaming_user_totals,
+    "streaming_sliding_15m": streaming_sliding_15m,
 }
 ORACLES = {
     "streaming_tumbling_1h": EVENTS_TUMBLING_SQL,
     "streaming_attribution_join": STREAMING_ATTRIBUTION_SQL,
+    "streaming_user_totals": STREAMING_USER_TOTALS_SQL,
+    "streaming_sliding_15m": STREAMING_SLIDING_SQL,
 }

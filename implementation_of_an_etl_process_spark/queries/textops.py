@@ -322,6 +322,36 @@ ORDER BY doc_id
 """
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL: pairs -> connected components ->
+    keep one representative (min doc_id) per cluster, return the
+    surviving corpus ids. The oracle anti-joins the recursive-CTE
+    component labels — both engines must agree on exactly which
+    documents remain."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    return (
+        D.drop_near_duplicates(docs, "doc_id", pairs)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_DEDUP_SURVIVORS_SQL = DEDUP_CLUSTER_SQL.replace(
+    """SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node
+ORDER BY doc_id
+""",
+    """SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT node FROM (
+    SELECT node, MIN(r) AS cluster FROM reach GROUP BY node
+  ) WHERE node <> cluster
+)
+ORDER BY doc_id
+""",
+)
+
+
 # --- multimodal plumbing (binary column stats) -----------------------------
 
 
@@ -411,6 +441,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_cluster_docs": dedup_cluster_docs,
+    "dedup_survivors": dedup_survivors,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_frame_offsets": multimodal_frame_offsets,
@@ -426,6 +457,7 @@ ORACLES = {
     "dedup_minhash_lsh": _JACCARD_ORACLE,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
+    "dedup_survivors": _DEDUP_SURVIVORS_SQL,
     "multimodal_binary_stats": MULTIMODAL_STATS_SQL,
     "multimodal_image_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frame_offsets": MULTIMODAL_FRAMES_SQL,
