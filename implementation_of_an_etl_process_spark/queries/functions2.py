@@ -139,14 +139,98 @@ FROM arrs ORDER BY l_orderkey
 """
 
 
+def topk_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k frequent-items sketch over document tokens. This
+    corpus' vocabulary (~31 tokens) is far under the sketch's tracking
+    capacity, so the estimator is in its EXACT regime and the result is
+    hash-comparable to the true top-k — serialized "token:count" sorted
+    by (count desc, token) with the same deterministic tie-break both
+    sides."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    # request far more slots than the vocabulary: the sketch then tracks
+    # EVERY token with exact counts, and the top-10 cut happens below
+    # under an explicit (count desc, token asc) order — cutting at k
+    # inside the sketch would break count TIES at the boundary by
+    # arrival order, which is partitioning-dependent
+    sk = tok.agg(F.expr("approx_top_k(token, 1000)").alias("tk"))
+    return sk.select(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.expr(
+                        "array_sort(tk, (a, b) -> CASE WHEN a.count > b.count "
+                        "THEN -1 WHEN a.count < b.count THEN 1 WHEN "
+                        "a.item < b.item THEN -1 WHEN a.item > b.item THEN 1 "
+                        "ELSE 0 END)"
+                    ),
+                    lambda s: F.concat_ws(":", s["item"], s["count"]),
+                ),
+                1,
+                10,
+            ),
+            "|",
+        ).alias("top_tokens")
+    )
+
+
+TOPK_SKETCH_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+  ORDER BY n DESC, token ASC LIMIT 10
+)
+SELECT string_agg(token || ':' || n, '|' ORDER BY n DESC, token ASC)
+  AS top_tokens
+FROM counts
+"""
+
+
+_DS_HLL_TOL_PCT = 3
+
+
+def hll_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL (hll_sketch_agg/estimate) — the
+    MERGEABLE sketch for cross-job cardinality (sketches persist and
+    union, unlike approx_count_distinct's internal-only state). Gated
+    like the other sketches: pinned tolerance vs exact, loud failure
+    past it."""
+    orders = _t(spark, sf_dir, "orders")
+    got = orders.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias("a"),
+        F.countDistinct("o_custkey").alias("e"),
+    )
+    err = F.abs(F.col("a") - F.col("e")) * 100.0 / F.col("e")
+    return got.select(
+        F.lit(1).cast("int").alias("n_checks"),
+        F.when(err <= _DS_HLL_TOL_PCT, F.lit(_DS_HLL_TOL_PCT))
+        .otherwise(F.ceil(err))
+        .cast("int")
+        .alias("err_pct_floor"),
+    )
+
+
+HLL_SKETCH_GATE_SQL = f"""
+SELECT 1 AS n_checks, {_DS_HLL_TOL_PCT} AS err_pct_floor
+"""
+
+
 QUERIES = {
     "map_funcs_orders": map_funcs_orders,
     "math_funcs_lineitem": math_funcs_lineitem,
     "array_hof_orders": array_hof_orders,
+    "topk_sketch_tokens": topk_sketch_tokens,
+    "hll_sketch_gate": hll_sketch_gate,
 }
 
 ORACLES = {
     "map_funcs_orders": MAP_FUNCS_SQL,
     "math_funcs_lineitem": MATH_FUNCS_SQL,
     "array_hof_orders": ARRAY_HOF_SQL,
+    "topk_sketch_tokens": TOPK_SKETCH_SQL,
+    "hll_sketch_gate": HLL_SKETCH_GATE_SQL,
 }
