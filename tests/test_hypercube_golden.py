@@ -119,6 +119,63 @@ def test_hypercube_golden(spark):
     )
 
 
+def test_hypercube_packed_matches_generic(spark):
+    """The packed single-long-key plan (operators/hypercube.py
+    ``_packed_reference_cube``) must be result-identical to the generic
+    multi-column plan on the reference's own sample."""
+    from implementation_of_an_etl_process_spark.operators import reference_hypercube
+    from implementation_of_an_etl_process_spark.sources import (
+        read_clients,
+        read_contracts,
+        read_invoices_bin,
+    )
+
+    clients = read_clients(spark, os.path.join(REF_SAMPLE, "clients.csv"))
+    contracts = read_contracts(spark, os.path.join(REF_SAMPLE, "contracts.csv"))
+    invoices = read_invoices_bin(spark, os.path.join(REF_SAMPLE, "invoices.bin"))
+
+    packed = reference_hypercube(clients, contracts, invoices, packed=True)
+    generic = reference_hypercube(clients, contracts, invoices, packed=False)
+    assert packed.columns == generic.columns
+    p, g = packed.toPandas(), generic.toPandas()
+    assert len(p) == len(g)
+    for c in [
+        "geo", "type", "misc", "nature", "time",
+        "consumption", "nclients", "ncontracts", "ninvoices",
+    ]:
+        assert (p[c].to_numpy() == g[c].to_numpy()).all(), f"{c} mismatch"
+    assert np.allclose(p["amount"], g["amount"], atol=0.011)
+
+
+def test_hypercube_packed_guards(spark):
+    """Out-of-budget dims fall back (auto) or raise (forced); a time
+    outside signed-byte range fails loudly instead of mis-packing."""
+    from pyspark.sql import functions as F
+
+    from implementation_of_an_etl_process_spark.operators import reference_hypercube
+
+    clients = spark.createDataFrame(
+        [(1, 1, 2**30, 1)], "id int, type int, geo int, misc int"
+    )
+    contracts = spark.createDataFrame(
+        [(1, 1, 2)], "id int, id_client int, nature int"
+    )
+    invoices = spark.createDataFrame(
+        [(1, 3, 1.0, 2)], "id_contract int, time int, amount float, consumption int"
+    )
+    # geo = 2^30 exceeds the packed budget: auto falls back and still answers
+    out = reference_hypercube(clients, contracts, invoices).collect()
+    assert len(out) == 1 and out[0]["geo"] == 2**30
+    with pytest.raises(ValueError, match="bit budgets"):
+        reference_hypercube(clients, contracts, invoices, packed=True)
+
+    ok_clients = clients.withColumn("geo", F.lit(5))
+    bad_time = invoices.withColumn("time", F.lit(300))
+    cube = reference_hypercube(ok_clients, contracts, bad_time, packed=True)
+    with pytest.raises(Exception, match="signed-byte range"):
+        cube.collect()
+
+
 def test_hypercube_duplicate_facts_do_not_inflate_distincts(spark):
     """Property from SURVEY.md §5.3: duplicated fact rows must not change
     nclients/ncontracts (the reference dedupes by id in its per-group
