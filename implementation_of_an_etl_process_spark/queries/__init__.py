@@ -70,6 +70,12 @@ try:
     _MODULES.append(functions2)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import tpch
+
+    _MODULES.append(tpch)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(

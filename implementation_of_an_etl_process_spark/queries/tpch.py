@@ -1,0 +1,723 @@
+"""TPC-H-derived battery queries beyond q1/q3/q5 (which live in
+``relational.py``), adapted to the driver's trimmed star schema
+(TESTDATA.md): there is no partsupp table and lineitem lacks
+commitdate/receiptdate/shipmode, so q2/q9/q11/q12/q16/q20/q21 are out
+of reach and q4/q13/q17/q19/q22 swap the missing predicate columns for
+available ones (noted per query). Everything else follows the classic
+query shapes: existence tests, multi-nation join chains, market-share
+ratios, correlated-average filters, HAVING thresholds, anti-join +
+scalar-subquery screens.
+
+Determinism discipline is the module-wide standard from
+``relational.py``: decimal accumulation for double sums, BIGINT casts
+on counts, dates emitted as strings, every LIMIT under a total order
+with a unique tiebreak, identical output aliases on both sides.
+
+The reference engine itself only ships the hypercube query
+(``hypercube.sql:1-14``); this module is part of the SURVEY.md §7 M2
+generalization surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.plans import maybe_broadcast
+from implementation_of_an_etl_process_spark.queries.relational import (
+    _DEC,
+    _dsum,
+    _dsum_sql,
+    _t,
+)
+
+
+# ---------------------------------------------------------------------------
+# q4 — order priority checking. Adapted: no l_commitdate/l_receiptdate,
+# so "late line item" becomes "shipped >60 days after the order date".
+# Shape preserved: EXISTS semi-join from a one-quarter order slice.
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > F.date_add(F.to_date("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q6 — forecasting revenue change. Pure scan-filter-aggregate; the
+# predicate and projection must reach the parquet scan.
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("nrows"),
+    )
+
+
+Q6_SQL = f"""
+SELECT {_dsum_sql('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS nrows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations, both directions, by year.
+# Two independent nation lookups (supplier side and customer side) —
+# broadcast both dimension chains, one fact-side shuffle for the agg.
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation")
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+            "inner",
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_nat = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+            "inner",
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_5") & (F.col("cust_nation") == "NATION_8")
+    ) | (
+        (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_5")
+    )
+    return (
+        lineitem.join(
+            maybe_broadcast(orders),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "inner",
+        )
+        .join(maybe_broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("nitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+       {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       COUNT(*) AS nitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n2.n_name = 'NATION_5' AND n1.n_name = 'NATION_8')
+    OR (n2.n_name = 'NATION_8' AND n1.n_name = 'NATION_5'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q8 — national market share: NATION_3's slice of EUROPE-customer
+# ECONOMY-part volume by order year. The numerator/denominator are
+# independent decimal sums; the ratio divides two identical doubles.
+# ---------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_eur = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        lineitem.join(
+            maybe_broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            maybe_broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(maybe_broadcast(cust_eur), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dsum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                    F.lit(0.0)
+                ),
+                "nation_volume",
+            ),
+            _dsum(vol, "total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+WITH base AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         {_dsum_sql(
+             "CASE WHEN n2.n_name = 'NATION_3' "
+             "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END",
+             'nation_volume')},
+         {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'total_volume')}
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1
+)
+SELECT o_year, nation_volume, total_volume,
+       nation_volume / total_volume AS mkt_share
+FROM base
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned item reporting: top 20 customers by lost revenue in a
+# quarter. Revenue is the sort key; c_custkey is the unique tiebreak.
+# ---------------------------------------------------------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cust = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        lineitem.join(
+            maybe_broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution. Adapted: the classic
+# o_comment NOT LIKE screen becomes an o_orderpriority screen (no
+# comment column). Left join keeps zero-order customers in the c_count=0
+# bucket.
+# ---------------------------------------------------------------------------
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        customer.join(
+            orders.select("o_orderkey", "o_custkey"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — promotion effect: PROMO-part share of one month's revenue.
+# ---------------------------------------------------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(
+            maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .agg(
+            _dsum(
+                F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)),
+                "promo_volume",
+            ),
+            _dsum(vol, "total_volume"),
+        )
+        .select(
+            "promo_volume",
+            "total_volume",
+            (F.lit(100.0) * F.col("promo_volume") / F.col("total_volume")).alias(
+                "promo_revenue_pct"
+            ),
+        )
+    )
+
+
+Q14_SQL = f"""
+WITH base AS (
+  SELECT {_dsum_sql(
+      "CASE WHEN p_type = 'PROMO' "
+      "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END",
+      'promo_volume')},
+         {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'total_volume')}
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+)
+SELECT promo_volume, total_volume,
+       100.0 * promo_volume / total_volume AS promo_revenue_pct
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier(s) by one quarter's revenue. The scalar MAX is a
+# 1-row broadcast cross join, not a window over a single partition.
+# ---------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = lineitem.groupBy("l_suppkey").agg(
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "total_revenue",
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .join(maybe_broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity-order revenue for one brand. Adapted: no
+# p_container, so the screen is brand-only. The correlated per-part
+# average is a decimal-exact sum/count so the 0.2*avg comparison is
+# bit-identical on both sides.
+# ---------------------------------------------------------------------------
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    li_b = lineitem.join(
+        maybe_broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_q = li_b.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li_b.join(
+            maybe_broadcast(avg_q), F.col("l_partkey") == F.col("a_partkey")
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            _dsum("l_extendedprice", "_s"),
+            F.count(F.lit(1)).alias("nrows"),
+        )
+        .select(
+            (F.col("_s") / 7.0).alias("avg_yearly"),
+            "nrows",
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH li_b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'
+), avg_q AS (
+  SELECT l_partkey AS a_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+           / COUNT(*) AS avg_qty
+  FROM li_b GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS nrows
+FROM li_b JOIN avg_q ON l_partkey = a_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 — large-volume customers: orders whose line quantities sum past a
+# threshold. The HAVING compares an exact decimal sum to an integer.
+# ---------------------------------------------------------------------------
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("_q"))
+        .filter(F.col("_q") > 220)
+    )
+    return (
+        big.join(
+            maybe_broadcast(
+                orders.select(
+                    "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(maybe_broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(20,6))) AS _q
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(20,6))) > 220
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, CAST(_q AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — discounted revenue under OR-of-ANDs bracket predicates.
+# Adapted: p_container -> p_size brackets. The whole disjunction should
+# collapse into one joined scan, not three.
+# ---------------------------------------------------------------------------
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = lineitem.join(
+        maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    pred = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & s.between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & s.between(10, 30)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#6")
+            & s.between(20, 50)
+            & q.between(20, 30)
+        )
+    )
+    return joined.filter(pred).agg(
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "revenue",
+        ),
+        F.count(F.lit(1)).alias("nrows"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       COUNT(*) AS nrows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#6' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 — global sales opportunity. Adapted: no c_phone, so the country
+# code screen becomes a nationkey set and grouping key; and since every
+# customer in this dataset has at least one order, "no orders" becomes
+# "no orders since 2000-01-01" (lapsed customers). Anti-join for the
+# existence test, decimal-exact scalar average for the acctbal screen.
+# ---------------------------------------------------------------------------
+
+_Q22_NATIONS = [5, 8, 11, 14, 17, 20]
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(_Q22_NATIONS)
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = f"""
+WITH pool AS (
+  SELECT * FROM customer WHERE c_nationkey IN (5, 8, 11, 14, 17, 20)
+), avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+           / COUNT(*) AS _avg
+  FROM pool WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       {_dsum_sql('c_acctbal', 'totacctbal')}
+FROM pool, avg_bal
+WHERE c_acctbal > _avg
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q10_returned_items": q10_returned_items,
+    "q13_order_distribution": q13_order_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
+    "q18_large_volume": q18_large_volume,
+    "q19_bracket_revenue": q19_bracket_revenue,
+    "q22_idle_customers": q22_idle_customers,
+}
+
+ORACLES = {
+    "q4_order_priority": Q4_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q13_order_distribution": Q13_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity": Q17_SQL,
+    "q18_large_volume": Q18_SQL,
+    "q19_bracket_revenue": Q19_SQL,
+    "q22_idle_customers": Q22_SQL,
+}
