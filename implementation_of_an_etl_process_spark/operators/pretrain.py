@@ -1,0 +1,248 @@
+"""Pretraining-corpus hygiene operators: benchmark-contamination
+screening, repetition scoring, PII redaction, URL/boilerplate
+stripping, and paragraph-level deduplication.
+
+These are the document-level filters an LLM training-data pipeline
+runs between raw ingest and tokenization (the reference engine stops
+at OLAP aggregation — ``ETL.java`` has no text surface — so this whole
+module is generalization, not parity). Everything is built from
+codegen'd Column expressions plus explode/groupBy shapes that
+partial-aggregate, so each operator is one fact-side shuffle at most:
+
+- contamination: the benchmark n-gram set is DISTINCT-ed and hash-joined
+  (broadcast when small — eval suites are tiny next to a corpus).
+- repetition: per-(doc, word) counts partial-aggregate map-side; the
+  per-doc top-k is a bounded window over already-reduced rows.
+- redaction/stripping: pure regexp Column expressions, zero shuffles.
+- paragraph dedup: one shuffle keyed by chunk hash; first-occurrence
+  choice is deterministic (global (doc, position) order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_ngrams",
+    "contamination_overlap",
+    "repetition_stats",
+    "pii_redact",
+    "strip_urls",
+    "paragraph_dedup",
+]
+
+
+def word_ngrams(text: Column | str, n: int, sep: str = " ") -> Column:
+    """Array of word ``n``-grams (space-joined strings) of ``text``.
+
+    Pure Column expression (sequence/transform/slice stay inside
+    whole-stage codegen). Shorter-than-``n`` texts yield an empty array
+    rather than a sequence error.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    w = F.split(t, sep)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), sep),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contamination_overlap(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    flag_threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark-contamination screen: for every candidate document,
+    the fraction of its distinct word ``n``-grams that appear anywhere
+    in the benchmark set.
+
+    Output: (id, n_ngrams, n_hits, overlap, contaminated). A document
+    shorter than ``n`` words has n_ngrams=0 and overlap 0.0.
+
+    Scale shape: the benchmark side reduces to DISTINCT n-grams before
+    the join — for real eval suites that is kilobytes-to-megabytes, so
+    the join broadcasts and the candidate side never shuffles; the
+    per-doc ratio aggregates on the already-exploded partitions.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(text_col, n)).alias("_gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    cand = candidates.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_ngrams(text_col, n))
+        ).alias("_gram"),
+    )
+    joined = cand.join(bench_grams, "_gram", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count("_gram").alias("n_ngrams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
+    )
+    overlap = F.when(
+        F.col("n_ngrams") > 0, F.col("n_hits") / F.col("n_ngrams")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "n_hits",
+        overlap.alias("overlap"),
+        (overlap >= flag_threshold).alias("contaminated"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: total words, the
+    frequency share of the single most common word, the share of the
+    top-2 words, and the duplicate-3-gram fraction.
+
+    Ties in word frequency break lexicographically so the top-2 sum is
+    deterministic. The 3-gram dup fraction never leaves the row
+    (array_distinct on the ngram array), so that signal is shuffle-free;
+    the word shares cost one partial-aggregated shuffle on (doc, word).
+    """
+    tri = word_ngrams(text_col, 3)
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_w"),
+        F.size(tri).alias("_n3"),
+        (F.size(tri) - F.size(F.array_distinct(tri))).alias("_d3"),
+    )
+    per_word = (
+        base.select(id_col, "_n3", "_d3", F.explode("_w").alias("_word"))
+        .groupBy(id_col, "_n3", "_d3", "_word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.col("_c").desc(), F.col("_word").asc())
+    )
+    ranked = per_word.withColumn("_rn", rn)
+    return (
+        ranked.groupBy(id_col, "_n3", "_d3")
+        .agg(
+            F.sum("_c").alias("n_words"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_c"))).alias("_top1"),
+            F.sum(F.when(F.col("_rn") <= 2, F.col("_c"))).alias("_top2"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            (F.col("_top1") / F.col("n_words")).alias("top_word_frac"),
+            (F.col("_top2") / F.col("n_words")).alias("top2_word_frac"),
+            F.when(F.col("_n3") > 0, F.col("_d3") / F.col("_n3"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_3gram_frac"),
+        )
+    )
+
+
+# Conservative RE2/Java-portable PII patterns (no lookaround).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def pii_redact(
+    docs: DataFrame, *, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers / IPv4s to ``<KIND>``
+    placeholders and count each kind per row. Pure regexp Column
+    expressions — no shuffle, no Python in the hot path.
+
+    SSN runs before the (overlapping) phone pattern; counts are taken
+    on the original text so they reflect pre-redaction occurrences.
+    """
+    out = docs
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)),
+        )
+    cleaned = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        cleaned = F.regexp_replace(cleaned, pat, f"<{kind.upper()}>")
+    return out.withColumn(out_col, cleaned)
+
+
+def strip_urls(
+    docs: DataFrame, *, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Remove URLs and collapse the leftover whitespace; report the URL
+    count and cleaned length. Shuffle-free Column expressions."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), URL_PATTERN, ""), r"\s+", " "
+        )
+    )
+    return docs.withColumn(
+        "n_urls",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)),
+    ).withColumn(out_col, cleaned)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Paragraph-level (fixed word-window) exact dedup across the
+    corpus: split each document into consecutive ``chunk_words``-word
+    chunks, keep only the globally-first occurrence of each distinct
+    chunk (ordered by (doc id, position)), and report per-document
+    survival.
+
+    Output: (id, n_chunks, n_kept, kept_frac). One shuffle keyed by
+    chunk content; the window input is one row per (chunk, doc,
+    position), already minimal. At corpus scale substitute the chunk
+    string with its hash to shrink the shuffle payload — kept exact
+    here so the oracle can reproduce it verbatim.
+    """
+    w = F.split(F.col(text_col), " ")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(w) - 1) / chunk_words).cast("int")
+        ),
+        lambda i: F.array_join(
+            F.slice(w, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    first = F.row_number().over(
+        W.partitionBy("chunk").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    )
+    return (
+        exploded.withColumn("_rn", first)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_kept",
+            (F.col("n_kept") / F.col("n_chunks")).alias("kept_frac"),
+        )
+    )

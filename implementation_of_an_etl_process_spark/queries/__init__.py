@@ -76,6 +76,12 @@ try:
     _MODULES.append(tpch)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import pretrain
+
+    _MODULES.append(pretrain)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(

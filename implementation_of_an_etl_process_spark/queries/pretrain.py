@@ -1,0 +1,270 @@
+"""Battery entries for the pretraining-hygiene operators
+(``operators/pretrain.py``): benchmark contamination, repetition
+scoring, PII redaction, URL stripping, paragraph-level dedup — all on
+the ``documents`` table with exact DuckDB oracles.
+
+Determinism notes specific to this module:
+- the synthetic corpus has a 31-word vocabulary and 10-99-word docs, so
+  the battery uses 3-gram contamination and 3-word "paragraph" chunks —
+  at those sizes the sf0.01 corpus produces genuinely mixed
+  distributions (avg 3-gram benchmark overlap ~1.9% with a 96% outlier;
+  ~19% duplicate chunks). The operators themselves default to
+  corpus-realistic 8-gram / 20-word settings.
+- documents.text contains no PII or URLs, so the redaction entries
+  inject deterministic doc_id-derived PII/URLs with identical concat
+  expressions on both sides, then prove the redaction by md5 of the
+  cleaned text.
+- every ratio divides two exact integers in double on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators.pretrain import (
+    contamination_overlap,
+    paragraph_dedup,
+    pii_redact,
+    repetition_stats,
+    strip_urls,
+)
+from implementation_of_an_etl_process_spark.queries.relational import _t
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    cand = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_overlap(
+        cand, bench, n=3, flag_threshold=0.1
+    ).orderBy("doc_id")
+
+
+CONTAMINATION_SQL = """
+WITH bench AS (
+  SELECT DISTINCT array_to_string(w[g.x:g.x+2], ' ') AS gram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 50 = 0),
+       (SELECT unnest(generate_series(1, 4000)) AS x) g
+  WHERE g.x <= len(w) - 2
+), cand AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' ')))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 50 <> 0)
+), per AS (
+  SELECT c.doc_id, COUNT(*) AS n_ngrams, COUNT(b.gram) AS n_hits
+  FROM cand c LEFT JOIN bench b USING (gram)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_ngrams, n_hits,
+       n_hits * 1.0 / n_ngrams AS overlap,
+       n_hits * 1.0 / n_ngrams >= 0.1 AS contaminated
+FROM per
+ORDER BY doc_id
+"""
+
+
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tri AS (
+  SELECT doc_id,
+         GREATEST(len(w) - 2, 0) AS _n3,
+         GREATEST(len(w) - 2, 0)
+           - len(list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS _d3
+  FROM base
+), per_word AS (
+  SELECT doc_id, word, COUNT(*) AS _c
+  FROM (SELECT doc_id, unnest(w) AS word FROM base)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, _c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY _c DESC, word ASC) AS _rn
+  FROM per_word
+), agg AS (
+  SELECT doc_id, SUM(_c) AS n_words,
+         MAX(CASE WHEN _rn = 1 THEN _c END) AS _top1,
+         SUM(CASE WHEN _rn <= 2 THEN _c END) AS _top2
+  FROM ranked GROUP BY doc_id
+)
+SELECT a.doc_id, CAST(n_words AS BIGINT) AS n_words,
+       _top1 * 1.0 / n_words AS top_word_frac,
+       _top2 * 1.0 / n_words AS top2_word_frac,
+       CASE WHEN _n3 > 0 THEN _d3 * 1.0 / _n3 ELSE 0.0 END
+         AS dup_3gram_frac
+FROM agg a JOIN tri t ON a.doc_id = t.doc_id
+ORDER BY a.doc_id
+"""
+
+# Deterministic doc_id-derived PII / URL injection, expressed with the
+# same concat on both sides (documents.text itself is PII-free).
+def _pii_suffix_spark():
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-867-5309 ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+
+_PII_SUFFIX_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or 555-867-5309 ssn 123-45-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_suffix_spark().alias("text")
+    )
+    out = pii_redact(docs)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.length("clean_text").alias("clean_len"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+PII_SQL = f"""
+WITH injected AS (
+  SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents
+), redacted AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+            '<EMAIL>', 'g'),
+          '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+        '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'),
+      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+      '<IPV4>', 'g') AS clean_text
+  FROM injected
+)
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+  len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS n_ssn,
+  len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS n_phone,
+  len(regexp_extract_all(text,
+      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+  CAST(length(clean_text) AS INTEGER) AS clean_len,
+  md5(clean_text) AS clean_md5
+FROM redacted
+ORDER BY doc_id
+"""
+
+def _url_suffix_spark():
+    return F.concat(
+        F.col("text"),
+        F.lit(" see https://example.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=aa and http://foo.bar/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" done"),
+    )
+
+_URL_SUFFIX_SQL = (
+    "text || ' see https://example.com/d/' || CAST(doc_id AS VARCHAR)"
+    " || '?ref=aa and http://foo.bar/' || CAST(doc_id % 7 AS VARCHAR)"
+    " || ' done'"
+)
+
+
+def strip_urls_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_suffix_spark().alias("text")
+    )
+    out = strip_urls(docs)
+    return out.select(
+        "doc_id",
+        "n_urls",
+        F.length("clean_text").alias("clean_len"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+STRIP_URLS_SQL = f"""
+WITH injected AS (
+  SELECT doc_id, {_URL_SUFFIX_SQL} AS text FROM documents
+), cleaned AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+             regexp_replace(text, 'https?://[^\\s]+', '', 'g'),
+             '\\s+', ' ', 'g')) AS clean_text
+  FROM injected
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+       CAST(length(clean_text) AS INTEGER) AS clean_len,
+       md5(clean_text) AS clean_md5
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
+def paragraph_dedup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup(
+        _t(spark, sf_dir, "documents"), chunk_words=3
+    ).orderBy("doc_id")
+
+
+PARAGRAPH_DEDUP_SQL = """
+WITH ch AS (
+  SELECT doc_id, g.x AS pos,
+         array_to_string(w[g.x * 3 + 1 : g.x * 3 + 3], ' ') AS chunk
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       (SELECT unnest(generate_series(0, 1000)) AS x) g
+  WHERE g.x <= (len(w) - 1) // 3
+), ranked AS (
+  SELECT doc_id, pos, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk
+                            ORDER BY doc_id ASC, pos ASC) AS _rn
+  FROM ch
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN _rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       SUM(CASE WHEN _rn = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+         AS kept_frac
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "contamination_ngram_overlap": contamination_ngram_overlap,
+    "repetition_stats_docs": repetition_stats_docs,
+    "pii_redaction": pii_redaction,
+    "strip_urls_docs": strip_urls_docs,
+    "paragraph_dedup_frac": paragraph_dedup_frac,
+}
+
+ORACLES = {
+    "contamination_ngram_overlap": CONTAMINATION_SQL,
+    "repetition_stats_docs": REPETITION_SQL,
+    "pii_redaction": PII_SQL,
+    "strip_urls_docs": STRIP_URLS_SQL,
+    "paragraph_dedup_frac": PARAGRAPH_DEDUP_SQL,
+}

@@ -1,0 +1,88 @@
+"""Edge-case properties of operators/pretrain.py beyond the oracle
+battery (queries/pretrain.py pins full-corpus values at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators.pretrain import (
+    contamination_overlap,
+    paragraph_dedup,
+    pii_redact,
+    repetition_stats,
+    strip_urls,
+    word_ngrams,
+)
+
+
+def test_word_ngrams_short_text_is_empty(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    out = df.select(word_ngrams("text", 3).alias("g")).first()
+    assert out["g"] == []
+
+
+def test_contamination_flags_planted_copy(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # verbatim
+            (2, "iota kappa lambda mu nu xi omicron pi rho"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_overlap(cand, bench, n=3).collect()
+    }
+    assert rows[1]["overlap"] == 1.0 and rows[1]["contaminated"]
+    assert rows[2]["n_hits"] == 0 and not rows[2]["contaminated"]
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[1]["dup_3gram_frac"] == 0.5  # 2 trigrams, 1 distinct
+    assert rows[2]["top_word_frac"] == 0.25
+    assert rows[2]["dup_3gram_frac"] == 0.0
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com ssn 123-45-6789 tel 555-123-4567 ip 10.0.0.1")],
+        "doc_id long, text string",
+    )
+    r = pii_redact(df).first()
+    assert (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"]) == (1, 1, 1, 1)
+    assert r["clean_text"] == "mail <EMAIL> ssn <SSN> tel <PHONE> ip <IPV4>"
+
+
+def test_strip_urls_collapses_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "pre https://x.io/a?b=1 mid http://y.z post")],
+        "doc_id long, text string",
+    )
+    r = strip_urls(df).first()
+    assert r["n_urls"] == 2
+    assert r["clean_text"] == "pre mid post"
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    # doc 1 owns both chunks; doc 2 repeats chunk "a b c" at pos 0.
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, chunk_words=3).collect()
+    }
+    assert rows[1]["n_kept"] == 2 and rows[1]["kept_frac"] == 1.0
+    assert rows[2]["n_kept"] == 1 and rows[2]["kept_frac"] == 0.5
