@@ -82,6 +82,12 @@ try:
     _MODULES.append(pretrain)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import etlops
+
+    _MODULES.append(etlops)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(
