@@ -83,3 +83,71 @@ def range_join(
     return points.join(
         F.broadcast(bands), (F.col(value_col) >= F.col(lo_col)) & upper, "inner"
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    step_expr: str = "interval 1 hour",
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """Resample an event stream onto a fixed per-key time grid with
+    forward fill — the gap-filling step before feature windows or
+    charting (DuckDB spells the fill side of this as ASOF JOIN; the
+    oracle uses exactly that).
+
+    Per key: bucket events to ``trunc_unit``, keep the last event per
+    bucket (deterministic by ``(ts, tiebreak)``), lay a dense grid from
+    the key's first to last bucket, and forward-fill the value struct
+    (row-atomic, so a genuine NULL value forward-fills as NULL rather
+    than letting an older non-null leak past it).
+
+    Output: key, grid ``bucket`` timestamp, ``value`` (filled),
+    ``observed`` (whether this bucket had its own event).
+
+    Scale shape: one shuffle on key for the bucket-last aggregate, one
+    for the grid window; the grid explode is executor-side (sequence +
+    explode), never a driver loop. Dense grids multiply rows by
+    (span/step) — bound the span upstream with a ts filter.
+    """
+    b = F.date_trunc(trunc_unit, F.col(ts_col))
+    hourly = (
+        events.select(
+            F.col(key_col),
+            b.alias("bucket"),
+            F.struct(ts_col, tiebreak_col, value_col).alias("_row"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.max("_row").alias("_row"))
+        .select(
+            key_col,
+            "bucket",
+            F.struct(F.col(f"_row.{value_col}").alias("v")).alias("_obs"),
+        )
+    )
+    grid = (
+        hourly.groupBy(key_col)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.expr(f"sequence(_lo, _hi, {step_expr})")
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(hourly, [key_col, "bucket"], "left")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.last("_obs", ignorenulls=True).over(w)["v"].alias(value_col),
+        F.col("_obs").isNotNull().alias("observed"),
+    )

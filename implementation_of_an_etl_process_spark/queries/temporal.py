@@ -93,11 +93,58 @@ GROUP BY band ORDER BY band
 """
 
 
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One week of events resampled to a dense per-user hourly grid with
+    forward fill (oracle: DuckDB ASOF LEFT JOIN onto the same grid)."""
+    from implementation_of_an_etl_process_spark.operators.temporal import (
+        resample_ffill,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") < F.lit("2024-01-08"))
+    out = resample_ffill(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:00").alias("bucket"),
+        "value",
+        "observed",
+    ).orderBy("user_id", "bucket")
+
+
+RESAMPLE_SQL = """
+WITH hourly AS (
+  SELECT user_id, bucket, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, date_trunc('hour', ts)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+  ) WHERE rn = 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT user_id, MIN(bucket) mn, MAX(bucket) mx
+        FROM hourly GROUP BY user_id)
+)
+SELECT g.user_id, strftime(g.bucket, '%Y-%m-%d %H:00') AS bucket,
+       h.value, h.bucket = g.bucket AS observed
+FROM grid g ASOF LEFT JOIN hourly h
+  ON g.user_id = h.user_id AND g.bucket >= h.bucket
+ORDER BY g.user_id, g.bucket
+"""
+
+
 QUERIES = {
     "asof_join_events": asof_join_events,
     "range_join_price_bands": range_join_price_bands,
+    "resample_ffill_events": resample_ffill_events,
 }
 ORACLES = {
     "asof_join_events": ASOF_SQL,
     "range_join_price_bands": RANGE_SQL,
+    "resample_ffill_events": RESAMPLE_SQL,
 }

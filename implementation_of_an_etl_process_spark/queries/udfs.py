@@ -51,5 +51,110 @@ ORDER BY doc_id
 """
 
 
-QUERIES = {"pandas_udf_vowels": pandas_udf_vowels}
-ORACLES = {"pandas_udf_vowels": PANDAS_UDF_SQL}
+def _wavg_udf():
+    # Series -> scalar type hints make this a GROUPED_AGG pandas UDF.
+    # Integer-cents math keeps it hash-exact: both sums are exact int64
+    # (well under 2^53), so the final double division matches SQL's.
+    @pandas_udf("double")
+    def wavg(wx: pd.Series, w: pd.Series) -> float:
+        return float(wx.sum()) / float(w.sum())
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg(), so the row count is a pandas UDF as well.
+    @pandas_udf("long")
+    def pcount(w: pd.Series) -> int:
+        return len(w)
+
+    return wavg, pcount
+
+
+def pandas_grouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas UDF: nation-weighted
+    average account balance (in cents) per market segment."""
+    wavg, pcount = _wavg_udf()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+        (F.col("c_nationkey") + 1).cast("long").alias("w"),
+    )
+    return (
+        cust.withColumn("wx", F.col("w") * F.col("cents"))
+        .groupBy("c_mktsegment")
+        .agg(
+            wavg(F.col("wx"), F.col("w")).alias("weighted_avg_cents"),
+            pcount(F.col("w")).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+GROUPED_AGG_SQL = """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(c_nationkey + 1 AS BIGINT) AS w
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+         AS weighted_avg_cents,
+       COUNT(*) AS n_customers
+FROM c
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def apply_in_pandas_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group transform via applyInPandas: min-max normalize each
+    customer's balance (cents) within its market segment. Exact-int
+    numerator/denominator, so the double ratio is oracle-identical."""
+    import pandas as pd  # noqa: F811 — needed inside the worker closure
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["cents"].min(), pdf["cents"].max()
+        span = mx - mn
+        pdf["norm"] = (
+            (pdf["cents"] - mn) / span if span else 0.0
+        )
+        return pdf[["c_custkey", "c_mktsegment", "norm"]]
+
+    out = cust.groupBy("c_mktsegment").applyInPandas(
+        norm, "c_custkey long, c_mktsegment string, norm double"
+    )
+    return out.orderBy("c_custkey")
+
+
+APPLY_IN_PANDAS_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), spans AS (
+  SELECT *, MIN(cents) OVER w AS mn, MAX(cents) OVER w AS mx
+  FROM c WINDOW w AS (PARTITION BY c_mktsegment)
+)
+SELECT c_custkey, c_mktsegment,
+       CASE WHEN mx = mn THEN 0.0
+            ELSE (cents - mn) * 1.0 / (mx - mn) END AS norm
+FROM spans
+ORDER BY c_custkey
+"""
+
+
+QUERIES = {
+    "pandas_udf_vowels": pandas_udf_vowels,
+    "pandas_grouped_weighted_avg": pandas_grouped_weighted_avg,
+    "apply_in_pandas_minmax": apply_in_pandas_minmax,
+}
+ORACLES = {
+    "pandas_udf_vowels": PANDAS_UDF_SQL,
+    "pandas_grouped_weighted_avg": GROUPED_AGG_SQL,
+    "apply_in_pandas_minmax": APPLY_IN_PANDAS_SQL,
+}
