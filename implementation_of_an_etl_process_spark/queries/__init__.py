@@ -88,6 +88,12 @@ try:
     _MODULES.append(etlops)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import graphops
+
+    _MODULES.append(graphops)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(

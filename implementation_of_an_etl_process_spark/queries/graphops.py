@@ -1,0 +1,122 @@
+"""Battery entries for the graph operators (``operators/graph.py``),
+on a deterministic purchase graph derived from the star schema:
+nodes are ``o_custkey % 97`` / ``l_suppkey % 97``, edges are thinned by
+a fixed hash so the graph is non-complete (97 nodes, out-degrees 29-50
+at sf0.01).
+
+The PageRank oracle is the interesting one: the operator's fixed-point
+integer arithmetic makes 5 full iterations reproducible in SQL as
+unrolled CTEs (generated below from the same formula), so an iterative
+distributed algorithm still gets an exact value hash — something a
+float implementation could never promise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators.graph import (
+    SCALE,
+    pagerank_fixed_point,
+    triangle_count,
+)
+from implementation_of_an_etl_process_spark.plans import maybe_broadcast
+from implementation_of_an_etl_process_spark.queries.relational import _t
+
+_ITERATIONS = 5
+_DAMPING = 85
+
+_EDGE_SQL = """
+  SELECT DISTINCT o_custkey % 97 AS src, l_suppkey % 97 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey % 97 <> l_suppkey % 97
+    AND (o_custkey * 31 + l_suppkey * 17) % 11 = 0
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(maybe_broadcast(o), li.l_orderkey == o.o_orderkey)
+    return (
+        j.filter(
+            ((F.col("o_custkey") % 97) != (F.col("l_suppkey") % 97))
+            & (
+                (F.col("o_custkey") * 31 + F.col("l_suppkey") * 17) % 11
+                == 0
+            )
+        )
+        .select(
+            (F.col("o_custkey") % 97).alias("src"),
+            (F.col("l_suppkey") % 97).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_fixed_point(
+        _edges(spark, sf_dir),
+        iterations=_ITERATIONS,
+        damping_pct=_DAMPING,
+    ).orderBy("id")
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+WITH e AS ({_EDGE_SQL}),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+const AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT id, {SCALE} // n AS rank FROM nodes, const)"""
+    steps = []
+    for k in range(1, _ITERATIONS + 1):
+        steps.append(f""",
+r{k} AS (
+  SELECT n.id,
+         ({(100 - _DAMPING) * SCALE} // (100 * c.n))
+         + ({_DAMPING} * COALESCE(SUM(t.contrib), 0)) // 100 AS rank
+  FROM nodes n CROSS JOIN const c
+  LEFT JOIN (
+    SELECT e.dst AS id, r.rank // d.outdeg AS contrib
+    FROM e JOIN r{k - 1} r ON e.src = r.id
+           JOIN deg d ON e.src = d.src
+  ) t ON t.id = n.id
+  GROUP BY n.id, c.n)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT id, CAST(rank AS BIGINT) AS rank FROM r{_ITERATIONS} ORDER BY id"
+    )
+
+
+PAGERANK_SQL = _pagerank_oracle()
+
+
+def triangle_count_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(_edges(spark, sf_dir))
+
+
+TRIANGLE_SQL = f"""
+WITH e AS ({_EDGE_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e
+)
+SELECT COUNT(*) AS n_triangles
+FROM und e1
+JOIN und e2 ON e1.b = e2.a
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+QUERIES = {
+    "pagerank_purchases": pagerank_purchases,
+    "triangle_count_purchases": triangle_count_purchases,
+}
+
+ORACLES = {
+    "pagerank_purchases": PAGERANK_SQL,
+    "triangle_count_purchases": TRIANGLE_SQL,
+}
