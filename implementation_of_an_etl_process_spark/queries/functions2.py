@@ -219,12 +219,49 @@ SELECT 1 AS n_checks, {_DS_HLL_TOL_PCT} AS err_pct_floor
 """
 
 
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity-resolution shape): candidate
+    pairs block on nationkey (the classic blocking-key step that keeps
+    the comparison count linear-ish at scale), then edit distance <= 2
+    confirms. Levenshtein is the same DP both engines, so exact."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("key_a", "key_b")
+    )
+
+
+FUZZY_MATCH_SQL = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY key_a, key_b
+"""
+
+
 QUERIES = {
     "map_funcs_orders": map_funcs_orders,
     "math_funcs_lineitem": math_funcs_lineitem,
     "array_hof_orders": array_hof_orders,
     "topk_sketch_tokens": topk_sketch_tokens,
     "hll_sketch_gate": hll_sketch_gate,
+    "fuzzy_match_customers": fuzzy_match_customers,
 }
 
 ORACLES = {
@@ -233,4 +270,5 @@ ORACLES = {
     "array_hof_orders": ARRAY_HOF_SQL,
     "topk_sketch_tokens": TOPK_SKETCH_SQL,
     "hll_sketch_gate": HLL_SKETCH_GATE_SQL,
+    "fuzzy_match_customers": FUZZY_MATCH_SQL,
 }
