@@ -224,10 +224,17 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs block on nationkey (the classic blocking-key step that keeps
     the comparison count linear-ish at scale), then edit distance <= 2
     confirms. Levenshtein is the same DP both engines, so exact."""
+    from implementation_of_an_etl_process_spark.plans import spread
+
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    a, b = cust.alias("a"), cust.alias("b")
+    # The blocking key has only ~25 values: a shuffle join would cap
+    # parallelism at 25 skewed tasks. Broadcast one side instead and
+    # spread the probe side (single-file scans arrive as 1 partition),
+    # so every core scores pairs. At real ER scale the fix is a finer
+    # composite blocking key, not a bigger shuffle.
+    a, b = spread(cust).alias("a"), F.broadcast(cust.alias("b"))
     pairs = a.join(
         b,
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
