@@ -94,6 +94,12 @@ try:
     _MODULES.append(graphops)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import qualityops
+
+    _MODULES.append(qualityops)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(
