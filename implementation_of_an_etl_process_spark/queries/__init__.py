@@ -100,6 +100,12 @@ try:
     _MODULES.append(qualityops)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import sql41
+
+    _MODULES.append(sql41)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def _with_engine_confs(

@@ -29,14 +29,25 @@ from implementation_of_an_etl_process_spark.plans import maybe_broadcast
 _DEC = "decimal(20,6)"
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts has shipped in two encodings across testdata versions:
+    INT64 TIMESTAMP(NANOS) (scans as long under nanosAsLong) and plain
+    timestamp[us] (scans as TIMESTAMP_NTZ). Normalize both to
+    TimestampType — integer ``div`` for the nanos case so the
+    conversion is exact, plain cast (wall clock preserved under the
+    UTC session) for the NTZ case."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS); with nanosAsLong it scans
-        # as long nanos — convert to TimestampType (micros precision).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = normalize_event_ts(df)
     return df
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from implementation_of_an_etl_process_spark import streaming as S
 from implementation_of_an_etl_process_spark.queries.relational import (
     EVENTS_TUMBLING_SQL,
+    normalize_event_ts,
 )
 
 
@@ -28,10 +29,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_stream_")
     try:
         (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(stage)
@@ -72,8 +70,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_attrib_")
     try:
         (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(stage)
@@ -139,8 +136,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_totals_")
     try:
         (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(stage)
@@ -185,8 +181,7 @@ def streaming_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_sliding_")
     try:
         (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(stage)

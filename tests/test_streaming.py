@@ -10,6 +10,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark import streaming as S
+from implementation_of_an_etl_process_spark.queries.relational import (
+    normalize_event_ts,
+)
 from tests.conftest import SF_SMOKE
 
 
@@ -18,9 +21,7 @@ def events_dir(spark, tmp_path_factory):
     """events split into two parquet files in a streaming source dir —
     ts re-encoded to micros (streaming schema declares TimestampType)."""
     d = tmp_path_factory.mktemp("events_stream")
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "a"))
     ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "b"))
     src = d / "src"
@@ -47,9 +48,7 @@ def _run_to_memory(spark, stream_df, name, output_mode):
 
 
 def _batch_events(spark):
-    return spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
 
 
 def test_tumbling_counts_match_batch(spark, events_dir):

@@ -11,13 +11,14 @@ import shutil
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark import streaming as S
+from implementation_of_an_etl_process_spark.queries.relational import (
+    normalize_event_ts,
+)
 from tests.conftest import SF_SMOKE
 
 
 def _write_split(spark, tmp_path, which: int) -> None:
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     part = ev.filter(F.col("event_id") % 2 == which).coalesce(1)
     staged = str(tmp_path / f"stage_{which}")
     part.write.parquet(staged)
