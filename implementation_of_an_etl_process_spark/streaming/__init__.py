@@ -7,6 +7,7 @@ from implementation_of_an_etl_process_spark.streaming.events import (
     session_windows,
     dedupe_stream,
     running_user_totals,
+    running_user_totals_v2,
     incremental_cube_sink,
     attribution_join,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "session_windows",
     "dedupe_stream",
     "running_user_totals",
+    "running_user_totals_v2",
     "incremental_cube_sink",
     "attribution_join",
 ]

@@ -176,6 +176,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_v2(events: DataFrame) -> DataFrame:
+    """The same running totals on the Spark 4 state-v2 API
+    (``transformWithStateInPandas``): typed value state via a
+    ``StatefulProcessor``, the successor to applyInPandasWithState —
+    with RocksDB state-store support, state TTL, and timers.
+
+    Environment gate: the state-v2 Python protocol needs the
+    ``protobuf`` package. This container doesn't ship it, so this
+    raises ImportError with a clear message where it's absent; the
+    semantics are pinned by ``running_user_totals`` (identical output
+    contract), and the v2 test skips when protobuf is unavailable.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's state-v2 worker protocol); install protobuf or "
+            "use running_user_totals (applyInPandasWithState)"
+        ) from e
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:  # noqa: ANN001
+            self._state = handle.getValueState("totals", _USER_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            import pandas as pd
+
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=_USER_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # --- stream-stream interval join ------------------------------------------
 
 

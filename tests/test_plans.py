@@ -92,3 +92,40 @@ def test_events_scan_prunes_props(spark):
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "props" not in read_schema  # sessionize never reads the JSON blob
     assert "value" not in read_schema
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """Runtime row-level filtering: joining the fact table to a
+    selectively-filtered build side should inject a bloom filter on the
+    fact scan (bloom_filter_agg on the build side, might_contain above
+    the probe scan) — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling only rows that can
+    match. Thresholds are lowered for the sf0.01 fixture; the mechanism
+    (not the threshold tuning) is what must not regress."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = explain_str(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

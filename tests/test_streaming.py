@@ -161,3 +161,27 @@ def test_incremental_cube_sink(spark, events_dir, tmp_path):
     )
     assert final.agg(F.sum("n_events")).first()[0] == 1000
     assert final.count() == batch.count()
+
+
+def test_running_user_totals_v2_matches_batch_or_skips(spark, events_dir):
+    """State-v2 API (transformWithStateInPandas). Skips where the
+    protobuf package (the state-v2 worker protocol) is missing."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import Window as W
+
+    stream = S.read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        spark, S.running_user_totals_v2(stream), "t_totals_v2", "update"
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        got.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events")
+    )
+    expected = _batch_events(spark).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    assert {tuple(r) for r in final.collect()} == {
+        tuple(r) for r in expected.collect()
+    }
