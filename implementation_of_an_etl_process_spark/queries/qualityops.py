@@ -158,13 +158,76 @@ ORDER BY day
 """
 
 
+def observed_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass write + audit: parquet-write orders to a scratch dir
+    while an Observation collects row count, null rate, decimal-exact
+    revenue, and status-domain violations in the SAME job — no second
+    scan. The returned frame is the audit record an ETL pipeline would
+    log/alert on; the oracle recomputes it declaratively."""
+    import shutil
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators.quality import (
+        write_with_audit,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="audit_write_")
+    try:
+        got = write_with_audit(
+            orders,
+            f"{out}/orders",
+            {
+                "n_rows": F.count(F.lit(1)),
+                "n_null_cust": F.sum(
+                    F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+                ).cast("long"),
+                "total_price": F.sum(
+                    F.col("o_totalprice").cast("decimal(20,6)")
+                ).cast("double"),
+                "n_bad_status": F.sum(
+                    F.when(
+                        F.col("o_orderstatus").isin("O", "F", "P"), 0
+                    ).otherwise(1)
+                ).cast("long"),
+            },
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    int(got["n_rows"]),
+                    int(got["n_null_cust"]),
+                    float(got["total_price"]),
+                    int(got["n_bad_status"]),
+                )
+            ],
+            "n_rows long, n_null_cust long, total_price double, n_bad_status long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+OBSERVED_AUDIT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_cust,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+         AS total_price,
+       CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_bad_status
+FROM orders
+"""
+
+
 QUERIES = {
+    "observed_write_audit": observed_write_audit,
     "profile_orders": profile_orders,
     "quality_checks_orders": quality_checks_orders,
     "rolling_active_users": rolling_active_users,
 }
 
 ORACLES = {
+    "observed_write_audit": OBSERVED_AUDIT_SQL,
     "profile_orders": PROFILE_SQL,
     "quality_checks_orders": CHECKS_SQL,
     "rolling_active_users": ROLLING_SQL,

@@ -231,7 +231,75 @@ SELECT {_N_QUERY_VECS} AS n_queries,
 """
 
 
+_PQ_RECALL_FLOOR_PCT = 90  # measured: 100% sf0.01 / 99% sf0.1 (m=16 K=64 shortlist=50 + exact re-rank; uniform-random embeddings are the PQ worst case — m=8/K=16 measured only 54-67%)
+
+
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the product-quantization path (train -> encode
+    8-byte codes -> ADC shortlist -> exact re-rank): recall@5 vs the
+    brute-force baseline, same loud-failure contract as the IVF gate.
+    Deterministic end-to-end (seeded codebook training on a
+    deterministic sample), so the gate is stable."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    books = S.train_pq_codebooks(
+        emb, corpus_vec="embedding", corpus_id="vec_id", m=16, n_codes=64
+    )
+    encoded = S.encode_pq(
+        emb, books, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    pq = S.pq_topk(
+        q,
+        emb,
+        encoded,
+        books,
+        query_id="vec_id",
+        query_vec="embedding",
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        k=5,
+        shortlist=50,
+    )
+    exact = S.brute_force_topk(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        query_id="qid",
+        query_vec="qvec",
+        corpus_id="cid",
+        corpus_vec="cvec",
+        k=5,
+    )
+    hits = pq.join(exact, ["qid", "cid"], "left_semi")
+    return (
+        hits.agg(F.count(F.lit(1)).alias("_hits"))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("_total"),
+                F.countDistinct("qid").alias("_nq"),
+            )
+        )
+        .select(
+            F.col("_nq").cast("int").alias("n_queries"),
+            F.when(
+                (F.col("_hits") * 100 / F.col("_total"))
+                >= _PQ_RECALL_FLOOR_PCT,
+                F.lit(_PQ_RECALL_FLOOR_PCT),
+            )
+            .otherwise(F.floor(F.col("_hits") * 100 / F.col("_total")))
+            .cast("int")
+            .alias("recall_pct_floor"),
+        )
+    )
+
+
+PQ_RECALL_SQL = f"""
+SELECT {_N_QUERY_VECS} AS n_queries,
+       {_PQ_RECALL_FLOOR_PCT} AS recall_pct_floor
+"""
+
+
 QUERIES = {
+    "similarity_pq_recall": similarity_pq_recall,
     "similarity_topk_cosine": similarity_topk_cosine,
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "similarity_ivf_topk": similarity_ivf_topk,
@@ -239,6 +307,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "similarity_pq_recall": PQ_RECALL_SQL,
     "similarity_topk_cosine": SIMILARITY_TOPK_SQL,
     "embedding_cosine_pairs": EMBEDDING_PAIRS_SQL,
     # similarity_ivf_topk: approximate rows (rows-only); the recall

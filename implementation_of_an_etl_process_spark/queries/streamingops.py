@@ -226,13 +226,53 @@ ORDER BY window_start, event_type
 """
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark under the driver gate: the source
+    dir is staged with the events table TWICE (every event a perfect
+    duplicate); after availableNow drains it, the deduped append-mode
+    output must equal the original table exactly — full SQL oracle.
+    State stays bounded by the watermark horizon at real scale."""
+    stage = tempfile.mkdtemp(prefix="events_dedup_")
+    try:
+        ev = normalize_event_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).coalesce(1)
+        ev.write.mode("overwrite").parquet(stage)
+        ev.write.mode("append").parquet(stage)
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            S.dedupe_stream(S.read_events_stream(spark, stage))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table(name)
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "streaming_dedup_events": streaming_dedup_events,
     "streaming_tumbling_1h": streaming_tumbling_1h,
     "streaming_attribution_join": streaming_attribution_join,
     "streaming_user_totals": streaming_user_totals,
     "streaming_sliding_15m": streaming_sliding_15m,
 }
 ORACLES = {
+    "streaming_dedup_events": STREAMING_DEDUP_SQL,
     "streaming_tumbling_1h": EVENTS_TUMBLING_SQL,
     "streaming_attribution_join": STREAMING_ATTRIBUTION_SQL,
     "streaming_user_totals": STREAMING_USER_TOTALS_SQL,

@@ -87,3 +87,47 @@ def test_arrow_topk_agrees_with_expression(spark):
     expr = {(r.qid, r.cid) for r in S.brute_force_topk(q, c, **kw).collect()}
     arrow = {(r.qid, r.cid) for r in S.brute_force_topk_arrow(q, c, **kw).collect()}
     assert expr == arrow
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    books = S.train_pq_codebooks(
+        emb, corpus_vec="embedding", corpus_id="vec_id", m=16, n_codes=64
+    )
+    assert books.shape == (16, 64, 4)
+    enc = S.encode_pq(emb, books, corpus_id="vec_id", corpus_vec="embedding")
+    rows = {r["cid"]: r["codes"] for r in enc.collect()}
+    assert len(rows) == emb.count()
+    assert all(len(c) == 16 and all(0 <= x < 64 for x in c) for c in rows.values())
+    # deterministic: same training + encode twice -> same codes
+    books2 = S.train_pq_codebooks(
+        emb, corpus_vec="embedding", corpus_id="vec_id", m=16, n_codes=64
+    )
+    assert (books == books2).all()
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    books = S.train_pq_codebooks(
+        emb, corpus_vec="embedding", corpus_id="vec_id", m=16, n_codes=64
+    )
+    enc = S.encode_pq(emb, books, corpus_id="vec_id", corpus_vec="embedding")
+    pq = S.pq_topk(
+        q, emb, enc, books,
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, shortlist=50,
+    )
+    exact = S.brute_force_topk(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        query_id="qid", query_vec="qvec", corpus_id="cid", corpus_vec="cvec",
+        k=5,
+    )
+    hits = pq.join(exact, ["qid", "cid"], "left_semi").count()
+    total = exact.count()
+    assert total == 50
+    assert hits / total >= 0.9

@@ -12,8 +12,11 @@ Usage: python tools/fullscale_ab.py [data_dir] [rounds]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fullscale"
 ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
