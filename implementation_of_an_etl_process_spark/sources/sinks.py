@@ -114,3 +114,69 @@ def write_bucketed_table(
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table, format="parquet")
     return table
+
+
+def zorder_column(
+    df: DataFrame, cols: list[str], *, bits: int = 8
+) -> "Column":
+    """Morton (Z-order) interleave of ``cols`` as a single long Column.
+
+    Each column is first mapped to a ``bits``-wide bucket with
+    ``width_bucket`` between its min and max (one bounded 2-value
+    aggregate per column — same contract as a broadcast; swap in
+    approxQuantile boundaries for heavily skewed columns), then bucket
+    bits are interleaved so neighbors in ANY dimension stay close in
+    the sort order. Everything after the min/max probe is a pure
+    codegen'd expression.
+    """
+    from pyspark.sql import functions as F
+
+    lo_hi = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    ).first()
+    n = 1 << bits
+    bucketed = []
+    for c in cols:
+        lo, hi = lo_hi[f"_lo_{c}"], lo_hi[f"_hi_{c}"]
+        if hi <= lo:  # constant column: single bucket
+            bucketed.append(F.lit(0).cast("long"))
+            continue
+        # width_bucket returns 1..n+1; clamp into 0..n-1
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n))
+        bucketed.append(F.least(F.greatest(b - 1, F.lit(0)), F.lit(n - 1)).cast("long"))
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):  # MSB first
+        for b in bucketed:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(b, bit).bitwiseAND(one)
+            )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> str:
+    """Z-order-clustered parquet (the Delta OPTIMIZE ZORDER BY idea,
+    plain-Spark): range-partition + sort by the Morton code so parquet
+    row-group min/max stats become tight in EVERY clustered dimension —
+    a filter on any one of ``cols`` skips most row groups, where a
+    single-column sort only helps its leading column. Pure layout
+    optimization: rewrites bytes, never values."""
+    z = zorder_column(df, cols, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return path

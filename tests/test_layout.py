@@ -74,3 +74,58 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_write_skips_row_groups_in_both_dimensions(spark, tmp_path):
+    """Z-order clustering: after a Morton-code sort on
+    (o_custkey, o_totalprice), parquet min/max stats must let a narrow
+    filter on EITHER column skip most row groups — the property a
+    single-column sort only gives its leading column."""
+    import pyarrow.parquet as pq
+
+    from implementation_of_an_etl_process_spark.sources.sinks import (
+        write_zordered_parquet,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "orders_z")
+    write_zordered_parquet(
+        orders, path, ["o_custkey", "o_totalprice"], n_files=16
+    )
+
+    groups = []  # (cust_min, cust_max, price_min, price_max)
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            stats = {
+                row.column(i).path_in_schema: row.column(i).statistics
+                for i in range(row.num_columns)
+            }
+            groups.append(
+                (
+                    stats["o_custkey"].min,
+                    stats["o_custkey"].max,
+                    stats["o_totalprice"].min,
+                    stats["o_totalprice"].max,
+                )
+            )
+    assert len(groups) >= 8
+
+    lo_c, hi_c = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).first()
+    lo_p, hi_p = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    # a 5%-wide slice in each dimension
+    c_a, c_b = lo_c, lo_c + (hi_c - lo_c) * 0.05
+    p_a, p_b = lo_p, lo_p + (hi_p - lo_p) * 0.05
+    cust_hit = sum(1 for g in groups if g[0] <= c_b and g[1] >= c_a)
+    price_hit = sum(1 for g in groups if g[2] <= p_b and g[3] >= p_a)
+    assert cust_hit / len(groups) <= 0.5, (cust_hit, len(groups))
+    assert price_hit / len(groups) <= 0.5, (price_hit, len(groups))
+    # layout-only: the data itself is unchanged
+    assert spark.read.parquet(path).count() == orders.count()
