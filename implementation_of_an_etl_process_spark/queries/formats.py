@@ -1,4 +1,4 @@
-"""Battery entries: non-parquet source formats (JSON lines, ORC).
+"""Battery entries: non-parquet source formats (JSON lines, ORC, XML).
 
 Each entry STAGES a table into the format under test with Spark's
 writer, re-reads it with an explicit schema (no inference — SURVEY §1.3
@@ -99,12 +99,50 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(spark.read.schema(ORDERS_SCHEMA).orc(path))
 
 
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> XML (native Spark 4 XML source, rowTag records) ->
+    explicit-schema read -> aggregate. Same text round-trip guarantees
+    as JSON (shortest-repr doubles); the XML writer/reader are
+    partition-parallel scans like every other file source."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(_WORKDIR, f"orders_{tag}.xml")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".tmp"
+        (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+            )
+            .write.mode("overwrite")
+            .option("rowTag", "order")
+            .format("xml")
+            .save(tmp)
+        )
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    return _roundtrip_agg(
+        spark.read.schema(ORDERS_SCHEMA)
+        .option("rowTag", "order")
+        .format("xml")
+        .load(path)
+    )
+
+
 QUERIES = {
+    "xml_source_roundtrip": xml_source_roundtrip,
     "json_source_roundtrip": json_source_roundtrip,
     "orc_source_roundtrip": orc_source_roundtrip,
 }
 
 ORACLES = {
+    "xml_source_roundtrip": _AGG_SQL,
     "json_source_roundtrip": _AGG_SQL,
     "orc_source_roundtrip": _AGG_SQL,
 }

@@ -24,9 +24,11 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from implementation_of_an_etl_process_spark import schemas
@@ -204,3 +206,84 @@ class InvoiceBinaryDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return InvoiceBinaryStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        expected = [f.name for f in schemas.INVOICES]
+        got = [f.name for f in schema]
+        if got != expected:
+            raise ValueError(
+                f"invoicebin writer needs columns {expected}, got {got}"
+            )
+        if overwrite:
+            import shutil
+
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                shutil.rmtree(path)
+        return InvoiceBinaryArrowWriter(self.options, overwrite)
+
+
+class _InvoicePartFile(WriterCommitMessage):
+    def __init__(self, tmp: str, final: str):
+        self.tmp = tmp
+        self.final = final
+
+
+class InvoiceBinaryArrowWriter(DataSourceArrowWriter):
+    """Arrow-batched writer for the fixed-width binary format — the
+    inverse of the readers, completing native-format round-trip parity
+    with the reference. Standard two-phase protocol: each task encodes
+    its batches with one numpy structured-array view per batch (no
+    per-row Python) into a hidden temp file; commit renames all temp
+    files into place and drops a _SUCCESS marker; abort removes them.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("invoicebin writer requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        import numpy as np
+
+        dtype = np.dtype(
+            [
+                ("id", ">i4"),
+                ("id_contract", ">i4"),
+                ("time", "i1"),
+                ("amount", ">f4"),
+                ("consumption", ">i2"),
+                ("pad", "V1"),
+            ]
+        )
+        os.makedirs(self.dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.bin"
+        tmp = os.path.join(self.dir, f"._tmp_{name}")
+        with open(tmp, "wb") as fh:
+            for batch in iterator:
+                cols = {c: batch.column(c).to_numpy() for c in
+                        ["id", "id_contract", "time", "amount", "consumption"]}
+                rec = np.zeros(batch.num_rows, dtype=dtype)
+                rec["id"] = cols["id"]
+                rec["id_contract"] = cols["id_contract"]
+                rec["time"] = cols["time"]
+                rec["amount"] = cols["amount"]
+                rec["consumption"] = cols["consumption"]
+                fh.write(rec.tobytes())
+        return _InvoicePartFile(tmp, os.path.join(self.dir, name))
+
+    def commit(self, messages):
+        for m in messages:
+            os.rename(m.tmp, m.final)
+        with open(os.path.join(self.dir, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(m.tmp)
+            except OSError:
+                pass

@@ -152,3 +152,28 @@ def test_invoicebin_stream_exactly_once_across_restart(spark, tmp_path):
         .orderBy(*cols).select(*cols).toPandas()
     )
     assert a.equals(b)
+
+
+def test_invoicebin_writer_roundtrip(spark, tmp_path):
+    """format('invoicebin') writer: the 16-byte-record encoder is the
+    exact inverse of the reader — sample bin -> write -> re-read equals
+    the original multiset, and every part file is record-aligned."""
+    from implementation_of_an_etl_process_spark.sources.invoice_datasource import (
+        InvoiceBinaryDataSource,
+    )
+
+    spark.dataSource.register(InvoiceBinaryDataSource)
+    src = spark.read.format("invoicebin").option("path", BIN).load()
+    out = str(tmp_path / "rt")
+    src.write.format("invoicebin").option("path", out).mode("overwrite").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    for f in os.listdir(out):
+        if f.endswith(".bin"):
+            assert os.path.getsize(os.path.join(out, f)) % 16 == 0
+    back = (
+        spark.read.format("invoicebin").option("path", f"{out}/*.bin").load()
+    )
+    cols = ["id", "id_contract", "time", "amount", "consumption"]
+    a = back.orderBy(*cols).toPandas()
+    b = src.orderBy(*cols).toPandas()
+    assert a.equals(b)
