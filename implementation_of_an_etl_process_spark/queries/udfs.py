@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from implementation_of_an_etl_process_spark.queries.relational import _t
+
 
 def _vowel_count_udf():
     # built lazily: the pandas_udf decorator resolves its return type
@@ -148,12 +150,68 @@ ORDER BY c_custkey
 """
 
 
+def cogroup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas — arbitrary per-key pandas logic over TWO
+    grouped relations at once (the API a plain join+agg can't express
+    when per-key logic needs both sides' full frames). Here each key
+    sees the customer row and ALL their orders; spend sums integer
+    cents so per-group float summation order can't flake the hash.
+    Both sides shuffle once on the key — cogroup is a co-partitioned
+    merge, not a driver collect."""
+    import pandas as pd
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents"),
+    )
+
+    def merge(cpdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf):  # orders whose customer is absent: skip
+            return pd.DataFrame(
+                columns=["c_custkey", "c_mktsegment", "n_orders", "spend"]
+            )
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(cpdf["c_custkey"].iloc[0])],
+                "c_mktsegment": [cpdf["c_mktsegment"].iloc[0]],
+                "n_orders": [int(len(opdf))],
+                "spend": [int(opdf["cents"].sum()) if len(opdf) else 0],
+            }
+        )
+
+    out = (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            "c_custkey long, c_mktsegment string, n_orders long, spend long",
+        )
+    )
+    return out.orderBy("c_custkey")
+
+
+COGROUP_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS spend
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY c.c_custkey
+"""
+
+
 QUERIES = {
+    "cogroup_customer_orders": cogroup_customer_orders,
     "pandas_udf_vowels": pandas_udf_vowels,
     "pandas_grouped_weighted_avg": pandas_grouped_weighted_avg,
     "apply_in_pandas_minmax": apply_in_pandas_minmax,
 }
 ORACLES = {
+    "cogroup_customer_orders": COGROUP_SQL,
     "pandas_udf_vowels": PANDAS_UDF_SQL,
     "pandas_grouped_weighted_avg": GROUPED_AGG_SQL,
     "apply_in_pandas_minmax": APPLY_IN_PANDAS_SQL,

@@ -129,3 +129,59 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: a hot key that dwarfs every other partition must
+    be split at runtime (OptimizeSkewedJoin) instead of serializing the
+    stage on one straggler task — checked on the final adaptive plan
+    after execution (skew handling is a runtime decision; the
+    pre-execution plan never shows it).
+
+    Two traps this test deliberately avoids, because the skew detector
+    reads COMPRESSED shuffle-block sizes from MapStatus: the hot rows
+    carry an incompressible varied payload (identical repeated rows
+    compress ~100x and never look skewed), and that payload must
+    survive column pruning (aggregate it downstream), else the shuffle
+    carries only the constant join key. Thresholds lowered for test
+    scale; the mechanism is what must not regress."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        hot = spark.range(1_000_000).select(
+            F.lit(1).cast("long").alias("l_orderkey"),
+            (F.xxhash64("id") % 1_000_000 / 7.0).alias("l_quantity"),
+        )
+        orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        fact = li.unionAll(hot)
+        g = (
+            fact.join(orders, fact.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        g.collect()  # the skew decision happens during execution
+        plan = g._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
