@@ -166,10 +166,120 @@ FROM cube
 """
 
 
+def streaming_hypercube_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incrementally-maintained hypercube under the driver gate:
+    the synthesized invoice fact streams in 3 micro-batches
+    (maxFilesPerTrigger=1) through the level-1 state upsert
+    (streaming/hypercube.py), and the cube derived from the final state
+    must hash-match the same SQL cube DuckDB computes in one batch —
+    exact nclients/ncontracts from a stream, the thing a naive
+    streaming COUNT DISTINCT cannot do. Quarter-quantized amounts make
+    the double sums order-independent (see module docstring), so the
+    match is exact, not approximate."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from implementation_of_an_etl_process_spark.streaming.hypercube import (
+        hypercube_from_lvl1,
+        incremental_hypercube_sink,
+        streaming_hypercube_lvl1,
+    )
+
+    bin_path = _synth_bin(sf_dir)
+    invoices = read_invoices_bin(spark, bin_path)
+    contracts = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select(
+            F.col("o_orderkey").cast("int").alias("id"),
+            F.col("o_custkey").cast("int").alias("id_client"),
+            (F.col("o_orderkey") % 4).cast("int").alias("nature"),
+        )
+    )
+    clients = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(
+            F.col("c_custkey").cast("int").alias("id"),
+            (F.col("c_custkey") % 5).cast("int").alias("type"),
+            F.col("c_nationkey").cast("int").alias("geo"),
+            (F.col("c_nationkey") + 10).cast("int").alias("misc"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix=f"stream_cube_{uuid.uuid4().hex[:6]}_")
+    try:
+        src = os.path.join(work, "src")
+        for i in range(3):
+            invoices.filter(F.col("id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(invoices.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = incremental_hypercube_sink(
+            streaming_hypercube_lvl1(stream, contracts, clients),
+            os.path.join(work, "state"),
+            os.path.join(work, "ckpt"),
+        ).start()
+        q.awaitTermination(300)
+        cube = hypercube_from_lvl1(
+            spark.read.parquet(os.path.join(work, "state"))
+        )
+        return (
+            cube.select(
+                "geo", "type", "misc", "nature", "time",
+                F.col("consumption").cast("long").alias("consumption"),
+                F.round("amount", 2).alias("amount"),
+                F.col("nclients").cast("long").alias("nclients"),
+                F.col("ncontracts").cast("long").alias("ncontrats"),
+                F.col("ninvoices").cast("long").alias("ninvoices"),
+            )
+            .orderBy("geo", "type", "misc", "nature", "time")
+            # materialize BEFORE the temp state dir vanishes
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_CUBE_SQL = r"""
+WITH inv AS (
+  SELECT l_orderkey AS id_contract,
+         CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS t,
+         round(CAST(l_extendedprice AS DOUBLE) * 4) / 4 AS amount,
+         CAST(l_quantity AS INTEGER) AS consumption
+  FROM lineitem
+), contracts AS (
+  SELECT o_orderkey AS cid, o_custkey AS client_id, o_orderkey % 4 AS nature
+  FROM orders
+), clients AS (
+  SELECT c_custkey AS client_id, c_custkey % 5 AS type,
+         c_nationkey AS geo, c_nationkey + 10 AS misc
+  FROM customer
+)
+SELECT CAST(geo AS INTEGER) AS geo, CAST(type AS INTEGER) AS type,
+       CAST(misc AS INTEGER) AS misc, CAST(nature AS INTEGER) AS nature,
+       CAST(t AS INTEGER) AS time,
+       CAST(SUM(consumption) AS BIGINT) AS consumption,
+       round(SUM(amount), 2) AS amount,
+       CAST(COUNT(DISTINCT clients.client_id) AS BIGINT) AS nclients,
+       CAST(COUNT(DISTINCT cid) AS BIGINT) AS ncontrats,
+       CAST(COUNT(*) AS BIGINT) AS ninvoices
+FROM inv
+JOIN contracts ON inv.id_contract = contracts.cid
+JOIN clients ON contracts.client_id = clients.client_id
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY 1, 2, 3, 4, 5
+"""
+
+
 QUERIES = {
     "reference_native_path": reference_native_path,
+    "streaming_hypercube_native": streaming_hypercube_native,
 }
 
 ORACLES = {
     "reference_native_path": REFERENCE_NATIVE_SQL,
+    "streaming_hypercube_native": STREAMING_CUBE_SQL,
 }
