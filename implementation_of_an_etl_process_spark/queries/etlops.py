@@ -177,13 +177,100 @@ ORDER BY source
 """
 
 
+def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join under the driver gate: both sides are
+    bucketed on the join key at WRITE time, so the join itself runs
+    with NO Exchange — the entry asserts that on its own plan (exactly
+    one Exchange total, belonging to the final status aggregate) and
+    fails loudly if bucketing ever stops eliminating the join shuffle.
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every join and shuffling it once at ingest."""
+    from implementation_of_an_etl_process_spark.plans import explain_str
+    from implementation_of_an_etl_process_spark.sources.sinks import (
+        write_bucketed_table,
+    )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    bo, bl = f"b_orders_{tag}", f"b_lineitem_{tag}"
+
+    def _clear_stale_location(table: str) -> None:
+        # a fresh session has an empty in-memory catalog, but the
+        # warehouse DIRECTORY survives from earlier sessions ->
+        # LOCATION_ALREADY_EXISTS on saveAsTable; drop the orphan dir
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+    if not spark.catalog.tableExists(bo):
+        _clear_stale_location(bo)
+        write_bucketed_table(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+            bo,
+            ["o_orderkey"],
+            n_buckets=8,
+            sort_cols=["o_orderkey"],
+        )
+    if not spark.catalog.tableExists(bl):
+        _clear_stale_location(bl)
+        write_bucketed_table(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            ).withColumnRenamed("l_orderkey", "o_orderkey"),
+            bl,
+            ["o_orderkey"],
+            n_buckets=8,
+            sort_cols=["o_orderkey"],
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            spark.table(bl)
+            .join(spark.table(bo), "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        plan = explain_str(out)
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        if n_exchanges > 1:
+            raise RuntimeError(
+                f"bucketed join regressed: {n_exchanges} exchanges in\n{plan}"
+            )
+        # materialize under the no-broadcast conf, then restore
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "bucketed_join_orders": bucketed_join_orders,
     "merge_upsert_orders": merge_upsert_orders,
     "scd2_customer_priority": scd2_customer_priority,
     "partitioned_prune_docs": partitioned_prune_docs,
 }
 
 ORACLES = {
+    "bucketed_join_orders": BUCKETED_JOIN_SQL,
     "merge_upsert_orders": MERGE_SQL,
     "scd2_customer_priority": SCD2_SQL,
     "partitioned_prune_docs": PARTITION_PRUNE_SQL,
