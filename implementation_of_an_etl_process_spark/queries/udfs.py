@@ -204,13 +204,43 @@ ORDER BY c.c_custkey
 """
 
 
+def arrow_python_udf_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (useArrow=True): row-wise Python with
+    Arrow-batched transfer — the middle ground between classic pickled
+    UDFs (~10x slower serialization) and pandas_udf (vectorized, but a
+    different programming model). Deterministic string ops, exact
+    oracle."""
+    from pyspark.sql.functions import udf
+
+    rev = udf(
+        lambda s: None if s is None else s[::-1],
+        "string",
+        useArrow=True,
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return part.select(
+        "p_partkey",
+        rev(F.col("p_name")).alias("rev_name"),
+        F.length("p_name").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+ARROW_UDF_SQL = """
+SELECT p_partkey, reverse(p_name) AS rev_name,
+       CAST(length(p_name) AS INTEGER) AS name_len
+FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+"""
+
+
 QUERIES = {
+    "arrow_python_udf_reverse": arrow_python_udf_reverse,
     "cogroup_customer_orders": cogroup_customer_orders,
     "pandas_udf_vowels": pandas_udf_vowels,
     "pandas_grouped_weighted_avg": pandas_grouped_weighted_avg,
     "apply_in_pandas_minmax": apply_in_pandas_minmax,
 }
 ORACLES = {
+    "arrow_python_udf_reverse": ARROW_UDF_SQL,
     "cogroup_customer_orders": COGROUP_SQL,
     "pandas_udf_vowels": PANDAS_UDF_SQL,
     "pandas_grouped_weighted_avg": GROUPED_AGG_SQL,
