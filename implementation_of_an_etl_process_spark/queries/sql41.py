@@ -226,11 +226,62 @@ FROM orders GROUP BY 1 ORDER BY band
 """
 
 
+def udtf_polymorphic_first_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF: the ``analyze()`` static method computes
+    the OUTPUT SCHEMA from a constant argument at plan time (here n=3
+    -> columns w0..w2), Spark 4's table-function answer to
+    variable-shape results. Bounded docs slice, fixed n, so the oracle
+    schema is fixed too."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    @udtf
+    class FirstWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a constant positive int")
+            st = StructType().add("doc_len", IntegerType())
+            for i in range(n.value):
+                st = st.add(f"w{i}", StringType())
+            return AnalyzeResult(st)
+
+        def eval(self, text: str, n: int):  # noqa: ANN001
+            if text is None:
+                return
+            ws = text.split()
+            yield (
+                len(ws),
+                *[(ws[i] if i < len(ws) else None) for i in range(n)],
+            )
+
+    spark.udtf.register("first_words", FirstWords)
+    return spark.sql(f"""
+        SELECT doc_id, s.doc_len, s.w0, s.w1, s.w2
+        FROM parquet.`{sf_dir}/documents.parquet` d,
+        LATERAL first_words(trim(d.text), 3) s
+        WHERE doc_id < 50
+        ORDER BY doc_id
+    """)
+
+
+UDTF_POLY_SQL = r"""
+WITH parts AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS p
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(len(p) AS INTEGER) AS doc_len,
+       p[1] AS w0, p[2] AS w1, p[3] AS w2
+FROM parts ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "recursive_cte_months": recursive_cte_months,
     "lateral_topk_nation": lateral_topk_nation,
     "variant_order_json": variant_order_json,
     "udtf_word_positions": udtf_word_positions,
+    "udtf_polymorphic_first_words": udtf_polymorphic_first_words,
     "sql_udf_price_band": sql_udf_price_band,
 }
 
@@ -239,5 +290,6 @@ ORACLES = {
     "lateral_topk_nation": LATERAL_TOPK_SQL,
     "variant_order_json": VARIANT_SQL,
     "udtf_word_positions": UDTF_WORDS_SQL,
+    "udtf_polymorphic_first_words": UDTF_POLY_SQL,
     "sql_udf_price_band": SQL_UDF_SQL,
 }

@@ -92,3 +92,25 @@ def test_sql_udf_bands_partition_orders(spark):
     assert {r["band"] for r in out} <= {"low", "mid", "high"}
     n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
     assert sum(r["n"] for r in out) == n_orders
+
+
+def test_battery_oracle_key_consistency():
+    """Driver-contract invariants that don't need Spark: every oracle
+    key has a query, names are unique across modules, and the two
+    intentionally rows-only entries are exactly the documented ones."""
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert set(qs) - set(osql) == {
+        "approx_distinct_customers",
+        "similarity_ivf_topk",
+    }
+    from implementation_of_an_etl_process_spark.queries import _MODULES
+
+    seen = {}
+    for m in _MODULES:
+        for k in m.QUERIES:
+            assert k not in seen, f"{k} defined in {seen[k]} and {m.__name__}"
+            seen[k] = m.__name__
+        assert set(m.ORACLES) <= set(m.QUERIES), m.__name__
