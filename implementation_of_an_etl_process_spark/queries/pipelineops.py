@@ -135,11 +135,75 @@ ORDER BY doc_id
 STRATIFIED_SAMPLE_SQL = _stratified_sql()
 
 
+def pretrain_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining pass — exact dedup (min-id survivor) ->
+    quality filter (alpha_ratio >= 0.5, n_tokens >= 5) -> deterministic
+    hash split — in ONE lazy plan, returning per-(split, lang) corpus
+    stats. Each stage reuses a battery-proven operator; the oracle
+    recomposes all three in SQL, so a regression anywhere in the chain
+    (or in how the stages compose) breaks the hash. One groupBy(text)
+    shuffle for dedup + one final stats shuffle; quality/split are
+    shuffle-free Column expressions."""
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        drop_exact_duplicates,
+    )
+    from implementation_of_an_etl_process_spark.operators.text import (
+        quality_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    deduped = drop_exact_duplicates(docs, ["text"], "doc_id")
+    scored = quality_scores(deduped, "text")
+    kept = scored.filter(
+        (F.col("alpha_ratio") >= 0.5) & (F.col("n_tokens") >= 5)
+    )
+    return (
+        P.hash_split(kept, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+PRETRAIN_PIPELINE_SQL = rf"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), kept AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d
+  JOIN reps ON d.doc_id = reps.doc_id
+), q AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+           AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS DOUBLE) / length(text)
+              ELSE 0.0 END AS alpha_ratio
+  FROM kept
+), f AS (
+  SELECT * FROM q WHERE alpha_ratio >= 0.5 AND n_tokens >= 5
+), b AS (
+  SELECT lang, n_tokens,
+         CASE WHEN {_BUCKET_SQL} < 100 THEN 'val'
+              WHEN {_BUCKET_SQL} < 200 THEN 'test'
+              ELSE 'train' END AS split
+  FROM f
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM b GROUP BY split, lang ORDER BY split, lang
+"""
+
+
 QUERIES = {
     "vocab_topk_documents": vocab_topk_documents,
     "doc_split_counts": doc_split_counts,
     "pack_sequences_docs": pack_sequences_docs,
     "stratified_sample_docs": stratified_sample_docs,
+    "pretrain_pipeline_stats": pretrain_pipeline_stats,
 }
 
 ORACLES = {
@@ -147,4 +211,5 @@ ORACLES = {
     "doc_split_counts": DOC_SPLIT_SQL,
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
+    "pretrain_pipeline_stats": PRETRAIN_PIPELINE_SQL,
 }
