@@ -114,3 +114,41 @@ def test_battery_oracle_key_consistency():
             assert k not in seen, f"{k} defined in {seen[k]} and {m.__name__}"
             seen[k] = m.__name__
         assert set(m.ORACLES) <= set(m.QUERIES), m.__name__
+
+
+def test_driver_first50_covers_every_family():
+    """The driver's CORRECTNESS gate checks only the first 50 entries of
+    queries() iteration order (CORRECTNESS_r01/r02 are each exactly 50
+    rows).  Guard the curated ordering: one representative of every
+    operator family must sit inside the cap, and everything inside the
+    cap must have a value-hash oracle (hard signal, not rows-only)."""
+    import __spark_entry__ as e
+
+    first50 = list(e.queries())[:50]
+    family_reps = {
+        "hypercube",  # flagship cube
+        "reference_native_path",  # reference-native bin→cube→CSV path
+        "streaming_hypercube_native",  # incremental streaming twin
+        "q1_pricing_summary",  # core relational
+        "dedup_minhash_lsh",  # near-dup dedup
+        "text_quality",  # text analysis
+        "multimodal_binary_stats",  # multimodal plumbing
+        "similarity_topk_cosine",  # ANN / similarity
+        "streaming_tumbling_1h",  # structured streaming
+        "asof_join_events",  # temporal joins
+        "cogroup_customer_orders",  # pandas-UDF surface
+        "pretrain_pipeline_stats",  # composed pretraining pass
+        "xml_source_roundtrip",  # source formats
+        "array_hof_orders",  # function surface
+        "q18_large_volume",  # tpch join shapes
+        "contamination_ngram_overlap",  # data hygiene
+        "merge_upsert_orders",  # ETL / table maintenance
+        "pagerank_purchases",  # graph
+        "quality_checks_orders",  # data quality
+        "recursive_cte_months",  # SQL:2023 surface
+    }
+    missing = family_reps - set(first50)
+    assert not missing, f"families fell past the driver's 50-entry cap: {missing}"
+    osql = e.oracle_sql()
+    no_oracle = [n for n in first50 if n not in osql]
+    assert not no_oracle, f"rows-only entries waste driver-cap slots: {no_oracle}"
