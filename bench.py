@@ -9,6 +9,14 @@ Each query executes to completion via the noop sink (full computation,
 no driver-side result transfer skewing the numbers). Timings exclude
 SparkSession startup; the first (warmup) run of the flagship is
 reported separately inside "queries" as "_warmup".
+
+This host's throughput swings ~3x on a minutes timescale (steal time;
+see BASELINE_NOTES.md), so one timing window can't be trusted: round 2
+recorded 7.87s for a query that measures 2.2s on an idle host.  The
+suite therefore runs SPARK_GRAFT_BENCH_ROUNDS (default 3) full passes
+INTERLEAVED — A B C ... A B C ... — and reports the per-query MIN
+across passes; a noisy window then inflates one pass, not the floor.
+Per-pass totals are kept in "_pass_totals" so noise is visible.
 """
 
 from __future__ import annotations
@@ -55,14 +63,28 @@ def main() -> None:
             return None
         return round(time.monotonic() - t0, 3)
 
+    rounds = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
     timings: dict[str, float | None] = {}
     timings["_warmup"] = run(HEADLINE[0])  # JVM/codegen warmup, reported apart
+
+    # interleaved passes: each query's first pass additionally pays its
+    # per-plan codegen compilation, which the min also discards
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pass_totals: list[float | None] = []
+    for _ in range(rounds):
+        pass_ok = True
+        t_pass = time.monotonic()
+        for name in HEADLINE:
+            t = run(name)
+            if t is None:
+                pass_ok = False
+            else:
+                samples[name].append(t)
+        pass_totals.append(round(time.monotonic() - t_pass, 3) if pass_ok else None)
     for name in HEADLINE:
-        # min of two runs: first run pays per-plan codegen compilation
-        # and this host shows heavy scheduler noise — the min is the
-        # reproducible number
-        a, b = run(name), run(name)
-        timings[name] = min(x for x in (a, b) if x is not None) if (a or b) else None
+        timings[name] = min(samples[name]) if samples[name] else None
+    timings["_pass_totals"] = pass_totals  # type: ignore[assignment]
+    timings["_rounds"] = rounds  # type: ignore[assignment]
 
     total = round(
         sum(v for k, v in timings.items() if not k.startswith("_") and v), 3
