@@ -130,7 +130,6 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_cluster_docs",
     "text_fingerprint",
     "text_quality",
     # multimodal

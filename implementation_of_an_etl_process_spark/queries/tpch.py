@@ -1,8 +1,8 @@
 """TPC-H-derived battery queries beyond q1/q3/q5 (which live in
 ``relational.py``), adapted to the driver's trimmed star schema
 (TESTDATA.md): there is no partsupp table and lineitem lacks
-commitdate/receiptdate/shipmode, so q2/q9/q11/q12/q16/q20/q21 are out
-of reach and q4/q13/q17/q19/q22 swap the missing predicate columns for
+commitdate/receiptdate/shipmode, so q2/q9/q11/q16/q20 are out of reach
+and q4/q12/q13/q17/q19/q21/q22 swap the missing predicate columns for
 available ones (noted per query). Everything else follows the classic
 query shapes: existence tests, multi-nation join chains, market-share
 ratios, correlated-average filters, HAVING thresholds, anti-join +
@@ -692,18 +692,163 @@ ORDER BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q12 — shipping modes and order priority. Adapted: lineitem has no
+# l_shipmode/l_commitdate/l_receiptdate, so the "mode" axis becomes
+# l_returnflag ('A'/'R' standing in for MAIL/SHIP) and "received late"
+# becomes "shipped >30 days after the order date". Shape preserved:
+# big-big equi-join orders⨝lineitem feeding a two-way conditional
+# count split by priority class — the join shuffles on l_orderkey with
+# the date/flag filters pushed to the lineitem scan, and the orders
+# side carries only (o_orderkey, o_orderdate, o_orderpriority).
+# ---------------------------------------------------------------------------
+
+_Q12_HIGH = ["1-URGENT", "2-HIGH"]
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(_Q12_HIGH)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .filter(F.col("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 30))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting. Adapted: "late" means
+# "shipped >60 days after the order date" (no commit/receipt dates).
+# This is the battery's multi-correlated semi+anti stack on the SAME
+# table: a late lineitem from a finished multi-supplier order counts
+# against its supplier only when NO OTHER supplier on that order was
+# also late — EXISTS(l2: other supplier) via left_semi with an
+# orderkey-equi + suppkey-inequality condition, NOT EXISTS(l3: other
+# LATE supplier) via left_anti against the same late set. Both
+# correlated joins are hash joins on l_orderkey (the equi part) with
+# the <> as a residual filter; supplier/nation are broadcast dims.
+# ---------------------------------------------------------------------------
+
+_Q21_NATIONS = ["NATION_3", "NATION_7"]
+
+
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    # late line items of finished orders; reused as both the driving
+    # relation (l1) and the anti-join probe set (l3)
+    late_f = lineitem.join(
+        orders_f, lineitem.l_orderkey == orders_f.o_orderkey, "inner"
+    ).filter(
+        F.col("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+    ).select("l_orderkey", "l_suppkey")
+
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late_f.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = (
+        late_f.join(  # EXISTS: some other supplier on the same order
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(  # NOT EXISTS: no other LATE supplier on the same order
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(_Q21_NATIONS))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l1.join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders o, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+  AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_3', 'NATION_7')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
+    "q12_shipmode_priority": q12_shipmode_priority,
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity": q17_small_quantity,
     "q18_large_volume": q18_large_volume,
     "q19_bracket_revenue": q19_bracket_revenue,
+    "q21_waiting_orders": q21_waiting_orders,
     "q22_idle_customers": q22_idle_customers,
 }
 
@@ -713,11 +858,13 @@ ORACLES = {
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q10_returned_items": Q10_SQL,
+    "q12_shipmode_priority": Q12_SQL,
     "q13_order_distribution": Q13_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q15_top_supplier": Q15_SQL,
     "q17_small_quantity": Q17_SQL,
     "q18_large_volume": Q18_SQL,
     "q19_bracket_revenue": Q19_SQL,
+    "q21_waiting_orders": Q21_SQL,
     "q22_idle_customers": Q22_SQL,
 }
