@@ -31,9 +31,24 @@ ORDERS_SCHEMA = T.StructType(
 )
 
 
+def _source_tag(sf_dir: str) -> str:
+    """Cache key for a staged copy: path PLUS a content fingerprint
+    (size + mtime of every part file) of the source parquet. The
+    driver regenerates /root/testdata in place between rounds, so a
+    path-only key would silently reuse a stage of the OLD data."""
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    parts = [src] if os.path.isfile(src) else [
+        os.path.join(src, f) for f in sorted(os.listdir(src))
+    ]
+    h = hashlib.md5(src.encode())
+    for p in parts:
+        st = os.stat(p)
+        h.update(f"|{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(_WORKDIR, f"orders_{tag}.{fmt}")
+    path = os.path.join(_WORKDIR, f"orders_{_source_tag(sf_dir)}.{fmt}")
     # reuse only a COMPLETE prior stage (Spark writes _SUCCESS last); a
     # killed half-write is restaged via tmp-dir + atomic rename
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -104,8 +119,7 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit-schema read -> aggregate. Same text round-trip guarantees
     as JSON (shortest-repr doubles); the XML writer/reader are
     partition-parallel scans like every other file source."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(_WORKDIR, f"orders_{tag}.xml")
+    path = os.path.join(_WORKDIR, f"orders_{_source_tag(sf_dir)}.xml")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".tmp"
         (

@@ -175,15 +175,19 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, s.word, s.pos
         FROM parquet.`{sf_dir}/documents.parquet` d,
         LATERAL split_words(trim(d.text)) s
-        WHERE doc_id < 50
+        WHERE doc_id < 50 AND length(trim(text)) > 0
         ORDER BY doc_id, pos
     """)
+    # length(trim(..)) > 0 on BOTH sides: on empty docs the UDTF yields
+    # no row (doc dropped) while DuckDB's regexp_split_to_array('')
+    # yields [''] (a ('', 0) row) — filtered out so a regenerated
+    # testdata with empty docs can't flake the hash.
 
 
 UDTF_WORDS_SQL = r"""
 WITH parts AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS p
-  FROM documents WHERE doc_id < 50
+  FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0
 )
 SELECT doc_id, u.s.word AS word, u.s.pos AS pos
 FROM parts,
@@ -260,15 +264,17 @@ def udtf_polymorphic_first_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, s.doc_len, s.w0, s.w1, s.w2
         FROM parquet.`{sf_dir}/documents.parquet` d,
         LATERAL first_words(trim(d.text), 3) s
-        WHERE doc_id < 50
+        WHERE doc_id < 50 AND length(trim(text)) > 0
         ORDER BY doc_id
     """)
+    # empty-doc filter on both sides for the same reason as
+    # udtf_word_positions: '' splits to [] here but [''] in DuckDB
 
 
 UDTF_POLY_SQL = r"""
 WITH parts AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS p
-  FROM documents WHERE doc_id < 50
+  FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0
 )
 SELECT doc_id, CAST(len(p) AS INTEGER) AS doc_len,
        p[1] AS w0, p[2] AS w1, p[3] AS w2

@@ -214,12 +214,11 @@ class InvoiceBinaryDataSource(DataSource):
             raise ValueError(
                 f"invoicebin writer needs columns {expected}, got {got}"
             )
-        if overwrite:
-            import shutil
-
-            path = self.options.get("path")
-            if path and os.path.isdir(path):
-                shutil.rmtree(path)
+        # NOTE: no destination cleanup here — writer() runs at planning
+        # time, before any task, so deleting now would destroy the old
+        # data with nothing to roll back if the job then fails. The old
+        # part files are swapped out in commit() instead (same two-phase
+        # discipline as the temp-file renames).
         return InvoiceBinaryArrowWriter(self.options, overwrite)
 
 
@@ -266,16 +265,33 @@ class InvoiceBinaryArrowWriter(DataSourceArrowWriter):
             for batch in iterator:
                 cols = {c: batch.column(c).to_numpy() for c in
                         ["id", "id_contract", "time", "amount", "consumption"]}
+                t = cols["time"]
+                if len(t) and (t.min() < -128 or t.max() > 127):
+                    raise ValueError(
+                        "invoicebin: 'time' outside the format's int8 "
+                        f"range [-128, 127]: min={t.min()} max={t.max()}"
+                    )
                 rec = np.zeros(batch.num_rows, dtype=dtype)
                 rec["id"] = cols["id"]
                 rec["id_contract"] = cols["id_contract"]
-                rec["time"] = cols["time"]
+                rec["time"] = t
                 rec["amount"] = cols["amount"]
                 rec["consumption"] = cols["consumption"]
                 fh.write(rec.tobytes())
         return _InvoicePartFile(tmp, os.path.join(self.dir, name))
 
     def commit(self, messages):
+        if self.overwrite:
+            # all tasks succeeded — NOW retire the previous output
+            # (only files this writer family produces, not the whole dir)
+            new = {os.path.basename(m.final) for m in messages}
+            for f in os.listdir(self.dir):
+                old = (f.startswith("part-") and f.endswith(".bin")) or f == "_SUCCESS"
+                if old and f not in new:
+                    try:
+                        os.remove(os.path.join(self.dir, f))
+                    except OSError:
+                        pass
         for m in messages:
             os.rename(m.tmp, m.final)
         with open(os.path.join(self.dir, "_SUCCESS"), "w"):

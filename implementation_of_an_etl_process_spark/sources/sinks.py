@@ -139,7 +139,9 @@ def zorder_column(
     bucketed = []
     for c in cols:
         lo, hi = lo_hi[f"_lo_{c}"], lo_hi[f"_hi_{c}"]
-        if hi <= lo:  # constant column: single bucket
+        # None min/max (all-NULL column or empty input) degrades to the
+        # constant-column case rather than a TypeError on None <= None
+        if lo is None or hi is None or hi <= lo:  # constant column: single bucket
             bucketed.append(F.lit(0).cast("long"))
             continue
         # width_bucket returns 1..n+1; clamp into 0..n-1

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import REF_SAMPLE
 
@@ -177,3 +178,71 @@ def test_invoicebin_writer_roundtrip(spark, tmp_path):
     a = back.orderBy(*cols).toPandas()
     b = src.orderBy(*cols).toPandas()
     assert a.equals(b)
+
+
+def test_invoicebin_overwrite_swaps_old_parts_at_commit(spark, tmp_path):
+    """Overwrite must be two-phase like the part renames: a second
+    overwrite replaces the first write's part files (no stale parts
+    double-counted on re-read), and cleanup happens at commit — there
+    is no planning-time rmtree, so unrelated files in the destination
+    survive."""
+    from implementation_of_an_etl_process_spark.sources.invoice_datasource import (
+        InvoiceBinaryDataSource,
+    )
+
+    spark.dataSource.register(InvoiceBinaryDataSource)
+    src = spark.read.format("invoicebin").option("path", BIN).load()
+    out = str(tmp_path / "ow")
+    half = src.limit(100)
+    half.write.format("invoicebin").option("path", out).mode("overwrite").save()
+    marker = os.path.join(out, "unrelated.txt")
+    with open(marker, "w") as fh:
+        fh.write("keep")
+    src.write.format("invoicebin").option("path", out).mode("overwrite").save()
+    n = (
+        spark.read.format("invoicebin").option("path", f"{out}/*.bin").load()
+    ).count()
+    assert n == src.count()  # old parts gone, not appended to
+    assert os.path.exists(marker)  # no blanket rmtree of the destination
+
+
+def test_invoicebin_writer_rejects_out_of_range_time(spark, tmp_path):
+    """'time' is an int8 field on disk; values outside [-128, 127] must
+    raise instead of silently truncating."""
+    from implementation_of_an_etl_process_spark.sources.invoice_datasource import (
+        InvoiceBinaryDataSource,
+    )
+
+    spark.dataSource.register(InvoiceBinaryDataSource)
+    bad = (
+        spark.read.format("invoicebin").option("path", BIN).load()
+        .limit(10)
+        .withColumn("time", F.lit(1000))
+        .select("id", "id_contract", "time", "amount", "consumption")
+    )
+    out = str(tmp_path / "bad")
+    # surfaces as a Py4J-wrapped SparkException carrying the worker's
+    # ValueError text
+    with pytest.raises(Exception, match="int8"):
+        bad.write.format("invoicebin").option("path", out).mode(
+            "overwrite"
+        ).save()
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_zorder_column_all_null_and_empty_inputs(spark):
+    """min/max of an all-NULL or empty column come back None — the
+    z-order bucketing must degrade to the constant-column case, not
+    TypeError on None comparison."""
+    from implementation_of_an_etl_process_spark.sources.sinks import zorder_column
+
+    df = spark.range(5).select(
+        F.col("id"), F.lit(None).cast("double").alias("dead")
+    )
+    out = df.withColumn("_z", zorder_column(df, ["id", "dead"])).collect()
+    assert len(out) == 5  # nulls fold into one bucket; ids still spread
+    assert len({r["_z"] for r in out}) > 1
+    empty = spark.range(0).select(F.col("id"))
+    assert (
+        empty.withColumn("_z", zorder_column(empty, ["id"])).count() == 0
+    )
