@@ -61,3 +61,75 @@ def test_incremental_hypercube_equals_batch(spark, tmp_path):
     import numpy as np
 
     assert np.allclose(got["amount"], expected["amount"], atol=0.011)
+
+
+def _partition_snapshot(state_dir: str) -> dict[str, dict[str, tuple]]:
+    """geo-partition -> {file: (size, mtime_ns)} for every data file."""
+    snap: dict[str, dict[str, tuple]] = {}
+    for d in os.listdir(state_dir):
+        full = os.path.join(state_dir, d)
+        if d.startswith("geo=") and os.path.isdir(full):
+            snap[d] = {
+                f: (
+                    os.path.getsize(os.path.join(full, f)),
+                    os.stat(os.path.join(full, f)).st_mtime_ns,
+                )
+                for f in os.listdir(full)
+                if not f.startswith(("_", "."))
+            }
+    return snap
+
+
+def test_incremental_state_rewrites_only_touched_partitions(spark, tmp_path):
+    """The level-1 state is partitioned by geo and merged with dynamic
+    partition overwrite: a micro-batch containing one geo's invoices
+    must leave every OTHER geo partition's files untouched on disk
+    (same names, sizes, mtimes) — the O(|state|)-per-batch full rewrite
+    is the thing this design removed."""
+    clients = read_clients(spark, os.path.join(REF_SAMPLE, "clients.csv"))
+    contracts = read_contracts(spark, os.path.join(REF_SAMPLE, "contracts.csv"))
+    invoices = read_invoices_bin(spark, os.path.join(REF_SAMPLE, "invoices.bin"))
+
+    # pick one geo; batch 2 will contain ONLY that geo's invoices
+    one_geo = clients.select("geo").orderBy("geo").first()[0]
+    geo_contracts = (
+        contracts.join(
+            clients.filter(F.col("geo") == one_geo).select(
+                F.col("id").alias("cid")
+            ),
+            F.col("id_client") == F.col("cid"),
+            "left_semi",
+        ).select("id")
+    )
+    batch2 = invoices.join(
+        geo_contracts, invoices.id_contract == geo_contracts.id, "left_semi"
+    ).limit(200)
+    assert batch2.count() > 0
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> None:
+        stream = spark.readStream.schema(invoices.schema).parquet(str(src))
+        q = incremental_hypercube_sink(
+            streaming_hypercube_lvl1(stream, contracts, clients), state, ckpt
+        ).start()
+        q.awaitTermination(300)
+
+    invoices.coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    before = _partition_snapshot(state)
+    assert len(before) > 1, "need multiple geo partitions for this test"
+
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    after = _partition_snapshot(state)
+
+    touched = f"geo={one_geo}"
+    assert after[touched] != before[touched], "touched partition must change"
+    for part in before:
+        if part != touched:
+            assert after[part] == before[part], (
+                f"untouched partition {part} was rewritten"
+            )
