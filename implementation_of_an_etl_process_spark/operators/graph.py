@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point", "triangle_count"]
+__all__ = [
+    "pagerank_fixed_point",
+    "triangle_count",
+    "triangle_count_unoriented",
+]
 
 SCALE = 10**12
 
@@ -29,14 +33,21 @@ def pagerank_fixed_point(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint: bool = False,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list, exact int64 fixed-point.
 
     ``rank_{t+1}(v) = (100-d)%*SCALE/N + d% * Σ_{u→v} rank_t(u)/outdeg(u)``
     with every division a floor-divide — deterministic, associative,
-    overflow-safe (total mass ≤ SCALE, well under 2^63). Dangling-node
-    mass is dropped rather than redistributed (documented variant; the
-    redistribution term would just add one scalar aggregate per step).
+    overflow-safe (total mass ≤ SCALE, well under 2^63).
+
+    With ``redistribute_dangling=True`` each node additionally receives
+    ``d% * (Σ_{dangling u} rank_t(u)) / N`` — the standard uniform
+    redistribution of sink mass, still all-integer: one bounded scalar
+    aggregate per iteration (a driver-side long, same contract as a
+    broadcast threshold), floor-divided by N before the damped multiply
+    so both engines compute identical values. Default False preserves
+    the mass-leaking variant.
 
     Scale shape: each iteration is one join of the edge list with the
     current 1-row-per-node rank table (ranks broadcast when small, AQE
@@ -55,16 +66,45 @@ def pagerank_fixed_point(
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # The loop-invariant tables (node list, edge ⨝ outdeg) are persisted
+    # — otherwise each of the k iterations (plus the dangling probe)
+    # re-derives the upstream edge pipeline from the raw tables.
+    # MEMORY_AND_DISK so a 100×-scale edge list spills instead of
+    # OOMing; this is the loop-invariant caching every distributed
+    # PageRank does.
+    from pyspark import StorageLevel
+
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    e_deg = (
+        e.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # N and the two derived constants are driver-side scalars (control
     # plane only — same role as the reference sizing its arrays up
     # front); the rank data itself never touches the driver.
     n = nodes.count()
     init = SCALE // n
     base = ((100 - damping_pct) * SCALE) // (100 * n)
-    # edge ⨝ outdeg is loop-invariant: join once, reuse every iteration
-    e_deg = e.join(outdeg, "src").select("src", "dst", "outdeg")
+    # dangling node set is loop-invariant too (nodes with no out-edge);
+    # when it's empty (common for well-connected graphs) skip the
+    # per-iteration scalar aggregate entirely — one upfront probe
+    dangling = nodes.join(
+        outdeg.withColumnRenamed("src", "id"), "id", "left_anti"
+    )
+    if redistribute_dangling:
+        dangling = dangling.persist()
+        redistribute_dangling = dangling.limit(1).count() > 0
     rank = nodes.withColumn("rank", F.lit(init).cast("long"))
     for _ in range(iterations):
+        share = 0
+        if redistribute_dangling:
+            dm = (
+                rank.join(dangling, "id", "left_semi")
+                .agg(F.sum("rank"))
+                .first()[0]
+            )
+            share = (dm or 0) // n
         contribs = (
             e_deg.join(rank.withColumnRenamed("id", "src"), "src")
             .select(
@@ -78,7 +118,8 @@ def pagerank_fixed_point(
             (
                 F.lit(base)
                 + F.expr(
-                    f"({damping_pct} * coalesce(inflow, 0L)) div 100"
+                    f"({damping_pct} * (coalesce(inflow, 0L) + {share}))"
+                    " div 100"
                 )
             ).cast("long").alias("rank"),
         )
@@ -87,18 +128,10 @@ def pagerank_fixed_point(
     return rank
 
 
-def triangle_count(
-    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+def _canonical_undirected(
+    edges: DataFrame, src_col: str, dst_col: str
 ) -> DataFrame:
-    """Count triangles in the undirected projection of an edge list.
-
-    Canonicalize each edge to (a < b), then the classic two-join
-    enumeration e1(a,b) ⨝ e2(b,c) ⨝ e3(a,c) counts each triangle
-    exactly once. Intermediate size is Σ_b indeg(b)·outdeg(b) — for
-    skewed real graphs pre-split high-degree vertices; fine as-is for
-    the bounded node spaces this battery derives.
-    """
-    und = (
+    return (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
@@ -106,14 +139,80 @@ def triangle_count(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    e1 = und.alias("e1")
-    e2 = und.alias("e2")
-    e3 = und.alias("e3")
+
+
+def orient_by_degree(und: DataFrame) -> DataFrame:
+    """Orient each canonical undirected edge (a < b) from its
+    lower-degree endpoint to its higher-degree endpoint (ties keep the
+    id order a→b). The resulting digraph is acyclic — orientation
+    follows the total order (degree, id) — and every out-degree is
+    O(√m), which is what bounds the wedge intermediate on skewed
+    graphs."""
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    fwd = F.col("da") <= F.col("db")  # tie → a→b, consistent with a < b
+    return (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+
+
+def _enumerate_triangles(d: DataFrame) -> DataFrame:
+    """Two-join path enumeration o1(a,b) ⨝ o2(b,c) ⨝ o3(a,c) over a
+    digraph holding each undirected edge exactly once; with an acyclic
+    orientation each triangle matches exactly one (low→mid→high +
+    low→high shortcut) configuration."""
+    e1, e2, e3 = d.alias("e1"), d.alias("e2"), d.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
             e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_count(
+    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Count triangles in the undirected projection of an edge list.
+
+    Canonicalize each edge to (a < b), orient low-degree→high-degree
+    (``orient_by_degree``), then run the two-join enumeration on the
+    oriented digraph. The first join's intermediate is
+    Σ_v indeg(v)·outdeg(v) of the ORIENTED graph, where out-degrees are
+    O(√m) — a hub of degree k costs O(k·√m) wedges instead of the O(k²)
+    the unoriented enumeration pays (``tests/test_graph_ops.py``
+    measures the shrink on a synthetic hub graph). Two extra bounded
+    joins against the degree table buy that bound; at battery sizes
+    both paths are instant, at real-graph skew this is the difference
+    between finishing and not.
+    """
+    return _enumerate_triangles(
+        orient_by_degree(_canonical_undirected(edges, src_col, dst_col))
+    )
+
+
+def triangle_count_unoriented(
+    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """The id-ordered enumeration (e1(a,b) ⨝ e2(b,c) ⨝ e3(a,c) on the
+    canonical a<b edges). Same answer as ``triangle_count``; kept as
+    the in-repo oracle for the degree-oriented path and as the shape
+    mirrored by the battery's SQL oracle."""
+    und = _canonical_undirected(edges, src_col, dst_col)
+    return _enumerate_triangles(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )

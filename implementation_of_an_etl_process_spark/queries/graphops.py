@@ -60,30 +60,43 @@ def pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         _edges(spark, sf_dir),
         iterations=_ITERATIONS,
         damping_pct=_DAMPING,
+        redistribute_dangling=True,
     ).orderBy("id")
 
 
 def _pagerank_oracle() -> str:
+    """Unrolled-CTE oracle including the dangling-mass term: each step
+    computes the previous ranks' sum over out-degree-less nodes, floor-
+    divides by N, and adds the per-node share inside the damped multiply
+    — mirroring the operator's integer formula exactly."""
     head = f"""
 WITH e AS ({_EDGE_SQL}),
 nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+dangling AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM deg)),
 const AS (SELECT COUNT(*) AS n FROM nodes),
 r0 AS (SELECT id, {SCALE} // n AS rank FROM nodes, const)"""
     steps = []
     for k in range(1, _ITERATIONS + 1):
         steps.append(f""",
+dm{k} AS (
+  SELECT COALESCE(SUM(r.rank), 0) // c.n AS share
+  FROM const c LEFT JOIN (
+    SELECT rank FROM r{k - 1} JOIN dangling USING (id)
+  ) r ON TRUE
+  GROUP BY c.n),
 r{k} AS (
   SELECT n.id,
          ({(100 - _DAMPING) * SCALE} // (100 * c.n))
-         + ({_DAMPING} * COALESCE(SUM(t.contrib), 0)) // 100 AS rank
-  FROM nodes n CROSS JOIN const c
+         + ({_DAMPING} * (COALESCE(SUM(t.contrib), 0) + dm.share)) // 100
+           AS rank
+  FROM nodes n CROSS JOIN const c CROSS JOIN dm{k} dm
   LEFT JOIN (
     SELECT e.dst AS id, r.rank // d.outdeg AS contrib
     FROM e JOIN r{k - 1} r ON e.src = r.id
            JOIN deg d ON e.src = d.src
   ) t ON t.id = n.id
-  GROUP BY n.id, c.n)"""
+  GROUP BY n.id, c.n, dm.share)"""
         )
     return (
         head

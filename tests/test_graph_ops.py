@@ -3,10 +3,17 @@ pins full-graph values against the unrolled-CTE oracle)."""
 
 from __future__ import annotations
 
+import random
+
+from pyspark.sql import functions as F
+
 from implementation_of_an_etl_process_spark.operators.graph import (
     SCALE,
+    _canonical_undirected,
+    orient_by_degree,
     pagerank_fixed_point,
     triangle_count,
+    triangle_count_unoriented,
 )
 
 
@@ -42,3 +49,94 @@ def test_triangle_count_known_graphs(spark):
         [(1, 2), (2, 3), (3, 4)], "src long, dst long"
     )
     assert triangle_count(path).first()["n_triangles"] == 0
+
+
+def test_triangle_oriented_equals_unoriented_on_random_graph(spark):
+    # the id-ordered enumeration is the oracle for the degree-oriented
+    # path: same count on an arbitrary random digraph (dups, both
+    # directions, self-loop noise)
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(300)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    assert (
+        triangle_count(e).first()["n_triangles"]
+        == triangle_count_unoriented(e).first()["n_triangles"]
+    )
+
+
+def test_degree_orientation_bounds_hub_wedges(spark):
+    """Hub graph (one center, id in the middle of the id space, spokes
+    on both sides): the unoriented a<b enumeration builds
+    below·above ≈ (k/2)² wedges through the hub, the degree
+    orientation builds ZERO (every spoke edge points INTO the hub, so
+    the hub has out-degree 0). This is the intermediate-size evidence
+    for the oriented path."""
+    hub, k = 50, 40
+    spokes = [(i, hub) for i in range(hub - k // 2, hub)] + [
+        (hub, i) for i in range(hub + 1, hub + 1 + k // 2)
+    ]
+    e = spark.createDataFrame(spokes, "src long, dst long")
+    und = _canonical_undirected(e, "src", "dst")
+
+    def wedges(d):
+        return (
+            d.alias("e1")
+            .join(
+                d.alias("e2"), F.col("e1.dst") == F.col("e2.src")
+            )
+            .count()
+        )
+
+    unoriented = wedges(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    oriented = wedges(orient_by_degree(und))
+    assert unoriented == (k // 2) ** 2
+    assert oriented == 0
+    # and the answer itself is unchanged (no triangles in a star)
+    assert triangle_count(e).first()["n_triangles"] == 0
+
+
+def _pagerank_python(edges, iterations=5, damping=85, redistribute=False):
+    """Row-at-a-time reference of the exact integer formula."""
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: SCALE // n for v in nodes}
+    base = (100 - damping) * SCALE // (100 * n)
+    for _ in range(iterations):
+        share = (
+            sum(rank[v] for v in nodes if v not in out) // n
+            if redistribute
+            else 0
+        )
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // out[s]
+        rank = {
+            v: base + damping * (inflow[v] + share) // 100 for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_dangling_redistribution_matches_reference(spark):
+    # node 4 is dangling; with redistribution its accumulated mass is
+    # returned to the graph each step instead of leaking
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for redistribute in (False, True):
+        got = {
+            r["id"]: r["rank"]
+            for r in pagerank_fixed_point(
+                e, redistribute_dangling=redistribute
+            ).collect()
+        }
+        assert got == _pagerank_python(edges, redistribute=redistribute)
+    leaky = sum(_pagerank_python(edges).values())
+    kept = sum(_pagerank_python(edges, redistribute=True).values())
+    assert kept > leaky
+    assert kept <= SCALE  # floor-divides only ever drop mass
