@@ -147,12 +147,23 @@ WHERE cosine >= {_PAIR_THRESHOLD} ORDER BY id_a, id_b
 EMBEDDING_PAIRS_SQL = _embedding_lsh_sql()
 
 
+_IVF_PERQ_FLOOR = 1  # measured min per-query hits@5 is 2 at every sf
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate IVF path — rows-only check (recall is probabilistic);
-    tests pin recall against the brute-force baseline."""
+    """IVF top-k under a full value-hash oracle: the raw approximate
+    rows have no exact SQL twin, so the entry emits each query's
+    DETERMINISTIC result invariants instead — exactly k results, ranks
+    exactly 1..k (count + rank-sum + distinct candidates pin the set),
+    and a per-query recall floor against the in-plan brute-force
+    baseline (every query must keep >=1 true top-5 neighbor; the
+    aggregate >=70% gate is ``similarity_ivf_recall``). Violations emit
+    the measured value, so the hash mismatch shows the offending number.
+    """
     emb = _emb(spark, sf_dir)
-    return S.ivf_topk(
-        emb.filter(F.col("vec_id") < _N_QUERY_VECS),
+    q = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    ivf = S.ivf_topk(
+        q,
         emb,
         query_id="vec_id",
         query_vec="embedding",
@@ -162,7 +173,46 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=16,
         n_probe=8,
         dim=_EMB_DIM,
-    ).orderBy("qid", "rank")
+    )
+    exact = S.brute_force_topk(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        query_id="qid",
+        query_vec="qvec",
+        corpus_id="cid",
+        corpus_vec="cvec",
+        k=5,
+    )
+    hits = (
+        ivf.join(exact, ["qid", "cid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    per_q = ivf.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("int").alias("n_results"),
+        F.sum("rank").cast("int").alias("rank_sum"),
+        F.countDistinct("cid").cast("int").alias("n_candidates"),
+    )
+    return (
+        per_q.join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_results",
+            "rank_sum",
+            "n_candidates",
+            F.least(F.coalesce(F.col("_h"), F.lit(0)), F.lit(_IVF_PERQ_FLOOR))
+            .cast("int")
+            .alias("hits_floor"),
+        )
+        .orderBy("qid")
+    )
+
+
+IVF_TOPK_SQL = f"""
+SELECT vec_id AS qid, 5 AS n_results, 15 AS rank_sum, 5 AS n_candidates,
+       {_IVF_PERQ_FLOOR} AS hits_floor
+FROM embeddings WHERE vec_id < {_N_QUERY_VECS} ORDER BY qid
+"""
 
 
 _IVF_RECALL_FLOOR_PCT = 70  # measured 76% at every sf (deterministic path)
@@ -310,7 +360,6 @@ ORACLES = {
     "similarity_pq_recall": PQ_RECALL_SQL,
     "similarity_topk_cosine": SIMILARITY_TOPK_SQL,
     "embedding_cosine_pairs": EMBEDDING_PAIRS_SQL,
-    # similarity_ivf_topk: approximate rows (rows-only); the recall
-    # gate below is the hash-checked guard on its quality
+    "similarity_ivf_topk": IVF_TOPK_SQL,
     "similarity_ivf_recall": IVF_RECALL_SQL,
 }
