@@ -74,6 +74,21 @@ def test_semi_join_plans_as_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_q21_correlated_stack_plans_as_hash_semi_anti(spark):
+    """q21's EXISTS/NOT-EXISTS stack must plan as hash joins on the
+    orderkey equi part with the suppkey inequality as a residual
+    condition — never a nested-loop/cartesian for the correlation. The
+    anti side probes the big late-lineitem set, so shuffle (SMJ/SHJ) is
+    the expected family there at scale."""
+    from implementation_of_an_etl_process_spark.queries import tpch as T
+
+    plan = explain_str(T.q21_waiting_orders(spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_covers_aggregate(spark):
     # AQE hides codegen stars until execution; disable it to inspect the
     # statically-planned codegen spans ("*(n)" markers in simple mode)
