@@ -1,6 +1,7 @@
 """Second relational battery: outer joins, aggregate subqueries,
 GROUPING SETS (SQL API), array aggregation, exact percentiles, lag/lead
-windows, HAVING, null handling, date arithmetic, explode.
+windows, RANGE (value-based) window frames, unpivot/melt, OFFSET
+pagination, HAVING, null handling, date arithmetic, explode.
 
 Same determinism discipline as ``relational`` (decimal-exact sums,
 BIGINT casts, string temporals, total orders under LIMIT).
@@ -606,11 +607,126 @@ ORDER BY c_custkey
 """
 
 
+# --- value-based (RANGE) window frames -------------------------------------
+
+
+def window_range_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer at each order, via a RANGE
+    frame over epoch days — VALUE-based framing (all orders within 30
+    days, however many rows that is, ties included as peers), which a
+    ROWS frame cannot express. The rest of the battery's running
+    windows are ROWS frames; this pins the other half of the frame
+    surface. Decimal-cast sums keep the frame aggregate exact on both
+    engines."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("_day"))
+        .rangeBetween(-30, W.currentRow)
+    )
+    return (
+        orders.withColumn("_day", day)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .over(w)
+            .cast("double")
+            .alias("trailing_30d_spend"),
+            F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) OVER w AS DOUBLE)
+         AS trailing_30d_spend,
+       COUNT(*) OVER w AS trailing_30d_orders
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS _day
+  FROM orders WHERE o_custkey < 500
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY _day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+
+# --- unpivot (wide -> long, the inverse of pivot_lineitem) ------------------
+
+
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via the DataFrame ``unpivot`` (melt)
+    operator — the inverse of the battery's ``pivot_lineitem``. Values
+    share one double column, names land in a discriminator column;
+    pure narrow transformation, no shuffle."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_retailprice", "p_size"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, metric, val
+FROM (
+  UNPIVOT (SELECT p_partkey, p_retailprice,
+                  CAST(p_size AS DOUBLE) AS p_size
+           FROM part WHERE p_partkey < 300)
+  ON p_retailprice, p_size INTO NAME metric VALUE val
+)
+ORDER BY p_partkey, metric
+"""
+
+
+# --- LIMIT ... OFFSET pagination -------------------------------------------
+
+
+def sort_offset_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination: page 3 (rows 40..59) of orders under a
+    total order (totalprice desc, orderkey tiebreak) via OFFSET+LIMIT —
+    the offset operator the rest of the battery's top-k entries don't
+    touch. Only correct under a TOTAL order, same discipline as every
+    LIMIT in this battery."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    )
+
+
+OFFSET_PAGE_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
 QUERIES.update(
     {
         "window_rank_family": window_rank_family,
         "multi_distinct_orders": multi_distinct_orders,
         "regex_extract_customer_ids": regex_extract_customer_ids,
+        "window_range_trailing_30d": window_range_trailing_30d,
+        "unpivot_part_metrics": unpivot_part_metrics,
+        "sort_offset_page_orders": sort_offset_page_orders,
     }
 )
 ORACLES.update(
@@ -618,5 +734,8 @@ ORACLES.update(
         "window_rank_family": WINDOW_RANK_SQL,
         "multi_distinct_orders": MULTI_DISTINCT_SQL,
         "regex_extract_customer_ids": REGEX_EXTRACT_SQL,
+        "window_range_trailing_30d": WINDOW_RANGE_SQL,
+        "unpivot_part_metrics": UNPIVOT_SQL,
+        "sort_offset_page_orders": OFFSET_PAGE_SQL,
     }
 )
