@@ -149,14 +149,71 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nested_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct parquet with SCHEMA PRUNING: orders staged as
+    ``struct<keys:struct<orderkey,custkey>, amounts:struct<total,
+    priority>>``, then only TWO leaf fields are read back and
+    aggregated. Catalyst's nested schema pruning pushes the leaf
+    selection into the parquet ReadSchema, so at 100 TB the scan pays
+    for 2 leaves, not the whole struct — asserted by the plan test in
+    tests/test_sources.py. Oracle is flat SQL over the original
+    parquet."""
+    path = os.path.join(_WORKDIR, f"orders_nested_{_source_tag(sf_dir)}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".tmp"
+        (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(
+                F.struct(
+                    F.col("o_orderkey").alias("orderkey"),
+                    F.col("o_custkey").alias("custkey"),
+                ).alias("keys"),
+                F.struct(
+                    F.col("o_totalprice").alias("total"),
+                    F.col("o_orderpriority").alias("priority"),
+                ).alias("amounts"),
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    nested = spark.read.parquet(path)
+    return (
+        nested.groupBy(F.col("amounts.priority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("amounts.total").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+NESTED_PRUNED_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
 QUERIES = {
     "xml_source_roundtrip": xml_source_roundtrip,
     "json_source_roundtrip": json_source_roundtrip,
     "orc_source_roundtrip": orc_source_roundtrip,
+    "nested_parquet_pruned": nested_parquet_pruned,
 }
 
 ORACLES = {
     "xml_source_roundtrip": _AGG_SQL,
     "json_source_roundtrip": _AGG_SQL,
     "orc_source_roundtrip": _AGG_SQL,
+    "nested_parquet_pruned": NESTED_PRUNED_SQL,
 }

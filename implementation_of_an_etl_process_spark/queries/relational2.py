@@ -656,6 +656,57 @@ ORDER BY o_orderkey
 """
 
 
+# --- bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) --------------
+
+
+def set_ops_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiplicity-preserving set ops
+    (``relational.set_ops_customers`` covers the DISTINCT variants;
+    these are different physical operators: per-key counts with
+    min/difference semantics, not dedup). A customer with 3 open and
+    2 filled orders contributes 2 rows to the intersection and 1 to
+    the difference."""
+    orders = _t(spark, sf_dir, "orders")
+    o_buyers = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f_buyers = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    inter = o_buyers.intersectAll(f_buyers).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_intersect")
+    )
+    diff = o_buyers.exceptAll(f_buyers).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_except")
+    )
+    return (
+        inter.join(diff, "o_custkey", "full_outer")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.coalesce("n_intersect", F.lit(0)).alias("n_intersect"),
+            F.coalesce("n_except", F.lit(0)).alias("n_except"),
+        )
+        .orderBy("custkey")
+    )
+
+
+SET_OPS_ALL_SQL = """
+WITH o_buyers AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+f_buyers AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+inter AS (
+  SELECT o_custkey, COUNT(*) AS n_intersect
+  FROM (SELECT * FROM o_buyers INTERSECT ALL SELECT * FROM f_buyers)
+  GROUP BY o_custkey
+),
+diff AS (
+  SELECT o_custkey, COUNT(*) AS n_except
+  FROM (SELECT * FROM o_buyers EXCEPT ALL SELECT * FROM f_buyers)
+  GROUP BY o_custkey
+)
+SELECT COALESCE(inter.o_custkey, diff.o_custkey) AS custkey,
+       COALESCE(n_intersect, 0) AS n_intersect,
+       COALESCE(n_except, 0) AS n_except
+FROM inter FULL OUTER JOIN diff ON inter.o_custkey = diff.o_custkey
+ORDER BY custkey
+"""
+
+
 # --- unpivot (wide -> long, the inverse of pivot_lineitem) ------------------
 
 
@@ -727,6 +778,7 @@ QUERIES.update(
         "window_range_trailing_30d": window_range_trailing_30d,
         "unpivot_part_metrics": unpivot_part_metrics,
         "sort_offset_page_orders": sort_offset_page_orders,
+        "set_ops_all_customers": set_ops_all_customers,
     }
 )
 ORACLES.update(
@@ -737,5 +789,6 @@ ORACLES.update(
         "window_range_trailing_30d": WINDOW_RANGE_SQL,
         "unpivot_part_metrics": UNPIVOT_SQL,
         "sort_offset_page_orders": OFFSET_PAGE_SQL,
+        "set_ops_all_customers": SET_OPS_ALL_SQL,
     }
 )

@@ -230,6 +230,24 @@ def test_invoicebin_writer_rejects_out_of_range_time(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
+def test_nested_parquet_scan_prunes_to_leaf_fields(spark):
+    """The nested-struct entry must push leaf selection into the
+    parquet ReadSchema: the aggregate touches amounts.priority and
+    amounts.total only, so the scan must NOT read the keys struct —
+    nested schema pruning is the difference between scanning 2 leaves
+    and the whole struct at 100 TB."""
+    from implementation_of_an_etl_process_spark.plans import explain_str
+    from implementation_of_an_etl_process_spark.queries.formats import (
+        nested_parquet_pruned,
+    )
+    from tests.conftest import SF_ORACLE
+
+    plan = explain_str(nested_parquet_pruned(spark, SF_ORACLE))
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "amounts" in read_schema
+    assert "keys" not in read_schema, read_schema
+
+
 def test_zorder_column_all_null_and_empty_inputs(spark):
     """min/max of an all-NULL or empty column come back None — the
     z-order bucketing must degrade to the constant-column case, not
