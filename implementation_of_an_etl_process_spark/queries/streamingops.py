@@ -264,8 +264,87 @@ FROM events ORDER BY event_id
 """
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based SESSION windows as a streaming aggregation (the one
+    stateful window family the battery's streaming entries lacked),
+    driven availableNow in complete mode so every session is emitted
+    and the result equals batch sessionization — which gives the
+    session-window operator a full SQL oracle: DuckDB reproduces the
+    sessions with the lag/gap-flag/cumulative-sum islands technique.
+    A new session starts when the gap since the previous event is
+    >= 30 minutes (Spark merges an event iff it lands strictly inside
+    prev_ts + gap); session_end = last event + gap."""
+    stage = tempfile.mkdtemp(prefix="events_session_")
+    try:
+        (
+            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            .filter(F.col("user_id") < 200)  # bounded output
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        name = f"stream_session_{uuid.uuid4().hex[:8]}"
+        q = (
+            S.session_windows(
+                S.read_events_stream(spark, stage), exact_sums=True
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table(name)
+            .select(
+                "user_id",
+                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_end"
+                ),
+                "n_events",
+                "total_value",
+            )
+            .orderBy("user_id", "session_start")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAMING_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value FROM events WHERE user_id < 200
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_session_windows": streaming_session_windows,
     "streaming_tumbling_1h": streaming_tumbling_1h,
     "streaming_attribution_join": streaming_attribution_join,
     "streaming_user_totals": streaming_user_totals,
@@ -273,6 +352,7 @@ QUERIES = {
 }
 ORACLES = {
     "streaming_dedup_events": STREAMING_DEDUP_SQL,
+    "streaming_session_windows": STREAMING_SESSION_SQL,
     "streaming_tumbling_1h": EVENTS_TUMBLING_SQL,
     "streaming_attribution_join": STREAMING_ATTRIBUTION_SQL,
     "streaming_user_totals": STREAMING_USER_TOTALS_SQL,

@@ -104,16 +104,26 @@ def sliding_counts(
 
 
 def session_windows(
-    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Native session windows (gap-based), the streaming analogue of the
-    batch sessionization query."""
+    batch sessionization query. ``exact_sums`` as in ``tumbling_counts``
+    (decimal accumulation, order-independent across session merges)."""
+    value_sum = (
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+        if exact_sums
+        else F.sum("value")
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            value_sum.alias("total_value"),
         )
         .select(
             "user_id",
