@@ -1,12 +1,16 @@
 """Multimodal column handling: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The container has no image/audio codecs, so the actual decode step is
+Uncompressed raster images are decoded FOR REAL: ``decode_ppm`` parses
+binary PPM (P6) with pure stdlib + numpy — header fields plus a
+zero-copy uint8 view over the raster — no image library required, and
+``extract_ppm_features`` runs it per Arrow batch under the driver gate
+(``multimodal_ppm_decode``). Compressed codecs (JPEG/PNG/audio) DO
+need an external library the container lacks, so that step stays
 STUBBED (``decode_image`` raises NotImplementedError unless
-``fake=True``, which produces a deterministic fake decode). Everything
-around the stub — schema, batching, partition-parallel execution, UDF
-signatures — is real and tested: swapping the stub body for
-PIL/libsndfile calls is a one-function change.
+``fake=True``); swapping the stub body for PIL/libsndfile calls is a
+one-function change and every surrounding stage is exercised by the
+real PPM path.
 
 Design for 100 TB of media:
 - payloads stay in executor-side Arrow batches end-to-end (mapInPandas);
@@ -71,17 +75,95 @@ def attach_media_meta(df: DataFrame, id_col: str, payload_col: str, kind: str) -
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
-    """STUB: real deployments decode with PIL/turbojpeg here.
-
-    ``fake=True`` derives deterministic dimensions from the payload
-    bytes (so plumbing tests have stable expectations)."""
+    """STUB for COMPRESSED codecs: real deployments decode JPEG/PNG with
+    PIL/turbojpeg here (uncompressed PPM decodes for real via
+    ``decode_ppm`` below). ``fake=True`` derives deterministic
+    dimensions from the payload bytes (so plumbing tests have stable
+    expectations)."""
     if not fake:
         raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "pass fake=True for the deterministic test decode"
+            "compressed-image codecs are not available in this "
+            "environment; use decode_ppm for P6 payloads or pass "
+            "fake=True for the deterministic test decode"
         )
     h = int.from_bytes(payload[:8].ljust(8, b"\0"), "big")
     return (64 + h % 1024, 64 + (h >> 10) % 1024)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """REAL image decode, no codec library: binary PPM (P6, canonical
+    ``P6\\n<w> <h>\\n<maxval>\\n<raster>`` layout) via stdlib header
+    parsing and a zero-copy numpy uint8 view over the RGB raster.
+    Returns (width, height, mean_pixel)."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    if len(parts) != 4:
+        raise ValueError("truncated PPM header")
+    dims = parts[1].split()
+    if len(dims) != 2:
+        raise ValueError("malformed PPM dimensions")
+    w, h = int(dims[0]), int(dims[1])
+    if int(parts[2]) != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    n = w * h * 3
+    raster = parts[3]
+    if len(raster) < n:
+        raise ValueError(f"raster holds {len(raster)} bytes, need {n}")
+    arr = np.frombuffer(raster, dtype=np.uint8, count=n)
+    return w, h, float(arr.mean())
+
+
+PPM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_pixel", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.StringType(), True),
+    ]
+)
+
+
+def extract_ppm_features(df: DataFrame) -> DataFrame:
+    """media rows with P6 payloads -> (media_id, width, height,
+    mean_pixel, n_bytes, checksum): the REAL-decode twin of
+    ``extract_image_features`` — same mapInPandas batching, payloads
+    never leave the executors, features-only output."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for batch in batches:
+            decoded = [
+                decode_ppm(p) if p is not None else (None, None, None)
+                for p in batch["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_pixel": [d[2] for d in decoded],
+                    "n_bytes": [
+                        len(p) if p is not None else None
+                        for p in batch["payload"]
+                    ],
+                    "checksum": [
+                        hashlib.sha256(p).hexdigest() if p is not None else None
+                        for p in batch["payload"]
+                    ],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=PPM_FEATURES_SCHEMA
+    )
 
 
 def extract_image_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:

@@ -132,8 +132,8 @@ _DRIVER_PRIORITY = [
     "dedup_ngram_jaccard",
     "text_fingerprint",
     "text_quality",
-    # multimodal
-    "multimodal_binary_stats",
+    # multimodal (real PPM decode; supersedes binary_stats' subset checks)
+    "multimodal_ppm_decode",
     # similarity / ANN
     "similarity_topk_cosine",
     "similarity_pq_recall",

@@ -431,8 +431,68 @@ ORDER BY media_id, frame_offset
 """
 
 
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding under the driver gate: deterministic binary
+    PPM (P6) payloads are built in-plan (dimensions and a constant
+    pixel byte derived from doc_id, printable-ASCII so UTF-8 encode is
+    byte-identity), then ``extract_ppm_features`` actually PARSES the
+    header and takes the numpy mean of the raster — no fake codec. The
+    oracle reconstructs the identical payload bytes with the same
+    string arithmetic and predicts every feature independently
+    (mean_pixel == the constant fill, exactly)."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        (8 + F.col("doc_id") % 16).cast("int").alias("w"),
+        (8 + (F.col("doc_id") / 16).cast("long") % 16).cast("int").alias("h"),
+        (32 + F.col("doc_id") % 95).cast("int").alias("c"),
+    )
+    payloads = d.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P6\n"),
+                F.col("w").cast("string"),
+                F.lit(" "),
+                F.col("h").cast("string"),
+                F.lit("\n255\n"),
+                F.expr("repeat(char(c), w * h * 3)"),
+            ),
+            "UTF-8",
+        ).alias("blob"),
+    )
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "image")
+    return M.extract_ppm_features(media).orderBy("media_id")
+
+
+MULTIMODAL_PPM_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         8 + doc_id % 16 AS w,
+         8 + (doc_id // 16) % 16 AS h,
+         32 + doc_id % 95 AS c
+  FROM documents WHERE doc_id < 500
+), p AS (
+  SELECT doc_id, w, h, c,
+         'P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+           || chr(10) || repeat(chr(CAST(c AS INTEGER)),
+                                CAST(w * h * 3 AS INTEGER)) AS s
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(c AS DOUBLE) AS mean_pixel,
+       CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+       sha256(s) AS checksum  -- ASCII-only payload: VARCHAR bytes == blob
+FROM p ORDER BY media_id
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "multimodal_ppm_decode": multimodal_ppm_decode,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
@@ -449,6 +509,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_SQL,
+    "multimodal_ppm_decode": MULTIMODAL_PPM_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -53,6 +53,47 @@ def test_decode_image_stub_raises_without_fake():
         M.decode_image(b"anything")
 
 
+def _ppm(w, h, raster):
+    return f"P6\n{w} {h}\n255\n".encode() + raster
+
+
+def test_decode_ppm_real_raster():
+    # non-constant raster: the mean is computed over the actual bytes,
+    # not derived from the header
+    raster = bytes(range(2 * 2 * 3))  # 0..11
+    w, h, mean = M.decode_ppm(_ppm(2, 2, raster))
+    assert (w, h) == (2, 2)
+    assert mean == sum(range(12)) / 12
+    # trailing junk after the raster is ignored (count-bounded view)
+    w2, h2, mean2 = M.decode_ppm(_ppm(2, 2, raster + b"junk"))
+    assert (w2, h2, mean2) == (w, h, mean)
+
+
+def test_decode_ppm_rejects_malformed():
+    with pytest.raises(ValueError, match="P6"):
+        M.decode_ppm(b"P5\n2 2\n255\n" + bytes(12))
+    with pytest.raises(ValueError, match="raster"):
+        M.decode_ppm(_ppm(4, 4, bytes(10)))  # truncated raster
+    with pytest.raises(ValueError, match="maxval"):
+        M.decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
+
+
+def test_extract_ppm_features_roundtrip(spark):
+    import hashlib
+
+    rows = [
+        (1, _ppm(3, 2, bytes([7] * 18))),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    media = M.attach_media_meta(df, "media_id", "blob", "image")
+    feats = {r.media_id: r for r in M.extract_ppm_features(media).collect()}
+    assert (feats[1].width, feats[1].height) == (3, 2)
+    assert feats[1].mean_pixel == 7.0
+    assert feats[1].checksum == hashlib.sha256(rows[0][1]).hexdigest()
+    assert feats[2].width is None and feats[2].checksum is None
+
+
 def test_sample_frames(media):
     frames = M.sample_frames(media, every_n_bytes=8).collect()
     by_id = {}

@@ -131,7 +131,7 @@ def test_driver_first50_covers_every_family():
         "q1_pricing_summary",  # core relational
         "dedup_minhash_lsh",  # near-dup dedup
         "text_quality",  # text analysis
-        "multimodal_binary_stats",  # multimodal plumbing
+        "multimodal_ppm_decode",  # multimodal: real decode + plumbing
         "similarity_topk_cosine",  # ANN / similarity
         "streaming_tumbling_1h",  # structured streaming
         "asof_join_events",  # temporal joins
