@@ -204,8 +204,81 @@ ORDER BY priority
 """
 
 
+def csv_permissive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant CSV ingestion: a staged file where every
+    13th-keyed row is deliberately malformed (non-numeric key, missing
+    columns) is read back PERMISSIVE with an explicit schema — bad rows
+    parse to NULLs instead of failing the scan, and the aggregate
+    splits good/bad counts plus a decimal-exact sum over the rows that
+    survived. The oracle predicts all three from the corruption rule.
+    FAILFAST on clean data is the reference path (sources/csv.py); this
+    covers the other ingestion mode a 100 TB crawl actually needs."""
+    path = os.path.join(
+        _WORKDIR, f"orders_corrupt_{_source_tag(sf_dir)}.csv"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".tmp"
+        (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(
+                # single unparseable field — no stray numeric token that
+                # could accidentally parse as a valid price column
+                F.when(
+                    F.col("o_orderkey") % 13 == 0,
+                    F.concat(F.lit("garbage_"), F.col("o_orderkey")),
+                )
+                .otherwise(
+                    F.concat_ws(
+                        ",",
+                        F.col("o_orderkey"),
+                        F.col("o_totalprice"),
+                        F.col("o_orderpriority"),
+                    )
+                )
+                .alias("value")
+            )
+            .write.mode("overwrite")
+            .text(tmp)
+        )
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("price", T.DoubleType(), True),
+            T.StructField("priority", T.StringType(), True),
+        ]
+    )
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(path)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price").alias("n_good"),
+        (F.count(F.lit(1)) - F.count("price")).alias("n_bad"),
+        F.sum(F.col("price").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("good_total"),
+    )
+
+
+CSV_PERMISSIVE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad,
+       CAST(SUM(CASE WHEN o_orderkey % 13 <> 0
+                     THEN CAST(o_totalprice AS DECIMAL(20,6)) END)
+            AS DOUBLE) AS good_total
+FROM orders
+"""
+
+
 QUERIES = {
     "xml_source_roundtrip": xml_source_roundtrip,
+    "csv_permissive_ingest": csv_permissive_ingest,
     "json_source_roundtrip": json_source_roundtrip,
     "orc_source_roundtrip": orc_source_roundtrip,
     "nested_parquet_pruned": nested_parquet_pruned,
@@ -213,6 +286,7 @@ QUERIES = {
 
 ORACLES = {
     "xml_source_roundtrip": _AGG_SQL,
+    "csv_permissive_ingest": CSV_PERMISSIVE_SQL,
     "json_source_roundtrip": _AGG_SQL,
     "orc_source_roundtrip": _AGG_SQL,
     "nested_parquet_pruned": NESTED_PRUNED_SQL,
