@@ -7,7 +7,7 @@ md5-bucket arithmetic, same window frames).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.operators import pipeline as P
@@ -198,8 +198,71 @@ FROM b GROUP BY split, lang ORDER BY split, lang
 """
 
 
+def shuffle_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch of a
+    pretraining run wants the corpus in a pseudorandom order that is
+    reproducible across reruns and engines — rank by md5(seed || id).
+    At 100 TB this is ONE total sort on a uniformly-distributed 128-bit
+    key (range-partitioned by Spark's sort machinery, no hot spots by
+    construction); bounded slice here for the gate."""
+    seed = "epoch0:"
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))).alias(
+                "_key"
+            ),
+        )
+        .withColumn(
+            "shuffle_pos",
+            F.row_number().over(Window.orderBy("_key", "doc_id")),
+        )
+        .select("doc_id", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    )
+
+
+SHUFFLE_ORDER_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INTEGER) AS shuffle_pos
+FROM documents WHERE doc_id < 2000
+ORDER BY shuffle_pos
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution — the histogram every packing /
+    batching decision is sized from. Fixed integer bucketing (256-char
+    buckets, integer division: no float-boundary ambiguity), decimal-
+    exact mean length per bucket; pure codegen, one small shuffle."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy((F.col("n_chars") / 256).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+DOC_LENGTH_HIST_SQL = """
+SELECT CAST(n_chars // 256 AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "vocab_topk_documents": vocab_topk_documents,
+    "shuffle_order_docs": shuffle_order_docs,
+    "doc_length_histogram": doc_length_histogram,
     "doc_split_counts": doc_split_counts,
     "pack_sequences_docs": pack_sequences_docs,
     "stratified_sample_docs": stratified_sample_docs,
@@ -208,6 +271,8 @@ QUERIES = {
 
 ORACLES = {
     "vocab_topk_documents": VOCAB_TOPK_SQL,
+    "shuffle_order_docs": SHUFFLE_ORDER_SQL,
+    "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "doc_split_counts": DOC_SPLIT_SQL,
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
