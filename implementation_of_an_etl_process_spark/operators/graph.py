@@ -46,8 +46,10 @@ def pagerank_fixed_point(
     redistribution of sink mass, still all-integer: one bounded scalar
     aggregate per iteration (a driver-side long, same contract as a
     broadcast threshold), floor-divided by N before the damped multiply
-    so both engines compute identical values. Default False preserves
-    the mass-leaking variant.
+    so both engines compute identical values. The probe being an
+    action, ranks are localCheckpoint'd per iteration in this mode so
+    each step is materialized exactly once (linear total work). Default
+    False preserves the mass-leaking lazy-lineage variant.
 
     Scale shape: each iteration is one join of the edge list with the
     current 1-row-per-node rank table (ranks broadcast when small, AQE
@@ -99,6 +101,12 @@ def pagerank_fixed_point(
     for _ in range(iterations):
         share = 0
         if redistribute_dangling:
+            # the probe is a driver ACTION: without materializing rank
+            # first, iteration k's .first() would re-execute iterations
+            # 1..k-1 (shuffle reuse doesn't span separate actions) —
+            # O(k²) total work. Checkpointing makes the probe + the
+            # next iteration share one materialization per step.
+            rank = rank.localCheckpoint(eager=True)
             dm = (
                 rank.join(dangling, "id", "left_semi")
                 .agg(F.sum("rank"))

@@ -117,6 +117,47 @@ def pack_sequences(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    out_col: str = "pos",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Scalable 1-based global rank by ``key_cols`` (must be a total
+    order): range-partition on the keys, rank WITHIN each partition
+    (parallel per-partition windows), then add each partition's offset.
+
+    This is the distributed zipWithIndex shape — a bare
+    ``Window.orderBy`` without partitionBy moves EVERY row to one task
+    and cannot scale. The per-partition counts are a bounded
+    driver-side list (one int per partition, same contract as a
+    broadcast); the data is localCheckpoint'd so the counting job and
+    the ranking job see the identical partitioning."""
+    spark = df.sparkSession
+    n = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        df.repartitionByRange(n, *key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = W.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in key_cols])
+    return d.withColumn(
+        out_col, F.row_number().over(w) + omap[F.col("_pid")]
+    ).drop("_pid")
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

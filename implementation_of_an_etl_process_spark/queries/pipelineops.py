@@ -7,7 +7,7 @@ md5-bucket arithmetic, same window frames).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.operators import pipeline as P
@@ -201,24 +201,21 @@ FROM b GROUP BY split, lang ORDER BY split, lang
 def shuffle_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle: every epoch of a
     pretraining run wants the corpus in a pseudorandom order that is
-    reproducible across reruns and engines — rank by md5(seed || id).
-    At 100 TB this is ONE total sort on a uniformly-distributed 128-bit
-    key (range-partitioned by Spark's sort machinery, no hot spots by
-    construction); bounded slice here for the gate."""
+    reproducible across reruns and engines — rank by md5(seed || id),
+    a uniformly-distributed key with no hot ranges. The rank itself is
+    ``operators.pipeline.global_rank`` (range-partition + parallel
+    per-partition windows + bounded offsets), NOT a bare global Window,
+    which would drag the whole corpus into one task."""
     seed = "epoch0:"
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000).select(
+        "doc_id",
+        F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))).alias(
+            "_key"
+        ),
+    )
     return (
-        d.select(
-            "doc_id",
-            F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))).alias(
-                "_key"
-            ),
-        )
-        .withColumn(
-            "shuffle_pos",
-            F.row_number().over(Window.orderBy("_key", "doc_id")),
-        )
-        .select("doc_id", "shuffle_pos")
+        P.global_rank(d, ["_key", "doc_id"], out_col="shuffle_pos")
+        .select("doc_id", F.col("shuffle_pos").cast("int").alias("shuffle_pos"))
         .orderBy("shuffle_pos")
     )
 

@@ -222,7 +222,11 @@ def streaming_hypercube_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(work, "state"),
             os.path.join(work, "ckpt"),
         ).start()
-        q.awaitTermination(300)
+        from implementation_of_an_etl_process_spark.queries.streamingops import (
+            await_or_raise,
+        )
+
+        await_or_raise(q)
         cube = hypercube_from_lvl1(
             spark.read.parquet(os.path.join(work, "state"))
         )

@@ -22,6 +22,20 @@ from implementation_of_an_etl_process_spark.queries.relational import (
 )
 
 
+def await_or_raise(q, timeout: int = 540) -> None:
+    """awaitTermination returns False on timeout WITHOUT stopping the
+    query — silently reading the memory sink then would hand the driver
+    gate a partial table (and rmtree the staged source under a live
+    query). Stop and raise loudly instead; every streaming entry funnels
+    through here so the timeout policy lives in one place."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming entry did not drain within {timeout}s "
+            "(host contention? see BASELINE_NOTES.md)"
+        )
+
+
 def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the events table as a streaming file source (ts re-encoded
     # to micros: the streaming scan declares TimestampType and cannot
@@ -45,7 +59,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q)
         return (
             spark.table(name)
             .select(
@@ -88,7 +102,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q)
         return (
             spark.table(name)
             .select(
@@ -150,7 +164,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q)
         w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
         return (
             spark.table(name)
@@ -195,7 +209,7 @@ def streaming_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q)
         return (
             spark.table(name)
             .select(
@@ -248,7 +262,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q)
         return (
             spark.table(name)
             .select("event_id", "user_id", "event_type", "value")
@@ -294,7 +308,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q)
         return (
             spark.table(name)
             .select(

@@ -282,11 +282,16 @@ class InvoiceBinaryArrowWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         if self.overwrite:
-            # all tasks succeeded — NOW retire the previous output
-            # (only files this writer family produces, not the whole dir)
+            # all tasks succeeded — NOW retire the previous output.
+            # Remove EVERY non-temp .bin (readers glob dir/*.bin, so a
+            # stale differently-named invoices.bin would silently be
+            # read back mixed with the new parts) plus _SUCCESS; leave
+            # unrelated files and this job's own temp files alone.
             new = {os.path.basename(m.final) for m in messages}
             for f in os.listdir(self.dir):
-                old = (f.startswith("part-") and f.endswith(".bin")) or f == "_SUCCESS"
+                old = (
+                    f.endswith(".bin") and not f.startswith("._tmp_")
+                ) or f == "_SUCCESS"
                 if old and f not in new:
                     try:
                         os.remove(os.path.join(self.dir, f))

@@ -106,10 +106,14 @@ def incremental_hypercube_sink(
         spark = batch.sparkSession
         new = batch.persist()
         try:
+            # computed for EVERY batch: an empty batch must be a no-op
+            # even before any state exists — a 0-row partitionBy write
+            # would leave a _SUCCESS-only dir that poisons later
+            # spark.read.parquet schema inference
+            touched = [r[0] for r in new.select("geo").distinct().collect()]
+            if not touched:
+                return
             if os.path.exists(state_dir):
-                touched = [r[0] for r in new.select("geo").distinct().collect()]
-                if not touched:
-                    return
                 old = spark.read.parquet(state_dir).filter(
                     F.col("geo").isin(touched)  # partition-pruned read
                 )

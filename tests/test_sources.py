@@ -198,11 +198,18 @@ def test_invoicebin_overwrite_swaps_old_parts_at_commit(spark, tmp_path):
     marker = os.path.join(out, "unrelated.txt")
     with open(marker, "w") as fh:
         fh.write("keep")
+    # a stale NON-part .bin (e.g. a reference-produced invoices.bin):
+    # readers glob *.bin, so overwrite must retire it too or re-reads
+    # double-count
+    import shutil as _sh
+
+    _sh.copy(BIN, os.path.join(out, "invoices.bin"))
     src.write.format("invoicebin").option("path", out).mode("overwrite").save()
     n = (
         spark.read.format("invoicebin").option("path", f"{out}/*.bin").load()
     ).count()
-    assert n == src.count()  # old parts gone, not appended to
+    assert n == src.count()  # old parts AND stale .bin gone, not appended
+    assert not os.path.exists(os.path.join(out, "invoices.bin"))
     assert os.path.exists(marker)  # no blanket rmtree of the destination
 
 

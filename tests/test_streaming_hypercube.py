@@ -63,6 +63,37 @@ def test_incremental_hypercube_equals_batch(spark, tmp_path):
     assert np.allclose(got["amount"], expected["amount"], atol=0.011)
 
 
+def test_empty_first_batch_does_not_poison_state(spark, tmp_path):
+    """A 0-row first micro-batch must be a no-op: a partitionBy write of
+    zero rows would leave a _SUCCESS-only directory that breaks schema
+    inference for every later read of the state."""
+    clients = read_clients(spark, os.path.join(REF_SAMPLE, "clients.csv"))
+    contracts = read_contracts(spark, os.path.join(REF_SAMPLE, "contracts.csv"))
+    invoices = read_invoices_bin(spark, os.path.join(REF_SAMPLE, "invoices.bin"))
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    # first source file: correct schema, zero rows
+    invoices.limit(0).coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain() -> None:
+        stream = spark.readStream.schema(invoices.schema).parquet(str(src))
+        q = incremental_hypercube_sink(
+            streaming_hypercube_lvl1(stream, contracts, clients), state, ckpt
+        ).start()
+        q.awaitTermination(300)
+
+    drain()
+    assert not os.path.exists(os.path.join(state, "_SUCCESS")), (
+        "empty batch must not write a schema-less state dir"
+    )
+    invoices.limit(500).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    got = hypercube_from_lvl1(spark.read.parquet(state))
+    assert got.count() > 0
+
+
 def _partition_snapshot(state_dir: str) -> dict[str, dict[str, tuple]]:
     """geo-partition -> {file: (size, mtime_ns)} for every data file."""
     snap: dict[str, dict[str, tuple]] = {}
