@@ -57,6 +57,12 @@ def pagerank_fixed_point(
     list is reused every step — persist it upstream for real sizes, and
     pass ``checkpoint=True`` to cut lineage on long runs (driver stays
     control-plane only).
+
+    The returned DataFrame is an eager ``localCheckpoint`` of the final
+    ranks: computation happens inside this call, which lets the
+    loop-invariant caches (nodes / edge⨝outdeg / dangling set) be
+    unpersisted before returning instead of leaking for the session
+    lifetime.
     """
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
@@ -98,6 +104,40 @@ def pagerank_fixed_point(
         dangling = dangling.persist()
         redistribute_dangling = dangling.limit(1).count() > 0
     rank = nodes.withColumn("rank", F.lit(init).cast("long"))
+    try:
+        rank = _pagerank_iterate(
+            rank, nodes, e_deg, dangling, n, base,
+            iterations=iterations, damping_pct=damping_pct,
+            checkpoint=checkpoint,
+            redistribute_dangling=redistribute_dangling,
+        )
+        # Materialize the result while the loop-invariant caches are
+        # still alive, so the unpersist below can't force a recompute
+        # of the whole iteration chain when the caller finally acts.
+        return rank.localCheckpoint(eager=True)
+    finally:
+        # Spark's CacheManager holds strong references: without this,
+        # every invocation in a long session (bench ×3 passes + the
+        # verify battery) leaks three cached tables for the session
+        # lifetime.
+        nodes.unpersist(blocking=False)
+        e_deg.unpersist(blocking=False)
+        dangling.unpersist(blocking=False)
+
+
+def _pagerank_iterate(
+    rank: DataFrame,
+    nodes: DataFrame,
+    e_deg: DataFrame,
+    dangling: DataFrame,
+    n: int,
+    base: int,
+    *,
+    iterations: int,
+    damping_pct: int,
+    checkpoint: bool,
+    redistribute_dangling: bool,
+) -> DataFrame:
     for _ in range(iterations):
         share = 0
         if redistribute_dangling:

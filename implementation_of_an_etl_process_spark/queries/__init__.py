@@ -109,82 +109,78 @@ except ImportError:  # pragma: no cover
 
 
 # The driver's CORRECTNESS gate checks only the FIRST 50 entries of
-# ``queries()`` iteration order (observed: CORRECTNESS_r01/r02 are each
-# exactly 50 rows, in registration order).  Plain module order left the
-# flagship ``reference_native_path`` and the whole streaming / tpch /
-# sql41 / graph / pretrain families past the cap with zero driver rows
-# (VERDICT.md round 2, "What's wrong" #1).  This curated list puts one
-# or more representatives of EVERY operator family inside the cap;
-# everything else (long-tail relational variants, extra tpch shapes)
-# follows in module order and is covered by ``tools/verify_local.py``.
+# ``queries()`` iteration order (observed: CORRECTNESS_r01-r03 are each
+# exactly 50 rows, in registration order).  Round-3 curation put a
+# representative of every family inside the cap; the round-3 verdict's
+# top item is ROTATION: accumulate driver-green rows for the 41 entries
+# that have never had one (union of CORRECTNESS_r01-r03 names = 93 of
+# 134).  This round pins 9 cross-family flagships (the reference-native
+# path, the streaming twin, the ANN recall gates whose round-4
+# distributed-KMeans rewrite must stay green, graph, pretrain) and
+# fills the remaining 41 slots with exactly the never-driver-tested
+# entries, so after a green round every battery entry has at least one
+# driver row.  Everything else follows in module order and stays
+# covered by ``tools/verify_local.py``.
 _DRIVER_PRIORITY = [
-    # reference-native flagship path + streaming twin
+    # pinned flagships (9): one per hard-gate family
     "hypercube",
     "reference_native_path",
     "streaming_hypercube_native",
-    # core relational
     "q1_pricing_summary",
-    "window_topk_orders",
-    # dedup + text analysis
-    "dedup_exact_documents",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "text_fingerprint",
-    "text_quality",
-    # multimodal (real PPM decode; supersedes binary_stats' subset checks)
-    "multimodal_ppm_decode",
-    # similarity / ANN
-    "similarity_topk_cosine",
     "similarity_pq_recall",
     "similarity_ivf_recall",
-    # structured streaming
-    "streaming_dedup_events",
-    "streaming_tumbling_1h",
-    "streaming_attribution_join",
-    # temporal joins
-    "asof_join_events",
-    "range_join_price_bands",
-    "resample_ffill_events",
-    # pandas-UDF surface
-    "cogroup_customer_orders",
-    "pandas_grouped_weighted_avg",
-    # pretraining pipeline composition
-    "pretrain_pipeline_stats",
-    "pack_sequences_docs",
-    "stratified_sample_docs",
-    # source formats
-    "xml_source_roundtrip",
-    "orc_source_roundtrip",
-    # function surface
-    "array_hof_orders",
-    "topk_sketch_tokens",
-    # tpch join shapes
-    "q7_volume_shipping",
-    "q12_shipmode_priority",
-    "q13_order_distribution",
-    "q18_large_volume",
-    "q21_waiting_orders",
-    # pretraining data hygiene
-    "contamination_ngram_overlap",
-    "pii_redaction",
-    "paragraph_dedup_frac",
-    # ETL / table maintenance
-    "bucketed_join_orders",
-    "merge_upsert_orders",
-    "scd2_customer_priority",
-    # graph
     "pagerank_purchases",
-    "triangle_count_purchases",
-    # data quality
-    "quality_checks_orders",
-    "rolling_active_users",
-    # SQL:2023 / Spark 4 surface
-    "recursive_cte_months",
-    "lateral_topk_nation",
-    "variant_order_json",
-    "udtf_word_positions",
-    "sql_udf_price_band",
+    "pretrain_pipeline_stats",
+    # rotation (41): every entry with no driver row in rounds 1-3
+    # -- relational long tail
+    "window_range_trailing_30d",
+    "unpivot_part_metrics",
+    "sort_offset_page_orders",
+    "set_ops_all_customers",
+    "fuzzy_match_customers",
+    "profile_orders",
+    # -- streaming entries never driver-run
+    "streaming_session_windows",
+    "streaming_user_totals",
+    "streaming_sliding_15m",
+    # -- UDF surface
+    "arrow_python_udf_reverse",
+    "pandas_udf_vowels",
+    "apply_in_pandas_minmax",
+    "udtf_polymorphic_first_words",
+    # -- pretraining pipeline long tail
+    "vocab_topk_documents",
+    "shuffle_order_docs",
+    "doc_length_histogram",
+    "doc_split_counts",
+    "repetition_stats_docs",
+    "strip_urls_docs",
+    # -- source formats / layout
+    "csv_permissive_ingest",
+    "json_source_roundtrip",
+    "nested_parquet_pruned",
+    "partitioned_prune_docs",
+    "observed_write_audit",
+    # -- function surface
+    "map_funcs_orders",
+    "math_funcs_lineitem",
+    "hll_sketch_gate",
+    # -- TPC-H shapes never driver-run (17)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_relation",
+    "q17_small_quantity",
+    "q19_bracket_revenue",
+    "q20_excess_stock",
+    "q22_idle_customers",
 ]
 
 

@@ -47,8 +47,33 @@ def _source_tag(sf_dir: str) -> str:
     return h.hexdigest()[:12]
 
 
+def _evict_stale_stages(tag: str) -> None:
+    """The content-fingerprint keys make stale reuse impossible but
+    would accumulate one staged copy per testdata generation (the
+    driver regenerates /root/testdata between rounds). Every stage
+    name embeds the 12-hex tag as ``_{tag}.``; remove siblings whose
+    tag differs from the current fingerprint (and any orphaned .tmp)."""
+    import re
+    import shutil
+
+    if not os.path.isdir(_WORKDIR):
+        return
+    for d in os.listdir(_WORKDIR):
+        m = re.search(r"_([0-9a-f]{12})\.", d)
+        if m and m.group(1) != tag:
+            shutil.rmtree(os.path.join(_WORKDIR, d), ignore_errors=True)
+
+
+def _tagged_path(sf_dir: str, name_fmt: str) -> str:
+    """Stage path for the current testdata fingerprint, with stale
+    generations evicted as a side effect."""
+    tag = _source_tag(sf_dir)
+    _evict_stale_stages(tag)
+    return os.path.join(_WORKDIR, name_fmt.format(tag=tag))
+
+
 def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    path = os.path.join(_WORKDIR, f"orders_{_source_tag(sf_dir)}.{fmt}")
+    path = _tagged_path(sf_dir, f"orders_{{tag}}.{fmt}")
     # reuse only a COMPLETE prior stage (Spark writes _SUCCESS last); a
     # killed half-write is restaged via tmp-dir + atomic rename
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -119,7 +144,7 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit-schema read -> aggregate. Same text round-trip guarantees
     as JSON (shortest-repr doubles); the XML writer/reader are
     partition-parallel scans like every other file source."""
-    path = os.path.join(_WORKDIR, f"orders_{_source_tag(sf_dir)}.xml")
+    path = _tagged_path(sf_dir, "orders_{tag}.xml")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".tmp"
         (
@@ -158,7 +183,7 @@ def nested_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 2 leaves, not the whole struct — asserted by the plan test in
     tests/test_sources.py. Oracle is flat SQL over the original
     parquet."""
-    path = os.path.join(_WORKDIR, f"orders_nested_{_source_tag(sf_dir)}.parquet")
+    path = _tagged_path(sf_dir, "orders_nested_{tag}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".tmp"
         (
@@ -213,9 +238,7 @@ def csv_permissive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     survived. The oracle predicts all three from the corruption rule.
     FAILFAST on clean data is the reference path (sources/csv.py); this
     covers the other ingestion mode a 100 TB crawl actually needs."""
-    path = os.path.join(
-        _WORKDIR, f"orders_corrupt_{_source_tag(sf_dir)}.csv"
-    )
+    path = _tagged_path(sf_dir, "orders_corrupt_{tag}.csv")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".tmp"
         (

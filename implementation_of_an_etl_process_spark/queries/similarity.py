@@ -208,6 +208,16 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DATA ASSUMPTIONS behind the literal 5/15/5 (k=5, rank_sum=1+..+5,
+# n_candidates=k): every query's 8 probed cells (of 16) must together
+# hold >= k corpus vectors, i.e. corpus size >> k per probed cell. The
+# driver's embeddings tables satisfy this by orders of magnitude at
+# every sf (smallest: sf0.001 with 500 vectors -> ~31/cell x 8 cells
+# probed vs k=5), and hits_floor=1 has measured margin (min per-query
+# hits@5 is 2 at every sf). A regenerated corpus small or skewed enough
+# to leave a probed region under k vectors would fail this gate BY
+# DESIGN — that is the gate detecting the assumption break, not an IVF
+# bug; re-derive the literals if the testdata contract ever changes.
 IVF_TOPK_SQL = f"""
 SELECT vec_id AS qid, 5 AS n_results, 15 AS rank_sum, 5 AS n_candidates,
        {_IVF_PERQ_FLOOR} AS hits_floor

@@ -60,6 +60,24 @@ class InvoiceBinaryReader(DataSourceReader):
         )
         if not files:
             raise FileNotFoundError(f"no files match {self.path!r}")
+        # Writer-produced directories carry a _SUCCESS commit marker;
+        # part-files without one mean a partially-committed overwrite
+        # (driver crash mid-commit) — fail loudly instead of silently
+        # reading partial data. Raw reference-style .bin files (not
+        # named part-*.bin) are exempt.
+        for d in {os.path.dirname(f) for f in files}:
+            parts = [
+                b for b in os.listdir(d or ".")
+                if b.startswith("part-") and b.endswith(".bin")
+            ]
+            if parts and not os.path.exists(
+                os.path.join(d, "_SUCCESS")
+            ):
+                raise ValueError(
+                    f"{d}: part-*.bin present but no _SUCCESS marker — "
+                    "the directory holds a partially-committed write; "
+                    "re-run the writer (overwrite) to repair"
+                )
         out: list[InputPartition] = []
         for f in files:
             size = os.path.getsize(f)
@@ -281,25 +299,37 @@ class InvoiceBinaryArrowWriter(DataSourceArrowWriter):
         return _InvoicePartFile(tmp, os.path.join(self.dir, name))
 
     def commit(self, messages):
+        # Crash-safe ordering: (1) drop _SUCCESS so any crash inside
+        # this window leaves the directory visibly uncommitted (the
+        # reader refuses part-files without the marker), (2) rename the
+        # new uuid-named parts into place (no collision with old
+        # names), (3) only THEN retire the previous output, (4) restore
+        # _SUCCESS. A crash at any point leaves at least one complete
+        # generation of data on disk — the old destructive-first order
+        # had a window with neither old nor new data complete.
+        success = os.path.join(self.dir, "_SUCCESS")
         if self.overwrite:
-            # all tasks succeeded — NOW retire the previous output.
-            # Remove EVERY non-temp .bin (readers glob dir/*.bin, so a
-            # stale differently-named invoices.bin would silently be
-            # read back mixed with the new parts) plus _SUCCESS; leave
-            # unrelated files and this job's own temp files alone.
+            try:
+                os.remove(success)
+            except OSError:
+                pass
+        for m in messages:
+            os.rename(m.tmp, m.final)
+        if self.overwrite:
+            # all tasks renamed — NOW retire the previous output.
+            # Remove EVERY non-temp .bin not written by this job
+            # (readers glob dir/*.bin, so a stale differently-named
+            # invoices.bin would silently be read back mixed with the
+            # new parts); leave unrelated files alone.
             new = {os.path.basename(m.final) for m in messages}
             for f in os.listdir(self.dir):
-                old = (
-                    f.endswith(".bin") and not f.startswith("._tmp_")
-                ) or f == "_SUCCESS"
+                old = f.endswith(".bin") and not f.startswith("._tmp_")
                 if old and f not in new:
                     try:
                         os.remove(os.path.join(self.dir, f))
                     except OSError:
                         pass
-        for m in messages:
-            os.rename(m.tmp, m.final)
-        with open(os.path.join(self.dir, "_SUCCESS"), "w"):
+        with open(success, "w"):
             pass
 
     def abort(self, messages):
