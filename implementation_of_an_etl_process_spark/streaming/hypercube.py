@@ -73,6 +73,48 @@ def hypercube_from_lvl1(lvl1: DataFrame) -> DataFrame:
     )
 
 
+def merge_lvl1_batch(batch: DataFrame, state_dir: str) -> None:
+    """Upsert one micro-batch of CUMULATIVE level-1 rows into the
+    geo-partitioned parquet state. IDEMPOTENT under checkpoint replay:
+    update-mode rows carry cumulative per-key values, so re-merging a
+    batch already (fully or partially) applied replaces the same keys
+    with the same values — asserted by
+    tests/test_streaming_hypercube.py::test_merge_replay_is_idempotent.
+    Exposed as a standalone function so replay can be driven directly
+    in tests; the streaming sink's foreachBatch delegates here.
+    """
+    keys = [*DIMS, "contract_id", "client_id"]
+    spark = batch.sparkSession
+    new = batch.persist()
+    try:
+        # computed for EVERY batch: an empty batch must be a no-op
+        # even before any state exists — a 0-row partitionBy write
+        # would leave a _SUCCESS-only dir that poisons later
+        # spark.read.parquet schema inference
+        touched = [r[0] for r in new.select("geo").distinct().collect()]
+        if not touched:
+            return
+        if os.path.exists(state_dir):
+            old = spark.read.parquet(state_dir).filter(
+                F.col("geo").isin(touched)  # partition-pruned read
+            )
+            new = old.join(new, keys, "left_anti").unionByName(new)
+        (
+            # sized to the batch: len(touched) hash partitions means
+            # a 1-geo straggler batch schedules 1 writer task, not
+            # spark.sql.shuffle.partitions mostly-empty ones (a
+            # hash collision folding two geos into one task still
+            # writes one file per partition dir)
+            new.repartition(len(touched), "geo")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("geo")
+            .parquet(state_dir)
+        )
+    finally:
+        batch.unpersist()
+
+
 def incremental_hypercube_sink(
     lvl1_stream: DataFrame,
     state_dir: str,
@@ -100,33 +142,8 @@ def incremental_hypercube_sink(
     with the same values. The driver-side ``collect`` of touched geos
     is bounded by the geo dimension's cardinality, same contract as a
     broadcast."""
-    keys = [*DIMS, "contract_id", "client_id"]
-
     def merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        new = batch.persist()
-        try:
-            # computed for EVERY batch: an empty batch must be a no-op
-            # even before any state exists — a 0-row partitionBy write
-            # would leave a _SUCCESS-only dir that poisons later
-            # spark.read.parquet schema inference
-            touched = [r[0] for r in new.select("geo").distinct().collect()]
-            if not touched:
-                return
-            if os.path.exists(state_dir):
-                old = spark.read.parquet(state_dir).filter(
-                    F.col("geo").isin(touched)  # partition-pruned read
-                )
-                new = old.join(new, keys, "left_anti").unionByName(new)
-            (
-                new.repartition("geo")  # one writer task per touched geo
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("geo")
-                .parquet(state_dir)
-            )
-        finally:
-            batch.unpersist()
+        merge_lvl1_batch(batch, state_dir)
 
     writer = (
         lvl1_stream.writeStream.outputMode("update")

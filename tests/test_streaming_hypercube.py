@@ -94,6 +94,70 @@ def test_empty_first_batch_does_not_poison_state(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint-replay safety of the partitioned state merge: after a
+    crash BETWEEN partition writes, Structured Streaming re-runs
+    foreachBatch with the same batch. Update-mode level-1 rows are
+    cumulative per key, so re-merging rows the state already holds must
+    leave the state row-for-row identical and the derived cube
+    unchanged — for a full-batch replay AND a partial one (only some of
+    the batch's geo partitions committed before the crash). Content is
+    compared row-exactly rather than byte-wise: intra-file row order
+    after a hash shuffle is not deterministic, and idempotence is a
+    row-level contract."""
+    from implementation_of_an_etl_process_spark.streaming.hypercube import (
+        merge_lvl1_batch,
+    )
+
+    clients = read_clients(spark, os.path.join(REF_SAMPLE, "clients.csv"))
+    contracts = read_contracts(spark, os.path.join(REF_SAMPLE, "contracts.csv"))
+    invoices = read_invoices_bin(spark, os.path.join(REF_SAMPLE, "invoices.bin"))
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    invoices.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(invoices.schema).parquet(str(src))
+    q = incremental_hypercube_sink(
+        streaming_hypercube_lvl1(stream, contracts, clients),
+        state,
+        str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(300)
+
+    def state_rows():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(state).collect()
+        )
+
+    before_rows = state_rows()
+    before_cube = sorted(
+        tuple(r)
+        for r in hypercube_from_lvl1(spark.read.parquet(state)).collect()
+    )
+
+    # replay 1: the whole last batch (update mode re-emits the full
+    # cumulative row set for every key the batch touched — a superset
+    # replay of what is already on disk)
+    geos = [r[0] for r in spark.read.parquet(state).select("geo")
+            .distinct().limit(3).collect()]
+    replay = spark.read.parquet(state).filter(F.col("geo").isin(geos))
+    assert replay.count() > 0
+    merge_lvl1_batch(replay, state)
+    assert state_rows() == before_rows, "full replay changed the state"
+
+    # replay 2: partial — only ONE geo's rows of that batch (the crash
+    # committed one partition dir, replay re-applies everything)
+    merge_lvl1_batch(
+        spark.read.parquet(state).filter(F.col("geo") == geos[0]), state
+    )
+    assert state_rows() == before_rows, "partial replay changed the state"
+    after_cube = sorted(
+        tuple(r)
+        for r in hypercube_from_lvl1(spark.read.parquet(state)).collect()
+    )
+    assert after_cube == before_cube, "replay changed the derived cube"
+
+
 def _partition_snapshot(state_dir: str) -> dict[str, dict[str, tuple]]:
     """geo-partition -> {file: (size, mtime_ns)} for every data file."""
     snap: dict[str, dict[str, tuple]] = {}
