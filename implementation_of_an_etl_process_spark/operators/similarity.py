@@ -108,25 +108,34 @@ def ivf_topk(
     n_probe: int = 4,
     exclude_self: bool = True,
     dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign corpus vectors to the nearest
-    of ``n_cells`` deterministic pseudo-random centroids; score each
-    query only against its ``n_probe`` nearest cells.
+    of ``n_cells`` centroids; score each query only against its
+    ``n_probe`` nearest cells.
 
-    Centroid component (c, i) = ±1 generated driver-side (md5-derived)
-    and embedded as literal arrays — data-free, deterministic, engine-
-    portable, and a far smaller expression tree than per-component
-    conditional hashing (measured: cuts plan codegen time ~4x). Real
-    deployments would k-means a sample; the plan shape (cell-keyed
-    shuffle + per-cell scoring) is what matters at scale. Pass ``dim``
-    when known to skip a driver metadata read.
+    Default centroids: component (c, i) = ±1 generated driver-side
+    (md5-derived) and embedded as literal arrays — data-free,
+    deterministic, engine-portable, and a far smaller expression tree
+    than per-component conditional hashing (measured: cuts plan codegen
+    time ~4x). Pass ``centroids`` (e.g. from the distributed
+    :func:`train_ivf_centroids`) to use data-adapted cells instead;
+    ``n_cells`` then follows ``len(centroids)``. Either way the plan
+    shape is the same: cell-keyed shuffle + per-cell scoring. Pass
+    ``dim`` when known to skip a driver metadata read.
     """
+    if centroids is not None:
+        n_cells = len(centroids)
     if dim is None:
         # bounded driver read: one row of metadata, not data
         dim = corpus.select(F.size(corpus_vec).alias("d")).first()["d"]
 
     def centroid(c: int):
-        return F.array(*[F.lit(v) for v in centroid_components(c, dim)])
+        comps = (
+            centroids[c] if centroids is not None
+            else centroid_components(c, dim)
+        )
+        return F.array(*[F.lit(float(v)) for v in comps])
 
     def nearest_cells(vec, n: int):
         scored = F.array(
@@ -237,6 +246,135 @@ def brute_force_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "score", "rank")
     )
+
+
+# --- distributed codebook / centroid training ------------------------------
+
+
+def _normalized_sample(
+    corpus: DataFrame,
+    *,
+    corpus_vec: str,
+    corpus_id: str | None,
+    n_train: int,
+) -> DataFrame:
+    """Deterministic bounded training sample as a DATAFRAME (first
+    ``n_train`` rows by id when an id column is given), with the vector
+    L2-normalized in-plan to array<double> column ``_nv``. No vector
+    ever reaches the driver — this is the input to the distributed
+    trainers below."""
+    s = corpus.select(
+        F.col(corpus_vec).alias("_v"),
+        *([F.col(corpus_id).alias("_id")] if corpus_id else []),
+    )
+    if corpus_id:
+        s = s.orderBy("_id")
+    s = s.limit(n_train)
+    norm = F.sqrt(
+        F.aggregate(
+            "_v",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return s.select(
+        F.transform(
+            "_v",
+            lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-30)),
+        ).alias("_nv")
+    )
+
+
+def train_pq_codebooks_distributed(
+    corpus: DataFrame,
+    *,
+    corpus_vec: str,
+    m: int = 8,
+    n_codes: int = 16,
+    n_train: int = 2048,
+    corpus_id: str | None = None,
+    seed: int = 42,
+    max_iter: int = 8,
+    dim: int | None = None,
+):
+    """PQ codebook training with NO driver-side vector materialization:
+    one seeded ``pyspark.ml.clustering.KMeans`` fit per subspace over
+    the sampled-and-normalized DataFrame. Only the fitted cluster
+    centers — (m, n_codes, dim/m) floats, a few KB — return to the
+    driver, so ``n_train`` can grow to millions of rows on a real
+    corpus without changing the shape. Returns the same numpy
+    (m, n_codes, sub) array as :func:`train_pq_codebooks` (the bounded
+    driver-side trainer, kept as the deterministic test oracle).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim is None:
+        dim = corpus.select(F.size(corpus_vec).alias("d")).first()["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    sample = _normalized_sample(
+        corpus, corpus_vec=corpus_vec, corpus_id=corpus_id, n_train=n_train
+    )
+    # one cached pass feeds all m fits; the fits are independent, so
+    # submit them as CONCURRENT Spark jobs (thread pool on the driver —
+    # Spark's scheduler interleaves them across the same executors),
+    # which collapses m sequential fit latencies into ~one
+    from concurrent.futures import ThreadPoolExecutor
+
+    sample = sample.persist()
+    sample.count()  # materialize once before the concurrent fits
+
+    def fit_one(j: int):
+        feats = sample.select(
+            array_to_vector(F.slice("_nv", j * sub + 1, sub)).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter).fit(
+            feats
+        )
+        return np.array(model.clusterCenters())
+
+    try:
+        books = np.empty((m, n_codes, sub))
+        with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+            for j, centers in enumerate(pool.map(fit_one, range(m))):
+                books[j] = centers
+        return books
+    finally:
+        sample.unpersist(blocking=False)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    corpus_vec: str,
+    n_cells: int = 16,
+    n_train: int = 4096,
+    corpus_id: str | None = None,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids for :func:`ivf_topk`, trained with a
+    seeded distributed ``pyspark.ml.clustering.KMeans`` on the
+    normalized sample DataFrame (no vector collect; only the
+    n_cells x dim centers return to the driver). Data-adapted cells
+    balance the inverted lists where the data is clustered — the md5
+    ±1-hyperplane default stays available as the engine-portable
+    deterministic oracle path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = _normalized_sample(
+        corpus, corpus_vec=corpus_vec, corpus_id=corpus_id, n_train=n_train
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(
+        sample.select(array_to_vector(F.col("_nv")).alias("features"))
+    )
+    return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 # --- product quantization (Jégou/Douze/Schmid 2011, §PQ+ADC) ---------------

@@ -234,10 +234,19 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets). Emits the pinned floor when recall clears it, else the
     MEASURED percentage — so a recall regression hash-mismatches the
     constant oracle and shows the offending number in the diff.
-    (The IVF pipeline is fully deterministic — pseudo-random centroids,
-    no sampling — so this is a stable gate, not a flaky one.)"""
+    Centroids come from the DISTRIBUTED trainer (seeded Spark ML KMeans
+    on a deterministic bounded sample DataFrame — no vector ever
+    reaches the driver); the md5-hyperplane default path stays the
+    engine-portable oracle exercised by ``similarity_ivf_topk``."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    cents = S.train_ivf_centroids(
+        emb,
+        corpus_vec="embedding",
+        corpus_id="vec_id",
+        n_cells=16,
+        n_train=4096,
+    )
     ivf = S.ivf_topk(
         q,
         emb,
@@ -246,9 +255,9 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_id="vec_id",
         corpus_vec="embedding",
         k=5,
-        n_cells=16,
         n_probe=8,
         dim=_EMB_DIM,
+        centroids=cents,
     )
     exact = S.brute_force_topk(
         q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
@@ -298,12 +307,20 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for the product-quantization path (train -> encode
     8-byte codes -> ADC shortlist -> exact re-rank): recall@5 vs the
     brute-force baseline, same loud-failure contract as the IVF gate.
-    Deterministic end-to-end (seeded codebook training on a
-    deterministic sample), so the gate is stable."""
+    Codebooks train DISTRIBUTED (one seeded Spark ML KMeans fit per
+    subspace over the sampled DataFrame — the build path collects no
+    vectors, only the few-KB cluster centers); the bounded driver-side
+    numpy trainer remains as the deterministic test oracle
+    (tests/test_similarity.py)."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
-    books = S.train_pq_codebooks(
-        emb, corpus_vec="embedding", corpus_id="vec_id", m=16, n_codes=64
+    books = S.train_pq_codebooks_distributed(
+        emb,
+        corpus_vec="embedding",
+        corpus_id="vec_id",
+        m=16,
+        n_codes=64,
+        dim=_EMB_DIM,
     )
     encoded = S.encode_pq(
         emb, books, corpus_id="vec_id", corpus_vec="embedding"

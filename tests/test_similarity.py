@@ -131,3 +131,60 @@ def test_pq_topk_recall_vs_brute_force(spark):
     total = exact.count()
     assert total == 50
     assert hits / total >= 0.9
+
+
+def test_distributed_pq_codebooks_match_oracle_quality(spark):
+    """The Spark-ML-trained codebooks (no driver-side vector collect)
+    must deliver the same end-to-end PQ recall as the bounded numpy
+    trainer, which stays as the deterministic oracle."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=64, dim=64,
+    )
+    assert books.shape == (16, 64, 4)
+    enc = S.encode_pq(emb, books, corpus_id="vec_id", corpus_vec="embedding")
+    pq = S.pq_topk(
+        q, emb, enc, books,
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, shortlist=50,
+    )
+    exact = S.brute_force_topk(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        query_id="qid", query_vec="qvec", corpus_id="cid", corpus_vec="cvec",
+        k=5,
+    )
+    hits = pq.join(exact, ["qid", "cid"], "left_semi").count()
+    total = exact.count()
+    assert total == 50
+    assert hits / total >= 0.9, f"ML-trained PQ recall {hits/total}"
+
+
+def test_trained_ivf_centroids_recall(spark):
+    """Data-adapted (distributed KMeans) centroids must keep IVF recall
+    at least at the level the gate demands, with n_cells following
+    len(centroids)."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=16, n_train=4096,
+    )
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    ivf = S.ivf_topk(
+        q, emb,
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, n_probe=8, dim=64, centroids=cents,
+    )
+    exact = S.brute_force_topk(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        query_id="qid", query_vec="qvec", corpus_id="cid", corpus_vec="cvec",
+        k=5,
+    )
+    hits = ivf.join(exact, ["qid", "cid"], "left_semi").count()
+    assert hits / exact.count() >= 0.7
