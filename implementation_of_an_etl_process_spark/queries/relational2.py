@@ -393,22 +393,34 @@ GROUP BY word ORDER BY n DESC, word
 """
 
 
-# --- approximate distinct (scale path; rows-only) --------------------------
+# --- approximate distinct (scale path) -------------------------------------
 
 
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approx distinct — the 100 TB alternative to exact
-    countDistinct. Rows-only check (sketches aren't oracle-portable);
-    tests bound its error against the exact count."""
+    countDistinct — under a FULL value oracle: sketch estimates aren't
+    oracle-portable, so each per-status row emits the exact group
+    cardinality context (n_orders) plus the sketch's relative error vs
+    the in-plan exact distinct, CLAMPED to the pinned tolerance when it
+    is inside it. Every group inside tolerance -> the row equals the
+    constant-oracle row; a sketch regression surfaces the measured
+    percentage in the hash diff. (HLL++ is deterministic for fixed
+    input, so the gate is stable.)"""
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .orderBy("o_orderstatus")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("a"),
+        F.countDistinct("o_custkey").alias("e"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
+    err = F.abs(F.col("a") - F.col("e")) * 100.0 / F.col("e")
+    return per.select(
+        "o_orderstatus",
+        "n_orders",
+        F.when(err <= _HLL_TOL_PCT, F.lit(_HLL_TOL_PCT))
+        .otherwise(F.ceil(err))
+        .cast("int")
+        .alias("err_pct_floor"),
+    ).orderBy("o_orderstatus")
 
 
 _HLL_TOL_PCT = 5  # rsd 0.02 requested; 5% gate = 2.5 sigma of headroom
@@ -439,6 +451,12 @@ def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 APPROX_DISTINCT_GATE_SQL = f"""
 SELECT 3 AS n_groups, {_HLL_TOL_PCT} AS max_err_pct_floor
+"""
+
+APPROX_DISTINCT_CUSTOMERS_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {_HLL_TOL_PCT} AS err_pct_floor
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
@@ -498,7 +516,7 @@ ORACLES = {
     "null_handling_orders": NULL_HANDLING_SQL,
     "date_arith_orders": DATE_ARITH_SQL,
     "explode_part_words": EXPLODE_SQL,
-    # approx_distinct_customers: rows-only by design
+    "approx_distinct_customers": APPROX_DISTINCT_CUSTOMERS_SQL,
     "approx_distinct_gate": APPROX_DISTINCT_GATE_SQL,
     "approx_quantile_gate": APPROX_QUANTILE_GATE_SQL,
 }
