@@ -5,12 +5,20 @@ Uncompressed raster images are decoded FOR REAL: ``decode_ppm`` parses
 binary PPM (P6) with pure stdlib + numpy — header fields plus a
 zero-copy uint8 view over the raster — no image library required, and
 ``extract_ppm_features`` runs it per Arrow batch under the driver gate
-(``multimodal_ppm_decode``). Compressed codecs (JPEG/PNG/audio) DO
-need an external library the container lacks, so that step stays
-STUBBED (``decode_image`` raises NotImplementedError unless
-``fake=True``); swapping the stub body for PIL/libsndfile calls is a
-one-function change and every surrounding stage is exercised by the
-real PPM path.
+(``multimodal_ppm_decode``).
+
+COMPRESSED images are ALSO real for PNG: ``decode_png``/``encode_png``
+implement the PNG format from the public spec (RFC 2083 / W3C
+PNG) with stdlib ``zlib`` + ``struct`` + numpy — chunk framing with
+CRC-32 verification, IDAT inflate, and all five scanline filters
+(None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/RGBA — and
+``extract_png_features`` runs the decode per Arrow batch under the
+driver gate (``multimodal_png_decode``). Codecs that genuinely need an
+external native library (JPEG's DCT, audio codecs) stay STUBBED
+(``decode_image`` raises NotImplementedError unless ``fake=True``);
+swapping that stub body for PIL/libsndfile calls is a one-function
+change and every surrounding stage is exercised by the real PPM/PNG
+paths.
 
 Design for 100 TB of media:
 - payloads stay in executor-side Arrow batches end-to-end (mapInPandas);
@@ -75,16 +83,17 @@ def attach_media_meta(df: DataFrame, id_col: str, payload_col: str, kind: str) -
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
-    """STUB for COMPRESSED codecs: real deployments decode JPEG/PNG with
-    PIL/turbojpeg here (uncompressed PPM decodes for real via
-    ``decode_ppm`` below). ``fake=True`` derives deterministic
-    dimensions from the payload bytes (so plumbing tests have stable
-    expectations)."""
+    """STUB for codecs that need a native library (JPEG's DCT, audio):
+    real deployments decode with PIL/turbojpeg/libsndfile here. PNG
+    decodes FOR REAL via ``decode_png`` below and uncompressed PPM via
+    ``decode_ppm``. ``fake=True`` derives deterministic dimensions from
+    the payload bytes (so plumbing tests have stable expectations)."""
     if not fake:
         raise NotImplementedError(
-            "compressed-image codecs are not available in this "
-            "environment; use decode_ppm for P6 payloads or pass "
-            "fake=True for the deterministic test decode"
+            "native-library codecs (JPEG/audio) are not available in "
+            "this environment; use decode_png for PNG, decode_ppm for "
+            "P6 payloads, or pass fake=True for the deterministic "
+            "test decode"
         )
     h = int.from_bytes(payload[:8].ljust(8, b"\0"), "big")
     return (64 + h % 1024, 64 + (h >> 10) % 1024)
@@ -114,6 +123,233 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float]:
         raise ValueError(f"raster holds {len(raster)} bytes, need {n}")
     arr = np.frombuffer(raster, dtype=np.uint8, count=n)
     return w, h, float(arr.mean())
+
+
+# --- PNG: real compressed-image codec, stdlib zlib + numpy -----------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor per the PNG spec §Filter type 4."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(raster, *, color_type: int = 2, row_filter=None) -> bytes:
+    """Minimal-but-real PNG encoder (8-bit, non-interlaced): numpy
+    (h, w, channels) uint8 -> PNG bytes. ``row_filter`` picks the
+    filter type per scanline (int, or callable y -> int; default 0);
+    filtering is computed vectorized from the original bytes, so any
+    of the five spec filters can be exercised. Used by tests and the
+    battery entry to manufacture deterministic compressed payloads
+    executor-side — there is no image library in this environment, so
+    this and ``decode_png`` are each other's independent check only
+    through the spec (CRCs, zlib framing, filter algebra), plus the
+    oracle's raster prediction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    raster = np.ascontiguousarray(raster, dtype=np.uint8)
+    if raster.ndim == 2:
+        raster = raster[:, :, None]
+    h, w, ch = raster.shape
+    if _PNG_CHANNELS.get(color_type) != ch:
+        raise ValueError(f"color_type {color_type} expects "
+                         f"{_PNG_CHANNELS.get(color_type)} channels, got {ch}")
+    flat = raster.reshape(h, w * ch).astype(np.int16)
+    prior = np.vstack([np.zeros((1, w * ch), np.int16), flat[:-1]])
+    left = np.zeros_like(flat)
+    left[:, ch:] = flat[:, :-ch]
+    prior_left = np.zeros_like(flat)
+    prior_left[:, ch:] = prior[:, :-ch]
+    scan = bytearray()
+    for y in range(h):
+        f = row_filter(y) if callable(row_filter) else (row_filter or 0)
+        if f == 0:
+            filt = flat[y]
+        elif f == 1:
+            filt = flat[y] - left[y]
+        elif f == 2:
+            filt = flat[y] - prior[y]
+        elif f == 3:
+            filt = flat[y] - (left[y] + prior[y]) // 2
+        elif f == 4:
+            a, b, c = left[y], prior[y], prior_left[y]
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+            filt = flat[y] - pred
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        scan.append(f)
+        scan += (filt & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL compressed-image decode with no codec library: PNG per the
+    public spec via stdlib ``zlib``/``struct`` + numpy. Verifies the
+    signature and every chunk CRC, inflates the IDAT stream, and
+    reverses the scanline filters — None/Up/Sub fully vectorized (Sub
+    is a per-channel cumulative sum), Average/Paeth by the spec's
+    sequential recurrence (they depend on the just-reconstructed left
+    neighbor). Supports 8-bit gray / gray+alpha / RGB / RGBA,
+    non-interlaced — the shape ML training corpora overwhelmingly use.
+
+    Returns (width, height, color_type, raster) with raster a
+    (height, width*channels) uint8 array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    ch = _PNG_CHANNELS.get(color)
+    if depth != 8 or ch is None or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={color} "
+            f"interlace={interlace}); 8-bit non-interlaced only"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"inflated stream {len(raw)} B != {h * (stride + 1)} B expected"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:]
+        prior = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:
+            out[y] = line + prior  # uint8 wraps = mod 256
+        elif f == 1:
+            # Sub: recon(x) = filt(x) + recon(x-ch) — a per-channel
+            # cumulative sum mod 256, vectorized
+            out[y] = (
+                np.cumsum(
+                    line.reshape(w, ch).astype(np.uint64), axis=0
+                ) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f in (3, 4):
+            rec = out[y]
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                c = int(prior[x - ch]) if x >= ch else 0
+                pred = (a + b) // 2 if f == 3 else _paeth(a, b, c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f} in row {y}")
+    return w, h, color, out
+
+
+PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("color_type", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("raster_sha256", T.StringType(), True),
+    ]
+)
+
+
+def extract_png_features(df: DataFrame) -> DataFrame:
+    """media rows with PNG payloads -> decoded features: dimensions,
+    color type, exact pixel sum, and the sha256 of the RECONSTRUCTED
+    raster bytes. The raster hash is the strong check: it is only
+    reproducible if chunk parsing, CRC verification, inflate, and
+    filter reversal are all byte-correct. Same 100 TB shape as the
+    other extractors — Arrow-batched mapInPandas, payloads never leave
+    the executors, feature-only output crosses the shuffle."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                w, h, color, raster = decode_png(bytes(p))
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        color,
+                        int(raster.sum(dtype="uint64")),
+                        hashlib.sha256(raster.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "color_type",
+                    "pixel_sum", "raster_sha256",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=PNG_FEATURES_SCHEMA
+    )
 
 
 PPM_FEATURES_SCHEMA = T.StructType(

@@ -122,11 +122,13 @@ except ImportError:  # pragma: no cover
 # driver row.  Everything else follows in module order and stays
 # covered by ``tools/verify_local.py``.
 _DRIVER_PRIORITY = [
-    # pinned flagships (9): one per hard-gate family
+    # pinned flagships (9): one per hard-gate family.  q1_pricing_summary
+    # (driver-green r1-r3) ceded its slot to the round-4 PNG codec entry
+    # so the new real-compressed-decode path gets a driver row.
     "hypercube",
     "reference_native_path",
     "streaming_hypercube_native",
-    "q1_pricing_summary",
+    "multimodal_png_decode",
     "dedup_minhash_lsh",
     "similarity_pq_recall",
     "similarity_ivf_recall",

@@ -490,9 +490,88 @@ FROM p ORDER BY media_id
 """
 
 
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decoding under the driver gate: each doc
+    gets a deterministic RGB gradient raster (value = 32 + (x*7 + y*13
+    + c) % 95, identical across channels), PNG-ENCODED executor-side
+    with the per-row filter cycling through all five spec filters
+    (y % 5), then ``extract_png_features`` parses the chunks, checks
+    CRCs, inflates, reverses the filters, and emits the decoded
+    dimensions, exact pixel sum, and raster sha256. The oracle predicts
+    the DECODED raster independently from the generation rule — the
+    zlib bytes never need to be oracle-portable, but any corruption in
+    either the encoder or the decoder (a single wrong filter
+    reconstruction included) changes the hash."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (8 + F.col("doc_id") % 16).cast("int").alias("w"),
+        (8 + (F.col("doc_id") / 16).cast("long") % 12).cast("int").alias("h"),
+        (F.col("doc_id") % 95).cast("int").alias("c"),
+    )
+
+    def make_png(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, w, h, c in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["c"]
+            ):
+                x = np.arange(int(w))
+                y = np.arange(int(h))
+                v = (
+                    32 + (x[None, :] * 7 + y[:, None] * 13 + int(c)) % 95
+                ).astype(np.uint8)
+                raster = np.repeat(v[:, :, None], 3, axis=2)
+                ids.append(did)
+                blobs.append(
+                    M.encode_png(raster, row_filter=lambda yy: yy % 5)
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    payloads = d.mapInPandas(make_png, "doc_id long, blob binary")
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "image")
+    return M.extract_png_features(media).orderBy("media_id")
+
+
+MULTIMODAL_PNG_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         8 + doc_id % 16 AS w,
+         8 + (doc_id // 16) % 12 AS h,
+         doc_id % 95 AS c
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id, w, h, c,
+         unnest(range(0, CAST(w * h * 3 AS BIGINT))) AS i
+  FROM d
+), v AS (
+  SELECT doc_id, w, h, i,
+         32 + (((i % (w * 3)) // 3) * 7 + (i // (w * 3)) * 13 + c) % 95 AS val
+  FROM px
+), agg AS (
+  SELECT doc_id, w, h,
+         SUM(val) AS pixel_sum,
+         string_agg(chr(CAST(val AS INTEGER)), '' ORDER BY i) AS raster
+  FROM v GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       2 AS color_type,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       sha256(raster) AS raster_sha256  -- printable-ASCII raster: VARCHAR bytes == raster bytes
+FROM agg ORDER BY media_id
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "multimodal_ppm_decode": multimodal_ppm_decode,
+    "multimodal_png_decode": multimodal_png_decode,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
@@ -510,6 +589,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "multimodal_ppm_decode": MULTIMODAL_PPM_SQL,
+    "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -102,3 +102,68 @@ def test_sample_frames(media):
     assert by_id[1] == [0, 8, 16]  # 21 bytes / 8
     assert by_id[2] == [0, 8]  # 15 bytes / 8
     assert 3 not in by_id  # null payload -> no frames
+
+
+def test_png_roundtrip_all_filters_and_colors():
+    """encode_png/decode_png must be exact inverses for every spec
+    filter type and every supported color type."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for color, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for filt in [0, 1, 2, 3, 4, (lambda y: y % 5)]:
+            r = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+            w, h, c, out = decode_png(
+                encode_png(r, color_type=color, row_filter=filt)
+            )
+            assert (w, h, c) == (9, 13, color)
+            assert (out == r.reshape(13, 9 * ch)).all(), (color, filt)
+
+
+def test_png_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    png = encode_png(
+        np.zeros((4, 4, 3), dtype=np.uint8), row_filter=lambda y: y % 5
+    )
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    bad = bytearray(png)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(png[: len(png) // 2])
+
+
+def test_png_features_distributed(spark):
+    """extract_png_features decodes executor-side and emits only
+    features; pixel_sum and dims must match the numpy ground truth."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    rows = []
+    for i in range(8):
+        r = np.full((6, 5, 3), 10 * i + 1, dtype=np.uint8)
+        rows.append((i, bytearray(M.encode_png(r, row_filter=i % 5))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: r
+        for r in M.extract_png_features(df).collect()
+    }
+    for i in range(8):
+        assert (got[i].width, got[i].height) == (5, 6)
+        assert got[i].color_type == 2
+        assert got[i].pixel_sum == (10 * i + 1) * 6 * 5 * 3
