@@ -13,8 +13,12 @@ PNG) with stdlib ``zlib`` + ``struct`` + numpy — chunk framing with
 CRC-32 verification, IDAT inflate, and all five scanline filters
 (None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/RGBA — and
 ``extract_png_features`` runs the decode per Arrow batch under the
-driver gate (``multimodal_png_decode``). Codecs that genuinely need an
-external native library (JPEG's DCT, audio codecs) stay STUBBED
+driver gate (``multimodal_png_decode``). Audio is real too:
+``decode_wav``/``encode_wav`` parse/emit RIFF/WAVE PCM-16 containers
+(chunk walk, word alignment, little-endian sample views) and
+``extract_wav_features`` runs under the gate
+(``multimodal_wav_decode``). Codecs that genuinely need an external
+native library (JPEG's DCT, lossy audio) stay STUBBED
 (``decode_image`` raises NotImplementedError unless ``fake=True``);
 swapping that stub body for PIL/libsndfile calls is a one-function
 change and every surrounding stage is exercised by the real PPM/PNG
@@ -349,6 +353,126 @@ def extract_png_features(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         run, schema=PNG_FEATURES_SCHEMA
+    )
+
+
+# --- WAV: real audio container codec, stdlib struct + numpy ----------------
+
+
+def encode_wav(samples, *, sample_rate: int = 8000) -> bytes:
+    """Minimal-but-real RIFF/WAVE writer: numpy int16 array of shape
+    (n_samples,) mono or (n_samples, n_channels) -> canonical
+    44-byte-header PCM WAV bytes. Used by tests and the battery entry
+    to manufacture deterministic audio payloads executor-side."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    byte_rate = sample_rate * ch * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode, no codec library: RIFF/WAVE container parsing
+    per the public format — chunk walk ('fmt ' then 'data', unknown
+    chunks skipped per spec), PCM 16-bit only, little-endian numpy view
+    over the samples. Returns (n_channels, sample_rate, samples) with
+    samples a (n, n_channels) int16 array."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV variant (format={audio_fmt} bits={bits}); "
+            "PCM 16-bit only"
+        )
+    n = len(data) // (ch * 2)
+    samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return ch, rate, samples
+
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_sum", T.LongType(), True),
+        T.StructField("peak_abs", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_wav_features(df: DataFrame) -> DataFrame:
+    """media rows with WAV payloads -> decoded audio features (channel
+    count, rate, sample count/duration, exact sample sum, peak
+    amplitude). Arrow-batched mapInPandas, payloads stay executor-side,
+    only features cross the shuffle — same 100 TB shape as the image
+    extractors."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                ch, rate, s = decode_wav(bytes(p))
+                rows.append(
+                    (
+                        mid,
+                        ch,
+                        rate,
+                        len(s),
+                        len(s) * 1000 // rate,
+                        int(s.sum(dtype="int64")),
+                        int(abs(s.astype("int32")).max(initial=0)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_channels", "sample_rate", "n_samples",
+                    "duration_ms", "sample_sum", "peak_abs",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=WAV_FEATURES_SCHEMA
     )
 
 

@@ -299,7 +299,63 @@ FROM orders
 """
 
 
+def gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text ingestion — the web-crawl shape (WARC-style
+    gzipped text): documents staged as GZIP text files via Spark's
+    codec writer, read back transparently decompressed, re-parsed
+    (key TAB payload), and aggregated; the oracle predicts every
+    aggregate from the original table, so corruption anywhere in
+    compress -> store -> decompress -> parse breaks the hash.
+
+    Scale note: gzip is NOT splittable — one task per file. That is
+    fine (and standard) for crawl corpora stored as many ~100 MB-1 GB
+    .gz members; the staging write keeps Spark's natural partitioning
+    so the read parallelism equals the file count. Use zstd/snappy
+    parquet for the post-ingest hops."""
+    path = _tagged_path(sf_dir, "docs_{tag}.txt.gz")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".tmp"
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(
+                F.concat_ws(
+                    "\t",
+                    F.col("doc_id").cast("string"),
+                    F.regexp_replace("text", "[\\n\\t\\r]", " "),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .text(tmp)
+        )
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.split_part("value", F.lit("\t"), F.lit(1)).cast("long").alias("k"),
+        F.substring_index("value", "\t", -1).alias("payload"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("k").alias("key_sum"),
+        F.sum(F.length("payload")).alias("payload_chars"),
+    )
+
+
+GZIP_TEXT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+       CAST(SUM(length(regexp_replace(text, '[\\n\\t\\r]', ' ', 'g')))
+            AS BIGINT) AS payload_chars
+FROM documents
+"""
+
+
 QUERIES = {
+    "gzip_text_ingest": gzip_text_ingest,
     "xml_source_roundtrip": xml_source_roundtrip,
     "csv_permissive_ingest": csv_permissive_ingest,
     "json_source_roundtrip": json_source_roundtrip,
@@ -308,6 +364,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gzip_text_ingest": GZIP_TEXT_SQL,
     "xml_source_roundtrip": _AGG_SQL,
     "csv_permissive_ingest": CSV_PERMISSIVE_SQL,
     "json_source_roundtrip": _AGG_SQL,

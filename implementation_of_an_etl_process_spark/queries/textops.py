@@ -568,10 +568,73 @@ FROM agg ORDER BY media_id
 """
 
 
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding under the driver gate: each doc gets a
+    deterministic PCM-16 mono waveform (sample[i] = ((i*k + c) % 191)
+    - 95 with k, c, n derived from doc_id), WAV-encoded executor-side
+    (RIFF container, canonical 44-byte header), then
+    ``extract_wav_features`` walks the chunks and emits channel count,
+    rate, sample count/duration, exact sample sum, and peak amplitude.
+    The oracle recomputes every feature from the generation rule over
+    a generated series — pure integer arithmetic, exact in both
+    engines."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (400 + F.col("doc_id") % 200).cast("int").alias("n"),
+        (3 + F.col("doc_id") % 7).cast("int").alias("k"),
+        (F.col("doc_id") % 97).cast("int").alias("c"),
+    )
+
+    def make_wav(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, n, k, c in zip(
+                pdf["doc_id"], pdf["n"], pdf["k"], pdf["c"]
+            ):
+                i = np.arange(int(n), dtype=np.int64)
+                s = ((i * int(k) + int(c)) % 191 - 95).astype(np.int16)
+                ids.append(did)
+                blobs.append(M.encode_wav(s, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    payloads = d.mapInPandas(make_wav, "doc_id long, blob binary")
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "audio")
+    return M.extract_wav_features(media).orderBy("media_id")
+
+
+MULTIMODAL_WAV_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         400 + doc_id % 200 AS n,
+         3 + doc_id % 7 AS k,
+         doc_id % 97 AS c
+  FROM documents WHERE doc_id < 200
+), s AS (
+  SELECT doc_id, n,
+         ((unnest(range(0, CAST(n AS BIGINT))) * k + c) % 191) - 95 AS v
+  FROM d
+)
+SELECT doc_id AS media_id,
+       1 AS n_channels,
+       8000 AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak_abs
+FROM s GROUP BY doc_id, n ORDER BY media_id
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
@@ -590,6 +653,7 @@ ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "multimodal_ppm_decode": MULTIMODAL_PPM_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
+    "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -167,3 +167,47 @@ def test_png_features_distributed(spark):
         assert (got[i].width, got[i].height) == (5, 6)
         assert got[i].color_type == 2
         assert got[i].pixel_sum == (10 * i + 1) * 6 * 5 * 3
+
+
+def test_wav_roundtrip_mono_stereo():
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32768, size=500, dtype=np.int16)
+    ch, rate, s = decode_wav(encode_wav(mono, sample_rate=16000))
+    assert (ch, rate) == (1, 16000)
+    assert (s[:, 0] == mono).all()
+    stereo = rng.integers(-32768, 32768, size=(300, 2), dtype=np.int16)
+    ch, rate, s = decode_wav(encode_wav(stereo, sample_rate=44100))
+    assert (ch, rate) == (2, 44100)
+    assert (s == stereo).all()
+
+
+def test_wav_skips_unknown_chunks_and_rejects_bad():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = encode_wav(np.arange(10, dtype=np.int16))
+    # splice an unknown odd-sized LIST chunk between fmt and data —
+    # spec-compliant readers must skip it (with word alignment)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"
+    spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+    ch, rate, s = decode_wav(spliced)
+    assert (s[:, 0] == np.arange(10)).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"garbage bytes here")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav[:30])
