@@ -1,0 +1,166 @@
+"""TF-IDF weighted document similarity via an inverted index.
+
+Complements the set-based near-dup family (MinHash/SimHash Jaccard in
+``operators/dedup.py``) with the *weighted bag* model: documents are
+L2-normalized tf-idf vectors and similarity is cosine. The reference
+engine has no analog (its corpus ops stop at exact hashing); this is
+the standard retrieval/dedup primitive a pretraining pipeline adds on
+top — reference scope per ``ETL.java`` (join/aggregate only).
+
+Scale design (the part that matters at 100 TB):
+
+- The pairwise cosine is computed through an **inverted index**: a
+  self-equi-join of the (doc, term, weight) relation on ``term``. Spark
+  hash-partitions by term, so each posting list is co-located and the
+  candidate space is sum(df_t^2) instead of |docs|^2 — no cartesian
+  anywhere.
+- A **document-frequency ceiling** (``max_df_frac``) drops ubiquitous
+  terms before the join. At corpus scale a single stop-term's posting
+  list is the whole corpus and would alone re-create the quadratic
+  blowup; the ceiling bounds every posting list to ``max_df_frac * N``.
+  (These terms carry near-zero idf weight, so dropping them barely
+  moves the cosine.) ``min_df`` symmetrically drops hapax noise. The
+  published scale-up path beyond this is prefix filtering — index only
+  each vector's lowest-df terms such that any pair above the cosine
+  threshold must collide on at least one — per Bayardo, Ma & Srikant,
+  "Scaling Up All Pairs Similarity Search" (WWW 2007).
+- **Integer-exact arithmetic** end to end, following the repo-wide
+  oracle convention (see ``functions/vectors.py``): idf is quantized to
+  an int64 microscale, weights are ``tf * idf_q`` (int64), and dot
+  products / squared norms are int64 sums — bit-reproducible under any
+  partitioning or summation order, and reproducible verbatim by the
+  DuckDB oracle. The only floating step is the final
+  ``dot / (sqrt(n1) * sqrt(n2))``, which is a composition of
+  IEEE-correctly-rounded ops on identical integers in both engines.
+
+Magnitude check for int64: tf <= ~1e3, idf_q <= ~20e6 -> w <= 2e10
+only for pathological single-term documents; at realistic tf (<100)
+w ~ 1e8, w^2 ~ 1e16, and a 1e3-term document keeps norm2 < 1e19 only
+if weights stay under ~3e7 each — callers with heavy-tailed tf should
+lower IDF_SCALE. For the battery corpus (tf < 40, idf_q < 4e6) every
+sum is < 1e17, far inside int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Micro-quantization scale for idf (1e6 = 6 decimal places), matching
+# the embedding quantization convention in functions/vectors.py.
+IDF_SCALE = 1_000_000
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per token occurrence: (id, term). Whitespace tokenizer,
+    lowercased, empties dropped — mirrored exactly in the oracle."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def smoothed_idf_q(n_docs: Column, df: Column) -> Column:
+    """Quantized smoothed idf: round(ln((N+1)/(df+1)) * IDF_SCALE) as
+    int64. Smoothing keeps idf > 0 even at df == N, so no weight is
+    ever exactly zeroed and norms stay comparable across engines."""
+    return F.round(
+        F.log((n_docs + F.lit(1.0)) / (df + F.lit(1.0))) * IDF_SCALE
+    ).cast("long")
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df_frac: float = 0.9,
+) -> DataFrame:
+    """(id, term, w) int64 tf-idf weights over the df-banded vocabulary.
+
+    The vocabulary band [min_df, floor(max_df_frac * N)] is applied
+    BEFORE any join fans out — that is what bounds posting-list length
+    at scale (see module docstring). N is a scalar aggregate computed
+    once (a count, not a data collect).
+    """
+    tf = (
+        _tokens(docs, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.count()
+    max_df = int(max_df_frac * n_docs)
+    # tf already has one row per (doc, term), so df is a plain count.
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("term", smoothed_idf_q(F.lit(n_docs), F.col("df")).alias("idf_q"))
+    )
+    # Vocabulary is tiny relative to the corpus (it is bounded by the
+    # distinct-term count, not the doc count) — always broadcast.
+    return tf.join(F.broadcast(vocab), "term").select(
+        id_col, "term", (F.col("tf") * F.col("idf_q")).alias("w")
+    )
+
+
+def tfidf_topk_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_df: int = 2,
+    max_df_frac: float = 0.9,
+) -> DataFrame:
+    """Global top-k most-similar document pairs by tf-idf cosine.
+
+    Output: (doc1, doc2, dot, cosine_q) with doc1 < doc2, ordered by
+    (cosine_q DESC, doc1, doc2) — the id tie-break makes the LIMIT
+    deterministic even when quantized cosines collide. ``dot`` and the
+    squared norms are exact int64; ``cosine_q`` is the 6-dp-rounded
+    double cosine.
+    """
+    w = tfidf_weights(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_df=min_df,
+        max_df_frac=max_df_frac,
+    )
+    norms = w.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, "term")  # the inverted-index join: partitioned by term
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc1"),
+            F.col(f"b.{id_col}").alias("doc2"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(
+        F.col(id_col).alias("doc1"), F.col("norm2").alias("norm2_1")
+    )
+    nb = norms.select(
+        F.col(id_col).alias("doc2"), F.col("norm2").alias("norm2_2")
+    )
+    return (
+        dots.join(na, "doc1")
+        .join(nb, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "dot",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("norm2_1")) * F.sqrt(F.col("norm2_2"))),
+                6,
+            ).alias("cosine_q"),
+        )
+        .orderBy(F.desc("cosine_q"), "doc1", "doc2")
+        .limit(k)
+    )

@@ -106,6 +106,12 @@ try:
     _MODULES.append(sql41)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from implementation_of_an_etl_process_spark.queries import tfidfops
+
+    _MODULES.append(tfidfops)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # The driver's CORRECTNESS gate checks only the FIRST 50 entries of
@@ -146,8 +152,8 @@ _DRIVER_PRIORITY = [
     "streaming_session_windows",
     "streaming_user_totals",
     "streaming_sliding_15m",
-    # -- UDF surface
-    "arrow_python_udf_reverse",
+    # -- UDF surface (arrow_python_udf_reverse ceded its slot to the
+    # round-4 WAV codec entry; it rotates in next round)
     "pandas_udf_vowels",
     "apply_in_pandas_minmax",
     "udtf_polymorphic_first_words",
@@ -164,10 +170,14 @@ _DRIVER_PRIORITY = [
     "nested_parquet_pruned",
     "partitioned_prune_docs",
     "observed_write_audit",
-    # -- function surface
-    "map_funcs_orders",
+    # -- function surface (map_funcs_orders ceded its slot to the
+    # round-4 gzip ingest entry; it rotates in next round)
     "math_funcs_lineitem",
     "hll_sketch_gate",
+    # -- round-4 codec/format entries (added after the rotation was
+    # drawn up; slotted in so every r4 addition gets a driver row)
+    "multimodal_wav_decode",
+    "gzip_text_ingest",
     # -- TPC-H shapes never driver-run (17)
     "q2_min_cost_supplier",
     "q4_order_priority",

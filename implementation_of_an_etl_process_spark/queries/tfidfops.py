@@ -1,0 +1,175 @@
+"""Battery entries: TF-IDF weighted similarity and source-mixture
+weighting — the two corpus-level primitives a pretraining data
+pipeline layers on top of dedup/filtering (reference scope ends at
+join/aggregate, `ETL.java:1`; these are additive capabilities).
+
+Oracle-parity notes:
+- tf-idf follows the repo's integer-quantization convention: idf is an
+  int64 microscale, every sum (dot, norm2) is int64 — summation-order
+  independent, so Spark's shuffled partial aggregation and DuckDB's
+  single-node scan agree exactly. The final cosine is a composition of
+  IEEE-correctly-rounded ops (sqrt, *, /) on identical integers.
+- mixture weights quantize pow(n_tokens, alpha) to int64 BEFORE any
+  sum for the same reason; the only cross-engine floating op is pow
+  itself (sub-ulp identical on identical int inputs in practice; the
+  microscale rounding window makes a divergence ~1e-13-probable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators.tfidf import (
+    IDF_SCALE,
+    tfidf_topk_pairs,
+)
+
+# Keep in sync between engine call and oracle text.
+_K = 50
+_MIN_DF = 2
+_MAX_DF_FRAC = 0.9
+_ALPHA = 0.7
+_POW_SCALE = 1_000
+_W_SCALE = 1_000_000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from implementation_of_an_etl_process_spark.plans import spread
+
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most-similar document pairs by tf-idf cosine, via the
+    df-banded inverted index (`operators/tfidf.py`)."""
+    return tfidf_topk_pairs(
+        _docs(spark, sf_dir),
+        k=_K,
+        min_df=_MIN_DF,
+        max_df_frac=_MAX_DF_FRAC,
+    )
+
+
+TFIDF_TOPK_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), vocab AS (
+  SELECT term,
+         CAST(round(ln((n.n_docs + 1.0) / (df + 1.0)) * {IDF_SCALE})
+              AS BIGINT) AS idf_q
+  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), n
+  WHERE df >= {_MIN_DF} AND df <= CAST(floor({_MAX_DF_FRAC} * n.n_docs) AS BIGINT)
+), w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * v.idf_q AS w
+  FROM tf JOIN vocab v USING (term)
+), norms AS (
+  SELECT doc_id, SUM(w * w) AS norm2 FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc1, d.doc2, d.dot,
+       round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine_q
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc1
+JOIN norms nb ON nb.doc_id = d.doc2
+ORDER BY cosine_q DESC, d.doc1, d.doc2
+LIMIT {_K}
+"""
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha-sampling): per corpus
+    source, token mass and the alpha=0.7 sampling weight
+    p_i = n_i^alpha / sum_j n_j^alpha — the standard recipe for
+    up-weighting small high-quality sources when composing a training
+    mixture. `oversample_q` is the ratio of the alpha-weight to the
+    proportional-to-tokens weight (micro-quantized), i.e. how many
+    times over-represented each source is relative to raw token share.
+
+    Scale shape: one narrow aggregate of the corpus (shuffle on the
+    source key), a 20-row broadcastable total, no collect of data rows.
+    The alpha-powers are quantized to int64 BEFORE summation so the
+    total is summation-order independent (see module docstring).
+    """
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "pw_q",
+            F.round(F.pow(F.col("n_tokens"), F.lit(_ALPHA)) * _POW_SCALE)
+            .cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("pw_q").alias("tot_pw"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("pw_q") / F.col("tot_pw") * _W_SCALE)
+            .cast("long")
+            .alias("weight_q"),
+            F.round(
+                (F.col("pw_q").cast("double") * F.col("tot_tokens"))
+                / (F.col("tot_pw").cast("double") * F.col("n_tokens"))
+                * _W_SCALE
+            )
+            .cast("long")
+            .alias("oversample_q"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_MIXTURE_SQL = rf"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+), perq AS (
+  SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(round(pow(n_tokens, {_ALPHA}) * {_POW_SCALE}) AS BIGINT) AS pw_q
+  FROM per
+), tot AS (
+  SELECT SUM(pw_q) AS tot_pw, SUM(n_tokens) AS tot_tokens FROM perq
+)
+SELECT source, n_docs, n_tokens,
+       CAST(round(pw_q / CAST(tot_pw AS DOUBLE) * {_W_SCALE}) AS BIGINT)
+         AS weight_q,
+       CAST(round((CAST(pw_q AS DOUBLE) * tot_tokens)
+                  / (CAST(tot_pw AS DOUBLE) * n_tokens) * {_W_SCALE})
+            AS BIGINT) AS oversample_q
+FROM perq, tot
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "tfidf_topk_docs": tfidf_topk_docs,
+    "source_mixture_weights": source_mixture_weights,
+}
+
+ORACLES = {
+    "tfidf_topk_docs": TFIDF_TOPK_SQL,
+    "source_mixture_weights": SOURCE_MIXTURE_SQL,
+}

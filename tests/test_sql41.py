@@ -96,15 +96,15 @@ def test_sql_udf_bands_partition_orders(spark):
 
 def test_battery_oracle_key_consistency():
     """Driver-contract invariants that don't need Spark: every oracle
-    key has a query, names are unique across modules, and the two
-    intentionally rows-only entries are exactly the documented ones."""
+    key has a query, names are unique across modules, and no entry is
+    rows-only (every query has a value oracle since round 4)."""
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
-    # the ONE remaining rows-only entry: an HLL estimate has no exact
-    # oracle (its separate in-battery gate is approx_distinct_gate)
-    assert set(qs) - set(osql) == {"approx_distinct_customers"}
+    # since round 4 every entry is oracle-checked (the HLL estimate got
+    # a bounded-relative-error value oracle; nothing is rows-only)
+    assert set(qs) - set(osql) == set()
     from implementation_of_an_etl_process_spark.queries import _MODULES
 
     seen = {}
@@ -124,27 +124,32 @@ def test_driver_first50_covers_every_family():
     import __spark_entry__ as e
 
     first50 = list(e.queries())[:50]
+    from implementation_of_an_etl_process_spark.queries import _DRIVER_PRIORITY
+
+    # Round-4 rotation: the first 50 must be EXACTLY the curated list —
+    # 9 cross-family flagships + every entry that had no driver row in
+    # rounds 1-3 + the round-4 codec additions (see _DRIVER_PRIORITY).
+    assert first50 == _DRIVER_PRIORITY, (
+        "driver gate drifted from the curated rotation: "
+        f"{set(first50) ^ set(_DRIVER_PRIORITY)}"
+    )
+    # every hard-gate family keeps a flagship inside the cap
     family_reps = {
         "hypercube",  # flagship cube
         "reference_native_path",  # reference-native bin→cube→CSV path
         "streaming_hypercube_native",  # incremental streaming twin
-        "q1_pricing_summary",  # core relational
+        "multimodal_png_decode",  # multimodal: real compressed decode
         "dedup_minhash_lsh",  # near-dup dedup
-        "text_quality",  # text analysis
-        "multimodal_ppm_decode",  # multimodal: real decode + plumbing
-        "similarity_topk_cosine",  # ANN / similarity
-        "streaming_tumbling_1h",  # structured streaming
-        "asof_join_events",  # temporal joins
-        "cogroup_customer_orders",  # pandas-UDF surface
-        "pretrain_pipeline_stats",  # composed pretraining pass
-        "xml_source_roundtrip",  # source formats
-        "array_hof_orders",  # function surface
-        "q18_large_volume",  # tpch join shapes
-        "contamination_ngram_overlap",  # data hygiene
-        "merge_upsert_orders",  # ETL / table maintenance
+        "similarity_pq_recall",  # ANN recall gate (distributed KMeans)
+        "similarity_ivf_recall",  # ANN recall gate
         "pagerank_purchases",  # graph
-        "quality_checks_orders",  # data quality
-        "recursive_cte_months",  # SQL:2023 surface
+        "pretrain_pipeline_stats",  # composed pretraining pass
+        "streaming_session_windows",  # structured streaming
+        "csv_permissive_ingest",  # source formats
+        "udtf_polymorphic_first_words",  # UDF/UDTF surface
+        "q2_min_cost_supplier",  # tpch join shapes
+        "multimodal_wav_decode",  # round-4 audio codec
+        "gzip_text_ingest",  # round-4 compressed ingest
     }
     missing = family_reps - set(first50)
     assert not missing, f"families fell past the driver's 50-entry cap: {missing}"

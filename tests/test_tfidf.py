@@ -1,0 +1,96 @@
+"""TF-IDF similarity operator: hand-computed values, df banding,
+determinism, and the no-cartesian plan guarantee."""
+
+from __future__ import annotations
+
+import math
+
+from implementation_of_an_etl_process_spark.operators.tfidf import (
+    IDF_SCALE,
+    tfidf_topk_pairs,
+    tfidf_weights,
+)
+
+
+def _corpus(spark):
+    # 4 docs; "common" appears in all (df=4 > 0.9*4 -> banded out),
+    # "rare" only in doc 0 (df=1 < min_df=2 -> banded out).
+    rows = [
+        (0, "apple banana apple common rare"),
+        (1, "apple banana common"),
+        (2, "cherry cherry common"),
+        (3, "banana cherry common"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _idf_q(n, df):
+    return round(math.log((n + 1.0) / (df + 1.0)) * IDF_SCALE)
+
+
+def test_weights_hand_computed(spark):
+    w = {
+        (r["doc_id"], r["term"]): r["w"]
+        for r in tfidf_weights(_corpus(spark)).collect()
+    }
+    iap = _idf_q(4, 2)  # apple in docs {0,1}
+    iba = _idf_q(4, 3)  # banana in docs {0,1,3}
+    ich = _idf_q(4, 2)  # cherry in docs {2,3}
+    assert w == {
+        (0, "apple"): 2 * iap,
+        (0, "banana"): 1 * iba,
+        (1, "apple"): 1 * iap,
+        (1, "banana"): 1 * iba,
+        (2, "cherry"): 2 * ich,
+        (3, "banana"): 1 * iba,
+        (3, "cherry"): 1 * ich,
+    }
+    # banded terms never appear
+    assert not [k for k in w if k[1] in ("common", "rare")]
+
+
+def test_topk_pairs_values_and_order(spark):
+    out = tfidf_topk_pairs(_corpus(spark), k=10).collect()
+    iap, iba, ich = _idf_q(4, 2), _idf_q(4, 3), _idf_q(4, 2)
+    # expected exact dots over the banded vocabulary
+    exp_dot = {
+        (0, 1): 2 * iap * iap + iba * iba,  # apple + banana
+        (0, 3): iba * iba,  # banana
+        (1, 3): iba * iba,  # banana
+        (2, 3): 2 * ich * ich,  # cherry
+    }
+    norm = {
+        0: (2 * iap) ** 2 + iba * iba,
+        1: iap * iap + iba * iba,
+        2: (2 * ich) ** 2,
+        3: iba * iba + ich * ich,
+    }
+    got = {(r["doc1"], r["doc2"]): r for r in out}
+    assert set(got) == set(exp_dot)
+    for pair, dot in exp_dot.items():
+        r = got[pair]
+        assert r["dot"] == dot
+        cos = dot / (math.sqrt(norm[pair[0]]) * math.sqrt(norm[pair[1]]))
+        assert abs(r["cosine_q"] - round(cos, 6)) < 1e-12
+    # ordering: cosine desc then ids
+    cosines = [(r["cosine_q"], r["doc1"], r["doc2"]) for r in out]
+    assert cosines == sorted(cosines, key=lambda t: (-t[0], t[1], t[2]))
+
+
+def test_identical_docs_cosine_one(spark):
+    rows = [
+        (1, "x y z"),
+        (2, "x y z"),
+        (3, "p q r s t u v w a b c d"),
+        (4, "p q r"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_topk_pairs(df, k=1, min_df=2, max_df_frac=1.0).collect()
+    assert (out[0]["doc1"], out[0]["doc2"]) == (1, 2)
+    assert out[0]["cosine_q"] == 1.0
+
+
+def test_no_cartesian_in_plan(spark):
+    plan = tfidf_topk_pairs(_corpus(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
