@@ -119,3 +119,66 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("md5"),
         rolling_hash(text_col).alias("roll_hash"),
     )
+
+
+# Micro-quantization for surprisal (matches the repo-wide 1e6 scale).
+SURPRISAL_SCALE = 1_000_000
+
+
+def unigram_surprisal(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram surprisal — the cheap, model-free analog of
+    the LM-perplexity quality filter (CCNet-style): low average
+    surprisal = boilerplate/repetitive text, unusually high = noise.
+
+    Two-pass corpus-statistics shape:
+    1. unigram counts over the whole corpus (shuffle keyed by term —
+       output is vocabulary-sized, orders of magnitude below corpus
+       size);
+    2. join surprisal back onto the token stream and aggregate per doc
+       (shuffle keyed by doc id). The vocab side is left to AQE: it
+       broadcasts when it fits, hash-joins when a 100 TB corpus's
+       vocabulary doesn't.
+
+    surprisal(term) = -ln(cnt/total), micro-quantized to int64 BEFORE
+    the per-doc sum so results are summation-order independent and
+    oracle-exact (repo convention, see operators/tfidf.py).
+
+    Output: (id, n_tokens, sum_surprisal_q, avg_surprisal_q), one row
+    per document that has at least one token.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("t"))
+    vq = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log(F.col("t").cast("double") / F.col("cnt")) * SURPRISAL_SCALE
+        )
+        .cast("long")
+        .alias("sup_q"),
+    )
+    return (
+        tok.join(vq, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("sup_q").alias("sum_surprisal_q"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_surprisal_q",
+            F.round(
+                F.col("sum_surprisal_q") / F.col("n_tokens").cast("double")
+            )
+            .cast("long")
+            .alias("avg_surprisal_q"),
+        )
+    )

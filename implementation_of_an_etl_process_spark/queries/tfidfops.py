@@ -164,12 +164,49 @@ ORDER BY source
 """
 
 
+def unigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free perplexity-proxy quality score: per-doc average
+    unigram surprisal against corpus statistics (`operators/text.py`)."""
+    from implementation_of_an_etl_process_spark.operators.text import (
+        unigram_surprisal,
+    )
+
+    return unigram_surprisal(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+UNIGRAM_SURPRISAL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), vocab AS (
+  SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term
+), tot AS (
+  SELECT SUM(cnt) AS t FROM vocab
+), vq AS (
+  SELECT term,
+         CAST(round(ln(CAST(t AS DOUBLE) / cnt) * 1000000) AS BIGINT) AS sup_q
+  FROM vocab, tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens, SUM(sup_q) AS sum_surprisal_q,
+       CAST(round(SUM(sup_q) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+         AS avg_surprisal_q
+FROM tok2 JOIN vq USING (term)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "tfidf_topk_docs": tfidf_topk_docs,
     "source_mixture_weights": source_mixture_weights,
+    "unigram_surprisal_docs": unigram_surprisal_docs,
 }
 
 ORACLES = {
     "tfidf_topk_docs": TFIDF_TOPK_SQL,
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
+    "unigram_surprisal_docs": UNIGRAM_SURPRISAL_SQL,
 }

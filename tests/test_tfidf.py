@@ -90,6 +90,27 @@ def test_identical_docs_cosine_one(spark):
     assert out[0]["cosine_q"] == 1.0
 
 
+def test_unigram_surprisal_hand_computed(spark):
+    from implementation_of_an_etl_process_spark.operators.text import (
+        SURPRISAL_SCALE,
+        unigram_surprisal,
+    )
+
+    # corpus: a a a b  |  b c  -> counts a=3 b=2 c=1, total 6
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    sa = round(math.log(6 / 3) * SURPRISAL_SCALE)
+    sb = round(math.log(6 / 2) * SURPRISAL_SCALE)
+    sc = round(math.log(6 / 1) * SURPRISAL_SCALE)
+    got = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["sum_surprisal_q"] == 3 * sa + sb
+    assert got[1]["avg_surprisal_q"] == round((3 * sa + sb) / 4)
+    assert got[2]["sum_surprisal_q"] == sb + sc
+    assert got[2]["avg_surprisal_q"] == round((sb + sc) / 2)
+
+
 def test_no_cartesian_in_plan(spark):
     plan = tfidf_topk_pairs(_corpus(spark))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
