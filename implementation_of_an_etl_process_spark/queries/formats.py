@@ -354,7 +354,62 @@ FROM documents
 """
 
 
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations in ONE directory —
+    gen-1 files (even order keys) lack ``o_totalprice``, gen-2 files
+    (odd keys) carry it — merged with ``mergeSchema=true``; gen-1 rows
+    surface NULL for the added column. This is the standard
+    append-only-table evolution path: at 100 TB the merged read costs
+    one footer-schema union at planning time, and the scan itself still
+    prunes columns per file (a file without the column reads nothing
+    extra).
+    """
+    path = _tagged_path(sf_dir, "orders_{tag}.evolved")
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        tmp = path + ".tmp"
+        gen1 = base.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        gen2 = base.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        gen1.write.mode("overwrite").parquet(tmp)
+        gen2.write.mode("append").parquet(tmp)
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        with open(os.path.join(path, "_DONE"), "w") as f:
+            f.write("both generations written\n")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "o_totalprice" in merged.columns  # the evolved column
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_price,
+       ROUND(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END), 2)
+         AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "parquet_schema_evolution": parquet_schema_evolution,
     "gzip_text_ingest": gzip_text_ingest,
     "xml_source_roundtrip": xml_source_roundtrip,
     "csv_permissive_ingest": csv_permissive_ingest,
@@ -364,6 +419,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "parquet_schema_evolution": SCHEMA_EVOLUTION_SQL,
     "gzip_text_ingest": GZIP_TEXT_SQL,
     "xml_source_roundtrip": _AGG_SQL,
     "csv_permissive_ingest": CSV_PERMISSIVE_SQL,

@@ -375,7 +375,56 @@ SELECT {_N_QUERY_VECS} AS n_queries,
 """
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space, computed in the
+    exploded (label, dim) plane: posexplode the quantized vector and
+    aggregate int64 sums per (label, dim). Fully distributed — the
+    shuffle key is (label, dim), so a 100 TB corpus spreads each
+    label's mass over n_dims reducers instead of hot-spotting one, and
+    nothing is ever collected. Centroid components are emitted both as
+    the exact integer sum and the rounded mean (oracle-exact)."""
+    from implementation_of_an_etl_process_spark.functions.vectors import (
+        quantize_vec,
+    )
+
+    return (
+        _emb(spark, sf_dir)
+        .select("label", F.posexplode(quantize_vec("embedding")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("v").alias("sum_q"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            "sum_q",
+            F.round(F.col("sum_q") / F.col("n_vecs").cast("double"))
+            .cast("long")
+            .alias("centroid_q"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH q AS (
+  SELECT label, {_QUANT} AS qv FROM embeddings
+), flat AS (
+  SELECT label, CAST(gs.i AS INTEGER) AS dim, qv[gs.i + 1] AS v
+  FROM q, generate_series(0, 63) AS gs(i)
+)
+SELECT label, dim, COUNT(*) AS n_vecs, SUM(v) AS sum_q,
+       CAST(round(SUM(v) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS centroid_q
+FROM flat
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 QUERIES = {
+    "embedding_label_centroids": embedding_label_centroids,
     "similarity_pq_recall": similarity_pq_recall,
     "similarity_topk_cosine": similarity_topk_cosine,
     "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -384,6 +433,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_label_centroids": LABEL_CENTROIDS_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,
     "similarity_topk_cosine": SIMILARITY_TOPK_SQL,
     "embedding_cosine_pairs": EMBEDDING_PAIRS_SQL,
