@@ -155,11 +155,15 @@ def unigram_surprisal(
         ),
     ).filter(F.col("term") != "")
     vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("t"))
-    vq = vocab.crossJoin(F.broadcast(total)).select(
+    # Corpus token total as a scalar count action (tree-aggregated long,
+    # not a data collect) — folding it into the expression keeps the
+    # plan free of the single-row broadcast-NLJ a scalar-subquery join
+    # would introduce.
+    total = tok.count()
+    vq = vocab.select(
         "term",
         F.round(
-            F.log(F.col("t").cast("double") / F.col("cnt")) * SURPRISAL_SCALE
+            F.log(F.lit(float(total)) / F.col("cnt")) * SURPRISAL_SCALE
         )
         .cast("long")
         .alias("sup_q"),
