@@ -240,9 +240,10 @@ def decode_png(payload: bytes):
         data = payload[pos + 8 : pos + 8 + length]
         if len(data) != length:
             raise ValueError(f"truncated {ctype!r} chunk")
-        (crc,) = struct.unpack(
-            ">I", payload[pos + 8 + length : pos + 12 + length]
-        )
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise ValueError(f"truncated CRC for {ctype!r} chunk")
+        (crc,) = struct.unpack(">I", crc_bytes)
         if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         pos += 12 + length
@@ -254,6 +255,8 @@ def decode_png(payload: bytes):
             break
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if len(ihdr) != 13:
+        raise ValueError(f"IHDR length {len(ihdr)} != 13")
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
@@ -411,12 +414,18 @@ def decode_wav(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk too short ({len(fmt)} bytes)")
     audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_fmt != 1 or bits != 16:
         raise ValueError(
             f"unsupported WAV variant (format={audio_fmt} bits={bits}); "
             "PCM 16-bit only"
         )
+    if ch == 0 or rate == 0:
+        # malformed header fields (WAV has no CRC) — fail as corruption,
+        # not as a ZeroDivisionError inside the executor
+        raise ValueError(f"malformed fmt chunk (channels={ch} rate={rate})")
     n = len(data) // (ch * 2)
     samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
     return ch, rate, samples

@@ -342,7 +342,13 @@ def train_pq_codebooks_distributed(
         books = np.empty((m, n_codes, sub))
         with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
             for j, centers in enumerate(pool.map(fit_one, range(m))):
-                books[j] = centers
+                # Spark ML KMeans can return fewer than k centers when a
+                # subspace sample has < k distinct points; pad by
+                # repeating the first center (padded codes are simply
+                # never the argmin, so ADC is unaffected).
+                books[j, : len(centers)] = centers
+                if len(centers) < n_codes:
+                    books[j, len(centers):] = centers[0]
         return books
     finally:
         sample.unpersist(blocking=False)

@@ -154,12 +154,19 @@ def unigram_surprisal(
             "term"
         ),
     ).filter(F.col("term") != "")
-    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    # Corpus token total as a scalar count action (tree-aggregated long,
-    # not a data collect) — folding it into the expression keeps the
-    # plan free of the single-row broadcast-NLJ a scalar-subquery join
-    # would introduce.
-    total = tok.count()
+    # Materialize the vocabulary once (localCheckpoint: executor-side
+    # storage, lineage truncated, auto-cleaned when the frame is GC'd).
+    # The corpus is then tokenized exactly twice — the two-pass minimum:
+    # once here, once for the join-back — and the corpus-total scalar
+    # is a cheap sum over the checkpointed vocab, not a third pass.
+    # Folding the scalar into the expression (vs a single-row broadcast
+    # join) keeps the plan free of BroadcastNestedLoopJoin.
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = vocab.agg(F.sum("cnt")).collect()[0][0]
     vq = vocab.select(
         "term",
         F.round(

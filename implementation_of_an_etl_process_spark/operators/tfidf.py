@@ -64,8 +64,10 @@ def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def smoothed_idf_q(n_docs: Column, df: Column) -> Column:
     """Quantized smoothed idf: round(ln((N+1)/(df+1)) * IDF_SCALE) as
-    int64. Smoothing keeps idf > 0 even at df == N, so no weight is
-    ever exactly zeroed and norms stay comparable across engines."""
+    int64. At df == N this is exactly 0 (a corpus-wide term carries no
+    signal); ``tfidf_weights`` drops zero weights so an all-stop-term
+    document has an empty vector and simply produces no pairs, rather
+    than a 0/0 NaN cosine."""
     return F.round(
         F.log((n_docs + F.lit(1.0)) / (df + F.lit(1.0))) * IDF_SCALE
     ).cast("long")
@@ -102,8 +104,14 @@ def tfidf_weights(
     )
     # Vocabulary is tiny relative to the corpus (it is bounded by the
     # distinct-term count, not the doc count) — always broadcast.
-    return tf.join(F.broadcast(vocab), "term").select(
-        id_col, "term", (F.col("tf") * F.col("idf_q")).alias("w")
+    # Zero weights (idf_q == 0 at df == N when max_df_frac == 1.0)
+    # contribute nothing to dots or norms; dropping them keeps those
+    # posting lists out of the index and makes a zero-norm document
+    # impossible (no NaN cosine downstream).
+    return (
+        tf.join(F.broadcast(vocab), "term")
+        .select(id_col, "term", (F.col("tf") * F.col("idf_q")).alias("w"))
+        .filter(F.col("w") != 0)
     )
 
 

@@ -178,7 +178,8 @@ _DRIVER_PRIORITY = [
     # drawn up; slotted in so every r4 addition gets a driver row)
     "multimodal_wav_decode",
     "gzip_text_ingest",
-    # -- TPC-H shapes never driver-run (17)
+    # -- TPC-H shapes never driver-run (14; q3/q5/q13/q18 etc. already
+    # have driver rows from rounds 1-3)
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q6_forecast_revenue",

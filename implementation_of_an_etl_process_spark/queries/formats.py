@@ -31,12 +31,14 @@ ORDERS_SCHEMA = T.StructType(
 )
 
 
-def _source_tag(sf_dir: str) -> str:
+def _source_tag(sf_dir: str, table: str = "orders") -> str:
     """Cache key for a staged copy: path PLUS a content fingerprint
-    (size + mtime of every part file) of the source parquet. The
-    driver regenerates /root/testdata in place between rounds, so a
+    (size + mtime of every part file) of the source parquet — of the
+    TABLE the stage is derived from, so e.g. a documents-only
+    regeneration invalidates documents-derived stages. The driver
+    regenerates /root/testdata in place between rounds, so a
     path-only key would silently reuse a stage of the OLD data."""
-    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     parts = [src] if os.path.isfile(src) else [
         os.path.join(src, f) for f in sorted(os.listdir(src))
     ]
@@ -47,28 +49,41 @@ def _source_tag(sf_dir: str) -> str:
     return h.hexdigest()[:12]
 
 
-def _evict_stale_stages(tag: str) -> None:
+def _evict_stale_stages(prefix: str, tag: str, *, min_age_s: int = 3600) -> None:
     """The content-fingerprint keys make stale reuse impossible but
     would accumulate one staged copy per testdata generation (the
-    driver regenerates /root/testdata between rounds). Every stage
-    name embeds the 12-hex tag as ``_{tag}.``; remove siblings whose
-    tag differs from the current fingerprint (and any orphaned .tmp)."""
+    driver regenerates /root/testdata between rounds). Evict only
+    SIBLING GENERATIONS of the stage being requested — same name
+    prefix, different 12-hex tag — and only when older than
+    ``min_age_s``, so a concurrent run against another sf_dir (whose
+    stages share the workdir but carry different tags) is never
+    deleted mid-read and unrelated stages are never touched."""
     import re
     import shutil
+    import time
 
     if not os.path.isdir(_WORKDIR):
         return
+    now = time.time()
+    pat = re.compile(re.escape(prefix) + r"([0-9a-f]{12})\.")
     for d in os.listdir(_WORKDIR):
-        m = re.search(r"_([0-9a-f]{12})\.", d)
-        if m and m.group(1) != tag:
-            shutil.rmtree(os.path.join(_WORKDIR, d), ignore_errors=True)
+        m = pat.match(d)
+        if not m or m.group(1) == tag:
+            continue
+        full = os.path.join(_WORKDIR, d)
+        try:
+            age = now - os.stat(full).st_mtime
+        except OSError:
+            continue
+        if age > min_age_s:
+            shutil.rmtree(full, ignore_errors=True)
 
 
-def _tagged_path(sf_dir: str, name_fmt: str) -> str:
-    """Stage path for the current testdata fingerprint, with stale
-    generations evicted as a side effect."""
-    tag = _source_tag(sf_dir)
-    _evict_stale_stages(tag)
+def _tagged_path(sf_dir: str, name_fmt: str, table: str = "orders") -> str:
+    """Stage path for the current testdata fingerprint of ``table``,
+    with stale sibling generations evicted as a side effect."""
+    tag = _source_tag(sf_dir, table)
+    _evict_stale_stages(name_fmt.split("{tag}")[0], tag)
     return os.path.join(_WORKDIR, name_fmt.format(tag=tag))
 
 
@@ -312,11 +327,15 @@ def gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     .gz members; the staging write keeps Spark's natural partitioning
     so the read parallelism equals the file count. Use zstd/snappy
     parquet for the post-ingest hops."""
-    path = _tagged_path(sf_dir, "docs_{tag}.txt.gz")
+    path = _tagged_path(sf_dir, "docs_{tag}.txt.gz", table="documents")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".tmp"
         (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            # NULL text can't round-trip through a line format
+            # (concat_ws would silently drop the tab); scope the entry
+            # to non-null rows on BOTH sides
+            .filter(F.col("text").isNotNull())
             .select(
                 F.concat_ws(
                     "\t",
@@ -351,6 +370,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(length(regexp_replace(text, '[\\n\\t\\r]', ' ', 'g')))
             AS BIGINT) AS payload_chars
 FROM documents
+WHERE text IS NOT NULL
 """
 
 

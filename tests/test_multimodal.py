@@ -147,6 +147,53 @@ def test_png_rejects_corruption():
         decode_png(png[: len(png) // 2])
 
 
+def test_png_rejects_wrong_ihdr_length_with_valid_crc():
+    """A CRC-valid IHDR of the wrong length must fail as ValueError,
+    not escape as struct.error from the fixed-size unpack."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    png = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    ihdr_data = png[16 : 16 + 13]  # sig(8) + len(4) + type(4)
+    short = ihdr_data[:12]
+    bad_ihdr = (
+        struct.pack(">I", 12)
+        + b"IHDR"
+        + short
+        + struct.pack(">I", zlib.crc32(b"IHDR" + short) & 0xFFFFFFFF)
+    )
+    patched = png[:8] + bad_ihdr + png[8 + 25 :]  # old IHDR spans 25 B
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(patched)
+
+
+def test_wav_rejects_zero_channels():
+    """channels=0 in a (CRC-less) fmt chunk must fail as ValueError,
+    not ZeroDivisionError inside the executor."""
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = bytearray(
+        encode_wav(np.zeros((4, 1), dtype=np.int16), sample_rate=8000)
+    )
+    wav[22:24] = b"\x00\x00"  # n_channels field inside 'fmt '
+    with pytest.raises(ValueError, match="malformed fmt"):
+        decode_wav(bytes(wav))
+
+
 def test_png_features_distributed(spark):
     """extract_png_features decodes executor-side and emits only
     features; pixel_sum and dims must match the numpy ground truth."""

@@ -77,6 +77,18 @@ def test_topk_pairs_values_and_order(spark):
     assert cosines == sorted(cosines, key=lambda t: (-t[0], t[1], t[2]))
 
 
+def test_all_stop_term_doc_produces_no_nan(spark):
+    # 'the' has df == N, so idf_q == 0 at max_df_frac=1.0; doc 1 is
+    # all-stop-terms -> empty vector -> must yield NO pairs (and never
+    # a NaN cosine, which would sort above every real pair)
+    rows = [(1, "the"), (2, "the a b"), (3, "the a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_topk_pairs(df, k=10, min_df=2, max_df_frac=1.0).collect()
+    assert [(r["doc1"], r["doc2"]) for r in out] == [(2, 3)]
+    assert out[0]["cosine_q"] == 1.0
+    assert all(r["cosine_q"] == r["cosine_q"] for r in out)  # no NaN
+
+
 def test_identical_docs_cosine_one(spark):
     rows = [
         (1, "x y z"),
