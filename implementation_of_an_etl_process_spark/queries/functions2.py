@@ -262,7 +262,94 @@ ORDER BY key_a, key_b
 """
 
 
+def feature_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order feature statistics (mean / sample stddev / sample
+    covariance / Pearson correlation) computed the determinism-
+    discipline way: inputs quantized to int64 (quantity as-is, price in
+    cents), all five moments accumulated EXACTLY (products summed in
+    DECIMAL so a 100x scale-up cannot overflow), and the statistics
+    derived from the exact moments in one fixed double expression —
+    bit-identical across engines and partitionings, unlike the builtin
+    float corr/covar_samp/stddev whose accumulation order varies.
+
+    Scale shape: a single partial/final aggregate (one shuffle on the
+    3-value group key); the moment formulas are post-aggregation scalar
+    math on 3 rows. This is the standard one-pass parallel-moments
+    trick for dataset feature profiling."""
+    li = _t(spark, sf_dir, "lineitem")
+    xq = F.round(F.col("l_quantity")).cast("long")
+    yq = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).alias("sx"),
+        F.sum(yq).alias("sy"),
+        F.sum(dec(xq * xq)).alias("sxx"),
+        F.sum(dec(yq * yq)).alias("syy"),
+        F.sum(dec(xq * yq)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(F.sqrt(vx / (n * (n - 1))), 6).alias("stddev_qty"),
+        F.round(sy / n, 6).alias("mean_price_cents"),
+        F.round(F.sqrt(vy / (n * (n - 1))), 6).alias("stddev_price_cents"),
+        F.round(cov / (n * (n - 1)), 6).alias("covar_samp"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+    ).orderBy("l_returnflag")
+
+
+FEATURE_MOMENTS_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS xq,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS yq
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(xq) AS sx, SUM(yq) AS sy,
+         SUM(xq * xq) AS sxx, SUM(yq * yq) AS syy, SUM(xq * yq) AS sxy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+         AS stddev_qty,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_price_cents,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+         AS stddev_price_cents,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6)
+         AS covar_samp,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr
+FROM m
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "feature_moments_lineitem": feature_moments_lineitem,
     "map_funcs_orders": map_funcs_orders,
     "math_funcs_lineitem": math_funcs_lineitem,
     "array_hof_orders": array_hof_orders,
@@ -272,6 +359,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "feature_moments_lineitem": FEATURE_MOMENTS_SQL,
     "map_funcs_orders": MAP_FUNCS_SQL,
     "math_funcs_lineitem": MATH_FUNCS_SQL,
     "array_hof_orders": ARRAY_HOF_SQL,
