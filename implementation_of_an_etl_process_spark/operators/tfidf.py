@@ -24,6 +24,13 @@ Scale design (the part that matters at 100 TB):
   each vector's lowest-df terms such that any pair above the cosine
   threshold must collide on at least one — per Bayardo, Ma & Srikant,
   "Scaling Up All Pairs Similarity Search" (WWW 2007).
+- Candidate cost is Theta(sum_t df_t^2) over the banded vocabulary. On
+  Zipfian text this is far below |docs|^2 (discriminative terms are
+  rare by definition). A degenerate corpus whose every doc shares a
+  tiny dense vocabulary (e.g. the synthetic sf0.1 word-soup table)
+  drives it toward all-pairs — unavoidable, because there the true
+  similarity graph IS dense; thresholded prefix filtering is the only
+  principled cut and applies when a min-cosine is acceptable.
 - **Integer-exact arithmetic** end to end, following the repo-wide
   oracle convention (see ``functions/vectors.py``): idf is quantized to
   an int64 microscale, weights are ``tf * idf_q`` (int64), and dot
