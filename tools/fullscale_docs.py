@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Full-scale LLM-data-ops measurement: synthesize a multi-million-doc
+Zipfian corpus ENTIRELY Spark-side (no driver data, seeded, exactly
+reproducible), plant known exact and near duplicates, and measure the
+pretraining operators end-to-end:
+
+- exact dedup (md5 groupBy) — expected group count is known by
+  construction;
+- MinHash-LSH near-dup pairs — recall of the planted near-dups is
+  measured against the closed-form banding probability;
+- unigram surprisal (two-pass corpus statistics);
+- tf-idf: linear index build at full scale + top-k pairs on a slice,
+  demonstrating the df-band pruning on a REALISTIC (Zipfian) vocabulary
+  — unlike the deliberately dense 31-term sf tables, posting lists here
+  are short and the candidate space collapses (see operators/tfidf.py).
+
+Corpus model: each doc is ``words`` draws from a log-uniform
+(Zipf-like, P(rank w) ~ 1/w) vocabulary of ``vocab`` terms, derived
+from xxhash64 of (seed_id, position) — pure Column expressions, fully
+parallel. Docs with id % 100 == 50 are EXACT copies of id-2 (which is
+pristine, mod 48); docs with id % 100 == 99 are near-copies of id-1
+(pristine, mod 98) with the last word replaced (shingle-k=3 Jaccard
+~= (W-4)/(W+2) ~= 0.85 at W=40, above the 0.8 verify threshold).
+
+Usage: python tools/fullscale_docs.py [n_docs] [workdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+WORKDIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fullscale_docs"
+WORDS = 40
+VOCAB = 50_000
+SLICE = 100_000  # tf-idf pairwise slice
+
+
+def synth_corpus(spark, n_docs: int) -> DataFrame:
+    """(doc_id, text): seeded Zipf-ish word soup with planted dups."""
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    mod = F.col("doc_id") % 100
+    seed = (
+        F.when(mod == 50, F.col("doc_id") - 2)
+        .when(mod == 99, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+    )
+
+    def word(seed_col, i):
+        # u in [0,1) from a 64-bit hash; rank = floor(exp(u ln V)) is
+        # log-uniform: P(rank=w) ~ 1/(w ln V) — Zipf(1)-shaped
+        u = (
+            F.pmod(F.xxhash64(seed_col * WORDS + i, F.lit(421)), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+        rank = F.floor(F.exp(u * float(__import__("math").log(VOCAB)))).cast("long")
+        return F.concat(F.lit("w"), rank.cast("string"))
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(WORDS - 1)),
+        lambda i: word(seed, i),
+    )
+    # near-dup rows: replace the LAST word with an id-derived word
+    words = F.when(
+        mod == 99,
+        F.concat(F.slice(words, 1, WORDS - 1), F.array(word(F.col("doc_id"), F.lit(WORDS - 1)))),
+    ).otherwise(words)
+    return base.select("doc_id", F.array_join(words, " ").alias("text"))
+
+
+def main() -> None:
+    from implementation_of_an_etl_process_spark import get_spark
+    from implementation_of_an_etl_process_spark.operators import dedup as D
+    from implementation_of_an_etl_process_spark.operators.text import (
+        unigram_surprisal,
+    )
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        tfidf_topk_pairs,
+        tfidf_weights,
+    )
+
+    spark = get_spark("fullscale-docs")
+    path = os.path.join(WORKDIR, f"docs_{N_DOCS}.parquet")
+
+    t0 = time.monotonic()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_corpus(spark, N_DOCS).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    docs = spark.read.parquet(path)
+    n = docs.count()
+    print(f"corpus: {n} docs in {time.monotonic() - t0:.1f}s "
+          f"({os.popen(f'du -sh {path}').read().split()[0]})", flush=True)
+
+    # --- exact dedup ------------------------------------------------------
+    t0 = time.monotonic()
+    groups = D.exact_dedup_groups(docs, ["text"], "doc_id")
+    n_groups = groups.count()
+    n_dup_rows = n - n_groups
+    t = time.monotonic() - t0
+    # id%100==98 copies id-2 exactly; expected dup rows ~= n/100
+    print(f"exact_dedup: {n_groups} groups ({n_dup_rows} dup rows, "
+          f"expect ~{n // 100}) in {t:.1f}s = {n / t / 1e6:.2f}M docs/s",
+          flush=True)
+
+    # --- MinHash-LSH near-dup recall -------------------------------------
+    t0 = time.monotonic()
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text").persist()
+    n_pairs = pairs.count()
+    t = time.monotonic() - t0
+    planted = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_b") % 100 == 99)
+    ).count()
+    expect_planted = n // 100
+    print(f"minhash_lsh: {n_pairs} pairs in {t:.1f}s = "
+          f"{n / t / 1e3:.0f}k docs/s; planted near-dup recall "
+          f"{planted}/{expect_planted} = {planted / expect_planted:.4f} "
+          f"(banding bound ~0.997 at J~0.85)", flush=True)
+    pairs.unpersist()
+
+    # --- unigram surprisal ------------------------------------------------
+    t0 = time.monotonic()
+    stats = unigram_surprisal(docs)
+    n_scored = stats.count()
+    t = time.monotonic() - t0
+    print(f"unigram_surprisal: {n_scored} docs scored in {t:.1f}s = "
+          f"{n / t / 1e6:.2f}M docs/s", flush=True)
+
+    # --- tf-idf: linear index build at full scale ------------------------
+    t0 = time.monotonic()
+    w = tfidf_weights(docs, min_df=2, max_df_frac=0.01)
+    n_postings = w.count()
+    t = time.monotonic() - t0
+    print(f"tfidf_index: {n_postings} postings over {n} docs in {t:.1f}s "
+          f"= {n / t / 1e6:.2f}M docs/s (df-band <=1% of corpus)",
+          flush=True)
+
+    # --- tf-idf pairwise on a slice: df-banding on Zipfian data ----------
+    sl = docs.filter(F.col("doc_id") < SLICE)
+    t0 = time.monotonic()
+    top = tfidf_topk_pairs(sl, k=50, min_df=2, max_df_frac=0.001)
+    rows = top.collect()
+    t = time.monotonic() - t0
+    top_planted = sum(
+        1 for r in rows
+        if (r["doc2"] == r["doc1"] + 1 and r["doc2"] % 100 == 99)
+        or (r["doc2"] == r["doc1"] + 2 and r["doc2"] % 100 == 50)
+    )
+    print(f"tfidf_topk[{SLICE} docs]: top-50 in {t:.1f}s; "
+          f"{top_planted}/50 of the top pairs are planted duplicates",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
