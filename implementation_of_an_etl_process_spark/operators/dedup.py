@@ -623,3 +623,120 @@ def drop_near_duplicates(
         F.col("_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def incremental_dedup(
+    hist: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Classify each NEW document against a HISTORICAL corpus — the
+    crawl-ingestion production shape (reference scope ends at batch
+    joins, `ETL.java:1`; this is north-star scope).
+
+    Verdict per new doc: ``exact`` (normalized-md5 match in history),
+    else ``near`` (LSH banding candidate against history, verified at
+    exact shingle-Jaccard >= threshold), else ``novel``.
+
+    Scale shape: history is touched ONLY through (a) a semi-join on its
+    fingerprint column and (b) the banding equi-join on (band, bucket)
+    — each ingest batch costs O(batch + matched candidates), never a
+    rescan-the-history pass. At 100 TB the md5 and signature relations
+    are the persisted "dedup index" maintained across batches; here
+    they derive inline. The banding-vs-brute-force equivalence argument
+    is the same as :func:`minhash_lsh_pairs` (at J >= 0.99 real dups the
+    32x8 miss probability is ~1e-11; an exact copy collides in every
+    band deterministically).
+    """
+    rows = n_hashes // bands
+    # --- exact tier -------------------------------------------------------
+    new_md5 = new.select(
+        F.col(id_col).alias("_id"), fingerprint_md5(new, text_col).alias("_m")
+    )
+    hist_md5 = hist.select(fingerprint_md5(hist, text_col).alias("_m")).distinct()
+    exact_ids = (
+        new_md5.join(hist_md5, "_m", "left_semi")
+        .select("_id")
+        .withColumn("_ex", F.lit(1))
+    )
+    # --- near tier: one shingle + signature pass over the tagged union ----
+    tagged = hist.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias("_isnew")
+    ).unionByName(
+        new.select(F.col(id_col), F.col(text_col), F.lit(1).alias("_isnew"))
+    )
+    sh = _shingle_table(tagged, id_col, text_col, k, None)
+    sides = tagged.select(F.col(id_col).alias("_id"), "_isnew")
+    sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True).join(
+        sides, "_id"
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "_id", "_n", "_isnew", F.explode(band_cols).alias("bb")
+    ).select(
+        "_id",
+        "_n",
+        "_isnew",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    left = banded.filter(F.col("_isnew") == 1).select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
+    )
+    right = banded.filter(F.col("_isnew") == 0).select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .select("id_a", "id_b", "_na", "_nb")
+        .distinct()
+    )
+    a_sh = cand.join(sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
+    inter = (
+        a_sh.join(
+            sh.select(F.col("_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    near_ids = (
+        inter.withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("_id"))
+        .distinct()
+        .withColumn("_nr", F.lit(1))
+    )
+    # --- verdicts ---------------------------------------------------------
+    return (
+        new.select(F.col(id_col).alias("_id"))
+        .join(exact_ids, "_id", "left")
+        .join(near_ids, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_ex") == 1, F.lit("exact"))
+            .when(F.col("_nr") == 1, F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+    )

@@ -630,8 +630,73 @@ FROM s GROUP BY doc_id, n ORDER BY media_id
 """
 
 
+
+
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-history) dedup: the oldest 80% of the
+    corpus is 'history', the newest 20% is the incoming batch; each new
+    doc is classified exact / near / novel against history only
+    (`operators/dedup.py::incremental_dedup`). The oracle recomputes
+    the same three tiers brute-force (md5 semi-join + cross-split
+    shingle-Jaccard)."""
+    docs = _docs(spark, sf_dir)
+    cut = int(docs.count() * 0.8)
+    return D.incremental_dedup(
+        docs.filter(F.col("doc_id") < cut),
+        docs.filter(F.col("doc_id") >= cut),
+        "doc_id",
+        "text",
+    ).orderBy("doc_id")
+
+
+INCREMENTAL_DEDUP_SQL = r"""
+WITH split AS (
+  SELECT CAST(floor(0.8 * COUNT(*)) AS BIGINT) AS cut FROM documents
+), hist AS (
+  SELECT d.* FROM documents d, split WHERE d.doc_id < cut
+), newb AS (
+  SELECT d.* FROM documents d, split WHERE d.doc_id >= cut
+), ex AS (
+  SELECT doc_id FROM newb
+  WHERE md5(lower(trim(text))) IN
+        (SELECT md5(lower(trim(text))) FROM hist)
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+            FOR i IN range(1, len(ts) - 1)]
+         )) AS shingle
+  FROM toks WHERE len(ts) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), nearp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle, split
+  WHERE a.doc_id >= cut AND b.doc_id < cut
+  GROUP BY 1, 2
+), near AS (
+  SELECT DISTINCT id_a AS doc_id
+  FROM nearp JOIN sizes s1 ON id_a = s1.doc_id
+             JOIN sizes s2 ON id_b = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+)
+SELECT n.doc_id,
+       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+            WHEN nr.doc_id IS NOT NULL THEN 'near'
+            ELSE 'novel' END AS verdict
+FROM newb n
+LEFT JOIN ex ON n.doc_id = ex.doc_id
+LEFT JOIN near nr ON n.doc_id = nr.doc_id
+ORDER BY n.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
+    "incremental_dedup_docs": incremental_dedup_docs,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
@@ -651,6 +716,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_SQL,
+    "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "multimodal_ppm_decode": MULTIMODAL_PPM_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,

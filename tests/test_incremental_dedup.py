@@ -1,0 +1,74 @@
+"""Incremental (batch-vs-history) dedup: all three verdict tiers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators.dedup import (
+    incremental_dedup,
+)
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lmb mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+def test_verdict_tiers(spark):
+    hist = spark.createDataFrame(
+        [
+            (0, BASE),
+            (1, "totally different words one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    near_text = BASE.rsplit(" ", 1)[0] + " CHANGED"  # last word swapped
+    new = spark.createDataFrame(
+        [
+            (10, BASE),  # exact copy of doc 0
+            (11, near_text),  # near-dup of doc 0 (J ~ 17/23 ... verify)
+            (12, "completely novel content nine eight seven six five four"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup(hist, new, "doc_id", "text").collect()
+    }
+    assert got[10] == "exact"
+    assert got[12] == "novel"
+    # J for last-word swap on 20 words, k=3: 17 shared / (18+18-17)=19
+    # -> 0.894 >= 0.8 -> near
+    assert got[11] == "near"
+
+
+def test_exact_beats_near(spark):
+    """An exact dup is also an LSH candidate (J=1); verdict must still
+    report 'exact'."""
+    hist = spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+    new = spark.createDataFrame([(5, BASE)], ["doc_id", "text"])
+    out = incremental_dedup(hist, new, "doc_id", "text").collect()
+    assert [(r["doc_id"], r["verdict"]) for r in out] == [(5, "exact")]
+
+
+def test_no_history_all_novel(spark):
+    hist = spark.createDataFrame(
+        [], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    out = incremental_dedup(hist, new, "doc_id", "text").collect()
+    assert [(r["doc_id"], r["verdict"]) for r in out] == [(1, "novel")]
+
+
+def test_batch_never_compared_to_itself(spark):
+    """Two identical docs INSIDE the new batch are both novel when
+    history has nothing like them (within-batch dedup is a separate
+    concern, by design)."""
+    hist = spark.createDataFrame([(0, "unrelated history text here")],
+                                 ["doc_id", "text"])
+    new = spark.createDataFrame([(1, BASE), (2, BASE)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup(hist, new, "doc_id", "text").collect()
+    }
+    assert got == {1: "novel", 2: "novel"}
