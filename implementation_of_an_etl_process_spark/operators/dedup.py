@@ -211,17 +211,23 @@ def minhash_lsh_pairs(
     64x16 (≈0.9998 at 0.8) or 128/32 when borderline-pair recall
     matters more than the signature-width cost.
 
-    Cache lifetime: the shingle table is persisted for the signature/
-    verify diamond. By default the (small, post-threshold) pair set is
-    eagerly materialized via ``localCheckpoint`` and the shingle cache
-    released before returning — long-lived sessions don't accumulate
-    cached partitions across calls. Callers wanting a fully lazy plan
-    pass ``cache_registry``, receive the persisted handle, and unpersist
-    after materializing the result themselves.
+    Verify-stage scoping (the 100 TB lever): candidates name only a
+    small fraction of the corpus (sum of banding collisions), so by
+    default the verify stage RE-SHINGLES just the candidate documents
+    (semi-join on the materialized candidate ids) instead of persisting
+    the full corpus-sized shingle table for the signature/verify
+    diamond — measured 546s -> 279s at 4M docs / 152M shingles, where
+    the full-table MEMORY_AND_DISK persist dominated the runtime.
+    The classic diamond (persist the full shingle table) remains for
+    (a) ``max_shingle_df`` (the stop-shingle df filter needs global
+    statistics the subset can't reproduce) and (b) ``cache_registry``
+    callers, whose contract is a fully lazy plan: they receive the
+    persisted handle and unpersist after materializing the result.
     """
     rows = n_hashes // bands
+    classic_diamond = max_shingle_df is not None or cache_registry is not None
     sh = _shingle_table(df, id_col, text_col, k, max_shingle_df)
-    if persist_shingles:
+    if classic_diamond and persist_shingles:
         # the shingle table feeds BOTH the signature and the verify
         # stage (diamond plan) — persist so it's computed once; spills
         # to disk under pressure, LRU-evicted when unused
@@ -263,13 +269,33 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "_na", "_nb")
         .distinct()
     )
+    if not classic_diamond:
+        # Materialize the (small) candidate set once, then re-shingle
+        # ONLY the documents it names — the corpus-sized shingle table
+        # is never stored. localCheckpoint output is auto-cleaned when
+        # the frame is GC'd.
+        cand = cand.localCheckpoint(eager=True)
+        need = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        verify_sh = _shingle_table(
+            df.join(need, id_col, "left_semi"), id_col, text_col, k, None
+        )
+        if persist_shingles:
+            from pyspark.storagelevel import StorageLevel
+
+            verify_sh = verify_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        verify_sh = sh
     # candidate-scoped exact-Jaccard verify (sizes already on the row)
     a_sh = cand.join(
-        sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a"
+        verify_sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a"
     )
     inter = (
         a_sh.join(
-            sh.select(F.col("_id").alias("id_b"), "shingle"),
+            verify_sh.select(F.col("_id").alias("id_b"), "shingle"),
             ["id_b", "shingle"],
         )
         .groupBy("id_a", "id_b", "_na", "_nb")
@@ -286,7 +312,7 @@ def minhash_lsh_pairs(
     )
     if persist_shingles and cache_registry is None:
         out = out.localCheckpoint(eager=True)
-        sh.unpersist()
+        verify_sh.unpersist()
     return out
 
 
