@@ -188,6 +188,55 @@ def minhash_signature(
     return sh.groupBy("_id").agg(*aggs)
 
 
+def _banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Explode a signature frame into (_id, _n, band, bucket) rows —
+    the single definition of the banding hash, shared by the symmetric
+    (:func:`minhash_lsh_pairs`) and asymmetric
+    (:func:`incremental_dedup`) paths so they can never diverge."""
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("_id", "_n", F.explode(band_cols).alias("bb")).select(
+        "_id",
+        "_n",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def _jaccard_from_candidates(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify over (id_a, id_b, _na, _nb) candidates and a
+    (_id, shingle) table (sizes already ride on the candidate row)."""
+    a_sh = cand.join(sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
+    inter = (
+        a_sh.join(
+            sh.select(F.col("_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -220,12 +269,19 @@ def minhash_lsh_pairs(
     the full-table MEMORY_AND_DISK persist dominated the runtime.
     The classic diamond (persist the full shingle table) remains for
     (a) ``max_shingle_df`` (the stop-shingle df filter needs global
-    statistics the subset can't reproduce) and (b) ``cache_registry``
+    statistics the subset can't reproduce), (b) ``cache_registry``
     callers, whose contract is a fully lazy plan: they receive the
-    persisted handle and unpersist after materializing the result.
+    persisted handle and unpersist after materializing the result, and
+    (c) ``persist_shingles=False``, whose contract is a fully lazy,
+    persistence-free plan (the scoped path requires an eager candidate
+    materialization).
     """
     rows = n_hashes // bands
-    classic_diamond = max_shingle_df is not None or cache_registry is not None
+    classic_diamond = (
+        max_shingle_df is not None
+        or cache_registry is not None
+        or not persist_shingles
+    )
     sh = _shingle_table(df, id_col, text_col, k, max_shingle_df)
     if classic_diamond and persist_shingles:
         # the shingle table feeds BOTH the signature and the verify
@@ -242,21 +298,7 @@ def minhash_lsh_pairs(
     # (measured ~2s of stage overhead at sf0.1, and at scale it removes
     # one full pass over the shingle table)
     sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True)
-
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
-                    "bucket"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("_id", "_n", F.explode(band_cols).alias("bb")).select(
-        "_id", "_n", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = _banded(sig, bands, rows)
     left = banded.select(
         F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
     )
@@ -283,33 +325,12 @@ def minhash_lsh_pairs(
         verify_sh = _shingle_table(
             df.join(need, id_col, "left_semi"), id_col, text_col, k, None
         )
-        if persist_shingles:
-            from pyspark.storagelevel import StorageLevel
+        from pyspark.storagelevel import StorageLevel
 
-            verify_sh = verify_sh.persist(StorageLevel.MEMORY_AND_DISK)
+        verify_sh = verify_sh.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         verify_sh = sh
-    # candidate-scoped exact-Jaccard verify (sizes already on the row)
-    a_sh = cand.join(
-        verify_sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a"
-    )
-    inter = (
-        a_sh.join(
-            verify_sh.select(F.col("_id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b", "_na", "_nb")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    out = (
-        inter.withColumn(
-            "jaccard",
-            F.col("_inter").cast("double")
-            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    out = _jaccard_from_candidates(cand, verify_sh, threshold)
     if persist_shingles and cache_registry is None:
         out = out.localCheckpoint(eager=True)
         verify_sh.unpersist()
@@ -671,14 +692,21 @@ def incremental_dedup(
     exact shingle-Jaccard >= threshold), else ``novel``.
 
     Scale shape: history is touched ONLY through (a) a semi-join on its
-    fingerprint column and (b) the banding equi-join on (band, bucket)
-    — each ingest batch costs O(batch + matched candidates), never a
-    rescan-the-history pass. At 100 TB the md5 and signature relations
-    are the persisted "dedup index" maintained across batches; here
-    they derive inline. The banding-vs-brute-force equivalence argument
-    is the same as :func:`minhash_lsh_pairs` (at J >= 0.99 real dups the
-    32x8 miss probability is ~1e-11; an exact copy collides in every
-    band deterministically).
+    fingerprint column, (b) the banding equi-join on (band, bucket),
+    and (c) a candidate-scoped re-shingle (semi-join on the matched
+    ids, same design as :func:`minhash_lsh_pairs`) — each ingest batch
+    costs O(batch + matched candidates) beyond the one signature pass,
+    never a full verify-stage history materialization. At 100 TB the
+    md5 and signature relations are the persisted "dedup index"
+    maintained across batches; here they derive inline. The
+    banding-vs-brute-force equivalence argument is the same as
+    :func:`minhash_lsh_pairs` (at J >= 0.99 real dups the 32x8 miss
+    probability is ~1e-11; an exact copy collides in every band
+    deterministically).
+
+    The two frames may use overlapping id values (independently
+    numbered corpora): ids are namespaced internally with the side tag,
+    so a history doc and a new doc sharing an id never merge.
     """
     rows = n_hashes // bands
     # --- exact tier -------------------------------------------------------
@@ -691,68 +719,51 @@ def incremental_dedup(
         .select("_id")
         .withColumn("_ex", F.lit(1))
     )
-    # --- near tier: one shingle + signature pass over the tagged union ----
-    tagged = hist.select(
-        F.col(id_col), F.col(text_col), F.lit(0).alias("_isnew")
-    ).unionByName(
-        new.select(F.col(id_col), F.col(text_col), F.lit(1).alias("_isnew"))
+    # --- near tier: one signature pass over the side-namespaced union -----
+    keyed = (
+        hist.select(F.lit(0).alias("_ns"), F.col(id_col), F.col(text_col))
+        .unionByName(
+            new.select(F.lit(1).alias("_ns"), F.col(id_col), F.col(text_col))
+        )
+        .select(
+            F.struct(F.col("_ns"), F.col(id_col).alias("_oid")).alias("_k"),
+            F.col(text_col),
+        )
     )
-    sh = _shingle_table(tagged, id_col, text_col, k, None)
-    sides = tagged.select(F.col(id_col).alias("_id"), "_isnew")
-    sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True).join(
-        sides, "_id"
-    )
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(
-                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        "_id", "_n", "_isnew", F.explode(band_cols).alias("bb")
-    ).select(
-        "_id",
-        "_n",
-        "_isnew",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
-    )
-    left = banded.filter(F.col("_isnew") == 1).select(
+    sh = _shingle_table(keyed, "_k", text_col, k, None)
+    sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True)
+    banded = _banded(sig, bands, rows)
+    left = banded.filter(F.col("_id._ns") == 1).select(
         F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
     )
-    right = banded.filter(F.col("_isnew") == 0).select(
+    right = banded.filter(F.col("_id._ns") == 0).select(
         F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "band", "bucket"
     )
     cand = (
         left.join(right, ["band", "bucket"])
         .select("id_a", "id_b", "_na", "_nb")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    a_sh = cand.join(sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
-    inter = (
-        a_sh.join(
-            sh.select(F.col("_id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b", "_na", "_nb")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    # verify only the documents the banding actually matched
+    need = (
+        cand.select(F.col("id_a").alias("_k"))
+        .union(cand.select(F.col("id_b").alias("_k")))
+        .distinct()
     )
+    from pyspark.storagelevel import StorageLevel
+
+    verify_sh = _shingle_table(
+        keyed.join(need, "_k", "left_semi"), "_k", text_col, k, None
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     near_ids = (
-        inter.withColumn(
-            "jaccard",
-            F.col("_inter").cast("double")
-            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a").alias("_id"))
+        _jaccard_from_candidates(cand, verify_sh, threshold)
+        .select(F.col("id_a._oid").alias("_id"))
         .distinct()
         .withColumn("_nr", F.lit(1))
+        .localCheckpoint(eager=True)
     )
+    verify_sh.unpersist()
     # --- verdicts ---------------------------------------------------------
     return (
         new.select(F.col(id_col).alias("_id"))

@@ -5,11 +5,13 @@ Oracle-parity notes (verified primitive-by-primitive against DuckDB):
 - regex counts: Java and RE2 agree on the ASCII-class patterns used
 - sha256/md5: byte-identical hex
 - Jaccard: int intersection/union -> double division, engine-exact
-- MinHash LSH: oracle is the *exact* brute-force Jaccard SQL; with 16
-  bands x 4 rows the miss probability at threshold 0.8 is ~2e-4 per
-  borderline pair (and the corpus' planted near-dups sit at ~0.99 where
-  it is ~1e-23), so LSH-then-verify equals brute force on any realistic
-  run.
+- MinHash LSH: oracle is the *exact* brute-force Jaccard SQL. The
+  operator's 8 bands x 4 rows give per-pair miss probability
+  (1-s^4)^8: ~1.5e-2 at exactly s=0.8, but the corpus has NO pair in
+  (0.07, 0.8) and its lowest above-threshold pair sits at J=0.90
+  (miss 1.9e-4; every other true pair is >=0.95, miss <=7e-7), so
+  LSH-then-verify equals brute force with probability >0.9996 per run
+  — and the verify stage makes precision exact regardless.
 - SimHash: md5-derived portable 64-bit token hash; the oracle rebuilds
   signatures bit-for-bit and brute-force-verifies Hamming distance
   (banding is pigeonhole-exact at hamming<=3, so sets are identical).

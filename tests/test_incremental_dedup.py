@@ -60,6 +60,27 @@ def test_no_history_all_novel(spark):
     assert [(r["doc_id"], r["verdict"]) for r in out] == [(1, "novel")]
 
 
+def test_overlapping_id_values_never_merge(spark):
+    """History and batch numbered independently from 0: a shared id
+    value must not merge the two documents' shingle sets (ids are
+    namespaced by side internally)."""
+    hist = spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (0, "entirely unrelated payload with none of those words"),
+            (1, BASE),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup(hist, new, "doc_id", "text").collect()
+    }
+    # new doc 0 shares an id with history doc 0 but no content -> novel;
+    # new doc 1 is an exact copy of history doc 0 -> exact
+    assert got == {0: "novel", 1: "exact"}
+
+
 def test_batch_never_compared_to_itself(spark):
     """Two identical docs INSIDE the new batch are both novel when
     history has nothing like them (within-batch dedup is a separate

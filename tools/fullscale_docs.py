@@ -104,7 +104,7 @@ def main() -> None:
     n_groups = groups.count()
     n_dup_rows = n - n_groups
     t = time.monotonic() - t0
-    # id%100==98 copies id-2 exactly; expected dup rows ~= n/100
+    # id%100==50 copies id-2 exactly; expected dup rows ~= n/100
     print(f"exact_dedup: {n_groups} groups ({n_dup_rows} dup rows, "
           f"expect ~{n // 100}) in {t:.1f}s = {n / t / 1e6:.2f}M docs/s",
           flush=True)
@@ -117,7 +117,7 @@ def main() -> None:
     planted = pairs.filter(
         (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_b") % 100 == 99)
     ).count()
-    expect_planted = n // 100
+    expect_planted = max(1, n // 100)  # avoid div-by-zero on tiny runs
     print(f"minhash_lsh: {n_pairs} pairs in {t:.1f}s = "
           f"{n / t / 1e3:.0f}k docs/s; planted near-dup recall "
           f"{planted}/{expect_planted} = {planted / expect_planted:.4f} "
