@@ -777,3 +777,163 @@ def incremental_dedup(
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted dedup index (incremental ingestion across batches)
+# ---------------------------------------------------------------------------
+
+
+def write_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the dedup index :func:`incremental_dedup`'s docstring
+    promises: two parquet relations derived from the corpus —
+
+    - ``md5``: distinct normalized-text fingerprints (the exact tier);
+    - ``bands``: (id, _n, band, bucket) banding rows (the near tier),
+      written partitioned by ``band`` so a batch's banding join prunes
+      to the partitions it actually probes.
+
+    ``mode="append"`` adds a new batch's rows to an existing index (the
+    steady-state ingest loop: classify, then append the batch). A meta
+    sidecar pins (k, n_hashes, bands); classification refuses an index
+    built with different parameters, since bucket hashes would silently
+    never collide.
+    """
+    import json
+    import os
+
+    rows = n_hashes // bands
+    sh = _shingle_table(docs, id_col, text_col, k, None)
+    sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True)
+    banded = _banded(sig, bands, rows)
+    meta_path = os.path.join(path, "meta.json")
+    meta = {"k": k, "n_hashes": n_hashes, "bands": bands, "id_col": id_col}
+    if mode == "append" and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f)
+        if existing != meta:
+            raise ValueError(
+                f"index at {path} was built with {existing}, got {meta}"
+            )
+    docs.select(fingerprint_md5(docs, text_col).alias("m")).distinct().write.mode(
+        mode
+    ).parquet(os.path.join(path, "md5"))
+    banded.withColumnRenamed("_id", id_col).withColumnRenamed(
+        "_n", "n_shingles"
+    ).write.mode(mode).partitionBy("band").parquet(os.path.join(path, "bands"))
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+
+def incremental_dedup_indexed(
+    spark,
+    index_path: str,
+    hist: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """:func:`incremental_dedup` against a PERSISTED index: the exact
+    tier semi-joins the stored md5 relation and the near tier joins the
+    batch's banding rows against the stored (band, bucket) relation —
+    history text is touched only for the candidate rows the banding
+    matched (id-pushdown point reads). Same verdict semantics as the
+    inline path (property-tested equal).
+
+    Parameters (k, n_hashes, bands) come from the index's meta sidecar.
+    ``hist`` supplies the candidate text lookups; at scale that read is
+    pruned to matched ids by parquet predicate pushdown.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    k, n_hashes, bands = meta["k"], meta["n_hashes"], meta["bands"]
+    rows = n_hashes // bands
+    # --- exact tier against the stored fingerprints -----------------------
+    new_md5 = new.select(
+        F.col(id_col).alias("_id"), fingerprint_md5(new, text_col).alias("m")
+    )
+    hist_md5 = spark.read.parquet(os.path.join(index_path, "md5"))
+    exact_ids = (
+        new_md5.join(hist_md5, "m", "left_semi")
+        .select("_id")
+        .withColumn("_ex", F.lit(1))
+    )
+    # --- near tier: batch banding vs stored banding -----------------------
+    sh_new = _shingle_table(new, id_col, text_col, k, None)
+    banded_new = _banded(
+        minhash_signature(sh_new, n_hashes=n_hashes, include_size=True),
+        bands,
+        rows,
+    )
+    stored = spark.read.parquet(os.path.join(index_path, "bands"))
+    left = banded_new.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
+    )
+    right = stored.select(
+        F.col(meta["id_col"]).alias("id_b"),
+        F.col("n_shingles").alias("_nb"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .select("id_a", "id_b", "_na", "_nb")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # candidate-scoped verify: shingle only the matched rows of each side
+    need_a = cand.select(F.col("id_a").alias(id_col)).distinct()
+    need_b = cand.select(F.col("id_b").alias(id_col)).distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    verify_sh = (
+        _shingle_table(
+            new.join(need_a, id_col, "left_semi"), id_col, text_col, k, None
+        )
+        .unionByName(
+            _shingle_table(
+                hist.join(need_b, id_col, "left_semi"),
+                id_col,
+                text_col,
+                k,
+                None,
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    near_ids = (
+        _jaccard_from_candidates(cand, verify_sh, threshold)
+        .select(F.col("id_a").alias("_id"))
+        .distinct()
+        .withColumn("_nr", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    verify_sh.unpersist()
+    return (
+        new.select(F.col(id_col).alias("_id"))
+        .join(exact_ids, "_id", "left")
+        .join(near_ids, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_ex") == 1, F.lit("exact"))
+            .when(F.col("_nr") == 1, F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+    )

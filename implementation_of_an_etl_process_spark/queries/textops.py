@@ -651,6 +651,30 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def incremental_dedup_indexed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same classification as `incremental_dedup_docs` but through the
+    PERSISTED dedup index (`write_dedup_index` -> md5 + band-partitioned
+    parquet relations, `incremental_dedup_indexed` probe): the
+    steady-state ingest loop where history is never re-derived per
+    batch. Same oracle — verdicts must be identical to the inline path.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    cut = int(docs.count() * 0.8)
+    hist = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+    idx = os.path.join(tempfile.gettempdir(), "implementation_of_an_etl_process_dedupidx")
+    # rebuild per call: the index derives from the current testdata
+    shutil.rmtree(idx, ignore_errors=True)
+    D.write_dedup_index(hist, idx, "doc_id", "text")
+    return D.incremental_dedup_indexed(
+        spark, idx, hist, new, "doc_id", "text"
+    ).orderBy("doc_id")
+
+
 INCREMENTAL_DEDUP_SQL = r"""
 WITH split AS (
   SELECT CAST(floor(0.8 * COUNT(*)) AS BIGINT) AS cut FROM documents
@@ -699,6 +723,7 @@ ORDER BY n.doc_id
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "incremental_dedup_docs": incremental_dedup_docs,
+    "incremental_dedup_indexed_docs": incremental_dedup_indexed_docs,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
@@ -719,6 +744,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
+    "incremental_dedup_indexed_docs": INCREMENTAL_DEDUP_SQL,
     "multimodal_ppm_decode": MULTIMODAL_PPM_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,

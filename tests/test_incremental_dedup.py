@@ -51,6 +51,75 @@ def test_exact_beats_near(spark):
     assert [(r["doc_id"], r["verdict"]) for r in out] == [(5, "exact")]
 
 
+def test_indexed_path_matches_inline(spark, tmp_path):
+    """Classifying against the persisted index must produce the same
+    verdicts as the inline hist-vs-new path."""
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        incremental_dedup_indexed,
+        write_dedup_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(0, BASE), (1, "some other words entirely here for doc one")],
+        ["doc_id", "text"],
+    )
+    near_text = BASE.rsplit(" ", 1)[0] + " CHANGED"
+    new = spark.createDataFrame(
+        [(10, BASE), (11, near_text), (12, "novel content here")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    write_dedup_index(hist, idx, "doc_id", "text")
+    inline = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup(hist, new, "doc_id", "text").collect()
+    }
+    indexed = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_indexed(
+            spark, idx, hist, new, "doc_id", "text"
+        ).collect()
+    }
+    assert indexed == inline == {10: "exact", 11: "near", 12: "novel"}
+
+
+def test_index_append_and_param_guard(spark, tmp_path):
+    """Appending a classified batch extends the index (steady-state
+    ingest loop); mismatched parameters are refused."""
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        incremental_dedup_indexed,
+        write_dedup_index,
+    )
+
+    hist = spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+    batch1 = spark.createDataFrame(
+        [(10, "batch one unique words alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    write_dedup_index(hist, idx, "doc_id", "text")
+    write_dedup_index(batch1, idx, "doc_id", "text", mode="append")
+    # batch2 duplicates a BATCH-1 doc: only findable if the append took
+    batch2 = spark.createDataFrame(
+        [(20, "batch one unique words alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    full_hist = hist.unionByName(batch1)
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_indexed(
+            spark, idx, full_hist, batch2, "doc_id", "text"
+        ).collect()
+    }
+    assert got == {20: "exact"}
+    with pytest.raises(ValueError, match="built with"):
+        write_dedup_index(
+            batch2, idx, "doc_id", "text", bands=4, mode="append"
+        )
+
+
 def test_no_history_all_novel(spark):
     hist = spark.createDataFrame(
         [], "doc_id long, text string"
