@@ -356,8 +356,151 @@ ORDER BY user_id, session_start
 """
 
 
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with stateful dedup: the documents
+    table is staged as 5 batch files (batch = floor(doc_id / ceil(n/5)),
+    mtimes ascending) and consumed by a real file-source stream with
+    ``maxFilesPerTrigger=1`` + ``availableNow``; ``foreachBatch``
+    classifies each micro-batch against the PERSISTED dedup index
+    (`operators/dedup.py::incremental_dedup_indexed`) and then appends
+    the batch to the index and the corpus store — the steady-state
+    crawl-ingest loop as an actual Structured Streaming pipeline.
+
+    Exact oracle: a doc's verdict depends only on the batches before
+    its own (batch membership is a pure function of doc_id), so DuckDB
+    recomputes all three tiers brute-force against earlier-batch docs.
+    """
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    bs = math.ceil(n / 5)
+    root = tempfile.mkdtemp(prefix="stream_ingest_")
+    stage = os.path.join(root, "incoming")
+    idx = os.path.join(root, "index")
+    store = os.path.join(root, "corpus")
+    os.makedirs(stage)
+    try:
+        # one parquet FILE per batch, mtimes ascending so the file
+        # source (oldest-first) replays them in batch order
+        t0 = 1_700_000_000
+        for b in range(5):
+            src_dir = os.path.join(root, f"tmp_{b}")
+            (
+                docs.filter(F.floor(F.col("doc_id") / bs) == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(src_dir)
+            )
+            fname = next(
+                f for f in os.listdir(src_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stage, f"batch_{b}.parquet")
+            shutil.move(os.path.join(src_dir, fname), dst)
+            os.utime(dst, (t0 + b, t0 + b))
+            shutil.rmtree(src_dir, ignore_errors=True)
+
+        verdicts: list[tuple[int, str]] = []
+        state = {"batches": 0}
+
+        def handle(batch_df, batch_id):
+            if state["batches"] == 0:
+                rows = [
+                    (r["doc_id"], "novel")
+                    for r in batch_df.select("doc_id").collect()
+                ]
+            else:
+                hist = spark.read.parquet(store)
+                rows = [
+                    (r["doc_id"], r["verdict"])
+                    for r in D.incremental_dedup_indexed(
+                        spark, idx, hist, batch_df, "doc_id", "text"
+                    ).collect()
+                ]
+            verdicts.extend(rows)
+            D.write_dedup_index(
+                batch_df,
+                idx,
+                "doc_id",
+                "text",
+                mode="append" if state["batches"] else "overwrite",
+            )
+            batch_df.write.mode("append").parquet(store)
+            state["batches"] += 1
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q)
+        assert state["batches"] == 5, f"expected 5 micro-batches, got {state['batches']}"
+        return spark.createDataFrame(
+            verdicts, "doc_id long, verdict string"
+        ).orderBy("doc_id")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAMING_INCR_DEDUP_SQL = r"""
+WITH bs AS (
+  SELECT CAST(ceil(COUNT(*) / 5.0) AS BIGINT) AS b FROM documents
+), d AS (
+  SELECT doc_id, text, CAST(floor(doc_id / b) AS BIGINT) AS batch
+  FROM documents, bs
+), ex AS (
+  SELECT a.doc_id FROM d a
+  WHERE EXISTS (
+    SELECT 1 FROM d h
+    WHERE h.batch < a.batch
+      AND md5(lower(trim(h.text))) = md5(lower(trim(a.text)))
+  )
+), toks AS (
+  SELECT doc_id, batch, regexp_split_to_array(trim(text), '\s+') AS ts
+  FROM d
+), sh AS (
+  SELECT doc_id, batch,
+         unnest(list_distinct(
+           [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+            FOR i IN range(1, len(ts) - 1)]
+         )) AS shingle
+  FROM toks WHERE len(ts) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), nearp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.batch < a.batch
+  GROUP BY 1, 2
+), near AS (
+  SELECT DISTINCT id_a AS doc_id
+  FROM nearp JOIN sizes s1 ON id_a = s1.doc_id
+             JOIN sizes s2 ON id_b = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+)
+SELECT d.doc_id,
+       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+            WHEN nr.doc_id IS NOT NULL THEN 'near'
+            ELSE 'novel' END AS verdict
+FROM d
+LEFT JOIN ex ON d.doc_id = ex.doc_id
+LEFT JOIN near nr ON d.doc_id = nr.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_incremental_dedup": streaming_incremental_dedup,
     "streaming_session_windows": streaming_session_windows,
     "streaming_tumbling_1h": streaming_tumbling_1h,
     "streaming_attribution_join": streaming_attribution_join,
@@ -366,6 +509,7 @@ QUERIES = {
 }
 ORACLES = {
     "streaming_dedup_events": STREAMING_DEDUP_SQL,
+    "streaming_incremental_dedup": STREAMING_INCR_DEDUP_SQL,
     "streaming_session_windows": STREAMING_SESSION_SQL,
     "streaming_tumbling_1h": EVENTS_TUMBLING_SQL,
     "streaming_attribution_join": STREAMING_ATTRIBUTION_SQL,
