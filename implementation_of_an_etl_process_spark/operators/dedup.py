@@ -672,6 +672,78 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def _exact_tier(
+    new: DataFrame, id_col: str, text_col: str, hist_md5: DataFrame
+) -> DataFrame:
+    """New-side ids whose normalized md5 appears in ``hist_md5`` (a
+    one-column 'm' relation) — shared by the inline and indexed paths."""
+    new_md5 = new.select(
+        F.col(id_col).alias("_id"), fingerprint_md5(new, text_col).alias("m")
+    )
+    return (
+        new_md5.join(hist_md5, "m", "left_semi")
+        .select("_id")
+        .withColumn("_ex", F.lit(1))
+    )
+
+
+def _ns_keyed(df: DataFrame, ns: int, id_col: str, text_col: str) -> DataFrame:
+    """(_k = struct(_ns, _oid), text) — ids namespaced by corpus side so
+    overlapping id values between history and batch never merge."""
+    return df.select(
+        F.struct(F.lit(ns).alias("_ns"), F.col(id_col).alias("_oid")).alias(
+            "_k"
+        ),
+        F.col(text_col),
+    )
+
+
+def _scoped_near_ids(
+    cand: DataFrame, keyed_union: DataFrame, text_col: str, k: int, threshold: float
+) -> DataFrame:
+    """Candidate-scoped verify over namespaced keys: re-shingle ONLY the
+    matched documents, exact-Jaccard them, and return the distinct
+    new-side original ids that pass — shared by both incremental
+    paths so the verify semantics cannot diverge."""
+    from pyspark.storagelevel import StorageLevel
+
+    need = (
+        cand.select(F.col("id_a").alias("_k"))
+        .union(cand.select(F.col("id_b").alias("_k")))
+        .distinct()
+    )
+    verify_sh = _shingle_table(
+        keyed_union.join(need, "_k", "left_semi"), "_k", text_col, k, None
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    near = (
+        _jaccard_from_candidates(cand, verify_sh, threshold)
+        .select(F.col("id_a._oid").alias("_id"))
+        .distinct()
+        .withColumn("_nr", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    verify_sh.unpersist()
+    return near
+
+
+def _verdicts(
+    new: DataFrame, id_col: str, exact_ids: DataFrame, near_ids: DataFrame
+) -> DataFrame:
+    """exact > near > novel, one row per new doc."""
+    return (
+        new.select(F.col(id_col).alias("_id"))
+        .join(exact_ids, "_id", "left")
+        .join(near_ids, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_ex") == 1, F.lit("exact"))
+            .when(F.col("_nr") == 1, F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+    )
+
+
 def incremental_dedup(
     hist: DataFrame,
     new: DataFrame,
@@ -709,30 +781,16 @@ def incremental_dedup(
     so a history doc and a new doc sharing an id never merge.
     """
     rows = n_hashes // bands
-    # --- exact tier -------------------------------------------------------
-    new_md5 = new.select(
-        F.col(id_col).alias("_id"), fingerprint_md5(new, text_col).alias("_m")
-    )
-    hist_md5 = hist.select(fingerprint_md5(hist, text_col).alias("_m")).distinct()
-    exact_ids = (
-        new_md5.join(hist_md5, "_m", "left_semi")
-        .select("_id")
-        .withColumn("_ex", F.lit(1))
-    )
-    # --- near tier: one signature pass over the side-namespaced union -----
-    keyed = (
-        hist.select(F.lit(0).alias("_ns"), F.col(id_col), F.col(text_col))
-        .unionByName(
-            new.select(F.lit(1).alias("_ns"), F.col(id_col), F.col(text_col))
-        )
-        .select(
-            F.struct(F.col("_ns"), F.col(id_col).alias("_oid")).alias("_k"),
-            F.col(text_col),
-        )
+    hist_md5 = hist.select(fingerprint_md5(hist, text_col).alias("m")).distinct()
+    exact_ids = _exact_tier(new, id_col, text_col, hist_md5)
+    # near tier: one signature pass over the side-namespaced union
+    keyed = _ns_keyed(hist, 0, id_col, text_col).unionByName(
+        _ns_keyed(new, 1, id_col, text_col)
     )
     sh = _shingle_table(keyed, "_k", text_col, k, None)
-    sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True)
-    banded = _banded(sig, bands, rows)
+    banded = _banded(
+        minhash_signature(sh, n_hashes=n_hashes, include_size=True), bands, rows
+    )
     left = banded.filter(F.col("_id._ns") == 1).select(
         F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
     )
@@ -745,38 +803,8 @@ def incremental_dedup(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # verify only the documents the banding actually matched
-    need = (
-        cand.select(F.col("id_a").alias("_k"))
-        .union(cand.select(F.col("id_b").alias("_k")))
-        .distinct()
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    verify_sh = _shingle_table(
-        keyed.join(need, "_k", "left_semi"), "_k", text_col, k, None
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    near_ids = (
-        _jaccard_from_candidates(cand, verify_sh, threshold)
-        .select(F.col("id_a._oid").alias("_id"))
-        .distinct()
-        .withColumn("_nr", F.lit(1))
-        .localCheckpoint(eager=True)
-    )
-    verify_sh.unpersist()
-    # --- verdicts ---------------------------------------------------------
-    return (
-        new.select(F.col(id_col).alias("_id"))
-        .join(exact_ids, "_id", "left")
-        .join(near_ids, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.when(F.col("_ex") == 1, F.lit("exact"))
-            .when(F.col("_nr") == 1, F.lit("near"))
-            .otherwise(F.lit("novel"))
-            .alias("verdict"),
-        )
-    )
+    near_ids = _scoped_near_ids(cand, keyed, text_col, k, threshold)
+    return _verdicts(new, id_col, exact_ids, near_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -818,22 +846,35 @@ def write_dedup_index(
     banded = _banded(sig, bands, rows)
     meta_path = os.path.join(path, "meta.json")
     meta = {"k": k, "n_hashes": n_hashes, "bands": bands, "id_col": id_col}
-    if mode == "append" and os.path.exists(meta_path):
+    if mode == "append":
+        # Refusing an append without a meta sidecar closes the crashed-
+        # initial-build hole: a later append can never "repair" a
+        # partial index with its own (possibly different) parameters.
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"no meta.json at {path}: index incomplete or never "
+                "built — rebuild with mode='overwrite' before appending"
+            )
         with open(meta_path) as f:
             existing = json.load(f)
         if existing != meta:
             raise ValueError(
                 f"index at {path} was built with {existing}, got {meta}"
             )
+    else:
+        # meta FIRST: a crash mid-build then leaves meta-without-data,
+        # which fails loudly at read time; the reverse ordering would
+        # leave data-without-meta, letting a mismatched append slip
+        # through the guard above.
+        os.makedirs(path, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
     docs.select(fingerprint_md5(docs, text_col).alias("m")).distinct().write.mode(
         mode
     ).parquet(os.path.join(path, "md5"))
     banded.withColumnRenamed("_id", id_col).withColumnRenamed(
         "_n", "n_shingles"
     ).write.mode(mode).partitionBy("band").parquet(os.path.join(path, "bands"))
-    os.makedirs(path, exist_ok=True)
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
 
 
 def incremental_dedup_indexed(
@@ -864,18 +905,14 @@ def incremental_dedup_indexed(
         meta = json.load(f)
     k, n_hashes, bands = meta["k"], meta["n_hashes"], meta["bands"]
     rows = n_hashes // bands
-    # --- exact tier against the stored fingerprints -----------------------
-    new_md5 = new.select(
-        F.col(id_col).alias("_id"), fingerprint_md5(new, text_col).alias("m")
-    )
+    # exact tier against the stored fingerprints
     hist_md5 = spark.read.parquet(os.path.join(index_path, "md5"))
-    exact_ids = (
-        new_md5.join(hist_md5, "m", "left_semi")
-        .select("_id")
-        .withColumn("_ex", F.lit(1))
-    )
-    # --- near tier: batch banding vs stored banding -----------------------
-    sh_new = _shingle_table(new, id_col, text_col, k, None)
+    exact_ids = _exact_tier(new, id_col, text_col, hist_md5)
+    # near tier: batch banding vs stored banding — both sides namespaced
+    # (same discipline as the inline path) so an id value present in
+    # both corpora never merges shingle sets in the verify stage
+    keyed_new = _ns_keyed(new, 1, id_col, text_col)
+    sh_new = _shingle_table(keyed_new, "_k", text_col, k, None)
     banded_new = _banded(
         minhash_signature(sh_new, n_hashes=n_hashes, include_size=True),
         bands,
@@ -886,7 +923,9 @@ def incremental_dedup_indexed(
         F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
     )
     right = stored.select(
-        F.col(meta["id_col"]).alias("id_b"),
+        F.struct(
+            F.lit(0).alias("_ns"), F.col(meta["id_col"]).alias("_oid")
+        ).alias("id_b"),
         F.col("n_shingles").alias("_nb"),
         "band",
         "bucket",
@@ -897,43 +936,6 @@ def incremental_dedup_indexed(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # candidate-scoped verify: shingle only the matched rows of each side
-    need_a = cand.select(F.col("id_a").alias(id_col)).distinct()
-    need_b = cand.select(F.col("id_b").alias(id_col)).distinct()
-    from pyspark.storagelevel import StorageLevel
-
-    verify_sh = (
-        _shingle_table(
-            new.join(need_a, id_col, "left_semi"), id_col, text_col, k, None
-        )
-        .unionByName(
-            _shingle_table(
-                hist.join(need_b, id_col, "left_semi"),
-                id_col,
-                text_col,
-                k,
-                None,
-            )
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    near_ids = (
-        _jaccard_from_candidates(cand, verify_sh, threshold)
-        .select(F.col("id_a").alias("_id"))
-        .distinct()
-        .withColumn("_nr", F.lit(1))
-        .localCheckpoint(eager=True)
-    )
-    verify_sh.unpersist()
-    return (
-        new.select(F.col(id_col).alias("_id"))
-        .join(exact_ids, "_id", "left")
-        .join(near_ids, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.when(F.col("_ex") == 1, F.lit("exact"))
-            .when(F.col("_nr") == 1, F.lit("near"))
-            .otherwise(F.lit("novel"))
-            .alias("verdict"),
-        )
-    )
+    keyed_union = keyed_new.unionByName(_ns_keyed(hist, 0, id_col, text_col))
+    near_ids = _scoped_near_ids(cand, keyed_union, text_col, k, threshold)
+    return _verdicts(new, id_col, exact_ids, near_ids)

@@ -411,6 +411,11 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = {"batches": 0}
 
         def handle(batch_df, batch_id):
+            # pin the micro-batch rows once: classification, the index
+            # append, and the corpus-store append each re-consume them
+            # (production would share the derived md5/banding relations
+            # between the probe and the append; batches here are small)
+            batch_df = batch_df.localCheckpoint(eager=True)
             if state["batches"] == 0:
                 rows = [
                     (r["doc_id"], "novel")

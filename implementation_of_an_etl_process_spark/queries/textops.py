@@ -666,13 +666,20 @@ def incremental_dedup_indexed_docs(spark: SparkSession, sf_dir: str) -> DataFram
     cut = int(docs.count() * 0.8)
     hist = docs.filter(F.col("doc_id") < cut)
     new = docs.filter(F.col("doc_id") >= cut)
-    idx = os.path.join(tempfile.gettempdir(), "implementation_of_an_etl_process_dedupidx")
-    # rebuild per call: the index derives from the current testdata
-    shutil.rmtree(idx, ignore_errors=True)
-    D.write_dedup_index(hist, idx, "doc_id", "text")
-    return D.incremental_dedup_indexed(
-        spark, idx, hist, new, "doc_id", "text"
-    ).orderBy("doc_id")
+    # private per-call dir: a fixed shared path would race a concurrent
+    # run (rmtree under its live scan) — same rule as the streaming
+    # entries' mkdtemp staging
+    idx = tempfile.mkdtemp(prefix="dedupidx_")
+    try:
+        D.write_dedup_index(hist, idx, "doc_id", "text")
+        out = D.incremental_dedup_indexed(
+            spark, idx, hist, new, "doc_id", "text"
+        ).orderBy("doc_id")
+        # materialize before the index directory disappears
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out.orderBy("doc_id")
 
 
 INCREMENTAL_DEDUP_SQL = r"""

@@ -83,6 +83,53 @@ def test_indexed_path_matches_inline(spark, tmp_path):
     assert indexed == inline == {10: "exact", 11: "near", 12: "novel"}
 
 
+def test_indexed_overlapping_ids_never_merge(spark, tmp_path):
+    """Same id value in index and batch with different texts must not
+    merge shingle sets in the indexed verify stage (mirror of the
+    inline-path namespacing guarantee)."""
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        incremental_dedup_indexed,
+        write_dedup_index,
+    )
+
+    hist = spark.createDataFrame([(7, BASE)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (7, "entirely unrelated payload with none of those words"),
+            (8, BASE),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    write_dedup_index(hist, idx, "doc_id", "text")
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_indexed(
+            spark, idx, hist, new, "doc_id", "text"
+        ).collect()
+    }
+    assert got == {7: "novel", 8: "exact"}
+
+
+def test_index_refuses_append_without_meta(spark, tmp_path):
+    """A crashed initial build (data without meta) must not be
+    'repairable' by an append with arbitrary parameters."""
+    import os
+
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        write_dedup_index,
+    )
+
+    hist = spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    write_dedup_index(hist, idx, "doc_id", "text")
+    os.remove(os.path.join(idx, "meta.json"))  # simulate the crash
+    with pytest.raises(ValueError, match="meta.json"):
+        write_dedup_index(hist, idx, "doc_id", "text", mode="append")
+
+
 def test_index_append_and_param_guard(spark, tmp_path):
     """Appending a classified batch extends the index (steady-state
     ingest loop); mismatched parameters are refused."""
