@@ -176,3 +176,95 @@ def test_distinct_counts_duplication_invariant(spark, seed):
         .collect()
     }
     assert base == dup
+
+
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta".split()),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tfidf_pair_invariants(spark, corpus):
+    """Top-k tf-idf pairs over random small corpora: cosine in (0, 1],
+    ordered ids, no NaN, pair count bounded by C(n, 2), and identical
+    texts (when both survive the df band) score exactly 1.0."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        tfidf_topk_pairs,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_topk_pairs(df, k=100, min_df=2, max_df_frac=1.0).collect()
+    n = len(rows)
+    assert len(out) <= n * (n - 1) // 2
+    texts = dict(rows)
+    for r in out:
+        assert r["doc1"] < r["doc2"]
+        c = r["cosine_q"]
+        assert c == c, "NaN cosine leaked"
+        assert 0.0 < c <= 1.0 + 1e-9
+        assert r["dot"] > 0
+        if texts[r["doc1"]].split() == texts[r["doc2"]].split():
+            assert c == 1.0
+
+
+@given(
+    hist_texts=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    new_texts=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_dedup_partitions_batch(spark, hist_texts, new_texts):
+    """Every new doc gets exactly one verdict; an exact copy of any
+    history doc is never 'novel'; verdicts are a partition of the
+    batch."""
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(hist_texts)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100 + i, " ".join(w)) for i, w in enumerate(new_texts)],
+        ["doc_id", "text"],
+    )
+    out = incremental_dedup(hist, new, "doc_id", "text").collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        100 + i for i in range(len(new_texts))
+    )
+    hist_set = {" ".join(w) for w in hist_texts}
+    for r in out:
+        assert r["verdict"] in ("exact", "near", "novel")
+        if " ".join(new_texts[r["doc_id"] - 100]) in hist_set:
+            assert r["verdict"] == "exact"
