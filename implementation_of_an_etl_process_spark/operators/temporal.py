@@ -29,14 +29,20 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tiebreak: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join (backward): append the payload of the latest
-    right row at-or-before each left row's timestamp, per ``by`` key.
+    """Left as-of join: append the payload of the nearest right row per
+    ``by`` key — ``backward`` (default) takes the LATEST right row
+    at-or-before each left timestamp, ``forward`` the EARLIEST right
+    row at-or-after it. One shuffle (the window partition) either way;
+    the direction only flips the traversal order.
 
     ``tiebreak`` must be a unique right-side column: among right rows
     sharing (by, ts) the one with the greatest tiebreak wins, making
-    results deterministic.
+    results deterministic in both directions.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = (
         right.select(
@@ -52,11 +58,16 @@ def asof_join(
         .withColumn("_side", F.lit(0))
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows order before left rows at equal ts (inclusive <=);
-    # tiebreak orders equal-ts right rows deterministically
+    # right rows order before left rows at equal ts (inclusive <= / >=);
+    # tiebreak orders equal-ts right rows deterministically. Backward
+    # walks time ascending (last non-null = latest at-or-before);
+    # forward walks it descending (last non-null = earliest at-or-after).
+    ts_order = (
+        F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    )
     w = (
         W.partitionBy(by)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_first())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_tb").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     u = u.withColumn("_payload", F.last("_payload", ignorenulls=True).over(w))

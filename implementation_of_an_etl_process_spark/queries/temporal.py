@@ -64,6 +64,61 @@ ORDER BY c.event_id
 """
 
 
+def asof_join_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every click, the value of the user's EARLIEST
+    purchase at-or-after the click (time-to-conversion feature lookup —
+    the mirror of `asof_join_events`, same one-shuffle window plan with
+    the traversal order flipped)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("purchase_value"),
+            F.max("event_id").alias("p_eid"),
+        )
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["purchase_value"],
+        tiebreak="p_eid",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce("purchase_value", F.lit(-1.0)), 6).alias(
+            "next_purchase_value"
+        ),
+    ).orderBy("event_id")
+
+
+ASOF_FORWARD_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, max_by(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), nxt AS (
+  SELECT c.event_id, min_by(p.purchase_value, p.ts) AS v
+  FROM clicks c JOIN purchases p
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+  GROUP BY c.event_id
+)
+SELECT c.event_id, c.user_id,
+       ROUND(COALESCE(n.v, -1.0), 6) AS next_purchase_value
+FROM clicks c LEFT JOIN nxt n ON c.event_id = n.event_id
+ORDER BY c.event_id
+"""
+
+
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     bands = spark.createDataFrame(
@@ -140,11 +195,13 @@ ORDER BY g.user_id, g.bucket
 
 QUERIES = {
     "asof_join_events": asof_join_events,
+    "asof_join_forward_events": asof_join_forward_events,
     "range_join_price_bands": range_join_price_bands,
     "resample_ffill_events": resample_ffill_events,
 }
 ORACLES = {
     "asof_join_events": ASOF_SQL,
+    "asof_join_forward_events": ASOF_FORWARD_SQL,
     "range_join_price_bands": RANGE_SQL,
     "resample_ffill_events": RESAMPLE_SQL,
 }

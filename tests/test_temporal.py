@@ -59,3 +59,53 @@ def test_range_join_boundaries(spark):
     # inclusive_hi: 10.0 now matches BOTH bands (boundary overlap)
     inclusive = range_join(points, bands, value_col="x", inclusive_hi=True)
     assert inclusive.filter(F.col("id") == 3).count() == 2
+
+
+def test_asof_forward_hand_computed(spark):
+    """Forward as-of picks the EARLIEST right row at-or-after each left
+    ts; equal-ts right rows resolve by greatest tiebreak; no later row
+    -> NULL payload."""
+    from implementation_of_an_etl_process_spark.operators.temporal import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 25), (3, "u", 40), (4, "v", 5)],
+        ["eid", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 100, 1), ("u", 10, 101, 2), ("u", 30, 200, 3)],
+        ["k", "t", "payload", "tb"],
+    )
+    out = {
+        r["eid"]: r["payload"]
+        for r in asof_join(
+            left,
+            right,
+            by="k",
+            left_ts="t",
+            right_ts="t",
+            payload_cols=["payload"],
+            tiebreak="tb",
+            direction="forward",
+        ).collect()
+    }
+    assert out[1] == 101  # at-or-after 10: the t=10 rows, tb=2 wins
+    assert out[2] == 200  # next is t=30
+    assert out[3] is None  # nothing at-or-after 40
+    assert out[4] is None  # key v has no right rows
+
+
+def test_asof_direction_validation(spark):
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.temporal import (
+        asof_join,
+    )
+
+    df = spark.createDataFrame([(1, "u", 1)], ["eid", "k", "t"])
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(
+            df, df, by="k", left_ts="t", right_ts="t",
+            payload_cols=["eid"], tiebreak="eid", direction="sideways",
+        )
