@@ -116,21 +116,17 @@ except ImportError:  # pragma: no cover
 
 # The driver's CORRECTNESS gate checks only the FIRST 50 entries of
 # ``queries()`` iteration order (observed: CORRECTNESS_r01-r03 are each
-# exactly 50 rows, in registration order).  Round-3 curation put a
-# representative of every family inside the cap; the round-3 verdict's
-# top item is ROTATION: accumulate driver-green rows for the 41 entries
-# that have never had one (union of CORRECTNESS_r01-r03 names = 93 of
-# 134).  This round pins 9 cross-family flagships (the reference-native
-# path, the streaming twin, the ANN recall gates whose round-4
-# distributed-KMeans rewrite must stay green, graph, pretrain) and
-# fills the remaining 41 slots with exactly the never-driver-tested
-# entries, so after a green round every battery entry has at least one
-# driver row.  Everything else follows in module order and stays
-# covered by ``tools/verify_local.py``.
+# exactly 50 rows, in registration order).  Rounds 3-4 rotated the cap
+# so the union of driver-green names reached 135 of 147
+# (CORRECTNESS_r01-r04).  Round 5 pins the same 9 cross-family
+# flagships, slots in the last 12 never-driver-tested entries, and
+# spends the remaining 29 slots re-confirming entries whose code paths
+# this round edits (LSH hot-bucket guard, streaming de-driver,
+# checkpoint audit) plus the headline bench queries.  Everything else
+# follows in module order and stays covered by
+# ``tools/verify_local.py``.
 _DRIVER_PRIORITY = [
-    # pinned flagships (9): one per hard-gate family.  q1_pricing_summary
-    # (driver-green r1-r3) ceded its slot to the round-4 PNG codec entry
-    # so the new real-compressed-decode path gets a driver row.
+    # pinned flagships (9): one per hard-gate family, green every round.
     "hypercube",
     "reference_native_path",
     "streaming_hypercube_native",
@@ -140,60 +136,54 @@ _DRIVER_PRIORITY = [
     "similarity_ivf_recall",
     "pagerank_purchases",
     "pretrain_pipeline_stats",
-    # rotation (41): every entry with no driver row in rounds 1-3
-    # -- relational long tail
-    "window_range_trailing_30d",
-    "unpivot_part_metrics",
-    "sort_offset_page_orders",
-    "set_ops_all_customers",
-    "fuzzy_match_customers",
-    "profile_orders",
-    # -- streaming entries never driver-run
-    "streaming_session_windows",
+    # round-5 rotation (12): the only battery entries with no driver row
+    # in rounds 1-4 (VERDICT r4 top item).  After a green round the
+    # driver-green union is 147/147.
+    "arrow_python_udf_reverse",
+    "map_funcs_orders",
+    "tfidf_topk_docs",
+    "source_mixture_weights",
+    "unigram_surprisal_docs",
+    "feature_moments_lineitem",
+    "parquet_schema_evolution",
+    "embedding_label_centroids",
+    "incremental_dedup_docs",
+    "incremental_dedup_indexed_docs",
+    "streaming_incremental_dedup",
+    "asof_join_forward_events",
+    # regression re-confirmation (29): entries whose code paths round 5
+    # touches (LSH hot-bucket guard, streaming de-driver, checkpoint
+    # audit) plus the headline bench queries.  All already driver-green
+    # in rounds 1-4; re-running them guards this round's edits.
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_cosine_pairs",
+    "dedup_cluster_docs",
+    "dedup_survivors",
+    "similarity_topk_cosine",
+    "similarity_ivf_topk",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier",
+    "window_topk_orders",
+    "events_sessionize",
+    "text_quality",
+    "streaming_dedup_events",
+    "streaming_tumbling_1h",
     "streaming_user_totals",
+    "streaming_session_windows",
     "streaming_sliding_15m",
-    # -- UDF surface (arrow_python_udf_reverse ceded its slot to the
-    # round-4 WAV codec entry; it rotates in next round)
-    "pandas_udf_vowels",
-    "apply_in_pandas_minmax",
-    "udtf_polymorphic_first_words",
-    # -- pretraining pipeline long tail
-    "vocab_topk_documents",
-    "shuffle_order_docs",
-    "doc_length_histogram",
-    "doc_split_counts",
-    "repetition_stats_docs",
-    "strip_urls_docs",
-    # -- source formats / layout
-    "csv_permissive_ingest",
-    "json_source_roundtrip",
-    "nested_parquet_pruned",
-    "partitioned_prune_docs",
-    "observed_write_audit",
-    # -- function surface (map_funcs_orders ceded its slot to the
-    # round-4 gzip ingest entry; it rotates in next round)
-    "math_funcs_lineitem",
-    "hll_sketch_gate",
-    # -- round-4 codec/format entries (added after the rotation was
-    # drawn up; slotted in so every r4 addition gets a driver row)
+    "streaming_attribution_join",
+    "asof_join_events",
     "multimodal_wav_decode",
-    "gzip_text_ingest",
-    # -- TPC-H shapes never driver-run (14; q3/q5/q13/q18 etc. already
-    # have driver rows from rounds 1-3)
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_relation",
-    "q17_small_quantity",
-    "q19_bracket_revenue",
-    "q20_excess_stock",
-    "q22_idle_customers",
+    "multimodal_ppm_decode",
+    "text_langid",
+    "text_token_count",
+    "text_fingerprint",
+    "pack_sequences_docs",
+    "stratified_sample_docs",
+    "paragraph_dedup_frac",
 ]
 
 
