@@ -237,6 +237,26 @@ def _jaccard_from_candidates(
     )
 
 
+def _exact_copy_members(
+    df: DataFrame, id_col: str, text_col: str, *, with_shingle_flag: int | None = None
+) -> DataFrame:
+    """(_mid, _m[, _hs]) rows: member id, raw-text md5 group key, and
+    (optionally, when ``with_shingle_flag=k``) whether the text yields
+    at least one k-shingle. Raw (un-normalized) md5 so group members
+    are guaranteed byte-identical — identical shingle sets, identical
+    Jaccard against every other document. The single definition of the
+    exact-copy group key shared by the symmetric and incremental
+    hot-bucket guards."""
+    cols = [F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_m")]
+    if with_shingle_flag is not None:
+        cols.append(
+            (F.size(word_shingles(tokens(text_col), with_shingle_flag)) >= 1).alias(
+                "_hs"
+            )
+        )
+    return spread(df).select(*cols)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -249,6 +269,7 @@ def minhash_lsh_pairs(
     max_shingle_df: int | None = None,
     persist_shingles: bool = True,
     cache_registry: list[DataFrame] | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard.
 
@@ -275,8 +296,45 @@ def minhash_lsh_pairs(
     (c) ``persist_shingles=False``, whose contract is a fully lazy,
     persistence-free plan (the scoped path requires an eager candidate
     materialization).
+
+    Hot-bucket guard (``collapse_exact``, default on): a corpus with n
+    byte-identical copies of one document puts all n in the same
+    (band, bucket) in EVERY band — the candidate self-join goes
+    quadratic (bands * n^2 rows before ``distinct``), and real crawls
+    hit exactly this (mirror farms, boilerplate pages). The guard
+    collapses each raw-md5 text group to its min-id representative
+    BEFORE shingling, runs the full LSH pipeline on representatives
+    only, then expands: intra-group member pairs are emitted directly
+    with jaccard = 1.0 (byte-identical texts; only for groups whose
+    text yields >= 1 k-shingle, matching the brute-force oracle which
+    never pairs shingle-less docs), and each representative pair
+    expands to all cross-group member pairs carrying the
+    representatives' exact jaccard (members are byte-identical to
+    their representative, so the value is exact, not approximate).
+    Semantics are therefore EXACTLY brute force; cost for the
+    degenerate corpus drops from O(bands * n^2) candidate rows +
+    shingle-verify to one md5 groupBy plus an equi-join whose output
+    is the (irreducible) pair list itself. Collapse is skipped when
+    ``max_shingle_df`` is set (global shingle document frequencies
+    must be counted over the full corpus, not representatives).
     """
     rows = n_hashes // bands
+    collapse = collapse_exact and max_shingle_df is None and threshold <= 1.0
+    members = rep_map = None
+    if collapse:
+        members = _exact_copy_members(df, id_col, text_col, with_shingle_flag=k)
+        if cache_registry is not None:
+            from pyspark.storagelevel import StorageLevel
+
+            members = members.persist(StorageLevel.MEMORY_AND_DISK)
+            cache_registry.append(members)
+        elif persist_shingles:
+            # small: (id, 32-char md5, bool) per doc
+            members = members.localCheckpoint(eager=True)
+        rep_map = members.groupBy("_m").agg(F.min("_mid").alias("_rep"))
+        df = df.join(
+            rep_map.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        )
     classic_diamond = (
         max_shingle_df is not None
         or cache_registry is not None
@@ -334,6 +392,29 @@ def minhash_lsh_pairs(
     if persist_shingles and cache_registry is None:
         out = out.localCheckpoint(eager=True)
         verify_sh.unpersist()
+    if collapse:
+        # expand representative pairs back to member pairs, and emit
+        # the intra-group (byte-identical) pairs directly
+        exp = members.join(rep_map, "_m").select("_mid", "_rep")
+        ea = exp.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("_ma"))
+        eb = exp.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("_mb"))
+        cross = (
+            out.join(ea, "id_a")
+            .join(eb, "id_b")
+            .select(
+                F.least("_ma", "_mb").alias("id_a"),
+                F.greatest("_ma", "_mb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        intra = (
+            members.filter(F.col("_hs"))
+            .select(F.col("_mid").alias("id_a"), "_m")
+            .join(members.select(F.col("_mid").alias("id_b"), "_m"), "_m")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        )
+        out = cross.unionByName(intra)
     return out
 
 
@@ -744,6 +825,32 @@ def _verdicts(
     )
 
 
+def _collapse_new_side(
+    new: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Hot-bucket guard for the incremental paths: collapse the batch's
+    byte-identical texts to min-id representatives (verdicts are a pure
+    function of text, so one classification per distinct text suffices).
+    Returns (collapsed_new, members, rep_map)."""
+    members = _exact_copy_members(new, id_col, text_col).localCheckpoint(eager=True)
+    rep_map = members.groupBy("_m").agg(F.min("_mid").alias("_rep"))
+    collapsed = new.join(
+        rep_map.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    return collapsed, members, rep_map
+
+
+def _expand_verdicts(
+    verdicts: DataFrame, members: DataFrame, rep_map: DataFrame, id_col: str
+) -> DataFrame:
+    """Broadcast each representative's verdict to its byte-identical
+    group members (inverse of :func:`_collapse_new_side`)."""
+    exp = members.join(rep_map, "_m").select("_mid", "_rep")
+    return exp.join(verdicts.withColumnRenamed(id_col, "_rep"), "_rep").select(
+        F.col("_mid").alias(id_col), "verdict"
+    )
+
+
 def incremental_dedup(
     hist: DataFrame,
     new: DataFrame,
@@ -754,6 +861,7 @@ def incremental_dedup(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Classify each NEW document against a HISTORICAL corpus — the
     crawl-ingestion production shape (reference scope ends at batch
@@ -779,8 +887,20 @@ def incremental_dedup(
     The two frames may use overlapping id values (independently
     numbered corpora): ids are namespaced internally with the side tag,
     so a history doc and a new doc sharing an id never merge.
+
+    ``collapse_exact`` (default on): byte-identical batch documents are
+    classified once via their min-id representative and the verdict
+    broadcast back to the group — a batch of n mirror copies costs one
+    classification instead of n banding probes (and avoids the
+    batch-side hot-bucket blowup; see :func:`minhash_lsh_pairs`). The
+    history side cannot go quadratic here: the banding join is
+    batch x history only, so n identical history docs cost O(n)
+    candidate rows per colliding batch representative, not O(n^2).
     """
     rows = n_hashes // bands
+    members = rep_map = None
+    if collapse_exact:
+        new, members, rep_map = _collapse_new_side(new, id_col, text_col)
     hist_md5 = hist.select(fingerprint_md5(hist, text_col).alias("m")).distinct()
     exact_ids = _exact_tier(new, id_col, text_col, hist_md5)
     # near tier: one signature pass over the side-namespaced union
@@ -804,7 +924,10 @@ def incremental_dedup(
         .localCheckpoint(eager=True)
     )
     near_ids = _scoped_near_ids(cand, keyed, text_col, k, threshold)
-    return _verdicts(new, id_col, exact_ids, near_ids)
+    out = _verdicts(new, id_col, exact_ids, near_ids)
+    if collapse_exact:
+        out = _expand_verdicts(out, members, rep_map, id_col)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -886,6 +1009,7 @@ def incremental_dedup_indexed(
     text_col: str,
     *,
     threshold: float = 0.8,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """:func:`incremental_dedup` against a PERSISTED index: the exact
     tier semi-joins the stored md5 relation and the near tier joins the
@@ -905,6 +1029,11 @@ def incremental_dedup_indexed(
         meta = json.load(f)
     k, n_hashes, bands = meta["k"], meta["n_hashes"], meta["bands"]
     rows = n_hashes // bands
+    members = rep_map = None
+    if collapse_exact:
+        # hot-bucket guard: classify one representative per distinct
+        # batch text (see incremental_dedup's docstring)
+        new, members, rep_map = _collapse_new_side(new, id_col, text_col)
     # exact tier against the stored fingerprints
     hist_md5 = spark.read.parquet(os.path.join(index_path, "md5"))
     exact_ids = _exact_tier(new, id_col, text_col, hist_md5)
@@ -938,4 +1067,7 @@ def incremental_dedup_indexed(
     )
     keyed_union = keyed_new.unionByName(_ns_keyed(hist, 0, id_col, text_col))
     near_ids = _scoped_near_ids(cand, keyed_union, text_col, k, threshold)
-    return _verdicts(new, id_col, exact_ids, near_ids)
+    out = _verdicts(new, id_col, exact_ids, near_ids)
+    if collapse_exact:
+        out = _expand_verdicts(out, members, rep_map, id_col)
+    return out

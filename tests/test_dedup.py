@@ -149,3 +149,63 @@ def test_cluster_pairs_long_chain_converges(spark):
     )
     got = {r._id: r.cluster for r in D.cluster_pairs(pairs, max_iterations=n + 1).collect()}
     assert set(got.values()) == {0}
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket guard (exact-copy collapse) — round-5
+# ---------------------------------------------------------------------------
+
+
+def test_hot_bucket_identical_corpus_completes(spark):
+    """10k byte-identical docs: without the exact-copy collapse the
+    banding self-join materializes bands*n^2 candidate rows before
+    distinct (the mirror-farm degenerate case); with it, the plan is
+    one md5 groupBy plus the irreducible pair enumeration."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    out = D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    assert out.count() == n * (n - 1) // 2
+    probe = out.filter((F.col("id_a") == 0) & (F.col("id_b") == 1)).collect()
+    assert len(probe) == 1 and probe[0].jaccard == 1.0
+
+
+def test_hot_bucket_collapse_matches_uncollapsed(spark):
+    """Mixed corpus (copy farm + near pair + unrelated): the guard must
+    be a pure plan change — identical pairs and jaccard values."""
+    rows = [(i, BASE) for i in range(20)] + [(100, NEAR), (101, OTHER)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(k=3, threshold=0.5)
+    on = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", collapse_exact=True, **kw
+        ).collect()
+    }
+    off = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", collapse_exact=False, **kw
+        ).collect()
+    }
+    assert on == off
+    assert on[(0, 19)] == 1.0  # intra-farm pair
+    assert 0.5 < on[(0, 100)] < 1.0  # farm member x near mutation
+
+
+def test_hot_bucket_shingleless_copies_not_paired(spark):
+    """Byte-identical docs shorter than k tokens yield no shingles —
+    the brute-force oracle never pairs them, so neither may the
+    collapse's intra-group emission."""
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, BASE), (4, BASE)],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.8
+        ).collect()
+    }
+    assert pairs == {(3, 4)}

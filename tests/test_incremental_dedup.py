@@ -209,3 +209,28 @@ def test_batch_never_compared_to_itself(spark):
         for r in incremental_dedup(hist, new, "doc_id", "text").collect()
     }
     assert got == {1: "novel", 2: "novel"}
+
+
+def test_incremental_collapse_matches_uncollapsed(spark):
+    """Batch-side exact-copy collapse is a pure plan change: verdicts
+    per doc identical with the guard on and off."""
+    hist = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    rows = [(i, BASE) for i in range(10, 30)] + [
+        (50, "completely novel content nine eight seven six five four")
+    ]
+    new = spark.createDataFrame(rows, ["doc_id", "text"])
+    on = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup(
+            hist, new, "doc_id", "text", collapse_exact=True
+        ).collect()
+    }
+    off = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup(
+            hist, new, "doc_id", "text", collapse_exact=False
+        ).collect()
+    }
+    assert on == off
+    assert all(on[i] == "exact" for i in range(10, 30))
+    assert on[50] == "novel"
