@@ -143,6 +143,31 @@ def _verify_pairs_exact(sh: DataFrame, cand: DataFrame | None, threshold: float)
     )
 
 
+def banding_sensitive_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    lo: float = 0.07,
+    hi: float = 0.9,
+) -> DataFrame:
+    """True pairs whose exact Jaccard falls in (lo, hi) — the window
+    where the battery's exactness gates are probabilistically exposed:
+    below-but-near-threshold pairs say nothing (verify excludes them
+    exactly), but a true pair at s just above the 0.8 threshold is
+    missed by 32x8 banding with probability (1-s^4)^8 (1.5e-2 at
+    s=0.80, 1.9e-4 at s=0.90). The gates are stable because the
+    shipped corpus has NO pair in this window (lowest above-threshold
+    pair sits at J=0.90); ``tests/test_dedup.py`` asserts that with
+    this function so a regenerated corpus that breaks the assumption
+    fails loudly instead of making the LSH entries intermittently
+    flaky. Brute-force — test-scale use only.
+    """
+    sh = _shingle_table(df, id_col, text_col, k, None)
+    return _verify_pairs_exact(sh, None, lo).filter(F.col("jaccard") < hi)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -959,6 +984,14 @@ def write_dedup_index(
     sidecar pins (k, n_hashes, bands); classification refuses an index
     built with different parameters, since bucket hashes would silently
     never collide.
+
+    Torn-append guard: an append spans two parquet relations (md5,
+    bands), so a crash between them would leave a batch in the exact
+    tier but not the near tier. A ``_pending_append`` marker is written
+    before the first relation write and removed after the last; both
+    later appends and classification reads refuse an index whose marker
+    is still present (repair path: rebuild with ``mode="overwrite"``,
+    which clears the marker).
     """
     import json
     import os
@@ -968,8 +1001,10 @@ def write_dedup_index(
     sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True)
     banded = _banded(sig, bands, rows)
     meta_path = os.path.join(path, "meta.json")
+    pending_path = os.path.join(path, "_pending_append")
     meta = {"k": k, "n_hashes": n_hashes, "bands": bands, "id_col": id_col}
     if mode == "append":
+        _check_no_pending_append(path)
         # Refusing an append without a meta sidecar closes the crashed-
         # initial-build hole: a later append can never "repair" a
         # partial index with its own (possibly different) parameters.
@@ -990,14 +1025,35 @@ def write_dedup_index(
         # leave data-without-meta, letting a mismatched append slip
         # through the guard above.
         os.makedirs(path, exist_ok=True)
+        # a fresh overwrite repairs any earlier torn append
+        if os.path.exists(pending_path):
+            os.remove(pending_path)
         with open(meta_path, "w") as f:
             json.dump(meta, f)
+    if mode == "append":
+        with open(pending_path, "w") as f:
+            f.write("append in progress\n")
     docs.select(fingerprint_md5(docs, text_col).alias("m")).distinct().write.mode(
         mode
     ).parquet(os.path.join(path, "md5"))
     banded.withColumnRenamed("_id", id_col).withColumnRenamed(
         "_n", "n_shingles"
     ).write.mode(mode).partitionBy("band").parquet(os.path.join(path, "bands"))
+    if mode == "append":
+        os.remove(pending_path)
+
+
+def _check_no_pending_append(index_path: str) -> None:
+    """Refuse an index whose last append never completed — the md5 and
+    bands relations may disagree on which batches they contain."""
+    import os
+
+    if os.path.exists(os.path.join(index_path, "_pending_append")):
+        raise ValueError(
+            f"index at {index_path} has a torn append (_pending_append "
+            "marker present): a previous append crashed between the md5 "
+            "and bands writes — rebuild with mode='overwrite'"
+        )
 
 
 def incremental_dedup_indexed(
@@ -1025,6 +1081,7 @@ def incremental_dedup_indexed(
     import json
     import os
 
+    _check_no_pending_append(index_path)
     with open(os.path.join(index_path, "meta.json")) as f:
         meta = json.load(f)
     k, n_hashes, bands = meta["k"], meta["n_hashes"], meta["bands"]

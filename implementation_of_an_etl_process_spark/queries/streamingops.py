@@ -360,7 +360,8 @@ ORDER BY user_id, session_start
 
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus ingestion with stateful dedup: the documents
-    table is staged as 5 batch files (batch = floor(doc_id / ceil(n/5)),
+    table is staged as 5 batch files (batch = ntile(5) over doc_id
+    order — robust to 1-based or sparse ids, unlike floor(doc_id/bs);
     mtimes ascending) and consumed by a real file-source stream with
     ``maxFilesPerTrigger=1`` + ``availableNow``; ``foreachBatch``
     classifies each micro-batch against the PERSISTED dedup index
@@ -368,33 +369,46 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch to the index and the corpus store — the steady-state
     crawl-ingest loop as an actual Structured Streaming pipeline.
 
+    Driver-free data path: per-batch verdicts are APPENDED TO A PARQUET
+    SINK inside ``foreachBatch`` (the production pattern — the verdict
+    stream is itself a table) and the returned frame reads that sink;
+    verdict rows never accumulate on the driver.
+
     Exact oracle: a doc's verdict depends only on the batches before
-    its own (batch membership is a pure function of doc_id), so DuckDB
-    recomputes all three tiers brute-force against earlier-batch docs.
+    its own (batch membership is a pure function of the doc_id order),
+    so DuckDB recomputes all three tiers brute-force against
+    earlier-batch docs using the same NTILE(5) assignment.
     """
-    import math
     import os
     import shutil
     import tempfile
 
+    from pyspark.sql import Window
+
     from implementation_of_an_etl_process_spark.operators import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n = docs.count()
-    bs = math.ceil(n / 5)
     root = tempfile.mkdtemp(prefix="stream_ingest_")
     stage = os.path.join(root, "incoming")
     idx = os.path.join(root, "index")
     store = os.path.join(root, "corpus")
+    sink = os.path.join(root, "verdicts")
     os.makedirs(stage)
     try:
         # one parquet FILE per batch, mtimes ascending so the file
-        # source (oldest-first) replays them in batch order
+        # source (oldest-first) replays them in batch order. The
+        # single-partition ntile window is STAGING-ONLY code (slicing a
+        # test table into arrival batches); production batches arrive
+        # by time and never need it.
+        batched = docs.withColumn(
+            "_batch", F.ntile(5).over(Window.orderBy("doc_id")) - 1
+        ).localCheckpoint(eager=True)
         t0 = 1_700_000_000
         for b in range(5):
             src_dir = os.path.join(root, f"tmp_{b}")
             (
-                docs.filter(F.floor(F.col("doc_id") / bs) == b)
+                batched.filter(F.col("_batch") == b)
+                .drop("_batch")
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(src_dir)
@@ -407,7 +421,6 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (t0 + b, t0 + b))
             shutil.rmtree(src_dir, ignore_errors=True)
 
-        verdicts: list[tuple[int, str]] = []
         state = {"batches": 0}
 
         def handle(batch_df, batch_id):
@@ -417,19 +430,15 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # between the probe and the append; batches here are small)
             batch_df = batch_df.localCheckpoint(eager=True)
             if state["batches"] == 0:
-                rows = [
-                    (r["doc_id"], "novel")
-                    for r in batch_df.select("doc_id").collect()
-                ]
+                verdicts = batch_df.select(
+                    "doc_id", F.lit("novel").alias("verdict")
+                )
             else:
                 hist = spark.read.parquet(store)
-                rows = [
-                    (r["doc_id"], r["verdict"])
-                    for r in D.incremental_dedup_indexed(
-                        spark, idx, hist, batch_df, "doc_id", "text"
-                    ).collect()
-                ]
-            verdicts.extend(rows)
+                verdicts = D.incremental_dedup_indexed(
+                    spark, idx, hist, batch_df, "doc_id", "text"
+                )
+            verdicts.write.mode("append").parquet(sink)
             D.write_dedup_index(
                 batch_df,
                 idx,
@@ -450,19 +459,22 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         await_or_raise(q)
         assert state["batches"] == 5, f"expected 5 micro-batches, got {state['batches']}"
-        return spark.createDataFrame(
-            verdicts, "doc_id long, verdict string"
-        ).orderBy("doc_id")
+        # pin the sink's rows into Spark-managed local storage before
+        # the tempdir is removed; the sort stays lazy on top
+        return (
+            spark.read.parquet(sink)
+            .select(F.col("doc_id").cast("long"), "verdict")
+            .localCheckpoint(eager=True)
+            .orderBy("doc_id")
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
 STREAMING_INCR_DEDUP_SQL = r"""
-WITH bs AS (
-  SELECT CAST(ceil(COUNT(*) / 5.0) AS BIGINT) AS b FROM documents
-), d AS (
-  SELECT doc_id, text, CAST(floor(doc_id / b) AS BIGINT) AS batch
-  FROM documents, bs
+WITH d AS (
+  SELECT doc_id, text, NTILE(5) OVER (ORDER BY doc_id) - 1 AS batch
+  FROM documents
 ), ex AS (
   SELECT a.doc_id FROM d a
   WHERE EXISTS (

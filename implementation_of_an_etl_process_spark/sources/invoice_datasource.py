@@ -299,20 +299,20 @@ class InvoiceBinaryArrowWriter(DataSourceArrowWriter):
         return _InvoicePartFile(tmp, os.path.join(self.dir, name))
 
     def commit(self, messages):
-        # Crash-safe ordering: (1) drop _SUCCESS so any crash inside
-        # this window leaves the directory visibly uncommitted (the
-        # reader refuses part-files without the marker), (2) rename the
-        # new uuid-named parts into place (no collision with old
-        # names), (3) only THEN retire the previous output, (4) restore
-        # _SUCCESS. A crash at any point leaves at least one complete
-        # generation of data on disk — the old destructive-first order
-        # had a window with neither old nor new data complete.
+        # Crash-safe ordering: (1) drop _SUCCESS — UNCONDITIONALLY, so
+        # a crash inside this window leaves the directory visibly
+        # uncommitted in append mode too (a partial append alongside a
+        # stale marker would otherwise be silently read back), (2)
+        # rename the new uuid-named parts into place (no collision with
+        # old names), (3) only THEN retire the previous output when
+        # overwriting, (4) restore _SUCCESS. A crash at any point
+        # leaves the directory either complete-and-marked or
+        # visibly uncommitted — never partially-committed-and-marked.
         success = os.path.join(self.dir, "_SUCCESS")
-        if self.overwrite:
-            try:
-                os.remove(success)
-            except OSError:
-                pass
+        try:
+            os.remove(success)
+        except OSError:
+            pass
         for m in messages:
             os.rename(m.tmp, m.final)
         if self.overwrite:

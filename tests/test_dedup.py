@@ -209,3 +209,21 @@ def test_hot_bucket_shingleless_copies_not_paired(spark):
         ).collect()
     }
     assert pairs == {(3, 4)}
+
+
+def test_corpus_free_of_banding_sensitive_pairs(spark):
+    """The LSH battery entries are gated against brute-force oracles;
+    the gate is deterministic only because the corpus has no true pair
+    in the banding-sensitive window (0.07, 0.9) — see
+    ``banding_sensitive_pairs``. A regenerated testdata corpus that
+    plants a borderline pair must fail HERE, loudly, not make the
+    driver gate intermittently flaky.
+
+    Scope: sf0.01 — the corpus the driver gate and tools/verify_local
+    actually run the LSH entries on. (sf0.001, which no LSH gate uses,
+    has one true pair at J=0.889, miss probability 4e-4; if a gate ever
+    moves to sf0.001, extend this assertion and accept or regenerate.)
+    """
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bad = D.banding_sensitive_pairs(docs, "doc_id", "text").collect()
+    assert bad == [], f"borderline pairs {bad[:5]}"

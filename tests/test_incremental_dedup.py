@@ -234,3 +234,33 @@ def test_incremental_collapse_matches_uncollapsed(spark):
     assert on == off
     assert all(on[i] == "exact" for i in range(10, 30))
     assert on[50] == "novel"
+
+
+def test_torn_append_refused(spark, tmp_path):
+    """A crash between the md5 and bands appends leaves the
+    _pending_append marker; later appends and classification reads must
+    refuse the index until it is rebuilt with overwrite."""
+    import os
+
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        incremental_dedup_indexed,
+        write_dedup_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    write_dedup_index(docs, idx, "doc_id", "text")
+    # simulate the torn state
+    with open(os.path.join(idx, "_pending_append"), "w") as f:
+        f.write("append in progress\n")
+    with pytest.raises(ValueError, match="torn append"):
+        write_dedup_index(docs, idx, "doc_id", "text", mode="append")
+    with pytest.raises(ValueError, match="torn append"):
+        incremental_dedup_indexed(spark, idx, docs, docs, "doc_id", "text")
+    # overwrite repairs
+    write_dedup_index(docs, idx, "doc_id", "text")
+    assert not os.path.exists(os.path.join(idx, "_pending_append"))
+    out = incremental_dedup_indexed(spark, idx, docs, docs, "doc_id", "text")
+    assert [r.verdict for r in out.collect()] == ["exact"]
