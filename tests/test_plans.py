@@ -200,3 +200,42 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_packed_cube_plan_shape(spark):
+    """The packed single-int64-key reference cube (the committed 1.46x
+    full-scale result, `operators/hypercube.py::_packed_reference_cube`)
+    must keep its plan: 2 broadcast map joins, no SMJ/Expand, exactly
+    one hash-partition exchange per aggregation level — each keyed on
+    the ONE packed long — and a single range exchange for the final
+    sort on that long. The sample invoices arrive single-partition
+    (exchanges would be elided), so repartition(4) models the at-scale
+    multi-partition input the exchange requirements come from."""
+    import os
+    import re
+
+    from implementation_of_an_etl_process_spark.operators import (
+        reference_hypercube,
+    )
+    from implementation_of_an_etl_process_spark.sources import (
+        read_clients,
+        read_contracts,
+        read_invoices_bin,
+    )
+    from tests.conftest import REF_SAMPLE
+
+    clients = read_clients(spark, os.path.join(REF_SAMPLE, "clients.csv"))
+    contracts = read_contracts(spark, os.path.join(REF_SAMPLE, "contracts.csv"))
+    invoices = read_invoices_bin(
+        spark, os.path.join(REF_SAMPLE, "invoices.bin")
+    ).repartition(4)
+    plan = explain_str(reference_hypercube(clients, contracts, invoices, packed=True))
+    assert plan.count("BroadcastHashJoin Inner") == 2
+    assert "SortMergeJoin" not in plan
+    assert "Expand" not in plan
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)#\d+L?, \d+\)", plan)
+    assert keys == ["k1", "k2", "kf"], keys
+    for k in ("k1", "k2", "kf"):
+        # partial + final aggregate both hash a single long key
+        assert plan.count(f"Keys [1]: [{k}#") == 2, (k, plan)
+    assert plan.count("rangepartitioning") == 1
