@@ -41,8 +41,42 @@ HEADLINE = [
     "similarity_topk_cosine",
 ]
 
+# ``bench.py --tpch``: interleaved min-of-N floors for ALL 22 TPC-H
+# shapes, so a plan regression in the long tail is visible — the
+# headline suite covers only 4 of them. Committed floors live in
+# BASELINE_NOTES.md; the driver's per-round BENCH_r{N}.json stays the
+# default headline suite.
+TPCH = [
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_orders",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_relation",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_bracket_revenue",
+    "q20_excess_stock",
+    "q21_waiting_orders",
+    "q22_idle_customers",
+]
+
 
 def main() -> None:
+    if "--tpch" in sys.argv:
+        suite, metric = TPCH, "tpch_suite_seconds"
+    else:
+        suite, metric = HEADLINE, "headline_suite_seconds"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
 
@@ -65,23 +99,23 @@ def main() -> None:
 
     rounds = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
     timings: dict[str, float | None] = {}
-    timings["_warmup"] = run(HEADLINE[0])  # JVM/codegen warmup, reported apart
+    timings["_warmup"] = run(suite[0])  # JVM/codegen warmup, reported apart
 
     # interleaved passes: each query's first pass additionally pays its
     # per-plan codegen compilation, which the min also discards
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in suite}
     pass_totals: list[float | None] = []
     for _ in range(rounds):
         pass_ok = True
         t_pass = time.monotonic()
-        for name in HEADLINE:
+        for name in suite:
             t = run(name)
             if t is None:
                 pass_ok = False
             else:
                 samples[name].append(t)
         pass_totals.append(round(time.monotonic() - t_pass, 3) if pass_ok else None)
-    for name in HEADLINE:
+    for name in suite:
         timings[name] = min(samples[name]) if samples[name] else None
     timings["_pass_totals"] = pass_totals  # type: ignore[assignment]
     timings["_rounds"] = rounds  # type: ignore[assignment]
@@ -92,7 +126,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_suite_seconds",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -354,8 +354,10 @@ def minhash_lsh_pairs(
             members = members.persist(StorageLevel.MEMORY_AND_DISK)
             cache_registry.append(members)
         elif persist_shingles:
-            # small: (id, 32-char md5, bool) per doc
-            members = members.localCheckpoint(eager=True)
+            # small: (id, 32-char md5, bool) per doc. Non-eager: no
+            # extra synchronous job — materialized by whichever action
+            # touches it first, reused by the rest.
+            members = members.localCheckpoint(eager=False)
         rep_map = members.groupBy("_m").agg(F.min("_mid").alias("_rep"))
         df = df.join(
             rep_map.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
@@ -857,7 +859,8 @@ def _collapse_new_side(
     byte-identical texts to min-id representatives (verdicts are a pure
     function of text, so one classification per distinct text suffices).
     Returns (collapsed_new, members, rep_map)."""
-    members = _exact_copy_members(new, id_col, text_col).localCheckpoint(eager=True)
+    # non-eager: no extra synchronous job per ingest batch
+    members = _exact_copy_members(new, id_col, text_col).localCheckpoint(eager=False)
     rep_map = members.groupBy("_m").agg(F.min("_mid").alias("_rep"))
     collapsed = new.join(
         rep_map.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
