@@ -180,7 +180,7 @@ _DRIVER_PRIORITY = [
     "multimodal_ppm_decode",
     "text_langid",
     "text_token_count",
-    "text_fingerprint",
+    "dedup_hot_bucket_farm",
     "pack_sequences_docs",
     "stratified_sample_docs",
     "paragraph_dedup_frac",

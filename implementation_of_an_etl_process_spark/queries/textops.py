@@ -218,6 +218,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def dedup_hot_bucket_farm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mirror-farm degenerate case under the exact oracle: the
+    documents table plus 200 byte-identical copies of its first text
+    (ids 1_000_000+i). Every copy lands in the same (band, bucket) in
+    every band — without the exact-copy collapse guard
+    (operators/dedup.py::minhash_lsh_pairs) the candidate join is
+    bands * 200^2 rows; with it, the intra-group pairs are enumerated
+    directly and the representatives go through normal LSH. The DuckDB
+    oracle builds the identical farm and brute-forces Jaccard, so both
+    the intra-group (jaccard = 1.0) emission and the cross-group
+    expansion are value-gated."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seed = docs.orderBy("doc_id").limit(1).select("text")
+    farm = (
+        spark.range(200)
+        .crossJoin(F.broadcast(seed))
+        .select((F.col("id") + 1_000_000).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(farm)
+    return D.minhash_lsh_pairs(
+        corpus, "doc_id", "text", k=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+_FARM_PRELUDE = """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 1000000 + i AS doc_id,
+         (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
+  FROM range(200) t(i)
+),"""
+
+HOT_BUCKET_FARM_SQL = _JACCARD_ORACLE.replace("FROM documents", "FROM corpus").replace(
+    "WITH", _FARM_PRELUDE, 1
+)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully oracle-checked: signatures use the md5-derived portable
     64-bit token hash, and the DuckDB oracle rebuilds the signature
@@ -740,6 +777,7 @@ QUERIES = {
     "text_langid": text_langid,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_hot_bucket_farm": dedup_hot_bucket_farm,
     "dedup_simhash": dedup_simhash,
     "dedup_cluster_docs": dedup_cluster_docs,
     "dedup_survivors": dedup_survivors,
@@ -761,6 +799,7 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
+    "dedup_hot_bucket_farm": HOT_BUCKET_FARM_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
     "dedup_survivors": _DEDUP_SURVIVORS_SQL,
