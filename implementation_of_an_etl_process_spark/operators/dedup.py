@@ -282,6 +282,48 @@ def _exact_copy_members(
     return spread(df).select(*cols)
 
 
+def _dup_member_map(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    with_shingle_flag: int | None = None,
+    lazy: bool = False,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(_m, _mid, _rep[, _ghs]) rows for documents in MULTI-member
+    byte-identical text groups only — the corpus-proportional state of
+    the hot-bucket guard. Singleton groups (the overwhelming majority
+    of any corpus) never appear here: their docs pass through the LSH
+    pipeline and the pair expansion untouched (left-join miss =
+    identity), so the guard costs one md5 aggregate plus joins sized by
+    the number of exact-duplicate docs, NOT by the corpus. The
+    materialized map is small by the same argument, so AQE plans the
+    downstream joins as broadcasts at runtime."""
+    members = _exact_copy_members(
+        df, id_col, text_col, with_shingle_flag=with_shingle_flag
+    )
+    aggs = [F.min("_mid").alias("_rep"), F.count(F.lit(1)).alias("_gs")]
+    if with_shingle_flag is not None:
+        # group-constant (texts are byte-identical): any row's value is
+        # THE group's value
+        aggs.append(F.first("_hs").alias("_ghs"))
+    groups = members.groupBy("_m").agg(*aggs).filter(F.col("_gs") >= 2)
+    cols = ["_m", "_mid", "_rep"] + (
+        ["_ghs"] if with_shingle_flag is not None else []
+    )
+    dup = members.join(groups, "_m").select(*cols)
+    if lazy:
+        # fully-lazy caller contracts (cache_registry / no persistence)
+        if cache_registry is not None:
+            from pyspark.storagelevel import StorageLevel
+
+            dup = dup.persist(StorageLevel.MEMORY_AND_DISK)
+            cache_registry.append(dup)
+        return dup
+    return dup.localCheckpoint(eager=True)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -345,23 +387,22 @@ def minhash_lsh_pairs(
     """
     rows = n_hashes // bands
     collapse = collapse_exact and max_shingle_df is None and threshold <= 1.0
-    members = rep_map = None
+    dup_members = None
     if collapse:
-        members = _exact_copy_members(df, id_col, text_col, with_shingle_flag=k)
-        if cache_registry is not None:
-            from pyspark.storagelevel import StorageLevel
-
-            members = members.persist(StorageLevel.MEMORY_AND_DISK)
-            cache_registry.append(members)
-        elif persist_shingles:
-            # small: (id, 32-char md5, bool) per doc. Non-eager: no
-            # extra synchronous job — materialized by whichever action
-            # touches it first, reused by the rest.
-            members = members.localCheckpoint(eager=False)
-        rep_map = members.groupBy("_m").agg(F.min("_mid").alias("_rep"))
-        df = df.join(
-            rep_map.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        dup_members = _dup_member_map(
+            df,
+            id_col,
+            text_col,
+            with_shingle_flag=k,
+            lazy=(cache_registry is not None or not persist_shingles),
+            cache_registry=cache_registry,
         )
+        # drop the NON-representative duplicate docs; everything else
+        # (singletons + one rep per dup group) flows through unchanged
+        non_reps = dup_members.filter(F.col("_mid") != F.col("_rep")).select(
+            F.col("_mid").alias(id_col)
+        )
+        df = df.join(non_reps, id_col, "left_anti")
     classic_diamond = (
         max_shingle_df is not None
         or cache_registry is not None
@@ -420,24 +461,35 @@ def minhash_lsh_pairs(
         out = out.localCheckpoint(eager=True)
         verify_sh.unpersist()
     if collapse:
-        # expand representative pairs back to member pairs, and emit
-        # the intra-group (byte-identical) pairs directly
-        exp = members.join(rep_map, "_m").select("_mid", "_rep")
-        ea = exp.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("_ma"))
-        eb = exp.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("_mb"))
+        # expand representative pairs back to member pairs (left-join
+        # miss = singleton = identity), and emit the intra-group
+        # (byte-identical, jaccard exactly 1.0) pairs directly — both
+        # joins are against the small dup-group map
+        ea = dup_members.select(
+            F.col("_rep").alias("id_a"), F.col("_mid").alias("_ma")
+        )
+        eb = dup_members.select(
+            F.col("_rep").alias("id_b"), F.col("_mid").alias("_mb")
+        )
         cross = (
-            out.join(ea, "id_a")
-            .join(eb, "id_b")
+            out.join(ea, "id_a", "left")
+            .join(eb, "id_b", "left")
             .select(
-                F.least("_ma", "_mb").alias("id_a"),
-                F.greatest("_ma", "_mb").alias("id_b"),
+                F.least(
+                    F.coalesce(F.col("_ma"), F.col("id_a")),
+                    F.coalesce(F.col("_mb"), F.col("id_b")),
+                ).alias("id_a"),
+                F.greatest(
+                    F.coalesce(F.col("_ma"), F.col("id_a")),
+                    F.coalesce(F.col("_mb"), F.col("id_b")),
+                ).alias("id_b"),
                 "jaccard",
             )
         )
         intra = (
-            members.filter(F.col("_hs"))
-            .select(F.col("_mid").alias("id_a"), "_m")
-            .join(members.select(F.col("_mid").alias("id_b"), "_m"), "_m")
+            dup_members.filter(F.col("_ghs"))
+            .select("_m", F.col("_mid").alias("id_a"))
+            .join(dup_members.select("_m", F.col("_mid").alias("id_b")), "_m")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
         )
@@ -854,29 +906,36 @@ def _verdicts(
 
 def _collapse_new_side(
     new: DataFrame, id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Hot-bucket guard for the incremental paths: collapse the batch's
-    byte-identical texts to min-id representatives (verdicts are a pure
-    function of text, so one classification per distinct text suffices).
-    Returns (collapsed_new, members, rep_map)."""
-    # non-eager: no extra synchronous job per ingest batch
-    members = _exact_copy_members(new, id_col, text_col).localCheckpoint(eager=False)
-    rep_map = members.groupBy("_m").agg(F.min("_mid").alias("_rep"))
-    collapsed = new.join(
-        rep_map.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+) -> tuple[DataFrame, DataFrame]:
+    """Hot-bucket guard for the incremental paths: drop the batch's
+    non-representative byte-identical copies (verdicts are a pure
+    function of text, so one classification per distinct text
+    suffices). Returns (collapsed_new, dup_members) — dup_members is
+    the small multi-member-group map from :func:`_dup_member_map`."""
+    dup_members = _dup_member_map(new, id_col, text_col)
+    non_reps = dup_members.filter(F.col("_mid") != F.col("_rep")).select(
+        F.col("_mid").alias(id_col)
     )
-    return collapsed, members, rep_map
+    return new.join(non_reps, id_col, "left_anti"), dup_members
 
 
 def _expand_verdicts(
-    verdicts: DataFrame, members: DataFrame, rep_map: DataFrame, id_col: str
+    verdicts: DataFrame, dup_members: DataFrame, id_col: str
 ) -> DataFrame:
-    """Broadcast each representative's verdict to its byte-identical
-    group members (inverse of :func:`_collapse_new_side`)."""
-    exp = members.join(rep_map, "_m").select("_mid", "_rep")
-    return exp.join(verdicts.withColumnRenamed(id_col, "_rep"), "_rep").select(
-        F.col("_mid").alias(id_col), "verdict"
+    """Give each dropped duplicate its representative's verdict
+    (inverse of :func:`_collapse_new_side`); representatives and
+    singletons are already present in ``verdicts``."""
+    extra = (
+        verdicts.withColumnRenamed(id_col, "_rep")
+        .join(
+            dup_members.filter(F.col("_mid") != F.col("_rep")).select(
+                "_mid", "_rep"
+            ),
+            "_rep",
+        )
+        .select(F.col("_mid").alias(id_col), "verdict")
     )
+    return verdicts.unionByName(extra)
 
 
 def incremental_dedup(
@@ -926,9 +985,9 @@ def incremental_dedup(
     candidate rows per colliding batch representative, not O(n^2).
     """
     rows = n_hashes // bands
-    members = rep_map = None
+    dup_members = None
     if collapse_exact:
-        new, members, rep_map = _collapse_new_side(new, id_col, text_col)
+        new, dup_members = _collapse_new_side(new, id_col, text_col)
     hist_md5 = hist.select(fingerprint_md5(hist, text_col).alias("m")).distinct()
     exact_ids = _exact_tier(new, id_col, text_col, hist_md5)
     # near tier: one signature pass over the side-namespaced union
@@ -954,7 +1013,7 @@ def incremental_dedup(
     near_ids = _scoped_near_ids(cand, keyed, text_col, k, threshold)
     out = _verdicts(new, id_col, exact_ids, near_ids)
     if collapse_exact:
-        out = _expand_verdicts(out, members, rep_map, id_col)
+        out = _expand_verdicts(out, dup_members, id_col)
     return out
 
 
@@ -1089,11 +1148,11 @@ def incremental_dedup_indexed(
         meta = json.load(f)
     k, n_hashes, bands = meta["k"], meta["n_hashes"], meta["bands"]
     rows = n_hashes // bands
-    members = rep_map = None
+    dup_members = None
     if collapse_exact:
         # hot-bucket guard: classify one representative per distinct
         # batch text (see incremental_dedup's docstring)
-        new, members, rep_map = _collapse_new_side(new, id_col, text_col)
+        new, dup_members = _collapse_new_side(new, id_col, text_col)
     # exact tier against the stored fingerprints
     hist_md5 = spark.read.parquet(os.path.join(index_path, "md5"))
     exact_ids = _exact_tier(new, id_col, text_col, hist_md5)
@@ -1129,5 +1188,5 @@ def incremental_dedup_indexed(
     near_ids = _scoped_near_ids(cand, keyed_union, text_col, k, threshold)
     out = _verdicts(new, id_col, exact_ids, near_ids)
     if collapse_exact:
-        out = _expand_verdicts(out, members, rep_map, id_col)
+        out = _expand_verdicts(out, dup_members, id_col)
     return out
