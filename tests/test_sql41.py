@@ -126,9 +126,10 @@ def test_driver_first50_covers_every_family():
     first50 = list(e.queries())[:50]
     from implementation_of_an_etl_process_spark.queries import _DRIVER_PRIORITY
 
-    # Round-4 rotation: the first 50 must be EXACTLY the curated list —
-    # 9 cross-family flagships + every entry that had no driver row in
-    # rounds 1-3 + the round-4 codec additions (see _DRIVER_PRIORITY).
+    # Round-5 rotation: the first 50 must be EXACTLY the curated list —
+    # 9 cross-family flagships + the last 12 never-driver-tested
+    # entries + 29 re-confirmations of this round's touched code paths
+    # (see _DRIVER_PRIORITY).
     assert first50 == _DRIVER_PRIORITY, (
         "driver gate drifted from the curated rotation: "
         f"{set(first50) ^ set(_DRIVER_PRIORITY)}"
@@ -140,16 +141,17 @@ def test_driver_first50_covers_every_family():
         "streaming_hypercube_native",  # incremental streaming twin
         "multimodal_png_decode",  # multimodal: real compressed decode
         "dedup_minhash_lsh",  # near-dup dedup
+        "dedup_hot_bucket_farm",  # round-5 mirror-farm guard
         "similarity_pq_recall",  # ANN recall gate (distributed KMeans)
         "similarity_ivf_recall",  # ANN recall gate
         "pagerank_purchases",  # graph
         "pretrain_pipeline_stats",  # composed pretraining pass
         "streaming_session_windows",  # structured streaming
-        "csv_permissive_ingest",  # source formats
-        "udtf_polymorphic_first_words",  # UDF/UDTF surface
-        "q2_min_cost_supplier",  # tpch join shapes
-        "multimodal_wav_decode",  # round-4 audio codec
-        "gzip_text_ingest",  # round-4 compressed ingest
+        "streaming_incremental_dedup",  # streaming ingest vs index
+        "parquet_schema_evolution",  # source formats
+        "arrow_python_udf_reverse",  # UDF surface
+        "q1_pricing_summary",  # tpch join shapes
+        "multimodal_wav_decode",  # audio codec
     }
     missing = family_reps - set(first50)
     assert not missing, f"families fell past the driver's 50-entry cap: {missing}"
