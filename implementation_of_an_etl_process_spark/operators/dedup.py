@@ -1062,47 +1062,62 @@ def write_dedup_index(
     sh = _shingle_table(docs, id_col, text_col, k, None)
     sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True)
     banded = _banded(sig, bands, rows)
-    meta_path = os.path.join(path, "meta.json")
-    pending_path = os.path.join(path, "_pending_append")
     meta = {"k": k, "n_hashes": n_hashes, "bands": bands, "id_col": id_col}
     if mode == "append":
-        _check_no_pending_append(path)
-        # Refusing an append without a meta sidecar closes the crashed-
-        # initial-build hole: a later append can never "repair" a
-        # partial index with its own (possibly different) parameters.
-        if not os.path.exists(meta_path):
-            raise ValueError(
-                f"no meta.json at {path}: index incomplete or never "
-                "built — rebuild with mode='overwrite' before appending"
-            )
-        with open(meta_path) as f:
-            existing = json.load(f)
-        if existing != meta:
-            raise ValueError(
-                f"index at {path} was built with {existing}, got {meta}"
-            )
+        pending_path = _begin_index_append(path, meta)
     else:
+        meta_path = os.path.join(path, "meta.json")
+        pending_path = os.path.join(path, "_pending_append")
         # meta FIRST: a crash mid-build then leaves meta-without-data,
         # which fails loudly at read time; the reverse ordering would
         # leave data-without-meta, letting a mismatched append slip
-        # through the guard above.
+        # through the append-time guard.
         os.makedirs(path, exist_ok=True)
         # a fresh overwrite repairs any earlier torn append
         if os.path.exists(pending_path):
             os.remove(pending_path)
         with open(meta_path, "w") as f:
             json.dump(meta, f)
-    if mode == "append":
-        with open(pending_path, "w") as f:
-            f.write("append in progress\n")
+        pending_path = None
     docs.select(fingerprint_md5(docs, text_col).alias("m")).distinct().write.mode(
         mode
     ).parquet(os.path.join(path, "md5"))
     banded.withColumnRenamed("_id", id_col).withColumnRenamed(
         "_n", "n_shingles"
     ).write.mode(mode).partitionBy("band").parquet(os.path.join(path, "bands"))
-    if mode == "append":
+    if pending_path is not None:
         os.remove(pending_path)
+
+
+def _begin_index_append(path: str, meta: dict) -> str:
+    """Torn-append + parameter guards shared by :func:`write_dedup_index`
+    (append mode) and :func:`ingest_batch`: refuse a torn or
+    parameter-mismatched index, then drop the ``_pending_append`` marker
+    that the caller removes after BOTH relations have landed. Returns
+    the marker path."""
+    import json
+    import os
+
+    _check_no_pending_append(path)
+    meta_path = os.path.join(path, "meta.json")
+    # Refusing an append without a meta sidecar closes the crashed-
+    # initial-build hole: a later append can never "repair" a
+    # partial index with its own (possibly different) parameters.
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no meta.json at {path}: index incomplete or never "
+            "built — rebuild with mode='overwrite' before appending"
+        )
+    with open(meta_path) as f:
+        existing = json.load(f)
+    if existing != meta:
+        raise ValueError(
+            f"index at {path} was built with {existing}, got {meta}"
+        )
+    pending_path = os.path.join(path, "_pending_append")
+    with open(pending_path, "w") as f:
+        f.write("append in progress\n")
+    return pending_path
 
 
 def _check_no_pending_append(index_path: str) -> None:
@@ -1189,4 +1204,115 @@ def incremental_dedup_indexed(
     out = _verdicts(new, id_col, exact_ids, near_ids)
     if collapse_exact:
         out = _expand_verdicts(out, dup_members, id_col)
+    return out
+
+
+def ingest_batch(
+    spark,
+    index_path: str,
+    hist: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """One steady-state ingest step — classify ``new`` against the
+    persisted index AND append it, deriving the batch's fingerprints
+    and banding rows ONCE and sharing them between the probe and the
+    append (the two-call loop :func:`incremental_dedup_indexed` +
+    :func:`write_dedup_index` re-shingles and re-minhashes the batch a
+    second time for the append; at 100 TB the signature pass is the
+    dominant per-batch cost, so halving it matters).
+
+    Returns the verdict frame, MATERIALIZED before the append lands so
+    the batch can never classify against itself. Verdict semantics are
+    identical to the two-call loop (tested equal per batch).
+
+    Index contents after the append differ from the two-call loop in
+    one deliberate way: banding rows are written for one REPRESENTATIVE
+    per distinct batch text (the hot-bucket collapse the probe already
+    performs), not per copy. Probe-equivalent: a byte-identical copy
+    has the identical signature, so any future batch row that would
+    collide with a copy collides with its representative in every band,
+    and the verify-stage Jaccard against either text is the same number
+    (the exact tier is md5-distinct in both layouts). A mirror-farm
+    history therefore costs O(1) index rows per distinct text instead
+    of O(copies) — smaller index AND fewer future candidates.
+    """
+    import json
+    import os
+
+    _check_no_pending_append(index_path)
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index at {index_path} was built on id_col="
+            f"{meta['id_col']!r}, got {id_col!r}"
+        )
+    k, n_hashes, bands = meta["k"], meta["n_hashes"], meta["bands"]
+    rows = n_hashes // bands
+    # hot-bucket guard (see incremental_dedup): classify one
+    # representative per distinct batch text, expand verdicts after
+    new, dup_members = _collapse_new_side(new, id_col, text_col)
+    # --- derive the batch's index relations ONCE ----------------------
+    new_md5 = (
+        new.select(
+            F.col(id_col).alias("_id"),
+            fingerprint_md5(new, text_col).alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    keyed_new = _ns_keyed(new, 1, id_col, text_col)
+    sh_new = _shingle_table(keyed_new, "_k", text_col, k, None)
+    banded_new = _banded(
+        minhash_signature(sh_new, n_hashes=n_hashes, include_size=True),
+        bands,
+        rows,
+    ).localCheckpoint(eager=True)
+    # --- probe (same joins as incremental_dedup_indexed) --------------
+    hist_md5 = spark.read.parquet(os.path.join(index_path, "md5"))
+    exact_ids = (
+        new_md5.join(hist_md5, "m", "left_semi")
+        .select("_id")
+        .withColumn("_ex", F.lit(1))
+    )
+    stored = spark.read.parquet(os.path.join(index_path, "bands"))
+    left = banded_new.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
+    )
+    right = stored.select(
+        F.struct(
+            F.lit(0).alias("_ns"), F.col(id_col).alias("_oid")
+        ).alias("id_b"),
+        F.col("n_shingles").alias("_nb"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .select("id_a", "id_b", "_na", "_nb")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    keyed_union = keyed_new.unionByName(_ns_keyed(hist, 0, id_col, text_col))
+    near_ids = _scoped_near_ids(cand, keyed_union, text_col, k, threshold)
+    out = _expand_verdicts(
+        _verdicts(new, id_col, exact_ids, near_ids), dup_members, id_col
+    ).localCheckpoint(eager=True)  # pin verdicts BEFORE the append lands
+    # --- append the SAME derived relations -----------------------------
+    pending_path = _begin_index_append(index_path, meta)
+    new_md5.select("m").distinct().write.mode("append").parquet(
+        os.path.join(index_path, "md5")
+    )
+    banded_new.select(
+        F.col("_id._oid").alias(id_col),
+        F.col("_n").alias("n_shingles"),
+        "band",
+        "bucket",
+    ).write.mode("append").partitionBy("band").parquet(
+        os.path.join(index_path, "bands")
+    )
+    os.remove(pending_path)
     return out

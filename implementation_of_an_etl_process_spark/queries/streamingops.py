@@ -364,10 +364,12 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — robust to 1-based or sparse ids, unlike floor(doc_id/bs);
     mtimes ascending) and consumed by a real file-source stream with
     ``maxFilesPerTrigger=1`` + ``availableNow``; ``foreachBatch``
-    classifies each micro-batch against the PERSISTED dedup index
-    (`operators/dedup.py::incremental_dedup_indexed`) and then appends
-    the batch to the index and the corpus store — the steady-state
-    crawl-ingest loop as an actual Structured Streaming pipeline.
+    classifies each micro-batch against the PERSISTED dedup index and
+    appends it in ONE fused step (`operators/dedup.py::ingest_batch` —
+    the batch's md5/banding relations are derived once and shared
+    between the probe and the append), then appends the batch to the
+    corpus store — the steady-state crawl-ingest loop as an actual
+    Structured Streaming pipeline.
 
     Driver-free data path: per-batch verdicts are APPENDED TO A PARQUET
     SINK inside ``foreachBatch`` (the production pattern — the verdict
@@ -426,26 +428,21 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         def handle(batch_df, batch_id):
             # pin the micro-batch rows once: classification, the index
             # append, and the corpus-store append each re-consume them
-            # (production would share the derived md5/banding relations
-            # between the probe and the append; batches here are small)
             batch_df = batch_df.localCheckpoint(eager=True)
             if state["batches"] == 0:
-                verdicts = batch_df.select(
+                batch_df.select(
                     "doc_id", F.lit("novel").alias("verdict")
-                )
+                ).write.mode("append").parquet(sink)
+                D.write_dedup_index(batch_df, idx, "doc_id", "text")
             else:
+                # fused classify-and-append: ONE shared md5/banding
+                # derivation for the probe and the index append (and
+                # verdicts are pinned before the append lands, so the
+                # batch never classifies against itself)
                 hist = spark.read.parquet(store)
-                verdicts = D.incremental_dedup_indexed(
+                D.ingest_batch(
                     spark, idx, hist, batch_df, "doc_id", "text"
-                )
-            verdicts.write.mode("append").parquet(sink)
-            D.write_dedup_index(
-                batch_df,
-                idx,
-                "doc_id",
-                "text",
-                mode="append" if state["batches"] else "overwrite",
-            )
+                ).write.mode("append").parquet(sink)
             batch_df.write.mode("append").parquet(store)
             state["batches"] += 1
 

@@ -264,3 +264,98 @@ def test_torn_append_refused(spark, tmp_path):
     assert not os.path.exists(os.path.join(idx, "_pending_append"))
     out = incremental_dedup_indexed(spark, idx, docs, docs, "doc_id", "text")
     assert [r.verdict for r in out.collect()] == ["exact"]
+
+
+def test_ingest_batch_matches_two_call_loop(spark, tmp_path):
+    """The fused classify-and-append (:func:`ingest_batch`, one shared
+    signature pass) must give the SAME verdicts per batch as the
+    two-call classify-then-append loop, and leave a PROBE-EQUIVALENT
+    index: a final batch classified against both indexes agrees."""
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        incremental_dedup_indexed,
+        ingest_batch,
+        write_dedup_index,
+    )
+
+    near_text = BASE.rsplit(" ", 1)[0] + " CHANGED"
+    batches = [
+        [(0, BASE), (1, "first batch other words entirely here")],
+        # exact of b0, near of b0, novel, and an in-batch mirror pair
+        [(10, BASE), (11, near_text), (12, "novel content here"),
+         (13, "mirror copy payload"), (14, "mirror copy payload")],
+        # exact of the b1 mirror pair + novel
+        [(20, "mirror copy payload"), (21, "yet more novel words")],
+    ]
+    frames = [
+        spark.createDataFrame(rows, ["doc_id", "text"]) for rows in batches
+    ]
+
+    idx_a = str(tmp_path / "idx_two_call")
+    idx_b = str(tmp_path / "idx_fused")
+    store: list = []
+    write_dedup_index(frames[0], idx_a, "doc_id", "text")
+    write_dedup_index(frames[0], idx_b, "doc_id", "text")
+    store.append(frames[0])
+    for batch in frames[1:]:
+        hist = store[0]
+        for extra in store[1:]:
+            hist = hist.unionByName(extra)
+        two_call = {
+            r.doc_id: r.verdict
+            for r in incremental_dedup_indexed(
+                spark, idx_a, hist, batch, "doc_id", "text"
+            ).collect()
+        }
+        write_dedup_index(batch, idx_a, "doc_id", "text", mode="append")
+        fused = {
+            r.doc_id: r.verdict
+            for r in ingest_batch(
+                spark, idx_b, hist, batch, "doc_id", "text"
+            ).collect()
+        }
+        assert fused == two_call
+        store.append(batch)
+    # b1 verdicts specifically: exact/near/novel plus the mirror pair
+    # both novel (within-batch copies are not history)
+    # final probe: both index layouts classify a fresh batch identically
+    hist = store[0].unionByName(store[1]).unionByName(store[2])
+    probe = spark.createDataFrame(
+        [(30, BASE), (31, "mirror copy payload"), (32, "never seen words")],
+        ["doc_id", "text"],
+    )
+    via_a = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup_indexed(
+            spark, idx_a, hist, probe, "doc_id", "text"
+        ).collect()
+    }
+    via_b = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup_indexed(
+            spark, idx_b, hist, probe, "doc_id", "text"
+        ).collect()
+    }
+    assert via_a == via_b == {30: "exact", 31: "exact", 32: "novel"}
+
+
+def test_ingest_batch_guards(spark, tmp_path):
+    """ingest_batch refuses a torn index and an id_col mismatch, and a
+    crash between its two appends leaves the marker behind."""
+    import os
+
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        ingest_batch,
+        write_dedup_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    write_dedup_index(docs, idx, "doc_id", "text")
+    with pytest.raises(ValueError, match="id_col"):
+        ingest_batch(spark, idx, docs, docs, "other_id", "text")
+    with open(os.path.join(idx, "_pending_append"), "w") as f:
+        f.write("append in progress\n")
+    with pytest.raises(ValueError, match="torn append"):
+        ingest_batch(spark, idx, docs, docs, "doc_id", "text")
