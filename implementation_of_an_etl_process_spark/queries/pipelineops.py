@@ -256,8 +256,82 @@ ORDER BY bucket
 """
 
 
+# --- trained quality classifier (model-based corpus filtering) -------------
+
+_QC_AGREE_FLOOR_PCT = 90
+
+
+def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loud gate for the TRAINED quality filter (the fastText-style
+    stage of a pretraining pipeline): weak labels from the heuristic
+    screen, seeded Spark ML decision tree fit on the deterministic
+    'train' split, agreement measured on the held-out buckets. The
+    held-out count and the label prevalence are exact SQL-recomputable
+    facts (md5-bucket split + the same ratio arithmetic); agreement
+    uses the floor contract — the pinned floor when cleared, else the
+    MEASURED percentage so a model regression shows its number in the
+    hash diff. ML training is not SQL-expressible; everything AROUND
+    it is pinned exactly.
+    """
+    from implementation_of_an_etl_process_spark.operators import qualityml as QM
+
+    labeled = P.hash_split(
+        QM.weak_quality_labels(_docs(spark, sf_dir), "text"), "doc_id"
+    )
+    model = QM.train_quality_classifier(
+        labeled.filter(F.col("split") == "train")
+    )
+    scored = QM.score_quality(
+        model, labeled.filter(F.col("split") != "train")
+    )
+    agree = F.sum(
+        (F.col("quality_pred") == F.col("quality_label")).cast("int")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("quality_label").cast("long").alias("_npos"),
+        agree.alias("_agree"),
+    ).select(
+        F.col("_n").alias("n_heldout"),
+        F.col("_npos").alias("n_pos_labels"),
+        F.when(
+            F.col("_agree") * 100 / F.col("_n") >= _QC_AGREE_FLOOR_PCT,
+            F.lit(_QC_AGREE_FLOOR_PCT),
+        )
+        .otherwise(F.floor(F.col("_agree") * 100 / F.col("_n")))
+        .cast("int")
+        .alias("agreement_pct_floor"),
+    )
+
+
+_QC_STOPS = (
+    "'the','a','an','and','or','of','to','in','is','are','was','for',"
+    "'on','with','as','at','by','it','this','that'"
+)
+
+QUALITY_CLASSIFIER_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), lbl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 20
+                   AND CAST(len(list_filter(toks, x -> x IN ({_QC_STOPS})))
+                            AS DOUBLE) / NULLIF(len(toks), 0) >= 0.08
+              THEN 1 ELSE 0 END AS quality_label,
+         {_BUCKET_SQL} AS b
+  FROM t
+)
+SELECT COUNT(*) AS n_heldout,
+       CAST(SUM(quality_label) AS BIGINT) AS n_pos_labels,
+       {_QC_AGREE_FLOOR_PCT} AS agreement_pct_floor
+FROM lbl WHERE b < 200
+"""
+
+
 QUERIES = {
     "vocab_topk_documents": vocab_topk_documents,
+    "quality_classifier_gate": quality_classifier_gate,
     "shuffle_order_docs": shuffle_order_docs,
     "doc_length_histogram": doc_length_histogram,
     "doc_split_counts": doc_split_counts,
@@ -268,6 +342,7 @@ QUERIES = {
 
 ORACLES = {
     "vocab_topk_documents": VOCAB_TOPK_SQL,
+    "quality_classifier_gate": QUALITY_CLASSIFIER_SQL,
     "shuffle_order_docs": SHUFFLE_ORDER_SQL,
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "doc_split_counts": DOC_SPLIT_SQL,

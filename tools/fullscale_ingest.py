@@ -35,15 +35,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-N_BATCHES = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-WORKDIR = sys.argv[3] if len(sys.argv) > 3 else "/tmp/fullscale_docs"
+FUSED = "--fused" in sys.argv
+_pos = [a for a in sys.argv[1:] if a != "--fused"]
+N_DOCS = int(_pos[0]) if len(_pos) > 0 else 4_000_000
+N_BATCHES = int(_pos[1]) if len(_pos) > 1 else 20
+WORKDIR = _pos[2] if len(_pos) > 2 else "/tmp/fullscale_docs"
 
 
 def main() -> None:
     from implementation_of_an_etl_process_spark import get_spark
     from implementation_of_an_etl_process_spark.operators.dedup import (
         incremental_dedup_indexed,
+        ingest_batch,
         write_dedup_index,
     )
     from tools.fullscale_docs import synth_corpus
@@ -61,18 +64,22 @@ def main() -> None:
     for p in (idx, store):
         shutil.rmtree(p, ignore_errors=True)
 
-    print(f"ingest loop: {N_DOCS} docs in {N_BATCHES} interleaved batches",
-          flush=True)
+    print(
+        f"ingest loop: {N_DOCS} docs in {N_BATCHES} interleaved batches "
+        f"({'FUSED ingest_batch' if FUSED else 'two-call loop'})",
+        flush=True,
+    )
     rows = []
     for b in range(N_BATCHES):
         batch = docs.filter(F.col("doc_id") % N_BATCHES == b)
         verdicts = {"exact": 0, "near": 0, "novel": 0}
-        t0 = time.monotonic()
-        if b > 0:
+        if FUSED and b > 0:
+            # fused path: one wall number covers classify AND append
+            # (one shared signature pass) — report it as t_classify
+            # with t_append=0 so per-batch TOTALS compare across modes
             hist = spark.read.parquet(store)
-            v = incremental_dedup_indexed(
-                spark, idx, hist, batch, "doc_id", "text"
-            )
+            t0 = time.monotonic()
+            v = ingest_batch(spark, idx, hist, batch, "doc_id", "text")
             verdicts.update(
                 {
                     r["verdict"]: r["n"]
@@ -81,14 +88,33 @@ def main() -> None:
                     .collect()
                 }
             )
-        t_classify = time.monotonic() - t0
-        t0 = time.monotonic()
-        write_dedup_index(
-            batch, idx, "doc_id", "text",
-            mode="append" if b else "overwrite",
-        )
-        batch.write.mode("append").parquet(store)
-        t_append = time.monotonic() - t0
+            t_classify = time.monotonic() - t0
+            t0 = time.monotonic()
+            batch.write.mode("append").parquet(store)
+            t_append = time.monotonic() - t0
+        else:
+            t0 = time.monotonic()
+            if b > 0:
+                hist = spark.read.parquet(store)
+                v = incremental_dedup_indexed(
+                    spark, idx, hist, batch, "doc_id", "text"
+                )
+                verdicts.update(
+                    {
+                        r["verdict"]: r["n"]
+                        for r in v.groupBy("verdict")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
+                )
+            t_classify = time.monotonic() - t0
+            t0 = time.monotonic()
+            write_dedup_index(
+                batch, idx, "doc_id", "text",
+                mode="append" if b else "overwrite",
+            )
+            batch.write.mode("append").parquet(store)
+            t_append = time.monotonic() - t0
         rows.append((b, t_classify, t_append, verdicts))
         print(
             f"batch {b:3d}: classify {t_classify:6.1f}s  append "
@@ -115,6 +141,14 @@ def main() -> None:
             f"means O(batch) holds)",
             flush=True,
         )
+    tot_c = sum(t for _, t, _, _ in rows[1:])
+    tot_a = sum(t for _, _, t, _ in rows[1:])
+    print(
+        f"totals over batches 1..{N_BATCHES - 1}: classify {tot_c:.1f}s  "
+        f"append {tot_a:.1f}s  per-batch total "
+        f"{(tot_c + tot_a) / (N_BATCHES - 1):.1f}s",
+        flush=True,
+    )
     du = os.popen(f"du -sh {idx}").read().split()[0]
     print(f"final index size: {du}", flush=True)
 
