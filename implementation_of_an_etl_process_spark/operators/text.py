@@ -186,10 +186,14 @@ def unigram_surprisal(
             id_col,
             "n_tokens",
             "sum_surprisal_q",
-            F.round(
-                F.col("sum_surprisal_q") / F.col("n_tokens").cast("double")
-            )
-            .cast("long")
-            .alias("avg_surprisal_q"),
+            # Integer-exact round-half-away-from-zero: (2s + n) div (2n)
+            # (sum is non-negative here; sign() kept for generality).
+            # No double division anywhere in the hashed output, so the
+            # value cannot drift if an oracle engine rounds half-to-even.
+            F.expr(
+                "CAST(sign(sum_surprisal_q) AS BIGINT)"
+                " * ((2 * abs(sum_surprisal_q) + n_tokens)"
+                " div (2 * n_tokens))"
+            ).alias("avg_surprisal_q"),
         )
     )

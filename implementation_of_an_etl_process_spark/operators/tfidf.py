@@ -36,9 +36,14 @@ Scale design (the part that matters at 100 TB):
   an int64 microscale, weights are ``tf * idf_q`` (int64), and dot
   products / squared norms are int64 sums — bit-reproducible under any
   partitioning or summation order, and reproducible verbatim by the
-  DuckDB oracle. The only floating step is the final
-  ``dot / (sqrt(n1) * sqrt(n2))``, which is a composition of
-  IEEE-correctly-rounded ops on identical integers in both engines.
+  DuckDB oracle. The top-k RANKING key is also integer-exact: the
+  squared-cosine cross-ratio ``cos2_q = dot'^2 * 1e12 div (n1' * n2')``
+  computed in DECIMAL(38,0) (HUGEINT on the oracle side), where the
+  primed operands are pre-scaled by ``div 1e4`` so the widest
+  intermediate stays ~1e31 « 1e38 even at 100x corpus growth. No
+  float-derived value participates in ordering or hashing — immune to
+  round-half-rule drift across engines/versions. The double ``cosine``
+  is still emitted as a non-authoritative convenience column.
 
 Magnitude check for int64: tf <= ~1e3, idf_q <= ~20e6 -> w <= 2e10
 only for pathological single-term documents; at realistic tf (<100)
@@ -56,6 +61,13 @@ from pyspark.sql import functions as F
 # Micro-quantization scale for idf (1e6 = 6 decimal places), matching
 # the embedding quantization convention in functions/vectors.py.
 IDF_SCALE = 1_000_000
+
+# Integer squared-cosine ranking: operands pre-scaled by COS_PRESCALE
+# (keeps dot'^2 * COS2_SCALE inside DECIMAL(38,0) with ~1e7 headroom at
+# the sf0.01 magnitudes, i.e. >3000x growth margin), ratio scaled to
+# COS2_SCALE so cos2_q has ~1e-12 resolution in cos^2 space.
+COS_PRESCALE = 10_000
+COS2_SCALE = 1_000_000_000_000
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -133,11 +145,14 @@ def tfidf_topk_pairs(
 ) -> DataFrame:
     """Global top-k most-similar document pairs by tf-idf cosine.
 
-    Output: (doc1, doc2, dot, cosine_q) with doc1 < doc2, ordered by
-    (cosine_q DESC, doc1, doc2) — the id tie-break makes the LIMIT
-    deterministic even when quantized cosines collide. ``dot`` and the
-    squared norms are exact int64; ``cosine_q`` is the 6-dp-rounded
-    double cosine.
+    Output: (doc1, doc2, dot, cos2_q, cosine) with doc1 < doc2, ordered
+    by (cos2_q DESC, doc1, doc2) — the id tie-break makes the LIMIT
+    deterministic even when quantized cosines collide. ``dot`` is the
+    exact int64 dot product; ``cos2_q`` is the INTEGER squared-cosine
+    ranking key (see module docstring — no float participates in the
+    ordering, so the top-k set is immune to rounding-rule drift);
+    ``cosine`` is the double cosine, emitted for human consumption only
+    and deliberately NOT part of any oracle-hashed battery output.
     """
     w = tfidf_weights(
         docs,
@@ -166,16 +181,31 @@ def tfidf_topk_pairs(
     return (
         dots.join(na, "doc1")
         .join(nb, "doc2")
+        # Pre-scale, then form the integer cross-ratio in DECIMAL(38,0).
+        # All operands are non-negative (w >= 0 under the df band), so
+        # `div` (truncate) and the oracle's `//` (floor) agree; the
+        # GREATEST guard only matters for exotic caller params where a
+        # norm could underflow the prescale.
+        .withColumn("_d", F.expr(f"dot div {COS_PRESCALE}"))
+        .withColumn(
+            "_n1", F.greatest(F.expr(f"norm2_1 div {COS_PRESCALE}"), F.lit(1))
+        )
+        .withColumn(
+            "_n2", F.greatest(F.expr(f"norm2_2 div {COS_PRESCALE}"), F.lit(1))
+        )
         .select(
             "doc1",
             "doc2",
             "dot",
-            F.round(
+            F.expr(
+                f"(CAST(_d AS DECIMAL(38,0)) * _d * {COS2_SCALE})"
+                f" div (_n1 * CAST(_n2 AS DECIMAL(38,0)))"
+            ).alias("cos2_q"),
+            (
                 F.col("dot")
-                / (F.sqrt(F.col("norm2_1")) * F.sqrt(F.col("norm2_2"))),
-                6,
-            ).alias("cosine_q"),
+                / (F.sqrt(F.col("norm2_1")) * F.sqrt(F.col("norm2_2")))
+            ).alias("cosine"),
         )
-        .orderBy(F.desc("cosine_q"), "doc1", "doc2")
+        .orderBy(F.desc("cos2_q"), "doc1", "doc2")
         .limit(k)
     )

@@ -400,9 +400,15 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim",
             "n_vecs",
             "sum_q",
-            F.round(F.col("sum_q") / F.col("n_vecs").cast("double"))
-            .cast("long")
-            .alias("centroid_q"),
+            # Integer-exact round-half-away-from-zero (sum can be
+            # negative): sign(s) * ((2|s| + n) div (2n)). Operands of
+            # the div are non-negative, so truncating `div` (Spark) and
+            # flooring `//` (DuckDB oracle) agree bit-for-bit; no double
+            # division reaches the hashed output.
+            F.expr(
+                "CAST(sign(sum_q) AS BIGINT)"
+                " * ((2 * abs(sum_q) + n_vecs) div (2 * n_vecs))"
+            ).alias("centroid_q"),
         )
         .orderBy("label", "dim")
     )
@@ -415,8 +421,10 @@ WITH q AS (
   SELECT label, CAST(gs.i AS INTEGER) AS dim, qv[gs.i + 1] AS v
   FROM q, generate_series(0, 63) AS gs(i)
 )
-SELECT label, dim, COUNT(*) AS n_vecs, SUM(v) AS sum_q,
-       CAST(round(SUM(v) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS centroid_q
+SELECT label, dim, COUNT(*) AS n_vecs, CAST(SUM(v) AS BIGINT) AS sum_q,
+       CAST(CAST(sign(SUM(v)) AS BIGINT)
+            * ((2 * abs(SUM(v)) + COUNT(*)) // (2 * COUNT(*)))
+            AS BIGINT) AS centroid_q
 FROM flat
 GROUP BY label, dim
 ORDER BY label, dim

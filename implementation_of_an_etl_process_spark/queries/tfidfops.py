@@ -7,8 +7,12 @@ Oracle-parity notes:
 - tf-idf follows the repo's integer-quantization convention: idf is an
   int64 microscale, every sum (dot, norm2) is int64 — summation-order
   independent, so Spark's shuffled partial aggregation and DuckDB's
-  single-node scan agree exactly. The final cosine is a composition of
-  IEEE-correctly-rounded ops (sqrt, *, /) on identical integers.
+  single-node scan agree exactly. Every DuckDB SUM over BIGINT is
+  CAST back to BIGINT in the oracle text (DuckDB widens to HUGEINT,
+  whose wire format hash-diverges from Spark's int64 — r5 driver
+  finding). The ranking/hashed column is the INTEGER squared-cosine
+  cross-ratio (operators/tfidf.py COS_PRESCALE/COS2_SCALE); the double
+  cosine never reaches a hashed output.
 - mixture weights quantize pow(n_tokens, alpha) to int64 BEFORE any
   sum for the same reason; the only cross-engine floating op is pow
   itself (sub-ulp identical on identical int inputs in practice; the
@@ -21,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.operators.tfidf import (
+    COS2_SCALE as _COS2_SCALE,
+    COS_PRESCALE as _COS_PRESCALE,
     IDF_SCALE,
     tfidf_topk_pairs,
 )
@@ -42,13 +48,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 most-similar document pairs by tf-idf cosine, via the
-    df-banded inverted index (`operators/tfidf.py`)."""
+    df-banded inverted index (`operators/tfidf.py`). The hashed battery
+    output carries only integer columns (dot, cos2_q) — the double
+    `cosine` convenience column is dropped here so no float-derived
+    value is ever oracle-hashed."""
     return tfidf_topk_pairs(
         _docs(spark, sf_dir),
         k=_K,
         min_df=_MIN_DF,
         max_df_frac=_MAX_DF_FRAC,
-    )
+    ).drop("cosine")
 
 
 TFIDF_TOPK_SQL = rf"""
@@ -78,12 +87,16 @@ WITH tok AS (
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT d.doc1, d.doc2, d.dot,
-       round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine_q
+SELECT d.doc1, d.doc2, CAST(d.dot AS BIGINT) AS dot,
+       CAST((CAST(d.dot // {_COS_PRESCALE} AS HUGEINT)
+             * (d.dot // {_COS_PRESCALE}) * {_COS2_SCALE})
+            // (GREATEST(na.norm2 // {_COS_PRESCALE}, 1)
+                * CAST(GREATEST(nb.norm2 // {_COS_PRESCALE}, 1) AS HUGEINT))
+            AS BIGINT) AS cos2_q
 FROM dots d
 JOIN norms na ON na.doc_id = d.doc1
 JOIN norms nb ON nb.doc_id = d.doc2
-ORDER BY cosine_q DESC, d.doc1, d.doc2
+ORDER BY cos2_q DESC, d.doc1, d.doc2
 LIMIT {_K}
 """
 
@@ -190,9 +203,11 @@ WITH tok AS (
          CAST(round(ln(CAST(t AS DOUBLE) / cnt) * 1000000) AS BIGINT) AS sup_q
   FROM vocab, tot
 )
-SELECT doc_id, COUNT(*) AS n_tokens, SUM(sup_q) AS sum_surprisal_q,
-       CAST(round(SUM(sup_q) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
-         AS avg_surprisal_q
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(sup_q) AS BIGINT) AS sum_surprisal_q,
+       CAST(CAST(sign(SUM(sup_q)) AS BIGINT)
+            * ((2 * abs(SUM(sup_q)) + COUNT(*)) // (2 * COUNT(*)))
+            AS BIGINT) AS avg_surprisal_q
 FROM tok2 JOIN vq USING (term)
 GROUP BY doc_id
 ORDER BY doc_id

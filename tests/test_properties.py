@@ -199,6 +199,7 @@ def test_tfidf_pair_invariants(spark, corpus):
     ordered ids, no NaN, pair count bounded by C(n, 2), and identical
     texts (when both survive the df band) score exactly 1.0."""
     from implementation_of_an_etl_process_spark.operators.tfidf import (
+        COS2_SCALE,
         tfidf_topk_pairs,
     )
 
@@ -210,12 +211,16 @@ def test_tfidf_pair_invariants(spark, corpus):
     texts = dict(rows)
     for r in out:
         assert r["doc1"] < r["doc2"]
-        c = r["cosine_q"]
+        c = r["cosine"]
         assert c == c, "NaN cosine leaked"
         assert 0.0 < c <= 1.0 + 1e-9
         assert r["dot"] > 0
+        # the integer ranking key: Cauchy-Schwarz bounds it by
+        # COS2_SCALE up to denominator-truncation inflation (~2e-6 rel)
+        assert 0 < r["cos2_q"] <= COS2_SCALE + COS2_SCALE // 100_000
         if texts[r["doc1"]].split() == texts[r["doc2"]].split():
-            assert c == 1.0
+            # identical integer vectors -> exact COS2_SCALE
+            assert r["cos2_q"] == COS2_SCALE
 
 
 @given(

@@ -6,6 +6,8 @@ from __future__ import annotations
 import math
 
 from implementation_of_an_etl_process_spark.operators.tfidf import (
+    COS2_SCALE,
+    COS_PRESCALE,
     IDF_SCALE,
     tfidf_topk_pairs,
     tfidf_weights,
@@ -71,10 +73,15 @@ def test_topk_pairs_values_and_order(spark):
         r = got[pair]
         assert r["dot"] == dot
         cos = dot / (math.sqrt(norm[pair[0]]) * math.sqrt(norm[pair[1]]))
-        assert abs(r["cosine_q"] - round(cos, 6)) < 1e-12
-    # ordering: cosine desc then ids
-    cosines = [(r["cosine_q"], r["doc1"], r["doc2"]) for r in out]
-    assert cosines == sorted(cosines, key=lambda t: (-t[0], t[1], t[2]))
+        assert abs(r["cosine"] - cos) < 1e-12
+        # integer ranking key: exact replica of the engine formula
+        d = dot // COS_PRESCALE
+        n1 = max(norm[pair[0]] // COS_PRESCALE, 1)
+        n2 = max(norm[pair[1]] // COS_PRESCALE, 1)
+        assert r["cos2_q"] == (d * d * COS2_SCALE) // (n1 * n2)
+    # ordering: integer squared-cosine desc then ids
+    keys = [(r["cos2_q"], r["doc1"], r["doc2"]) for r in out]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1], t[2]))
 
 
 def test_all_stop_term_doc_produces_no_nan(spark):
@@ -85,8 +92,10 @@ def test_all_stop_term_doc_produces_no_nan(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = tfidf_topk_pairs(df, k=10, min_df=2, max_df_frac=1.0).collect()
     assert [(r["doc1"], r["doc2"]) for r in out] == [(2, 3)]
-    assert out[0]["cosine_q"] == 1.0
-    assert all(r["cosine_q"] == r["cosine_q"] for r in out)  # no NaN
+    # identical vectors: dot == norm2 exactly, so the integer ratio is
+    # exactly COS2_SCALE (the double cosine may sit 1 ulp off 1.0)
+    assert out[0]["cos2_q"] == COS2_SCALE
+    assert all(r["cosine"] == r["cosine"] for r in out)  # no NaN
 
 
 def test_identical_docs_cosine_one(spark):
@@ -99,7 +108,7 @@ def test_identical_docs_cosine_one(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = tfidf_topk_pairs(df, k=1, min_df=2, max_df_frac=1.0).collect()
     assert (out[0]["doc1"], out[0]["doc2"]) == (1, 2)
-    assert out[0]["cosine_q"] == 1.0
+    assert out[0]["cos2_q"] == COS2_SCALE
 
 
 def test_unigram_surprisal_hand_computed(spark):
@@ -115,12 +124,15 @@ def test_unigram_surprisal_hand_computed(spark):
     sa = round(math.log(6 / 3) * SURPRISAL_SCALE)
     sb = round(math.log(6 / 2) * SURPRISAL_SCALE)
     sc = round(math.log(6 / 1) * SURPRISAL_SCALE)
+    def _half_away(s, n):  # integer round-half-away, mirrors the engine
+        return (2 * s + n) // (2 * n)
+
     got = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
     assert got[1]["n_tokens"] == 4
     assert got[1]["sum_surprisal_q"] == 3 * sa + sb
-    assert got[1]["avg_surprisal_q"] == round((3 * sa + sb) / 4)
+    assert got[1]["avg_surprisal_q"] == _half_away(3 * sa + sb, 4)
     assert got[2]["sum_surprisal_q"] == sb + sc
-    assert got[2]["avg_surprisal_q"] == round((sb + sc) / 2)
+    assert got[2]["avg_surprisal_q"] == _half_away(sb + sc, 2)
 
 
 def test_no_cartesian_in_plan(spark):
