@@ -1089,27 +1089,36 @@ def write_dedup_index(
         os.remove(pending_path)
 
 
+def _load_meta(index_path: str) -> dict:
+    """Load the index's meta sidecar, refusing a never-built or
+    half-built index with the instructive rebuild message (shared by
+    every reader/appender so the error is identical everywhere)."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_path, "meta.json")
+    # Refusing an index without a meta sidecar closes the crashed-
+    # initial-build hole: a later append can never "repair" a
+    # partial index with its own (possibly different) parameters.
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no meta.json at {index_path}: index incomplete or never "
+            "built — rebuild with mode='overwrite' before appending"
+        )
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def _begin_index_append(path: str, meta: dict) -> str:
     """Torn-append + parameter guards shared by :func:`write_dedup_index`
     (append mode) and :func:`ingest_batch`: refuse a torn or
     parameter-mismatched index, then drop the ``_pending_append`` marker
     that the caller removes after BOTH relations have landed. Returns
     the marker path."""
-    import json
     import os
 
     _check_no_pending_append(path)
-    meta_path = os.path.join(path, "meta.json")
-    # Refusing an append without a meta sidecar closes the crashed-
-    # initial-build hole: a later append can never "repair" a
-    # partial index with its own (possibly different) parameters.
-    if not os.path.exists(meta_path):
-        raise ValueError(
-            f"no meta.json at {path}: index incomplete or never "
-            "built — rebuild with mode='overwrite' before appending"
-        )
-    with open(meta_path) as f:
-        existing = json.load(f)
+    existing = _load_meta(path)
     if existing != meta:
         raise ValueError(
             f"index at {path} was built with {existing}, got {meta}"
@@ -1155,12 +1164,10 @@ def incremental_dedup_indexed(
     ``hist`` supplies the candidate text lookups; at scale that read is
     pruned to matched ids by parquet predicate pushdown.
     """
-    import json
     import os
 
     _check_no_pending_append(index_path)
-    with open(os.path.join(index_path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(index_path)
     k, n_hashes, bands = meta["k"], meta["n_hashes"], meta["bands"]
     rows = n_hashes // bands
     dup_members = None
@@ -1216,6 +1223,7 @@ def ingest_batch(
     text_col: str,
     *,
     threshold: float = 0.8,
+    verdict_writer=None,
 ) -> DataFrame:
     """One steady-state ingest step — classify ``new`` against the
     persisted index AND append it, deriving the batch's fingerprints
@@ -1229,6 +1237,20 @@ def ingest_batch(
     the batch can never classify against itself. Verdict semantics are
     identical to the two-call loop (tested equal per batch).
 
+    ``verdict_writer`` (optional, ``Callable[[DataFrame], None]``) is
+    invoked on the pinned verdict frame BEFORE the index append begins.
+    Callers running under an at-least-once replay contract (Structured
+    Streaming ``foreachBatch``) MUST persist verdicts through this hook
+    rather than after the call returns: a crash between the append and
+    a caller-side sink write would replay the batch against an index
+    that already contains it, turning every verdict into 'exact'. With
+    the hook, the crash window degrades to duplicate verdict ROWS in
+    the sink (classification re-runs against a pre-append index, so the
+    duplicate rows carry the SAME verdicts — dedup by id downstream),
+    never to wrong verdicts. The residual torn state — crash between
+    the two index-relation writes — is caught by the ``_pending_append``
+    marker, which makes the next call refuse the index outright.
+
     Index contents after the append differ from the two-call loop in
     one deliberate way: banding rows are written for one REPRESENTATIVE
     per distinct batch text (the hot-bucket collapse the probe already
@@ -1240,12 +1262,10 @@ def ingest_batch(
     history therefore costs O(1) index rows per distinct text instead
     of O(copies) — smaller index AND fewer future candidates.
     """
-    import json
     import os
 
     _check_no_pending_append(index_path)
-    with open(os.path.join(index_path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(index_path)
     if meta["id_col"] != id_col:
         raise ValueError(
             f"index at {index_path} was built on id_col="
@@ -1301,6 +1321,10 @@ def ingest_batch(
     out = _expand_verdicts(
         _verdicts(new, id_col, exact_ids, near_ids), dup_members, id_col
     ).localCheckpoint(eager=True)  # pin verdicts BEFORE the append lands
+    # Durable-sink hook: under at-least-once replay, verdicts must be
+    # OUTSIDE the process before the index mutates (see docstring).
+    if verdict_writer is not None:
+        verdict_writer(out)
     # --- append the SAME derived relations -----------------------------
     pending_path = _begin_index_append(index_path, meta)
     new_md5.select("m").distinct().write.mode("append").parquet(

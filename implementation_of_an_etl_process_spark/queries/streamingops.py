@@ -436,13 +436,25 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 D.write_dedup_index(batch_df, idx, "doc_id", "text")
             else:
                 # fused classify-and-append: ONE shared md5/banding
-                # derivation for the probe and the index append (and
-                # verdicts are pinned before the append lands, so the
-                # batch never classifies against itself)
+                # derivation for the probe and the index append.
+                # Verdicts reach the SINK through the writer hook,
+                # BEFORE the index append lands — foreachBatch is
+                # at-least-once, and a replay after the append would
+                # otherwise classify the batch against itself (every
+                # row 'exact'). With this ordering a replay can only
+                # duplicate identical verdict rows, never flip them.
                 hist = spark.read.parquet(store)
                 D.ingest_batch(
-                    spark, idx, hist, batch_df, "doc_id", "text"
-                ).write.mode("append").parquet(sink)
+                    spark,
+                    idx,
+                    hist,
+                    batch_df,
+                    "doc_id",
+                    "text",
+                    verdict_writer=lambda v: v.write.mode("append").parquet(
+                        sink
+                    ),
+                )
             batch_df.write.mode("append").parquet(store)
             state["batches"] += 1
 

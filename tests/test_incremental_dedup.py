@@ -352,6 +352,11 @@ def test_ingest_batch_guards(spark, tmp_path):
 
     idx = str(tmp_path / "idx")
     docs = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    # never-built index: instructive rebuild message, not FileNotFoundError
+    with pytest.raises(ValueError, match="no meta.json"):
+        ingest_batch(
+            spark, str(tmp_path / "nonexistent"), docs, docs, "doc_id", "text"
+        )
     write_dedup_index(docs, idx, "doc_id", "text")
     with pytest.raises(ValueError, match="id_col"):
         ingest_batch(spark, idx, docs, docs, "other_id", "text")
@@ -359,3 +364,65 @@ def test_ingest_batch_guards(spark, tmp_path):
         f.write("append in progress\n")
     with pytest.raises(ValueError, match="torn append"):
         ingest_batch(spark, idx, docs, docs, "doc_id", "text")
+
+
+def test_ingest_batch_verdict_writer_runs_before_append(spark, tmp_path):
+    """At-least-once replay safety: the verdict_writer hook must fire
+    BEFORE the index append begins. Simulated crash: a writer that
+    persists verdicts then raises — the sink must hold the verdicts,
+    the index must NOT contain the batch (md5 row count unchanged), and
+    a clean replay of the same batch must produce identical verdicts."""
+    import os
+
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        ingest_batch,
+        write_dedup_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    sink = str(tmp_path / "sink")
+    b0 = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    b1 = spark.createDataFrame(
+        [(2, BASE), (3, "completely novel words")], ["doc_id", "text"]
+    )
+    write_dedup_index(b0, idx, "doc_id", "text")
+    md5_before = spark.read.parquet(os.path.join(idx, "md5")).count()
+
+    class Boom(Exception):
+        pass
+
+    def crash_after_sink(v):
+        v.write.mode("append").parquet(sink)
+        raise Boom()
+
+    with pytest.raises(Boom):
+        ingest_batch(
+            spark, idx, b0, b1, "doc_id", "text",
+            verdict_writer=crash_after_sink,
+        )
+    persisted = {
+        r.doc_id: r.verdict for r in spark.read.parquet(sink).collect()
+    }
+    assert persisted == {2: "exact", 3: "novel"}
+    # the crash happened before _begin_index_append: no marker, no rows
+    assert not os.path.exists(os.path.join(idx, "_pending_append"))
+    assert (
+        spark.read.parquet(os.path.join(idx, "md5")).count() == md5_before
+    )
+    # replay (foreachBatch re-delivery): same verdicts, sink just gains
+    # duplicate identical rows — never flipped-to-'exact' verdicts
+    replay = {
+        r.doc_id: r.verdict
+        for r in ingest_batch(
+            spark, idx, b0, b1, "doc_id", "text",
+            verdict_writer=lambda v: v.write.mode("append").parquet(sink),
+        ).collect()
+    }
+    assert replay == persisted
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 4
+    assert {(r.doc_id, r.verdict) for r in rows} == {
+        (2, "exact"), (3, "novel"),
+    }

@@ -74,11 +74,13 @@ def main() -> None:
         batch = docs.filter(F.col("doc_id") % N_BATCHES == b)
         verdicts = {"exact": 0, "near": 0, "novel": 0}
         if FUSED and b > 0:
-            # fused path: one wall number covers classify AND append
-            # (one shared signature pass) — report it as t_classify
-            # with t_append=0 so per-batch TOTALS compare across modes
-            hist = spark.read.parquet(store)
+            # fused path: t_classify covers the history-read setup plus
+            # ingest_batch (classify AND index append — one shared
+            # signature pass); t_append covers ONLY the corpus-store
+            # write. The hist read sits INSIDE the timed window in both
+            # modes so the A/B per-batch totals compare like-for-like.
             t0 = time.monotonic()
+            hist = spark.read.parquet(store)
             v = ingest_batch(spark, idx, hist, batch, "doc_id", "text")
             verdicts.update(
                 {
