@@ -274,10 +274,12 @@ def _exact_copy_members(
     hot-bucket guards."""
     cols = [F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_m")]
     if with_shingle_flag is not None:
+        # n tokens yield n-k+1 k-shingles, so ">= 1 shingle" is exactly
+        # "token count >= k" — a size() on the split array, WITHOUT
+        # materializing the shingle strings (the concat-per-shingle
+        # build was most of the guard pass's CPU).
         cols.append(
-            (F.size(word_shingles(tokens(text_col), with_shingle_flag)) >= 1).alias(
-                "_hs"
-            )
+            (F.size(tokens(text_col)) >= with_shingle_flag).alias("_hs")
         )
     return spread(df).select(*cols)
 
@@ -288,7 +290,7 @@ def _dup_member_map(
     text_col: str,
     *,
     with_shingle_flag: int | None = None,
-    lazy: bool = False,
+    materialize: str = "checkpoint",
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(_m, _mid, _rep[, _ghs]) rows for documents in MULTI-member
@@ -299,7 +301,16 @@ def _dup_member_map(
     identity), so the guard costs one md5 aggregate plus joins sized by
     the number of exact-duplicate docs, NOT by the corpus. The
     materialized map is small by the same argument, so AQE plans the
-    downstream joins as broadcasts at runtime."""
+    downstream joins as broadcasts at runtime.
+
+    ``materialize``: ``"checkpoint"`` runs an eager job now (callers
+    that must pin the map before mutating shared state — the
+    incremental/ingest paths); ``"persist"`` marks it MEMORY_AND_DISK
+    and lets the CALLER's first action fill the cache — no separate
+    job, the map computes inside the pipeline it guards (the symmetric
+    path's choice; ~0.6s of fixed job overhead saved at sf0.1);
+    ``"none"`` returns the bare lazy plan (the persistence-free caller
+    contract)."""
     members = _exact_copy_members(
         df, id_col, text_col, with_shingle_flag=with_shingle_flag
     )
@@ -312,13 +323,18 @@ def _dup_member_map(
     cols = ["_m", "_mid", "_rep"] + (
         ["_ghs"] if with_shingle_flag is not None else []
     )
-    dup = members.join(groups, "_m").select(*cols)
-    if lazy:
-        # fully-lazy caller contracts (cache_registry / no persistence)
-        if cache_registry is not None:
-            from pyspark.storagelevel import StorageLevel
+    # join-back side needs only (_mid, _m): the flag (group-constant)
+    # already rides on the agg side, so don't tokenize the corpus twice
+    dup = _exact_copy_members(df, id_col, text_col).join(groups, "_m").select(
+        *cols
+    )
+    if materialize == "none":
+        return dup
+    if materialize == "persist":
+        from pyspark.storagelevel import StorageLevel
 
-            dup = dup.persist(StorageLevel.MEMORY_AND_DISK)
+        dup = dup.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
             cache_registry.append(dup)
         return dup
     return dup.localCheckpoint(eager=True)
@@ -389,12 +405,18 @@ def minhash_lsh_pairs(
     collapse = collapse_exact and max_shingle_df is None and threshold <= 1.0
     dup_members = None
     if collapse:
+        # persist (not eager checkpoint): the map's cache fills inside
+        # the candidate job's anti-join — the guard costs a subplan of
+        # the pipeline, not a separate up-front job. Cached because the
+        # pair expansion reads it 3x after `out` is pinned; the
+        # persistence-free caller contract (persist_shingles=False)
+        # gets the bare lazy plan and accepts the recomputes.
         dup_members = _dup_member_map(
             df,
             id_col,
             text_col,
             with_shingle_flag=k,
-            lazy=(cache_registry is not None or not persist_shingles),
+            materialize="none" if not persist_shingles else "persist",
             cache_registry=cache_registry,
         )
         # drop the NON-representative duplicate docs; everything else
