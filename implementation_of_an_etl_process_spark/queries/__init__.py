@@ -124,10 +124,12 @@ except ImportError:  # pragma: no cover
 # new in r5, never gated — and approx_distinct_customers, whose only
 # gate runs predate its oracle), re-confirms the 4 entries whose code
 # paths round 6 edits (index atomicity, ingest ordering, md5-guard
-# fold), and spends the remaining 32 slots on the stalest entries
-# (last gated in r2).  ``multimodal_frame_offsets`` (r2) plus the 27
-# r3-gated entries are the r7 rotation.  Everything else stays covered
-# by ``tools/verify_local.py``.
+# fold), gates the round's NEW entry (semantic_dedup_survivors — new
+# entries gate the round they land, the r5 lesson), and spends the
+# remaining 31 slots on the stalest entries (last gated in r2).
+# ``multimodal_frame_offsets`` + ``multimodal_image_features`` (r2)
+# plus the 27 r3-gated entries are the r7 rotation.  Everything else
+# stays covered by ``tools/verify_local.py``.
 _DRIVER_PRIORITY = [
     # pinned flagships (9): one per hard-gate family, green every round.
     "hypercube",
@@ -153,7 +155,9 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_indexed_docs",
     "streaming_incremental_dedup",
     "dedup_hot_bucket_farm",
-    # stalest rotation (32): last driver-gated in round 2.
+    # new this round (1): gate immediately.
+    "semantic_dedup_survivors",
+    # stalest rotation (31): last driver-gated in round 2.
     "window_running_total",
     "rollup_region_nation",
     "cube_status_priority",
@@ -185,7 +189,6 @@ _DRIVER_PRIORITY = [
     "multi_distinct_orders",
     "regex_extract_customer_ids",
     "multimodal_binary_stats",
-    "multimodal_image_features",
 ]
 
 

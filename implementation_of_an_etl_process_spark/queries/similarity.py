@@ -147,6 +147,64 @@ WHERE cosine >= {_PAIR_THRESHOLD} ORDER BY id_a, id_b
 EMBEDDING_PAIRS_SQL = _embedding_lsh_sql()
 
 
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embedding-space near-dup pairs -> connected
+    components -> keep the min-id representative per component, return
+    the surviving vector ids. The full composition of the 100 TB
+    pieces: hyperplane-LSH candidate generation (no cross join),
+    candidate-scoped exact cosine verify, O(diameter) distributed
+    min-label propagation, and a broadcast anti-join to drop losers.
+    The oracle rebuilds the identical pair set (same ±1 plane literals)
+    and recomputes components via a recursive transitive-closure CTE —
+    both engines must agree on exactly which vectors remain.
+    SemDeDup proper clusters first and thresholds within clusters; the
+    LSH buckets play that cluster role here (candidate scoping), with
+    the same keep-one-per-similarity-component semantics."""
+    emb = _emb(spark, sf_dir)
+    _check_dim(emb)
+    pairs = D.embedding_cosine_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_PAIR_THRESHOLD,
+        n_planes=_LSH_PLANES,
+        n_plane_sets=_LSH_SETS,
+        dim=_EMB_DIM,
+    )
+    return (
+        D.drop_near_duplicates(emb.select("vec_id"), "vec_id", pairs)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    # the LSH pair query (identical plane literals) as a CTE body, its
+    # final ORDER BY dropped (CTE output order is meaningless)
+    pairs_body = _embedding_lsh_sql().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pairs_body}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+), comp AS (
+  SELECT node, MIN(r) AS cluster FROM reach GROUP BY node
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> cluster)
+ORDER BY vec_id
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
 _IVF_PERQ_FLOOR = 1  # measured min per-query hits@5 is 2 at every sf
 
 
@@ -436,6 +494,7 @@ QUERIES = {
     "similarity_pq_recall": similarity_pq_recall,
     "similarity_topk_cosine": similarity_topk_cosine,
     "embedding_cosine_pairs": embedding_cosine_pairs,
+    "semantic_dedup_survivors": semantic_dedup_survivors,
     "similarity_ivf_topk": similarity_ivf_topk,
     "similarity_ivf_recall": similarity_ivf_recall,
 }
@@ -445,6 +504,7 @@ ORACLES = {
     "similarity_pq_recall": PQ_RECALL_SQL,
     "similarity_topk_cosine": SIMILARITY_TOPK_SQL,
     "embedding_cosine_pairs": EMBEDDING_PAIRS_SQL,
+    "semantic_dedup_survivors": SEMANTIC_DEDUP_SQL,
     "similarity_ivf_topk": IVF_TOPK_SQL,
     "similarity_ivf_recall": IVF_RECALL_SQL,
 }

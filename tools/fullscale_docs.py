@@ -12,7 +12,14 @@ pretraining operators end-to-end:
 - tf-idf: linear index build at full scale + top-k pairs on a slice,
   demonstrating the df-band pruning on a REALISTIC (Zipfian) vocabulary
   — unlike the deliberately dense 31-term sf tables, posting lists here
-  are short and the candidate space collapses (see operators/tfidf.py).
+  are short and the candidate space collapses (see operators/tfidf.py);
+- trained quality classifier (operators/qualityml.py): weak-label,
+  fit (distributed treeAggregate), and score a multi-million-doc
+  corpus — no feature row reaches the driver; fit/inference rates and
+  held-out agreement are recorded. Labels are planted (a deterministic
+  1/3 of docs get a stopword prefix, making them 'prose'), so the
+  expected agreement is 100% — the leg measures SCALE behavior, the
+  sf0.01 battery gate measures label realism.
 
 Corpus model: each doc is ``words`` draws from a log-uniform
 (Zipf-like, P(rank w) ~ 1/w) vocabulary of ``vocab`` terms, derived
@@ -140,6 +147,44 @@ def main() -> None:
     print(f"tfidf_index: {n_postings} postings over {n} docs in {t:.1f}s "
           f"= {n / t / 1e6:.2f}M docs/s (df-band <=1% of corpus)",
           flush=True)
+
+    # --- trained quality classifier at full scale -------------------------
+    from implementation_of_an_etl_process_spark.operators import qualityml as QM
+
+    # plant learnable labels: 1/3 of docs gain an 8-stopword prefix
+    # (stopword_ratio 8/48 = 0.167 >= 0.08 -> weak label 1; the rest of
+    # the word-soup corpus has ratio 0 -> label 0)
+    qdocs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("the a an and of to in is "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    labeled = QM.weak_quality_labels(qdocs, "text")
+    train = labeled.filter(F.col("doc_id") % 10 < 8)
+    heldout = labeled.filter(F.col("doc_id") % 10 >= 8)
+    t0 = time.monotonic()
+    model = QM.train_quality_classifier(train)
+    t_fit = time.monotonic() - t0
+    n_train = int(n * 0.8)
+    t0 = time.monotonic()
+    scored = QM.score_quality(model, heldout)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("quality_pred") == F.col("quality_label")).cast("long")
+        ).alias("agree"),
+    ).collect()[0]
+    t_score = time.monotonic() - t0
+    print(
+        f"qualityml: fit {n_train} rows in {t_fit:.1f}s = "
+        f"{n_train / t_fit / 1e6:.2f}M docs/s; scored {agg['n']} held-out "
+        f"in {t_score:.1f}s = {agg['n'] / t_score / 1e6:.2f}M docs/s; "
+        f"agreement {agg['agree']}/{agg['n']} = "
+        f"{agg['agree'] / agg['n'] * 100:.2f}% (gate floor 90%)",
+        flush=True,
+    )
 
     # --- tf-idf pairwise on a slice: df-banding on Zipfian data ----------
     sl = docs.filter(F.col("doc_id") < SLICE)
