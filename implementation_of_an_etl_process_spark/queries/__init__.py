@@ -125,11 +125,15 @@ except ImportError:  # pragma: no cover
 # gate runs predate its oracle), re-confirms the 4 entries whose code
 # paths round 6 edits (index atomicity, ingest ordering, md5-guard
 # fold), gates the round's NEW entry (semantic_dedup_survivors — new
-# entries gate the round they land, the r5 lesson), and spends the
-# remaining 31 slots on the stalest entries (last gated in r2).
-# ``multimodal_frame_offsets`` + ``multimodal_image_features`` (r2)
-# plus the 27 r3-gated entries are the r7 rotation.  Everything else
-# stays covered by ``tools/verify_local.py``.
+# entries gate the round they land, the r5 lesson), keeps one flagship
+# per hard-gate family inside the cap (tests/test_sql41.py pins the
+# family list), and spends the remaining 26 slots on the stalest
+# entries (last gated in r2).  The r7 rotation backlog: 27 r3-gated
+# entries plus the 7 r2 entries that did not fit (multimodal_frame_
+# offsets, multimodal_image_features, explode_part_words,
+# date_arith_orders, null_handling_orders, having_bulk_orders,
+# window_order_gaps).  Everything else stays covered by
+# ``tools/verify_local.py``.
 _DRIVER_PRIORITY = [
     # pinned flagships (9): one per hard-gate family, green every round.
     "hypercube",
@@ -157,7 +161,15 @@ _DRIVER_PRIORITY = [
     "dedup_hot_bucket_farm",
     # new this round (1): gate immediately.
     "semantic_dedup_survivors",
-    # stalest rotation (31): last driver-gated in round 2.
+    # family flagships the 50-entry cap must always carry (5):
+    # structured streaming, source formats, UDF surface, TPC-H join
+    # shapes, audio codec (the other 11 family reps are above).
+    "streaming_session_windows",
+    "parquet_schema_evolution",
+    "arrow_python_udf_reverse",
+    "q1_pricing_summary",
+    "multimodal_wav_decode",
+    # stalest rotation (26): last driver-gated in round 2.
     "window_running_total",
     "rollup_region_nation",
     "cube_status_priority",
@@ -178,11 +190,6 @@ _DRIVER_PRIORITY = [
     "grouping_sets_orders",
     "array_agg_segments",
     "median_retail_price",
-    "window_order_gaps",
-    "having_bulk_orders",
-    "null_handling_orders",
-    "date_arith_orders",
-    "explode_part_words",
     "approx_distinct_gate",
     "approx_quantile_gate",
     "window_rank_family",
