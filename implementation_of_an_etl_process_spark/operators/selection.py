@@ -1,0 +1,194 @@
+"""Data selection via hashed n-gram importance resampling (DSIR).
+
+Implements the scoring core of DSIR — "Data Selection for Language
+Models via Importance Resampling" (Xie, Santurkar, Ma, Liang, NeurIPS
+2023, arXiv:2302.03169): represent documents as hashed n-gram
+count vectors, fit bag-of-words importance weights
+``log p_target(bucket) / p_raw(bucket)`` from a small target corpus
+versus the raw pool, score every raw document by its total
+log-likelihood ratio, and keep the top slice (the paper resamples with
+Gumbel noise; the deterministic top-k variant here is the
+reproducible/oracle-friendly choice and the common production
+simplification). The reference engine has no analog (scope ends at
+join/aggregate, `ETL.java:1`); this is part of the mandated
+training-data-pipeline surface.
+
+Scale shape (100 TB):
+- featurization is one narrow pass per document (explode n-grams,
+  hash, count) followed by a (doc, bucket) partial-aggregated count —
+  candidates never pair up, nothing is quadratic;
+- the weight table is AT MOST ``n_buckets`` rows (fixed, e.g. 10k) —
+  always broadcastable, independent of corpus size;
+- scoring is one broadcast join + per-doc sum: embarrassingly
+  parallel, shuffled only by doc id for the final aggregate.
+
+Oracle-parity conventions (repo-wide, see operators/tfidf.py):
+- the bucket hash is the PORTABLE md5-prefix hash (first 8 hex chars →
+  uint32 → mod n_buckets) so DuckDB reproduces bucket assignment
+  bit-for-bit;
+- the log-ratio is quantized to an int64 microscale BEFORE the per-doc
+  sum, making scores summation-order independent and exactly
+  reproducible under any partitioning; the single ``ln`` call operates
+  on a ratio of exact integers, identical in both engines (the idf
+  convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.functions.text_exprs import tokens
+
+#: microscale for the quantized log-ratio weights (repo convention)
+DSIR_SCALE = 1_000_000
+
+
+def _bucket(col: Column, n_buckets: int) -> Column:
+    """Portable feature-hash bucket: first 32 bits of md5, mod B.
+    DuckDB mirror: ``('0x' || substr(md5(g), 1, 8))::UBIGINT % B``."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+) -> DataFrame:
+    """(id, bucket, cnt): hashed 1..max_n-gram counts per document —
+    the DSIR feature vector in sparse (bucket, count) form. N-grams are
+    space-joined lowercase whitespace tokens; hashing collisions are
+    part of the method (they regularize, per the paper §3.1)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def gram_expr(n: int) -> Column:
+        # n-grams via the shared slice/transform idiom (word_shingles
+        # semantics, inlined so each n reuses the same token array).
+        # NOTE: the transform lambda must take exactly ONE parameter —
+        # Spark inspects arity, and a second (even defaulted) parameter
+        # is bound to the ARRAY INDEX column, silently corrupting the
+        # expression. Bind n via this enclosing function instead.
+        cnt = F.size(toks)
+        return F.when(
+            cnt >= n,
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = [gram_expr(n) for n in range(1, max_n + 1)]
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.flatten(F.array(*grams))).alias("g"),
+        )
+        .filter(F.col("g") != "")
+        .select(id_col, _bucket(F.col("g"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_logratio_weights(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    *,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """(bucket, w_q): quantized log-likelihood-ratio weights
+    ``round(ln(p_target(b) / p_raw(b)) * DSIR_SCALE)`` with add-one
+    smoothing over the ``n_buckets`` hash space:
+
+        p(b) = (cnt_b + 1) / (total + n_buckets)
+
+    Inputs are (id, bucket, cnt) relations from
+    :func:`hashed_ngram_counts`. The two ratios are combined into ONE
+    ``ln`` over a ratio of exact int64 products, so both engines
+    evaluate the identical double. Output is bounded by n_buckets rows
+    — broadcastable at any corpus size.
+    """
+    t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    # scalar totals: two tiny aggregates (counts, not data collects)
+    t_tot = t.agg(F.sum("tc")).collect()[0][0] or 0
+    r_tot = r.agg(F.sum("rc")).collect()[0][0] or 0
+    both = (
+        t.join(r, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    # ln( ((tc+1) * (r_tot+B)) / ((rc+1) * (t_tot+B)) ), one ln on a
+    # ratio of exact integers (products stay < 2^53 for corpora up to
+    # ~10^9 features per side at B=10k; shard the totals beyond that)
+    num = (F.col("tc") + 1) * F.lit(int(r_tot) + n_buckets)
+    den = (F.col("rc") + 1) * F.lit(int(t_tot) + n_buckets)
+    return both.select(
+        "bucket",
+        F.round(F.log(num.cast("double") / den.cast("double")) * DSIR_SCALE)
+        .cast("long")
+        .alias("w_q"),
+    )
+
+
+def dsir_scores(
+    doc_counts: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """(id, n_feats, score_q): per-document importance score — the
+    int64 sum of cnt * w_q over the document's hashed features (the
+    total quantized log-likelihood ratio). Weight table is broadcast
+    (bounded by n_buckets); one shuffle keyed by doc id."""
+    return (
+        doc_counts.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("w_q")).alias("score_q"),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    is_target: Column,
+    k: int,
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+) -> DataFrame:
+    """End-to-end DSIR top-k selection: fit weights target-vs-raw, score
+    every raw document, return the k highest-scoring (id, n_feats,
+    score_q) rows ordered by (score_q DESC, id) — integer columns only,
+    deterministic under ties."""
+    feats = hashed_ngram_counts(
+        docs, id_col, text_col, n_buckets=n_buckets, max_n=max_n
+    )
+    flagged = feats.join(
+        docs.select(F.col(id_col), is_target.alias("_is_t")), id_col
+    )
+    weights = dsir_logratio_weights(
+        flagged.filter(F.col("_is_t")).select(id_col, "bucket", "cnt"),
+        flagged.filter(~F.col("_is_t")).select(id_col, "bucket", "cnt"),
+        n_buckets=n_buckets,
+    )
+    raw_feats = flagged.filter(~F.col("_is_t")).select(
+        id_col, "bucket", "cnt"
+    )
+    return (
+        dsir_scores(raw_feats, weights, id_col)
+        .orderBy(F.desc("score_q"), id_col)
+        .limit(k)
+    )

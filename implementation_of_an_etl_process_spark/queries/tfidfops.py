@@ -214,14 +214,86 @@ ORDER BY doc_id
 """
 
 
+_DSIR_TARGET = "src0"
+_DSIR_K = 100
+_DSIR_BUCKETS = 10_000
+
+
+def dsir_selection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (`operators/selection.py`,
+    Xie et al. NeurIPS 2023): hashed 1-2-gram bag-of-words importance
+    weights fit on target=source 'src0' vs the raw pool, every raw doc
+    scored by its quantized total log-likelihood ratio, top-100 kept.
+    Output columns are all integers (doc_id, n_feats, score_q) —
+    nothing float-derived is hashed."""
+    from implementation_of_an_etl_process_spark.operators.selection import (
+        dsir_select,
+    )
+
+    return dsir_select(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        is_target=F.col("source") == _DSIR_TARGET,
+        k=_DSIR_K,
+        n_buckets=_DSIR_BUCKETS,
+    )
+
+
+DSIR_SELECTION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source = '{_DSIR_TARGET}' AS is_t,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_t, g FROM (
+    SELECT doc_id, is_t, unnest(ts) AS g FROM toks
+    UNION ALL
+    SELECT doc_id, is_t,
+           unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS g
+    FROM toks WHERE len(ts) >= 2
+  ) WHERE g <> ''
+), feats AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % {_DSIR_BUCKETS}
+              AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY doc_id, is_t, bucket
+), t AS (
+  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS tc FROM feats WHERE is_t GROUP BY bucket
+), r AS (
+  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS rc FROM feats WHERE NOT is_t GROUP BY bucket
+), tot AS (
+  SELECT (SELECT COALESCE(CAST(SUM(tc) AS BIGINT), 0) FROM t) AS t_tot,
+         (SELECT COALESCE(CAST(SUM(rc) AS BIGINT), 0) FROM r) AS r_tot
+), w AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         CAST(round(ln(
+           CAST((COALESCE(tc, 0) + 1) * (r_tot + {_DSIR_BUCKETS}) AS DOUBLE)
+           / CAST((COALESCE(rc, 0) + 1) * (t_tot + {_DSIR_BUCKETS}) AS DOUBLE)
+         ) * 1000000) AS BIGINT) AS w_q
+  FROM t FULL JOIN r ON t.bucket = r.bucket, tot
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+       CAST(SUM(cnt * w_q) AS BIGINT) AS score_q
+FROM feats JOIN w USING (bucket)
+WHERE NOT is_t
+GROUP BY doc_id
+ORDER BY score_q DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
 QUERIES = {
     "tfidf_topk_docs": tfidf_topk_docs,
     "source_mixture_weights": source_mixture_weights,
     "unigram_surprisal_docs": unigram_surprisal_docs,
+    "dsir_selection_docs": dsir_selection_docs,
 }
 
 ORACLES = {
     "tfidf_topk_docs": TFIDF_TOPK_SQL,
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
     "unigram_surprisal_docs": UNIGRAM_SURPRISAL_SQL,
+    "dsir_selection_docs": DSIR_SELECTION_SQL,
 }

@@ -1,0 +1,109 @@
+"""DSIR importance-resampling selection (`operators/selection.py`):
+hand-computed weights/scores on a tiny corpus, portability of the
+bucket hash, and the top-k selection contract."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators.selection import (
+    DSIR_SCALE,
+    dsir_logratio_weights,
+    dsir_scores,
+    dsir_select,
+    hashed_ngram_counts,
+)
+
+
+def _bucket(g: str, n_buckets: int) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _grams(text: str):
+    ts = text.lower().strip().split()
+    return [t for t in ts if t] + [
+        f"{ts[i]} {ts[i + 1]}" for i in range(len(ts) - 1)
+    ]
+
+
+def test_hashed_ngram_counts_match_reference(spark):
+    rows = [(1, "a b a"), (2, "x"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["bucket"]): r["cnt"]
+        for r in hashed_ngram_counts(df, "doc_id", "text", n_buckets=97).collect()
+    }
+    expect: dict = {}
+    for i, text in rows:
+        for g in _grams(text):
+            k = (i, _bucket(g, 97))
+            expect[k] = expect.get(k, 0) + 1
+    assert got == expect
+    # doc 3 (empty text) contributes nothing
+    assert not [k for k in got if k[0] == 3]
+
+
+def test_weights_and_scores_hand_computed(spark):
+    B = 97
+    target = spark.createDataFrame([(1, "aa aa bb")], ["doc_id", "text"])
+    raw = spark.createDataFrame([(2, "aa cc"), (3, "cc cc cc")], ["doc_id", "text"])
+    tf = hashed_ngram_counts(target, "doc_id", "text", n_buckets=B)
+    rf = hashed_ngram_counts(raw, "doc_id", "text", n_buckets=B)
+    w = {r["bucket"]: r["w_q"] for r in dsir_logratio_weights(tf, rf, n_buckets=B).collect()}
+
+    # reference weights in plain python
+    tcnt: dict = {}
+    for g in _grams("aa aa bb"):
+        tcnt[_bucket(g, B)] = tcnt.get(_bucket(g, B), 0) + 1
+    rcnt: dict = {}
+    for text in ("aa cc", "cc cc cc"):
+        for g in _grams(text):
+            rcnt[_bucket(g, B)] = rcnt.get(_bucket(g, B), 0) + 1
+    t_tot, r_tot = sum(tcnt.values()), sum(rcnt.values())
+    expect_w = {
+        b: round(
+            math.log(
+                ((tcnt.get(b, 0) + 1) * (r_tot + B))
+                / ((rcnt.get(b, 0) + 1) * (t_tot + B))
+            )
+            * DSIR_SCALE
+        )
+        for b in set(tcnt) | set(rcnt)
+    }
+    assert w == expect_w
+    # scores: int64 sums of cnt * w_q
+    scores = {
+        r["doc_id"]: (r["n_feats"], r["score_q"])
+        for r in dsir_scores(rf, dsir_logratio_weights(tf, rf, n_buckets=B), "doc_id").collect()
+    }
+    for doc_id, text in ((2, "aa cc"), (3, "cc cc cc")):
+        cnts: dict = {}
+        for g in _grams(text):
+            cnts[_bucket(g, B)] = cnts.get(_bucket(g, B), 0) + 1
+        exp_score = sum(c * expect_w[b] for b, c in cnts.items())
+        assert scores[doc_id] == (sum(cnts.values()), exp_score)
+    # the target-like doc outranks the target-unlike doc
+    assert scores[2][1] > scores[3][1]
+
+
+def test_dsir_select_topk_contract(spark):
+    rows = [(i, "target words here always" if i % 4 == 0 else "other noise tokens")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # target = the first two target-text docs; raw = everything else
+    # (8 more target-like docs at ids 8, 12, ..., 36 plus 30 noise docs)
+    is_t = (F.col("doc_id") < 8) & (F.col("doc_id") % 4 == 0)
+    out = dsir_select(
+        df, "doc_id", "text", is_target=is_t, k=5, n_buckets=211
+    ).collect()
+    assert len(out) == 5
+    # only raw docs are returned, ordered by score desc then id
+    assert all(not (r["doc_id"] < 8 and r["doc_id"] % 4 == 0) for r in out)
+    keys = [(r["score_q"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+    # the target-like raw docs fill the top slots; identical texts tie,
+    # so the deterministic id tie-break picks the smallest ids
+    assert [r["doc_id"] for r in out] == [8, 12, 16, 20, 24]
