@@ -262,6 +262,125 @@ def _assign_cells_arrow(
     )
 
 
+def ivf_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int = 5,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    exclude_self: bool = True,
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-flat top-k, fully vectorized: the throughput path.
+
+    One corpus pass, no join: each Arrow batch is (a) assigned to cells
+    with a matmul against the centroid matrix, then (b) scored ONLY
+    against the queries probing its cells — the query set (bounded,
+    same contract as :func:`brute_force_topk_arrow`) is collected once,
+    its probe-cell lists precomputed driver-side, and both matrices
+    ride in the UDF closure. Each batch emits at most
+    (#queries x k) rows before the final global re-rank, so the
+    exchange is tiny regardless of corpus size. Scores are float64
+    matmul cosines (the float path — use the expression
+    :func:`ivf_topk` when oracle-exact integer scores matter).
+
+    Cost per corpus vector: one n_cells-dot assignment plus one dot per
+    query probing its cell (n_queries * n_probe / n_cells expected) —
+    vs n_queries dots for brute force; the advantage is the probe
+    fraction, realized here because both stages are BLAS batch ops
+    rather than per-row expression trees.
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = corpus.select(F.size(corpus_vec).alias("d")).first()["d"]
+    cents = (
+        centroids
+        if centroids is not None
+        else [centroid_components(c, dim) for c in range(n_cells)]
+    )
+    n_cells = len(cents)
+    C = np.array(cents, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+
+    q_rows = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    ).collect()  # small side by contract
+    qids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    Q = np.array([r.qvec for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    # probe cells per query, tie-break identical to _assign_cells_arrow
+    qs = Qn @ Cn.T
+    qidx = np.argsort(-qs[:, ::-1], axis=1, kind="stable")[:, :n_probe]
+    q_cells = n_cells - 1 - qidx  # (n_queries, n_probe)
+    cell_to_q: dict = {}
+    for qi, cells in enumerate(q_cells):
+        for c in cells:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    cell_to_q = {c: np.array(v, dtype=np.int64) for c, v in cell_to_q.items()}
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["cvec"].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-30
+            )
+            A = Xn @ Cn.T
+            cells = (
+                n_cells
+                - 1
+                - np.argmax(A[:, ::-1], axis=1)  # ties -> larger cell
+            )
+            cids = pdf["cid"].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for c in np.unique(cells):
+                qs_here = cell_to_q.get(int(c))
+                if qs_here is None:
+                    continue
+                rows = np.flatnonzero(cells == c)
+                S = Xn[rows] @ Qn[qs_here].T  # (rows, probing queries)
+                top = min(k, len(rows))
+                idx = np.argpartition(-S, top - 1, axis=0)[:top]
+                out_q.append(np.repeat(qids[qs_here], top))
+                out_c.append(cids[rows][idx.T.ravel()])
+                out_s.append(np.take_along_axis(S, idx, axis=0).T.ravel())
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "cid": np.concatenate(out_c),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    cd = spread(
+        corpus.select(
+            F.col(corpus_id).alias("cid"),
+            F.col(corpus_vec).cast("array<double>").alias("cvec"),
+        )
+    )
+    partial = cd.mapInPandas(score, "qid long, cid long, score double")
+    if exclude_self:
+        partial = partial.filter(F.col("qid") != F.col("cid"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "score", "rank")
+    )
+
+
 def brute_force_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,

@@ -125,6 +125,60 @@ def test_ivf_arrow_assign_agrees_with_expression(spark):
     assert expr2 == arrow2
 
 
+def test_ivf_arrow_full_path_recall_and_determinism(spark):
+    """ivf_topk_arrow (matmul assignment AND scoring, no join): on
+    clustered synthetic data with enough probes its result set matches
+    exact brute force, and repeated runs are identical."""
+    import math
+
+    rows = []
+    for i in range(300):
+        c = i % 4
+        base = [math.cos(0.7 * c + 0.05 * j) for j in range(16)]
+        # prime moduli over the full id range: no two vectors are
+        # byte-identical, so no exact score ties can straddle the
+        # batch-local top-k pruning boundary (the documented arrow-path
+        # caveat: ranks agree with brute force except on exact ties)
+        rows.append(
+            (i, [b + 0.001 * ((i * 131 + j * 17) % 101 - 50)
+                 for j, b in enumerate(base)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 8)
+    kw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding", k=5,
+    )
+    # float-score ground truth (the arrow family scores in float64;
+    # the expression brute force quantizes, which re-orders near-ties)
+    exact = {
+        (r.qid, r.cid)
+        for r in S.brute_force_topk_arrow(
+            q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+            emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+            query_id="qid", query_vec="qvec", corpus_id="cid",
+            corpus_vec="cvec", k=5,
+        ).collect()
+    }
+    a1 = {
+        (r.qid, r.cid)
+        for r in S.ivf_topk_arrow(q, emb, n_cells=8, n_probe=8, **kw).collect()
+    }
+    # probing every cell == exhaustive: must equal brute force exactly
+    assert a1 == exact
+    a2 = {
+        (r.qid, r.cid)
+        for r in S.ivf_topk_arrow(q, emb, n_cells=8, n_probe=8, **kw).collect()
+    }
+    assert a1 == a2
+    # realistic probe fraction on clustered data: high recall
+    part = {
+        (r.qid, r.cid)
+        for r in S.ivf_topk_arrow(q, emb, n_cells=8, n_probe=3, **kw).collect()
+    }
+    assert len(part & exact) / len(exact) >= 0.9
+
+
 def test_pq_encode_shape_and_determinism(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     books = S.train_pq_codebooks(

@@ -112,7 +112,7 @@ def main() -> None:
     t_train = time.monotonic() - t0
     t0 = time.monotonic()
     approx = (
-        S.ivf_topk(
+        S.ivf_topk_arrow(
             q,
             emb,
             query_id="vec_id",
@@ -123,7 +123,6 @@ def main() -> None:
             n_probe=N_PROBE,
             dim=DIM,
             centroids=cents,
-            arrow_assign=True,  # the throughput path (matmul assignment)
         )
         .select("qid", "cid")
         .collect()
