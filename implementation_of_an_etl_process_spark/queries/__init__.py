@@ -125,15 +125,18 @@ except ImportError:  # pragma: no cover
 # gate runs predate its oracle), re-confirms the 4 entries whose code
 # paths round 6 edits (index atomicity, ingest ordering, md5-guard
 # fold), gates the round's NEW entries (semantic_dedup_survivors,
-# dsir_selection_docs — new entries gate the round they land, the r5
-# lesson), keeps one flagship per hard-gate family inside the cap
-# (tests/test_sql41.py pins the family list), and spends the remaining
-# 25 slots on the stalest entries (last gated in r2).  The r7 rotation
-# backlog: 27 r3-gated entries plus the 8 r2 entries that did not fit
-# (multimodal_frame_offsets, multimodal_image_features,
-# explode_part_words, date_arith_orders, null_handling_orders,
-# having_bulk_orders, window_order_gaps, median_retail_price).
-# Everything else stays covered by ``tools/verify_local.py``.
+# dsir_selection_docs, similarity_ivf_arrow_recall — new entries gate
+# the round they land, the r5 lesson), keeps one flagship per
+# hard-gate family inside the cap (tests/test_sql41.py pins the family
+# list), and spends the remaining 24 slots on the stalest entries
+# (last gated in r2).  The r7 rotation backlog: 27 r3-gated entries
+# plus the 9 r2 entries that did not fit (multimodal_frame_offsets,
+# multimodal_image_features, explode_part_words, date_arith_orders,
+# null_handling_orders, having_bulk_orders, window_order_gaps,
+# median_retail_price, distinct_agg_nation — distinct-count coverage
+# stays in-cap via hypercube/reference_native_path's FD rewrite and
+# approx_distinct_gate).  Everything else stays covered by
+# ``tools/verify_local.py``.
 _DRIVER_PRIORITY = [
     # pinned flagships (9): one per hard-gate family, green every round.
     "hypercube",
@@ -159,9 +162,10 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_indexed_docs",
     "streaming_incremental_dedup",
     "dedup_hot_bucket_farm",
-    # new this round (2): gate immediately.
+    # new this round (3): gate immediately.
     "semantic_dedup_survivors",
     "dsir_selection_docs",
+    "similarity_ivf_arrow_recall",
     # family flagships the 50-entry cap must always carry (5):
     # structured streaming, source formats, UDF surface, TPC-H join
     # shapes, audio codec (the other 11 family reps are above).
@@ -170,14 +174,13 @@ _DRIVER_PRIORITY = [
     "arrow_python_udf_reverse",
     "q1_pricing_summary",
     "multimodal_wav_decode",
-    # stalest rotation (25): last driver-gated in round 2.
+    # stalest rotation (24): last driver-gated in round 2.
     "window_running_total",
     "rollup_region_nation",
     "cube_status_priority",
     "semi_join_customers",
     "anti_join_customers",
     "set_ops_customers",
-    "distinct_agg_nation",
     "sort_limit_orders",
     "string_funcs_part",
     "date_funcs_orders",

@@ -358,6 +358,69 @@ SELECT {_N_QUERY_VECS} AS n_queries,
 """
 
 
+def similarity_ivf_arrow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the VECTORIZED IVF path (`ivf_topk_arrow` —
+    matmul cell assignment AND probe scoring, no join; the 86x-at-2M
+    throughput path, BASELINE_NOTES r6): recall@5 vs the float-scored
+    Arrow brute force, same loud-failure contract as the expression
+    gate — emits the pinned floor when cleared, else the measured
+    percentage so a regression shows its number in the hash diff."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    cents = S.train_ivf_centroids(
+        emb,
+        corpus_vec="embedding",
+        corpus_id="vec_id",
+        n_cells=16,
+        n_train=4096,
+    )
+    ivf = S.ivf_topk_arrow(
+        q,
+        emb,
+        query_id="vec_id",
+        query_vec="embedding",
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        k=5,
+        n_probe=8,
+        dim=_EMB_DIM,
+        centroids=cents,
+    )
+    exact = S.brute_force_topk_arrow(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        query_id="qid",
+        query_vec="qvec",
+        corpus_id="cid",
+        corpus_vec="cvec",
+        k=5,
+    )
+    hits = ivf.join(exact, ["qid", "cid"], "left_semi")
+    return (
+        hits.agg(F.count(F.lit(1)).alias("_hits"))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("_total"),
+                F.countDistinct("qid").alias("_nq"),
+            )
+        )
+        .select(
+            F.col("_nq").cast("int").alias("n_queries"),
+            F.when(
+                (F.col("_hits") * 100 / F.col("_total"))
+                >= _IVF_RECALL_FLOOR_PCT,
+                F.lit(_IVF_RECALL_FLOOR_PCT),
+            )
+            .otherwise(F.floor(F.col("_hits") * 100 / F.col("_total")))
+            .cast("int")
+            .alias("recall_pct_floor"),
+        )
+    )
+
+
+IVF_ARROW_RECALL_SQL = IVF_RECALL_SQL
+
+
 _PQ_RECALL_FLOOR_PCT = 90  # measured: 100% sf0.01 / 99% sf0.1 (m=16 K=64 shortlist=50 + exact re-rank; uniform-random embeddings are the PQ worst case — m=8/K=16 measured only 54-67%)
 
 
@@ -497,6 +560,7 @@ QUERIES = {
     "semantic_dedup_survivors": semantic_dedup_survivors,
     "similarity_ivf_topk": similarity_ivf_topk,
     "similarity_ivf_recall": similarity_ivf_recall,
+    "similarity_ivf_arrow_recall": similarity_ivf_arrow_recall,
 }
 
 ORACLES = {
@@ -507,4 +571,5 @@ ORACLES = {
     "semantic_dedup_survivors": SEMANTIC_DEDUP_SQL,
     "similarity_ivf_topk": IVF_TOPK_SQL,
     "similarity_ivf_recall": IVF_RECALL_SQL,
+    "similarity_ivf_arrow_recall": IVF_ARROW_RECALL_SQL,
 }
