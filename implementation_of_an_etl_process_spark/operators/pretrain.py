@@ -30,6 +30,7 @@ __all__ = [
     "pii_redact",
     "strip_urls",
     "paragraph_dedup",
+    "chunk_documents",
 ]
 
 
@@ -245,4 +246,53 @@ def paragraph_dedup(
             "n_kept",
             (F.col("n_kept") / F.col("n_chunks")).alias("kept_frac"),
         )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 16,
+    stride: int = 12,
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the retrieval/context-
+    window prep step (RAG indexing, long-doc pretraining windows): a
+    chunk of ``chunk_size`` words starts every ``stride`` words, so
+    consecutive chunks overlap by ``chunk_size - stride`` words. A
+    final short chunk is emitted whenever any token remains past the
+    last full window (every token lands in >=1 chunk).
+
+    Output: one row per (doc, chunk) —
+    ``(id, chunk_id, start_token, n_chunk_tokens, chunk_md5)`` with
+    ``start_token`` 1-based; the md5 stands in for the chunk text so
+    downstream chunk-level dedup/indexing shuffles a 32-byte key, not
+    the payload.
+
+    Scale shape: pure Column expressions (sequence/transform/slice
+    inside whole-stage codegen) + one posexplode — a narrow map, zero
+    shuffles; output partitioning inherits the input's. The reference
+    engine has no text surface (``ETL.java`` stops at OLAP
+    aggregation); this is mandated-extension scope.
+    """
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    if stride > chunk_size:
+        raise ValueError(
+            f"stride {stride} > chunk_size {chunk_size} would drop tokens"
+        )
+    w = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.floor((F.size(w) - 1) / stride).cast("int")
+    )
+    chunks = F.transform(starts, lambda k: F.slice(w, k * stride + 1, chunk_size))
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "toks")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id").cast("long") * stride + 1).alias("start_token"),
+        F.size("toks").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("chunk_md5"),
     )

@@ -253,12 +253,53 @@ ORDER BY doc_id
 """
 
 
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 12
+
+
+def chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (`operators/pretrain.py::
+    chunk_documents`): 16-word windows every 12 words, one row per
+    (doc, chunk) with the 1-based start offset, actual token count
+    (the tail window is short), and the chunk-text md5 — the
+    RAG-indexing / long-doc window-prep primitive. Zero shuffles; the
+    orderBy here is battery determinism only."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        chunk_documents,
+    )
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_size=_CHUNK_SIZE,
+        stride=_CHUNK_STRIDE,
+    ).orderBy("doc_id", "chunk_id")
+
+
+CHUNK_OVERLAP_SQL = f"""
+WITH ch AS (
+  SELECT doc_id, g.x AS chunk_id,
+         w[g.x * {_CHUNK_STRIDE} + 1 :
+           g.x * {_CHUNK_STRIDE} + {_CHUNK_SIZE}] AS toks
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       (SELECT unnest(generate_series(0, 4000)) AS x) g
+  WHERE g.x <= (len(w) - 1) // {_CHUNK_STRIDE}
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_token,
+       CAST(len(toks) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks, ' ')) AS chunk_md5
+FROM ch
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "repetition_stats_docs": repetition_stats_docs,
     "pii_redaction": pii_redaction,
     "strip_urls_docs": strip_urls_docs,
     "paragraph_dedup_frac": paragraph_dedup_frac,
+    "chunk_overlap_docs": chunk_overlap_docs,
 }
 
 ORACLES = {
@@ -267,4 +308,5 @@ ORACLES = {
     "pii_redaction": PII_SQL,
     "strip_urls_docs": STRIP_URLS_SQL,
     "paragraph_dedup_frac": PARAGRAPH_DEDUP_SQL,
+    "chunk_overlap_docs": CHUNK_OVERLAP_SQL,
 }

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.operators.pretrain import (
+    chunk_documents,
     contamination_overlap,
     paragraph_dedup,
     pii_redact,
@@ -86,3 +87,45 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
     }
     assert rows[1]["n_kept"] == 2 and rows[1]["kept_frac"] == 1.0
     assert rows[2]["n_kept"] == 1 and rows[2]["kept_frac"] == 0.5
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    # 10 words, size 4, stride 3 -> starts at words 1,4,7,10:
+    # full window, full window, full window, 1-word tail.
+    words = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_size=4, stride=3).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [(r["chunk_id"], r["start_token"], r["n_chunk_tokens"]) for r in rows] == [
+        (0, 1, 4),
+        (1, 4, 4),
+        (2, 7, 4),
+        (3, 10, 1),
+    ]
+    # overlap: chunk 0 covers w1-w4, chunk 1 covers w4-w7 (w4 shared).
+    import hashlib
+
+    assert rows[0]["chunk_md5"] == hashlib.md5(b"w1 w2 w3 w4").hexdigest()
+    assert rows[1]["chunk_md5"] == hashlib.md5(b"w4 w5 w6 w7").hexdigest()
+    assert rows[3]["chunk_md5"] == hashlib.md5(b"w10").hexdigest()
+
+
+def test_chunk_documents_single_short_doc_one_chunk(spark):
+    df = spark.createDataFrame([(7, "a b")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_size=16, stride=12).collect()
+    assert len(rows) == 1
+    assert (rows[0]["chunk_id"], rows[0]["start_token"], rows[0]["n_chunk_tokens"]) == (
+        0,
+        1,
+        2,
+    )
+
+
+def test_chunk_documents_rejects_token_dropping_stride(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0, stride=1)
