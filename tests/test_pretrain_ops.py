@@ -123,6 +123,53 @@ def test_chunk_documents_single_short_doc_one_chunk(spark):
     )
 
 
+def test_chunk_documents_matches_python_reference(spark):
+    """Window coverage law vs a pure-Python reference: every token of
+    every doc lands in >=1 chunk, chunk k covers words
+    [k*stride+1, k*stride+size], and the md5 is of the exact
+    space-joined slice."""
+    import hashlib
+    import random
+
+    rng = random.Random(6)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(1, 40))))
+        for i in range(20)
+    ]
+    size, stride = 5, 3
+    expected = set()
+    for doc_id, text in rows:
+        words = text.split(" ")
+        for k in range((len(words) - 1) // stride + 1):
+            toks = words[k * stride : k * stride + size]
+            expected.add(
+                (
+                    doc_id,
+                    k,
+                    k * stride + 1,
+                    len(toks),
+                    hashlib.md5(" ".join(toks).encode()).hexdigest(),
+                )
+            )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in chunk_documents(df, chunk_size=size, stride=stride).collect()
+    }
+    assert got == expected
+
+
+def test_chunk_documents_plan_has_no_exchange(spark):
+    """The chunker must stay a narrow map: codegen'd sequence/slice +
+    posexplode, zero shuffles (scale contract in the docstring)."""
+    from implementation_of_an_etl_process_spark.plans import explain_str
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = explain_str(chunk_documents(df, chunk_size=4, stride=3))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan  # the posexplode
+
+
 def test_chunk_documents_rejects_token_dropping_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
