@@ -186,6 +186,27 @@ def main() -> None:
         flush=True,
     )
 
+    # --- sliding-window chunking (RAG/context-window prep) ---------------
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        chunk_documents,
+    )
+
+    t0 = time.monotonic()
+    chunk_agg = chunk_documents(docs, chunk_size=16, stride=12).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("total_tokens"),
+        F.approx_count_distinct("chunk_md5").alias("approx_uniq"),
+    ).collect()[0]
+    t = time.monotonic() - t0
+    print(
+        f"chunking(16/12): {chunk_agg['n_chunks']} chunks "
+        f"({chunk_agg['total_tokens']} token-slots, "
+        f"~{chunk_agg['approx_uniq']} distinct md5) in {t:.1f}s = "
+        f"{chunk_agg['n_chunks'] / t / 1e6:.2f}M chunks/s, "
+        f"{n / t / 1e3:.0f}k docs/s (zero-shuffle narrow map)",
+        flush=True,
+    )
+
     # --- tf-idf pairwise on a slice: df-banding on Zipfian data ----------
     sl = docs.filter(F.col("doc_id") < SLICE)
     t0 = time.monotonic()
