@@ -31,6 +31,9 @@ __all__ = [
     "strip_urls",
     "paragraph_dedup",
     "chunk_documents",
+    "duplicate_spans",
+    "duplicate_span_stats",
+    "remove_duplicate_spans",
 ]
 
 
@@ -295,4 +298,208 @@ def chunk_documents(
         (F.col("chunk_id").cast("long") * stride + 1).alias("start_token"),
         F.size("toks").cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join("toks", " ")).alias("chunk_md5"),
+    )
+
+
+def _dup_tokens(text_col: str) -> Column:
+    """Lowercased whitespace tokens with empties dropped — the module's
+    shared tokenization, kept arity-safe (one-arg lambda: element)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level (duplicate-span) dedup detection, the third
+    granularity next to document-level (``dedup.py``) and
+    paragraph-level (``paragraph_dedup``): find every maximal token
+    span that is part of some ``k``-token window occurring at least
+    ``min_count`` times anywhere in the corpus — including twice
+    inside ONE document (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022, motivates exactly this
+    substring tier; their suffix-array ExactSubstr is single-machine,
+    this is the distributed k-window formulation of the same contract:
+    with stride-1 windows, a duplicated substring of length >= k is
+    covered by duplicated windows exactly).
+
+    Returns one row per merged span: ``(id, span_start, span_end)``
+    with 1-based inclusive token positions; overlapping and
+    token-adjacent duplicated windows are merged into maximal spans.
+
+    Scale shape (100 TB): the window pass is a pure-Column shingle
+    scan (sequence/slice/md5 inside whole-stage codegen, one explode —
+    no shuffle); duplicate detection is ONE groupBy on the 128-bit
+    window hash (map-side partial aggregation; the hash key space is
+    uniform, so no hot reducer — a boilerplate span duplicated across
+    millions of docs is reduced map-side like any other key); the join
+    back is a semi join scoped to candidate hashes only (duplicate
+    windows are typically a small fraction of the corpus); the
+    interval merge is a per-document sort of that document's OWN
+    duplicated windows — bounded by doc length, never corpus-wide.
+    Reference scope note: ``ETL.java`` has no text surface; this is
+    mandated-extension scope.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if min_count < 2:
+        raise ValueError("min_count < 2 would flag every window")
+    base = docs.select(F.col(id_col), _dup_tokens(text_col).alias("ts"))
+    wp = (
+        base.where(F.size("ts") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (k - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("p"),
+                        F.md5(F.array_join(F.slice("ts", i, k), " ")).alias(
+                            "h"
+                        ),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(id_col, "w.p", "w.h")
+    )
+    hot = (
+        wp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("h")
+    )
+    dwin = wp.join(hot, "h", "left_semi").select(
+        id_col, "p", (F.col("p") + (k - 1)).alias("e")
+    )
+    wdoc = W.partitionBy(id_col).orderBy("p")
+    brk = dwin.withColumn(
+        "is_new",
+        F.when(
+            F.col("p")
+            > F.coalesce(
+                F.max("e").over(
+                    wdoc.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(-1),
+            )
+            + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn("island", F.sum("is_new").over(wdoc))
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            F.max("e").alias("span_end"),
+        )
+        .drop("island")
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+    frac_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document duplicate-span summary over :func:`duplicate_spans`
+    — the filterable quality signal (drop or trim docs whose training
+    tokens are mostly corpus-duplicated boilerplate).
+
+    Output per input doc (docs with no duplicated span included, with
+    zeros): ``(id, n_tokens, dup_span_count, dup_token_count,
+    dup_frac_q)``; ``dup_frac_q`` is the duplicated-token fraction
+    micro-quantized with the repo's integer-exact half-away rounding
+    ``(2*a*scale + b) DIV (2*b)`` — no float ever reaches the hashed
+    output (both quantities are non-negative, so no sign adjustment).
+    """
+    spans = duplicate_spans(
+        docs, id_col=id_col, text_col=text_col, k=k, min_count=min_count
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nspan"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_ntok"),
+    )
+    base = docs.select(
+        F.col(id_col), F.size(_dup_tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .withColumn("_dup", F.coalesce(F.col("_ntok"), F.lit(0)).cast("long"))
+        .withColumn("_nt", F.greatest(F.col("n_tokens"), F.lit(1)))
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("_nspan"), F.lit(0))
+            .cast("long")
+            .alias("dup_span_count"),
+            F.col("_dup").alias("dup_token_count"),
+            # Integer-exact round-half-away: (2a*scale + b) div (2b);
+            # both operands non-negative, so no sign adjustment.
+            F.expr(f"(2 * _dup * {frac_scale} + _nt) div (2 * _nt)")
+            .cast("long")
+            .alias("dup_frac_q"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Strict-removal cleanup: rebuild each document's text with every
+    token covered by a duplicated span dropped (the conservative
+    policy — keeping one canonical occurrence per duplicated substring
+    requires a global owner election across documents; callers wanting
+    that join :func:`duplicate_spans` and elect owners themselves).
+
+    Per-doc span lists are bounded by doc length (collect_list here is
+    executor-side per-group state, not a driver collect). The rebuild
+    is pure Column work: positions surviving the interval set are kept
+    in order and re-joined.
+
+    Output: ``(id, clean_text, n_removed_tokens)``.
+    """
+    spans = duplicate_spans(
+        docs, id_col=id_col, text_col=text_col, k=k, min_count=min_count
+    )
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    )
+    base = docs.select(F.col(id_col), _dup_tokens(text_col).alias("ts"))
+    joined = base.join(sp, id_col, "left").withColumn(
+        "_sp", F.coalesce(F.col("_sp"), F.array())
+    )
+    keep_pos = F.filter(
+        F.sequence(F.lit(1), F.size("ts")),
+        lambda p: ~F.exists(
+            "_sp",
+            lambda s: (p >= s["span_start"]) & (p <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(
+            F.transform(keep_pos, lambda p: F.element_at("ts", p)),
+            " ",
+        ).alias("clean_text"),
+        (F.size("ts") - F.size(keep_pos)).cast("long").alias(
+            "n_removed_tokens"
+        ),
     )

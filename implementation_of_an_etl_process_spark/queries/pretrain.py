@@ -293,6 +293,75 @@ ORDER BY doc_id, chunk_id
 """
 
 
+_SPAN_K = 8
+
+
+def dup_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate-span detection (`operators/pretrain.py
+    ::duplicate_span_stats`, Lee et al. ACL 2022): per doc, the count
+    and token mass of maximal spans covered by an 8-token window that
+    occurs >=2 times anywhere in the corpus (intra-doc repeats count),
+    plus the integer-exact micro-quantized duplicated fraction. k=8
+    fits the synthetic corpus's 10-99-word docs (the operator default
+    is the paper-realistic 50); at sf0.01 the planted duplicate docs
+    give 47/500 docs with nonzero spans, several at frac 1.0."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        duplicate_span_stats,
+    )
+
+    return duplicate_span_stats(
+        _t(spark, sf_dir, "documents"), k=_SPAN_K
+    ).orderBy("doc_id")
+
+
+DUP_SPAN_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest([{{'p': i,
+                   'h': md5(array_to_string(ts[i:i+{_SPAN_K}-1], ' '))}}
+                 FOR i IN range(1, len(ts) - {_SPAN_K} + 2)]) AS w
+  FROM toks WHERE len(ts) >= {_SPAN_K}
+), wp AS (
+  SELECT doc_id, w.p AS p, w.h AS h FROM wins
+), dups AS (
+  SELECT h FROM wp GROUP BY h HAVING COUNT(*) >= 2
+), dwin AS (
+  SELECT doc_id, p, p + {_SPAN_K} - 1 AS e FROM wp JOIN dups USING (h)
+), brk AS (
+  SELECT doc_id, p, e,
+         CASE WHEN p > COALESCE(MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM dwin
+), isl AS (
+  SELECT doc_id, p, e,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, island, MIN(p) AS s, MAX(e) AS e
+  FROM isl GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nspan,
+         CAST(SUM(e - s + 1) AS BIGINT) AS ntok
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.nspan, 0) AS BIGINT) AS dup_span_count,
+       CAST(COALESCE(p.ntok, 0) AS BIGINT) AS dup_token_count,
+       CAST((2 * COALESCE(p.ntok, 0) * 1000000 + GREATEST(len(t.ts), 1))
+            // (2 * GREATEST(len(t.ts), 1)) AS BIGINT) AS dup_frac_q
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "repetition_stats_docs": repetition_stats_docs,
@@ -300,6 +369,7 @@ QUERIES = {
     "strip_urls_docs": strip_urls_docs,
     "paragraph_dedup_frac": paragraph_dedup_frac,
     "chunk_overlap_docs": chunk_overlap_docs,
+    "dup_span_stats_docs": dup_span_stats_docs,
 }
 
 ORACLES = {
@@ -309,4 +379,5 @@ ORACLES = {
     "strip_urls_docs": STRIP_URLS_SQL,
     "paragraph_dedup_frac": PARAGRAPH_DEDUP_SQL,
     "chunk_overlap_docs": CHUNK_OVERLAP_SQL,
+    "dup_span_stats_docs": DUP_SPAN_SQL,
 }

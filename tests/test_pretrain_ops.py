@@ -176,3 +176,134 @@ def test_chunk_documents_rejects_token_dropping_stride(spark):
         chunk_documents(df, chunk_size=4, stride=5)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_size=0, stride=1)
+
+
+# --- duplicate-span (substring-level) dedup ---------------------------
+
+
+def _py_dup_spans(texts: dict[int, str], k: int):
+    """Pure-python reference: per doc, merged maximal spans covered by
+    a k-token window occurring >=2 times corpus-wide (1-based incl)."""
+    toks = {d: [t for t in t_.lower().strip().split() if t] for d, t_ in texts.items()}
+    from collections import Counter
+
+    wins = Counter()
+    per_doc = {}
+    for d, ts in toks.items():
+        ws = [tuple(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+        per_doc[d] = ws
+        wins.update(ws)
+    spans = {}
+    for d, ws in per_doc.items():
+        ivs = [
+            (i + 1, i + k) for i, w in enumerate(ws) if wins[w] >= 2
+        ]
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        spans[d] = merged
+    return toks, spans
+
+
+_DUP_CORPUS = [
+    # docs 1 and 2 share an 8-token run mid-text at different offsets
+    (1, "a b c d e f g h i j k l m n o p"),
+    (2, "x y e f g h i j k l z w q r s t"),
+    # doc 3 repeats one 4-token phrase twice INSIDE itself (k=4 case)
+    (3, "p q r s junk1 junk2 p q r s tail1 tail2"),
+    # doc 4 is an exact copy of doc 1 (whole-doc span)
+    (4, "a b c d e f g h i j k l m n o p"),
+    # doc 5 is unique and shorter than k=8
+    (5, "lone words only"),
+]
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_duplicate_spans_match_python_reference(spark, k):
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        duplicate_spans,
+    )
+
+    df = spark.createDataFrame(_DUP_CORPUS, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    _, spans = _py_dup_spans(dict(_DUP_CORPUS), k)
+    want = {(d, s, e) for d, ivs in spans.items() for s, e in ivs}
+    assert got == want
+
+
+def test_duplicate_spans_intra_doc_repeat_counts(spark):
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(3, "p q r s junk1 junk2 p q r s tail1 tail2")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, k=4).collect()
+    )
+    assert got == [(1, 4), (7, 10)]
+
+
+def test_duplicate_span_stats_whole_doc_copy_is_full_fraction(spark):
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        duplicate_span_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "u v w x y z q1 q2")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in duplicate_span_stats(df, k=8).collect()
+    }
+    assert rows[1]["dup_frac_q"] == 1_000_000
+    assert rows[1]["dup_span_count"] == 1
+    assert rows[2]["dup_token_count"] == 8
+    assert rows[3]["dup_span_count"] == 0 and rows[3]["dup_frac_q"] == 0
+    assert len(rows) == 3  # zero-span docs included
+
+
+def test_remove_duplicate_spans_strict_removal(spark):
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "z1 a b c d e f g h z2"),
+            (3, "all unique here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, k=8).collect()
+    }
+    # docs 1/2 share the 8-run "a b c d e f g h"
+    assert rows[1]["clean_text"] == "i j"
+    assert rows[1]["n_removed_tokens"] == 8
+    assert rows[2]["clean_text"] == "z1 z2"
+    assert rows[3]["clean_text"] == "all unique here nothing shared"
+    assert rows[3]["n_removed_tokens"] == 0
+
+
+def test_duplicate_spans_rejects_bad_params(spark):
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        duplicate_spans,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicate_spans(df, k=0)
+    with pytest.raises(ValueError):
+        duplicate_spans(df, min_count=1)
