@@ -1,0 +1,273 @@
+"""Distributed BPE tokenizer: learn byte-pair-encoding merges over a
+corpus and encode documents with them — the tokenization step an LLM
+training-data pipeline runs after hygiene filtering (the reference
+engine stops at OLAP aggregation, ``ETL.java:1`` — this whole module
+is mandated-extension scope).
+
+Algorithm is the original subword BPE (Sennrich, Haddow & Birch,
+"Neural Machine Translation of Rare Words with Subword Units", ACL
+2016): train on the WORD-COUNT table (not the raw token stream — the
+classic trick that makes the iterative part cheap), greedily merging
+the globally most frequent adjacent symbol pair; encode by replaying
+the learned merges in rank order with the same left-to-right
+non-overlapping pass. Ties break deterministically on
+(count DESC, left ASC, right ASC) in both the Spark trainer and the
+pure-python reference (``py_train_bpe`` / ``py_encode_word`` below,
+which the tests and the battery gate compare against).
+
+Scale shape (100 TB):
+- The corpus is touched exactly ONCE: one tokenize+groupBy shuffle
+  reduces it to the word-count table (map-side combining; vocabulary
+  is millions of rows where the corpus is trillions of tokens).
+- Each training iteration is one aggregate over that already-reduced
+  vocab table (adjacent-pair explode -> partial-agg sum) plus ONE
+  collected row (the argmax) — the only driver-side data in the loop,
+  bounded by contract. Lineage is cut every few merges with
+  ``localCheckpoint`` so the plan stays flat across iterations.
+- The merge application is a pure-Column ``aggregate`` fold inside
+  whole-stage codegen — no Python in the loop.
+- Encoding runs the per-word merge replay over the DISTINCT-word
+  table only (an Arrow-batched pandas UDF over vocab rows — document
+  text never passes through Python), then joins the encodings back to
+  the corpus by word (broadcast when vocab fits, shuffle join
+  otherwise) and reassembles per-doc token arrays JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "END_OF_WORD",
+    "word_count_table",
+    "train_bpe",
+    "encode_bpe",
+    "py_train_bpe",
+    "py_encode_word",
+]
+
+END_OF_WORD = "</w>"
+
+
+def _tokens(text_col: str) -> Column:
+    """Lowercased whitespace tokens, empties dropped (module-shared
+    convention; one-arg lambda = element, arity-safe)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def word_count_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(word, cnt)`` over the corpus — the single corpus-wide shuffle
+    of BPE training (map-side combining on the word key)."""
+    return (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _merge_pass(syms: Column | str, left: str, right: str) -> Column:
+    """One left-to-right non-overlapping merge of the adjacent pair
+    (left, right) in a symbol array — a pure-Column fold (the exact
+    dual of the reference pass in :func:`py_encode_word`)."""
+    c = F.col(syms) if isinstance(syms, str) else syms
+    return F.aggregate(
+        c,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 100,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 6,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus; returns the
+    ranked merge list (the model — ``n_merges`` driver-side tuples, the
+    same bounded-by-contract scalar class as KMeans centroids in the
+    IVF trainer). Stops early when no pair reaches ``min_pair_count``.
+
+    Each word contributes its character sequence plus a terminal
+    ``</w>`` marker so merges never cross word boundaries and
+    end-of-word units stay distinct from mid-word units.
+    """
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    wt = word_count_table(docs, text_col).select(
+        F.concat(
+            F.split("word", "(?!$)"), F.array(F.lit(END_OF_WORD))
+        ).alias("syms"),
+        "cnt",
+    )
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = wt.where(F.size("syms") >= 2).select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda j: F.struct(
+                        F.element_at("syms", j).alias("a"),
+                        F.element_at(
+                            "syms", (j + F.lit(1)).cast("int")
+                        ).alias("b"),
+                    ),
+                )
+            ).alias("pr"),
+        )
+        best = (
+            pairs.groupBy("pr.a", "pr.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()  # bounded: exactly one scalar row per iteration
+        )
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        wt = wt.withColumn("syms", _merge_pass("syms", a, b))
+        if (i + 1) % checkpoint_every == 0:
+            # cut lineage: the loop otherwise stacks one fold per merge
+            wt = wt.localCheckpoint(eager=True)
+    return merges
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode every document with a learned merge list: per doc, the
+    concatenated BPE units of its words in order. Returns
+    ``(id, n_words, n_bpe_tokens, out_col array<string>)``.
+
+    The merge replay runs over DISTINCT words only (pandas UDF with
+    per-batch memoization — corpus text never enters Python); the
+    join back to the corpus is by word and the per-doc reassembly
+    (collect_list + array_sort + flatten) is JVM-side.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mlist = list(merges)
+
+    @pandas_udf("array<string>")
+    def _encode(words: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is None:
+                hit = cache[w] = py_encode_word(w, mlist)
+            return hit
+
+        return words.map(enc)
+
+    words = (
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .distinct()
+        .withColumn("_units", _encode("word"))
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "word")
+    )
+    return (
+        exploded.join(words, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "_units"))
+                    ),
+                    lambda s: s["_units"],
+                )
+            ).alias(out_col),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.size(out_col).cast("long").alias("n_bpe_tokens"),
+            out_col,
+        )
+    )
+
+
+# --- pure-python reference (tests + battery gate) ---------------------
+
+
+def py_train_bpe(
+    word_counts: dict[str, int],
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Reference trainer on a word-count dict; tie-break identical to
+    the Spark trainer: (count DESC, left ASC, right ASC)."""
+    vocab = {
+        tuple(list(w) + [END_OF_WORD]): c for w, c in word_counts.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for j in range(len(syms) - 1):
+                pr = (syms[j], syms[j + 1])
+                counts[pr] = counts.get(pr, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        vocab = {
+            tuple(_py_merge_pass(list(s), a, b)): c
+            for s, c in vocab.items()
+        }
+    return merges
+
+
+def _py_merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def py_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encoder: replay merges in learned order with the same
+    left-to-right non-overlapping pass as training (the original
+    subword-nmt application order)."""
+    syms = list(word) + [END_OF_WORD]
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        syms = _py_merge_pass(syms, a, b)
+    return syms

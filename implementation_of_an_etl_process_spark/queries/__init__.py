@@ -126,12 +126,14 @@ except ImportError:  # pragma: no cover
 # paths round 6 edits (index atomicity, ingest ordering, md5-guard
 # fold), gates the round's NEW entries (semantic_dedup_survivors,
 # dsir_selection_docs, similarity_ivf_arrow_recall, chunk_overlap_docs,
-# dup_span_stats_docs
+# dup_span_stats_docs, bpe_tokenize_gate
 # — new entries gate the round they land, the r5 lesson), keeps one flagship per
 # hard-gate family inside the cap (tests/test_sql41.py pins the family
-# list), and spends the remaining 22 slots on the stalest entries
+# list), and spends the remaining 21 slots on the stalest entries
 # (last gated in r2).  The r7 rotation backlog: 27 r3-gated entries,
-# regex_extract_customer_ids (displaced by dup_span_stats_docs),
+# regex_extract_customer_ids and window_rank_family (displaced by the
+# round-6 dup_span_stats_docs / bpe_tokenize_gate additions; window
+# coverage stays in-cap via window_running_total),
 # plus the 10 r2 entries that did not fit (multimodal_frame_offsets,
 # multimodal_image_features, multimodal_binary_stats (binary-stats
 # family coverage stays in-cap via multimodal_png_decode /
@@ -166,12 +168,13 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_indexed_docs",
     "streaming_incremental_dedup",
     "dedup_hot_bucket_farm",
-    # new this round (5): gate immediately.
+    # new this round (6): gate immediately.
     "semantic_dedup_survivors",
     "dsir_selection_docs",
     "similarity_ivf_arrow_recall",
     "chunk_overlap_docs",
     "dup_span_stats_docs",
+    "bpe_tokenize_gate",
     # family flagships the 50-entry cap must always carry (5):
     # structured streaming, source formats, UDF surface, TPC-H join
     # shapes, audio codec (the other 11 family reps are above).
@@ -180,7 +183,7 @@ _DRIVER_PRIORITY = [
     "arrow_python_udf_reverse",
     "q1_pricing_summary",
     "multimodal_wav_decode",
-    # stalest rotation (22): last driver-gated in round 2.
+    # stalest rotation (21): last driver-gated in round 2.
     "window_running_total",
     "rollup_region_nation",
     "cube_status_priority",
@@ -201,7 +204,6 @@ _DRIVER_PRIORITY = [
     "array_agg_segments",
     "approx_distinct_gate",
     "approx_quantile_gate",
-    "window_rank_family",
     "multi_distinct_orders",
 ]
 

@@ -362,6 +362,77 @@ ORDER BY t.doc_id
 """
 
 
+_BPE_MERGES = 24
+
+
+def bpe_tokenize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loud gate for the distributed BPE tokenizer (`operators/bpe.py`,
+    Sennrich et al. ACL 2016): trains 24 merges on the documents corpus
+    with the DISTRIBUTED trainer (one corpus shuffle to the word-count
+    table, one vocab aggregate + a single collected argmax row per
+    merge), encodes every document, and checks two things against the
+    pure-python reference recomputed from the collected word-count
+    table (31 distinct words at battery scale — a gate-scale-only
+    collect, like the recall gates' exact baselines):
+
+    - ``merges_match``: the learned merge SEQUENCE is identical;
+    - ``tokens_match``: sum of per-doc BPE token counts equals
+      sum(cnt * len(py_encode(word))) — which proves the distinct-word
+      encode, the join back BY WORD, and the per-doc reassembly
+      conserve every token.
+
+    On failure the mismatching side emits measured values (-1 sentinel
+    for merges, the measured total for tokens) so the battery diff
+    shows the regression rather than a bare hash flip. ``n_words`` is
+    corpus-derived and checked by real SQL.
+    """
+    from implementation_of_an_etl_process_spark.operators.bpe import (
+        encode_bpe,
+        py_encode_word,
+        py_train_bpe,
+        train_bpe,
+        word_count_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=_BPE_MERGES)
+    wc = {
+        r["word"]: r["cnt"] for r in word_count_table(docs).collect()
+    }  # gate-scale only: the synthetic vocab is 31 words
+    py_merges = py_train_bpe(wc, _BPE_MERGES)
+    merges_match = merges == py_merges
+    expect_tokens = sum(
+        c * len(py_encode_word(w, py_merges)) for w, c in wc.items()
+    )
+    got = encode_bpe(docs, merges).agg(
+        F.sum("n_bpe_tokens").alias("_tok"),
+        F.count(F.lit(1)).alias("_docs"),
+    )
+    return got.crossJoin(
+        docs.agg(F.countDistinct(F.lower(F.trim("text"))).alias("_x"))
+    ).select(
+        F.lit(len(wc)).cast("long").alias("n_words"),
+        F.lit(len(merges) if merges_match else -1)
+        .cast("int")
+        .alias("merges_match_n"),
+        F.when(F.col("_tok") == expect_tokens, F.lit(1))
+        .otherwise(-F.col("_tok"))
+        .cast("long")
+        .alias("tokens_match"),
+        F.col("_docs").cast("long").alias("n_docs"),
+    )
+
+
+BPE_GATE_SQL = rf"""
+SELECT CAST((SELECT COUNT(DISTINCT t) FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+          FROM documents) WHERE t <> '') AS BIGINT) AS n_words,
+       CAST({_BPE_MERGES} AS INT) AS merges_match_n,
+       CAST(1 AS BIGINT) AS tokens_match,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+"""
+
+
 QUERIES = {
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "repetition_stats_docs": repetition_stats_docs,
@@ -370,6 +441,7 @@ QUERIES = {
     "paragraph_dedup_frac": paragraph_dedup_frac,
     "chunk_overlap_docs": chunk_overlap_docs,
     "dup_span_stats_docs": dup_span_stats_docs,
+    "bpe_tokenize_gate": bpe_tokenize_gate,
 }
 
 ORACLES = {
@@ -380,4 +452,5 @@ ORACLES = {
     "paragraph_dedup_frac": PARAGRAPH_DEDUP_SQL,
     "chunk_overlap_docs": CHUNK_OVERLAP_SQL,
     "dup_span_stats_docs": DUP_SPAN_SQL,
+    "bpe_tokenize_gate": BPE_GATE_SQL,
 }

@@ -1,0 +1,92 @@
+"""Distributed BPE tokenizer (operators/bpe.py) vs the pure-python
+reference — trainer merge sequence, tie-breaks, encode replay, and
+token conservation through the join-back plumbing. The battery entry
+``bpe_tokenize_gate`` pins the full-corpus contract at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from implementation_of_an_etl_process_spark.operators.bpe import (
+    END_OF_WORD,
+    encode_bpe,
+    py_encode_word,
+    py_train_bpe,
+    train_bpe,
+    word_count_table,
+)
+
+_CLASSIC = [
+    (1, "low low low low low"),
+    (2, "lower lower newest newest"),
+    (3, "newest newest newest newest widest widest"),
+    (4, "low lowest"),
+]
+
+
+@pytest.fixture(scope="module")
+def classic_df(spark):
+    return spark.createDataFrame(_CLASSIC, "doc_id long, text string")
+
+
+def test_train_matches_python_reference(spark, classic_df):
+    merges = train_bpe(classic_df, n_merges=12)
+    wc = {r["word"]: r["cnt"] for r in word_count_table(classic_df).collect()}
+    assert merges == py_train_bpe(wc, 12)
+    # the classic corpus learns the canonical first merges
+    assert merges[:2] == [("e", "s"), ("es", "t")]
+
+
+def test_train_early_stop_below_min_pair_count(spark):
+    # every word unique, single occurrence -> no pair reaches count 2
+    df = spark.createDataFrame(
+        [(1, "ab cd ef")], "doc_id long, text string"
+    )
+    assert train_bpe(df, n_merges=5, min_pair_count=2) == []
+
+
+def test_train_tie_break_is_lexicographic(spark):
+    # four pairs all tie at count 2: (a,a), (a,</w>), (b,b), (b,</w>);
+    # '<' sorts before any letter, so ('a','</w>') wins — pinned in
+    # BOTH engines (the law is spark == python under ties)
+    df = spark.createDataFrame(
+        [(1, "aa aa bb bb")], "doc_id long, text string"
+    )
+    merges = train_bpe(df, n_merges=1)
+    assert merges == [("a", END_OF_WORD)]
+    wc = {"aa": 2, "bb": 2}
+    assert merges == py_train_bpe(wc, 1)
+
+
+def test_merge_pass_run_collapse_is_non_overlapping(spark):
+    # "bbb" under merge (b,b): left-to-right gives [bb, b], never [b, bb]
+    df = spark.createDataFrame([(1, "bbb bbb")], "doc_id long, text string")
+    merges = [("b", "b")]
+    out = encode_bpe(df, merges).first()
+    assert out["bpe_tokens"] == ["bb", "b", END_OF_WORD] * 2
+    assert py_encode_word("bbb", merges) == ["bb", "b", END_OF_WORD]
+
+
+def test_encode_matches_python_reference_per_doc(spark, classic_df):
+    merges = train_bpe(classic_df, n_merges=12)
+    rows = {r["doc_id"]: r for r in encode_bpe(classic_df, merges).collect()}
+    for doc_id, text in _CLASSIC:
+        expect = [
+            u for w in text.split() for u in py_encode_word(w, merges)
+        ]
+        assert rows[doc_id]["bpe_tokens"] == expect, doc_id
+        assert rows[doc_id]["n_bpe_tokens"] == len(expect)
+        assert rows[doc_id]["n_words"] == len(text.split())
+
+
+def test_encode_empty_merges_is_chars_plus_marker(spark):
+    df = spark.createDataFrame([(1, "ab x")], "doc_id long, text string")
+    out = encode_bpe(df, []).first()
+    assert out["bpe_tokens"] == ["a", "b", END_OF_WORD, "x", END_OF_WORD]
+
+
+def test_param_validation(spark, classic_df):
+    with pytest.raises(ValueError):
+        train_bpe(classic_df, n_merges=0)
+    with pytest.raises(ValueError):
+        train_bpe(classic_df, n_merges=1, min_pair_count=0)
