@@ -119,6 +119,11 @@ def train_bpe(
         ).alias("syms"),
         "cnt",
     )
+    # Materialize the vocab table up front: every loop iteration reads
+    # wt, and without this the corpus-wide tokenize+groupBy would be
+    # REPLAYED per merge until the first in-loop checkpoint (the corpus
+    # is touched once by contract).
+    wt = wt.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         pairs = wt.where(F.size("syms") >= 2).select(

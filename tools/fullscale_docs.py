@@ -207,6 +207,69 @@ def main() -> None:
         flush=True,
     )
 
+    # --- substring-level duplicate-span dedup ----------------------------
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        duplicate_span_stats,
+    )
+
+    t0 = time.monotonic()
+    span_agg = duplicate_span_stats(docs, k=8).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("dup_frac_q") == 1_000_000).cast("long")).alias(
+            "full"
+        ),
+        F.sum((F.col("dup_frac_q") == 975_000).cast("long")).alias(
+            "prefix39"
+        ),
+        F.sum("dup_token_count").alias("dup_tokens"),
+    ).collect()[0]
+    t = time.monotonic() - t0
+    # planted: exact-copy pairs (id%100 in {48,50} linked) are BOTH
+    # fully covered -> frac 1.0; near-dup pairs (%100 in {98,99}) share
+    # words 1..39 -> span [1,39] on both sides -> frac 39/40 = 0.975.
+    # Random 8-gram window collisions in 50k-Zipf word soup are ~0.
+    print(
+        f"dup_spans(k=8): {span_agg['n']} docs, "
+        f"{span_agg['full']} full-dup (expect ~{2 * (n // 100)}), "
+        f"{span_agg['prefix39']} prefix-39 (expect ~{2 * (n // 100)}), "
+        f"{span_agg['dup_tokens']} dup tokens in {t:.1f}s = "
+        f"{n / t / 1e3:.0f}k docs/s "
+        f"({(n * 33) // 1_000_000}M window hashes)",
+        flush=True,
+    )
+
+    # --- distributed BPE tokenizer ---------------------------------------
+    from implementation_of_an_etl_process_spark.operators.bpe import (
+        encode_bpe,
+        py_encode_word,
+        train_bpe,
+        word_count_table,
+    )
+
+    t0 = time.monotonic()
+    merges = train_bpe(docs, n_merges=20)
+    t_fit = time.monotonic() - t0
+    t0 = time.monotonic()
+    bpe_agg = encode_bpe(docs, merges).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bpe_tokens").alias("tok"),
+        F.sum("n_words").alias("words"),
+    ).collect()[0]
+    t_enc = time.monotonic() - t0
+    # conservation check against the python reference replayed over the
+    # word-count table (vocab-bounded collect: ~50k rows — tool-scale)
+    wc = {r["word"]: r["cnt"] for r in word_count_table(docs).collect()}
+    expect_tok = sum(c * len(py_encode_word(w, merges)) for w, c in wc.items())
+    print(
+        f"bpe: {len(merges)} merges trained on {len(wc)}-word vocab in "
+        f"{t_fit:.1f}s; encoded {bpe_agg['n']} docs "
+        f"({bpe_agg['words']} words -> {bpe_agg['tok']} units, "
+        f"python-reference expects {expect_tok}: "
+        f"{'MATCH' if bpe_agg['tok'] == expect_tok else 'MISMATCH'}) in "
+        f"{t_enc:.1f}s = {bpe_agg['words'] / t_enc / 1e6:.1f}M words/s",
+        flush=True,
+    )
+
     # --- tf-idf pairwise on a slice: df-banding on Zipfian data ----------
     sl = docs.filter(F.col("doc_id") < SLICE)
     t0 = time.monotonic()
