@@ -341,7 +341,11 @@ def duplicate_spans(
     uniform, so no hot reducer — a boilerplate span duplicated across
     millions of docs is reduced map-side like any other key); the join
     back is a semi join scoped to candidate hashes only (duplicate
-    windows are typically a small fraction of the corpus); the
+    windows are typically a small fraction of the corpus, so the
+    reduced hash set broadcasts and the probe side never shuffles —
+    plan-verified; the window derivation is recomputed on the probe
+    scan rather than cached, two cheap narrow scans beating the
+    materialization of ~(len-k) rows per doc); the
     interval merge is a per-document sort of that document's OWN
     duplicated windows — bounded by doc length, never corpus-wide.
     Reference scope note: ``ETL.java`` has no text surface; this is

@@ -239,3 +239,19 @@ def test_packed_cube_plan_shape(spark):
         # partial + final aggregate both hash a single long key
         assert plan.count(f"Keys [1]: [{k}#") == 2, (k, plan)
     assert plan.count("rangepartitioning") == 1
+
+
+def test_duplicate_spans_plan_candidate_scoped(spark):
+    """Substring-dedup shape: the reduced duplicate-hash set joins the
+    window probe as a (broadcast) semi join — never a cartesian; the
+    interval merge shuffles once on the doc key."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        duplicate_span_stats,
+    )
+    from implementation_of_an_etl_process_spark.queries.relational import _t
+
+    plan = explain_str(
+        duplicate_span_stats(_t(spark, SF_ORACLE, "documents"), k=8)
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan, plan
