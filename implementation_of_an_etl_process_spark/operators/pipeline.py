@@ -175,3 +175,87 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(rate * HASH_BUCKETS))
         ).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def materialize_mixture(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    *,
+    token_budget: int,
+    alpha: float = 0.7,
+    id_col: str = "doc_id",
+    pow_scale: int = 1_000,
+) -> DataFrame:
+    """Materialize an alpha-sampled training mixture: turn per-source
+    temperature weights (p_i = n_i^alpha / sum n_j^alpha, the same
+    recipe ``source_mixture_weights`` reports) plus a total
+    ``token_budget`` into the actual doc-copy list a tokenizer would
+    consume. A source whose target exceeds its size is REPEATED
+    (epochs), the fractional remainder is filled by deterministic
+    hash sampling — so membership is a pure function of the row, and
+    any engine/retry materializes the identical mixture.
+
+    Output: one row per (document, epoch) copy —
+    ``(id, source, epoch, n_tokens)`` with epoch 0-based.
+
+    All selection arithmetic is integer: the per-source repeat rate in
+    hash-bucket units is r = (target_tokens * BUCKETS) div n_tokens_src
+    with target_tokens = pw_q * budget div tot_pw computed in
+    DECIMAL(38,0) (pw_q * budget overflows int64 once a source holds
+    ~10^13 tokens at a 100 TB corpus); a doc gets r div BUCKETS full
+    copies plus one more iff its md5 bucket < r mod BUCKETS. All
+    operands are non-negative so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree.
+
+    Scale shape: one map-side-combined aggregate to the per-source
+    table (one row per source — broadcast back by construction), a
+    scalar total, then a narrow per-row explode of at most
+    ceil(rate) copies. No window, no global sort, no collect; output
+    size is ~budget tokens regardless of corpus size.
+    """
+    n_tok = F.size(tokens(text_col))
+    per = (
+        df.groupBy(source_col)
+        .agg(F.sum(n_tok).cast("long").alias("_n_tokens_src"))
+        .withColumn(
+            "_pw_q",
+            F.round(F.pow(F.col("_n_tokens_src"), F.lit(alpha)) * pow_scale)
+            .cast("long"),
+        )
+    )
+    tot = per.agg(F.sum("_pw_q").alias("_tot_pw"))
+    rates = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_target",
+            F.expr(
+                f"CAST(_pw_q AS DECIMAL(38,0)) * {token_budget} div _tot_pw"
+            ),
+        )
+        .withColumn(
+            "_r",
+            F.expr(
+                f"CAST(_target AS DECIMAL(38,0)) * {HASH_BUCKETS}"
+                " div _n_tokens_src"
+            ),
+        )
+        .select(source_col, "_r")
+    )
+    n_copies = F.expr(f"_r div {HASH_BUCKETS}") + (
+        id_hash_bucket(id_col) < F.pmod(F.col("_r"), F.lit(HASH_BUCKETS))
+    ).cast("long")
+    return (
+        df.select(id_col, source_col, n_tok.alias("n_tokens"))
+        .join(F.broadcast(rates), source_col)
+        .withColumn("_copies", n_copies)
+        .filter(F.col("_copies") > 0)
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.sequence(F.lit(0), F.col("_copies") - 1)
+            ).alias("epoch"),
+            "n_tokens",
+        )
+    )

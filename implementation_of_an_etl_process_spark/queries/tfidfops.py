@@ -284,11 +284,115 @@ LIMIT {_DSIR_K}
 """
 
 
+_MIX_BUDGET = 300_000
+_MIX_BUCKETS = 10_000
+
+
+def mixture_materialize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized alpha-sampling mixture, summarized per source:
+    `operators/pipeline.py::materialize_mixture` turns the
+    `source_mixture_weights` temperature weights plus a 300k-token
+    budget into the actual (doc, epoch) copy list — sources pushed
+    past 1x repeat in full epochs, the fractional remainder filled by
+    deterministic md5-bucket sampling. The hashed battery output is
+    the per-source roll-up of that copy list (docs sampled, total
+    copies, deepest epoch, materialized token mass, realized share of
+    the budget in basis points) — every column integer, every copy a
+    pure function of (doc_id, corpus stats).
+
+    The oracle never explodes: it computes each doc's copy count
+    analytically and aggregates, so it cross-checks the Spark side's
+    sequence/explode materialization rather than mirroring it.
+
+    Scale shape: one map-side-combined per-source aggregate + scalar
+    total, broadcast joined back, narrow explode; output ~budget
+    tokens regardless of corpus size. No window, no collect.
+    """
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        materialize_mixture,
+    )
+
+    out = materialize_mixture(
+        _docs(spark, sf_dir),
+        "source",
+        "text",
+        token_budget=_MIX_BUDGET,
+        alpha=_ALPHA,
+        pow_scale=_POW_SCALE,
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_sampled"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("epoch").alias("max_epoch"),
+            F.sum("n_tokens").cast("long").alias("materialized_tokens"),
+        )
+        .withColumn(
+            "realized_bp",
+            F.expr(
+                "CAST(materialized_tokens AS DECIMAL(38,0)) * "
+                f"{_MIX_BUCKETS} div {_MIX_BUDGET}"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_MATERIALIZE_SQL = rf"""
+WITH perdoc AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents
+), per AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens_src,
+         CAST(round(pow(SUM(n_tok), {{_ALPHA}}) * {{_POW_SCALE}}) AS BIGINT)
+           AS pw_q
+  FROM perdoc GROUP BY source
+), tot AS (
+  SELECT SUM(pw_q) AS tot_pw FROM per
+), rates AS (
+  SELECT source,
+         CAST(CAST(CAST(pw_q AS HUGEINT) * {{_MIX_BUDGET}} // tot_pw
+                   AS HUGEINT) * {{_MIX_BUCKETS}} // n_tokens_src
+              AS BIGINT) AS r
+  FROM per, tot
+), copies AS (
+  SELECT d.doc_id, d.source, d.n_tok,
+         (r // {{_MIX_BUCKETS}})
+         + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                     ::UBIGINT % {{_MIX_BUCKETS}} < r % {{_MIX_BUCKETS}}
+                THEN 1 ELSE 0 END AS n_copies
+  FROM perdoc d JOIN rates USING (source)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_sampled,
+       CAST(SUM(n_copies) AS BIGINT) AS n_copies,
+       CAST(MAX(n_copies) - 1 AS BIGINT) AS max_epoch,
+       CAST(SUM(CAST(n_tok AS BIGINT) * n_copies) AS BIGINT)
+         AS materialized_tokens,
+       CAST(CAST(SUM(CAST(n_tok AS BIGINT) * n_copies) AS HUGEINT)
+            * {{_MIX_BUCKETS}} // {{_MIX_BUDGET}} AS BIGINT) AS realized_bp
+FROM copies
+WHERE n_copies > 0
+GROUP BY source
+HAVING SUM(n_copies) > 0
+ORDER BY source
+"""
+MIXTURE_MATERIALIZE_SQL = MIXTURE_MATERIALIZE_SQL.format(
+    _ALPHA=_ALPHA,
+    _POW_SCALE=_POW_SCALE,
+    _MIX_BUDGET=_MIX_BUDGET,
+    _MIX_BUCKETS=_MIX_BUCKETS,
+)
+
+
 QUERIES = {
     "tfidf_topk_docs": tfidf_topk_docs,
     "source_mixture_weights": source_mixture_weights,
     "unigram_surprisal_docs": unigram_surprisal_docs,
     "dsir_selection_docs": dsir_selection_docs,
+    "mixture_materialize_docs": mixture_materialize_docs,
 }
 
 ORACLES = {
@@ -296,4 +400,5 @@ ORACLES = {
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
     "unigram_surprisal_docs": UNIGRAM_SURPRISAL_SQL,
     "dsir_selection_docs": DSIR_SELECTION_SQL,
+    "mixture_materialize_docs": MIXTURE_MATERIALIZE_SQL,
 }
