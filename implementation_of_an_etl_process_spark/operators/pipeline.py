@@ -224,9 +224,16 @@ def materialize_mixture(
             .cast("long"),
         )
     )
-    tot = per.agg(F.sum("_pw_q").alias("_tot_pw"))
+    # total alpha-mass via a global window over the per-source table
+    # (rows = distinct sources, bounded small) — NOT a separate
+    # aggregate of `per`: Catalyst does not dedupe the shared subtree,
+    # so per.agg() would re-scan the corpus a third time. The plan
+    # audit pins two corpus scans (the minimum: rates depend on a
+    # global aggregate, the copy list on per-doc rows).
     rates = (
-        per.crossJoin(F.broadcast(tot))
+        per.withColumn(
+            "_tot_pw", F.sum("_pw_q").over(W.partitionBy())
+        )
         .withColumn(
             "_target",
             F.expr(
