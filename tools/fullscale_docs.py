@@ -285,6 +285,44 @@ def main() -> None:
           f"{top_planted}/50 of the top pairs are planted duplicates",
           flush=True)
 
+    # --- mixture materialization to a token budget -----------------------
+    # Deterministic skewed source assignment (8 sources, cubed-uniform
+    # bands, ~12:1 size ratio) so alpha-temperature upweighting drives
+    # real epoch repeats on the small sources and downsampling on the
+    # big one. Budget = 1x corpus token mass.
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        materialize_mixture,
+    )
+
+    srcd = docs.withColumn(
+        "source",
+        F.concat(
+            F.lit("src"),
+            F.floor(F.pow((F.col("doc_id") % 4096) / 4096.0, 3.0) * 8)
+            .cast("int")
+            .cast("string"),
+        ),
+    )
+    budget = n * WORDS
+    t0 = time.monotonic()
+    mix = (
+        materialize_mixture(srcd, "source", "text", token_budget=budget)
+        .agg(
+            F.count(F.lit(1)).alias("copies"),
+            F.sum("n_tokens").alias("tok"),
+            F.max("epoch").alias("max_epoch"),
+        )
+        .collect()[0]
+    )
+    t = time.monotonic() - t0
+    print(
+        f"mixture(budget={budget}): {mix['copies']} doc-copies, "
+        f"{mix['tok']} tokens materialized "
+        f"({mix['tok'] * 100 // budget}% of budget), max epoch "
+        f"{mix['max_epoch']}, in {t:.1f}s = {n / t / 1e6:.2f}M docs/s",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
