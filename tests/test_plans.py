@@ -255,3 +255,32 @@ def test_duplicate_spans_plan_candidate_scoped(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "LeftSemi" in plan, plan
+
+
+def test_materialize_mixture_two_scans_no_bnlj(spark):
+    """Mixture-materialization shape: the per-source rate table derives
+    its global total from a window over the already-aggregated
+    source-cardinality rows, so the corpus is scanned exactly twice
+    (aggregate pass + per-doc copy pass); rates broadcast back; no
+    nested-loop or cartesian join anywhere."""
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        materialize_mixture,
+    )
+    from implementation_of_an_etl_process_spark.queries.relational import _t
+
+    plan = explain_str(
+        materialize_mixture(
+            _t(spark, SF_ORACLE, "documents"),
+            "source",
+            "text",
+            token_budget=300_000,
+        )
+    )
+    import re
+
+    # formatted explain lists each node in the tree AND a detail
+    # section — count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
