@@ -597,3 +597,92 @@ def sample_frames(df: DataFrame, *, every_n_bytes: int = 1024) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         run, schema="media_id long, frame_offset long"
     )
+
+
+# --- PVM: toy multi-frame video container, real header parse + frame seek --
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def decode_pvm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the PVM toy video container header — canonical layout
+    ``PV\\n<n_frames> <w> <h>\\n255\\n`` followed by ``n_frames``
+    concatenated w*h*3-byte RGB rasters (a PPM-style multi-frame
+    extension; invented here so the FRAME-SEEK plumbing is real while
+    no native video codec is required in this container). Returns
+    (n_frames, width, height, header_len)."""
+    if payload[:2] != b"PV":
+        raise ValueError("not a PVM payload")
+    parts = payload.split(b"\n", 3)
+    if len(parts) != 4:
+        raise ValueError("truncated PVM header")
+    dims = parts[1].split()
+    if len(dims) != 3:
+        raise ValueError("malformed PVM dimensions")
+    nf, w, h = (int(x) for x in dims)
+    if int(parts[2]) != 255:
+        raise ValueError("only maxval=255 PVM supported")
+    header_len = len(payload) - len(parts[3])
+    if len(parts[3]) < nf * w * h * 3:
+        raise ValueError(
+            f"raster area holds {len(parts[3])} bytes, need {nf * w * h * 3}"
+        )
+    return nf, w, h, header_len
+
+
+def extract_video_frames(df: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """media rows with PVM payloads -> one row per SAMPLED frame
+    (frames 0, every_n, 2*every_n, ...): parse the header, then seek
+    DIRECTLY to each sampled frame's byte offset and decode only that
+    raster's numpy mean — the keyframe-extraction access pattern,
+    where cost scales with frames sampled, not video length. Payloads
+    stay executor-side; the output carries features only."""
+    import numpy as np
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            ids, idxs, ws, hs, means, nfs = [], [], [], [], [], []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None:
+                    continue
+                nf, w, h, hdr = decode_pvm_header(p)
+                frame_bytes = w * h * 3
+                for f in range(0, nf, every_n):
+                    off = hdr + f * frame_bytes
+                    raster = np.frombuffer(
+                        p, dtype=np.uint8, count=frame_bytes, offset=off
+                    )
+                    ids.append(mid)
+                    idxs.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(float(raster.mean()))
+                    nfs.append(nf)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FRAMES_SCHEMA
+    )

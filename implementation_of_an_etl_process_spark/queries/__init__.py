@@ -168,7 +168,7 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_indexed_docs",
     "streaming_incremental_dedup",
     "dedup_hot_bucket_farm",
-    # new this round (7): gate immediately.
+    # new this round (8): gate immediately.
     "semantic_dedup_survivors",
     "dsir_selection_docs",
     "similarity_ivf_arrow_recall",
@@ -176,6 +176,7 @@ _DRIVER_PRIORITY = [
     "dup_span_stats_docs",
     "bpe_tokenize_gate",
     "mixture_materialize_docs",
+    "multimodal_video_frames",
     # family flagships the 50-entry cap must always carry (5):
     # structured streaming, source formats, UDF surface, TPC-H join
     # shapes, audio codec (the other 11 family reps are above).
@@ -184,7 +185,7 @@ _DRIVER_PRIORITY = [
     "arrow_python_udf_reverse",
     "q1_pricing_summary",
     "multimodal_wav_decode",
-    # stalest rotation (20): last driver-gated in round 2.
+    # stalest rotation (19): last driver-gated in round 2.
     "window_running_total",
     "rollup_region_nation",
     "cube_status_priority",
@@ -204,7 +205,6 @@ _DRIVER_PRIORITY = [
     "grouping_sets_orders",
     "array_agg_segments",
     "approx_distinct_gate",
-    "approx_quantile_gate",
 ]
 
 

@@ -470,6 +470,74 @@ ORDER BY media_id, frame_offset
 """
 
 
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame video-container parsing under the driver gate:
+    deterministic PVM payloads (the PPM-style multi-frame container
+    `operators/multimodal.py::decode_pvm_header` documents — header +
+    n_frames concatenated RGB rasters, printable-ASCII fill so UTF-8
+    encode is byte-identity) are built in-plan, then
+    ``extract_video_frames`` parses the header and seeks DIRECTLY to
+    every 2nd frame's byte offset, decoding only the sampled rasters
+    (numpy mean) — the keyframe-extraction access pattern: cost scales
+    with frames sampled, not video length. The oracle reconstructs
+    every sampled frame's features with integer arithmetic (a constant
+    raster's mean is exactly its fill byte)."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400).select(
+        "doc_id",
+        (2 + F.col("doc_id") % 5).cast("int").alias("nf"),
+        (4 + F.col("doc_id") % 8).cast("int").alias("w"),
+        (4 + (F.col("doc_id") / 8).cast("long") % 8).cast("int").alias("h"),
+    )
+    payloads = d.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("PV\n"),
+                F.col("nf").cast("string"),
+                F.lit(" "),
+                F.col("w").cast("string"),
+                F.lit(" "),
+                F.col("h").cast("string"),
+                F.lit("\n255\n"),
+                F.expr(
+                    "aggregate(sequence(0, nf - 1), CAST('' AS STRING), "
+                    "(acc, f) -> concat(acc, repeat(char("
+                    "32 + pmod(doc_id * 3 + f * 7, 95)), w * h * 3)))"
+                ),
+            ),
+            "UTF-8",
+        ).alias("blob"),
+    )
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "video")
+    return M.extract_video_frames(media, every_n=2).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+MULTIMODAL_VIDEO_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         2 + doc_id % 5 AS nf,
+         4 + doc_id % 8 AS w,
+         4 + (doc_id // 8) % 8 AS h
+  FROM documents WHERE doc_id < 400
+), fr AS (
+  SELECT doc_id, nf, w, h, unnest(range(0, nf, 2)) AS f FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(32 + (doc_id * 3 + f * 7) % 95 AS DOUBLE) AS mean_pixel,
+       CAST(nf AS INTEGER) AS n_frames
+FROM fr
+ORDER BY media_id, frame_idx
+"""
+
+
 def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decoding under the driver gate: deterministic binary
     PPM (P6) payloads are built in-plan (dimensions and a constant
@@ -768,6 +836,7 @@ QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "incremental_dedup_docs": incremental_dedup_docs,
     "incremental_dedup_indexed_docs": incremental_dedup_indexed_docs,
+    "multimodal_video_frames": multimodal_video_frames,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
@@ -790,6 +859,7 @@ ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "incremental_dedup_indexed_docs": INCREMENTAL_DEDUP_SQL,
+    "multimodal_video_frames": MULTIMODAL_VIDEO_SQL,
     "multimodal_ppm_decode": MULTIMODAL_PPM_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,

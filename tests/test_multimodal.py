@@ -258,3 +258,61 @@ def test_wav_skips_unknown_chunks_and_rejects_bad():
         decode_wav(b"garbage bytes here")
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(wav[:30])
+
+
+def _pvm(nf, w, h, fills):
+    header = f"PV\n{nf} {w} {h}\n255\n".encode()
+    return header + b"".join(bytes([f]) * (w * h * 3) for f in fills)
+
+
+def test_pvm_header_parse_and_rejects():
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_pvm_header,
+    )
+
+    p = _pvm(3, 2, 2, [10, 20, 30])
+    assert decode_pvm_header(p) == (3, 2, 2, len(b"PV\n3 2 2\n255\n"))
+    with pytest.raises(ValueError, match="not a PVM"):
+        decode_pvm_header(b"P6\n2 2\n255\n" + b"\0" * 12)
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_pvm_header(b"PV\n2 2\n255\n" + b"\0" * 24)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_pvm_header(b"PV\n2 2 2\n127\n" + b"\0" * 24)
+    with pytest.raises(ValueError, match="raster area"):
+        decode_pvm_header(_pvm(3, 2, 2, [10, 20]))  # one frame short
+
+
+def test_extract_video_frames_samples_and_seeks(spark):
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        extract_video_frames,
+    )
+
+    rows = [
+        (1, _pvm(5, 2, 3, [10, 20, 30, 40, 50])),
+        (2, _pvm(1, 4, 4, [99])),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["media_id"], r["frame_idx"]): (
+            r["width"], r["height"], r["mean_pixel"], r["n_frames"]
+        )
+        for r in extract_video_frames(df, every_n=2).collect()
+    }
+    # video 1: frames 0,2,4 sampled; constant rasters -> mean == fill
+    assert got == {
+        (1, 0): (2, 3, 10.0, 5),
+        (1, 2): (2, 3, 30.0, 5),
+        (1, 4): (2, 3, 50.0, 5),
+        (2, 0): (4, 4, 99.0, 1),
+    }
+    # every_n=1 decodes every frame
+    assert (
+        extract_video_frames(df, every_n=1).count() == 6
+    )
+    with pytest.raises(ValueError, match="every_n"):
+        extract_video_frames(df, every_n=0)
