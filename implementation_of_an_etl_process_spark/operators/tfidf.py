@@ -209,3 +209,114 @@ def tfidf_topk_pairs(
         .orderBy(F.desc("cos2_q"), "doc1", "doc2")
         .limit(k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 50,
+    k1_x10: int = 12,
+    b_x100: int = 75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to a bag of query terms
+    (Robertson-Sparck Jones idf with Lucene's +1 smoothing) — the
+    retrieval scorer data-curation pipelines use to pull
+    domain-relevant documents out of a web-scale corpus given a seed
+    query. Returns (id, n_terms_matched, score_q) ordered by score
+    desc, id asc.
+
+    Integer-exact scoring so the battery oracle hash-matches: with
+    k1 = k1_x10/10 and b = b_x100/100, each term's contribution
+    idf * tf*(k1+1) / (tf + k1*(1-b) + k1*b*len/avg_len) is multiplied
+    through by 1000*total_len, giving
+
+        idf_q * (100*(10+k1_x10)*tf*total_len)
+          DIV (1000*tf*total_len + k1_x10*(100-b_x100)*total_len
+               + k1_x10*b_x100*len*n_docs)
+
+    where every operand is an int64 scalar and only idf_q carries a
+    (quantized) float — the same ln-then-round convention as
+    ``smoothed_idf_q``. Intermediates run in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB): tf*total_len alone overflows int64 at ~10^13
+    corpus tokens.
+
+    Scale shape: two corpus scans (the token scan filtered to the
+    query's terms BEFORE any shuffle — the per-(doc,term) aggregate
+    carries only matching occurrences — and one map-side-combined
+    scalar aggregate for N/total_len); the per-term df/idf table is
+    query-sized and broadcast; final top-k is a single ordered limit.
+    No UDFs, no collect.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    # (id, len, term) for query-term occurrences only: the isin filter
+    # sits under the explode's projection, so non-matching occurrences
+    # never reach the aggregate exchange.
+    occ = (
+        docs.select(F.col(id_col), n_tok.alias("_len"), F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    # tf feeds BOTH the df/idf build (broadcast side) and the scoring
+    # probe; without a persist Catalyst recomputes the whole token scan
+    # for each consumer. The persisted relation holds only matching
+    # (doc, term) pairs — |query| * df rows, tiny next to the corpus —
+    # and fills during the broadcast build, so the corpus tokenizes
+    # exactly once (plus the separate scalar-stats scan).
+    from pyspark import StorageLevel
+
+    tf = occ.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("_len").alias("_len")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum(n_tok).cast("long").alias("_total_len"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "_n_docs",
+        "_total_len",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+            )
+            * IDF_SCALE
+        )
+        .cast("long")
+        .alias("_idf_q"),
+    )
+    a, c = k1_x10, b_x100
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "_score_term_q",
+        F.expr(
+            f"CAST(_idf_q AS DECIMAL(38,0)) * (100 * {10 + a} * tf) "
+            "* _total_len div "
+            f"(CAST(1000 AS DECIMAL(38,0)) * tf * _total_len "
+            f"+ {a * (100 - c)} * _total_len "
+            f"+ {a * c} * _len * _n_docs)"
+        ),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("_score_term_q").alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), F.col(id_col).asc())
+        .limit(k)
+    )

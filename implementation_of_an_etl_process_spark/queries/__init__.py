@@ -126,10 +126,11 @@ except ImportError:  # pragma: no cover
 # paths round 6 edits (index atomicity, ingest ordering, md5-guard
 # fold), gates the round's NEW entries (semantic_dedup_survivors,
 # dsir_selection_docs, similarity_ivf_arrow_recall, chunk_overlap_docs,
-# dup_span_stats_docs, bpe_tokenize_gate
+# dup_span_stats_docs, bpe_tokenize_gate, mixture_materialize_docs,
+# multimodal_video_frames, bm25_topk_docs
 # — new entries gate the round they land, the r5 lesson), keeps one flagship per
 # hard-gate family inside the cap (tests/test_sql41.py pins the family
-# list), and spends the remaining 21 slots on the stalest entries
+# list), and spends the remaining 18 slots on the stalest entries
 # (last gated in r2).  The r7 rotation backlog: 27 r3-gated entries,
 # regex_extract_customer_ids and window_rank_family (displaced by the
 # round-6 dup_span_stats_docs / bpe_tokenize_gate additions; window
@@ -141,7 +142,9 @@ except ImportError:  # pragma: no cover
 # null_handling_orders, having_bulk_orders, window_order_gaps,
 # median_retail_price, distinct_agg_nation — distinct-count coverage
 # stays in-cap via hypercube/reference_native_path's FD rewrite and
-# approx_distinct_gate).  Everything else stays covered by
+# approx_distinct_customers; approx_distinct_gate and
+# multi_distinct_orders joined the r7 backlog when the three latest
+# round-6 entries took their slots).  Everything else stays covered by
 # ``tools/verify_local.py``.
 _DRIVER_PRIORITY = [
     # pinned flagships (9): one per hard-gate family, green every round.
@@ -168,7 +171,7 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_indexed_docs",
     "streaming_incremental_dedup",
     "dedup_hot_bucket_farm",
-    # new this round (8): gate immediately.
+    # new this round (9): gate immediately.
     "semantic_dedup_survivors",
     "dsir_selection_docs",
     "similarity_ivf_arrow_recall",
@@ -177,6 +180,7 @@ _DRIVER_PRIORITY = [
     "bpe_tokenize_gate",
     "mixture_materialize_docs",
     "multimodal_video_frames",
+    "bm25_topk_docs",
     # family flagships the 50-entry cap must always carry (5):
     # structured streaming, source formats, UDF surface, TPC-H join
     # shapes, audio codec (the other 11 family reps are above).
@@ -185,7 +189,9 @@ _DRIVER_PRIORITY = [
     "arrow_python_udf_reverse",
     "q1_pricing_summary",
     "multimodal_wav_decode",
-    # stalest rotation (19): last driver-gated in round 2.
+    # stalest rotation (18): last driver-gated in round 2.
+    # (approx-sketch family re-confirmation is covered by
+    # approx_distinct_customers in the must-gate block.)
     "window_running_total",
     "rollup_region_nation",
     "cube_status_priority",
@@ -204,7 +210,6 @@ _DRIVER_PRIORITY = [
     "subquery_above_avg_items",
     "grouping_sets_orders",
     "array_agg_segments",
-    "approx_distinct_gate",
 ]
 
 

@@ -101,6 +101,66 @@ LIMIT {_K}
 """
 
 
+_BM25_QUERY = ("vector", "stream", "merge", "hash")
+_BM25_K = 50
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 query-relevance retrieval (`operators/tfidf.py::bm25_topk`):
+    top-50 documents for a fixed 4-term query — the scorer a curation
+    pipeline uses to pull domain-relevant documents from a web-scale
+    corpus given seed terms. Integer-exact scoring (the only float is
+    the quantized Robertson/Lucene idf), so the hashed output carries
+    no float-derived column."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        bm25_topk,
+    )
+
+    return bm25_topk(
+        _docs(spark, sf_dir), list(_BM25_QUERY), k=_BM25_K
+    )
+
+
+BM25_TOPK_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), lens AS (
+  SELECT doc_id, COUNT(*) AS len FROM tok2 GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM(len) FROM lens) AS total_len
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok2
+  WHERE term IN {tuple(_BM25_QUERY)!r}
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term, n_docs, total_len,
+         CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                    * {IDF_SCALE}) AS BIGINT) AS idf_q
+  FROM dfq, stats
+), sc AS (
+  SELECT tf.doc_id,
+         CAST(CAST(idf_q AS HUGEINT) * (2200 * tf.tf) * total_len
+              // (CAST(1000 AS HUGEINT) * tf.tf * total_len
+                  + 300 * total_len + 900 * l.len * n_docs)
+              AS BIGINT) AS s
+  FROM tf JOIN idf USING (term) JOIN lens l ON l.doc_id = tf.doc_id
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       CAST(SUM(s) AS BIGINT) AS score_q
+FROM sc GROUP BY doc_id
+ORDER BY score_q DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (alpha-sampling): per corpus
     source, token mass and the alpha=0.7 sampling weight
@@ -393,6 +453,7 @@ QUERIES = {
     "unigram_surprisal_docs": unigram_surprisal_docs,
     "dsir_selection_docs": dsir_selection_docs,
     "mixture_materialize_docs": mixture_materialize_docs,
+    "bm25_topk_docs": bm25_topk_docs,
 }
 
 ORACLES = {
@@ -401,4 +462,5 @@ ORACLES = {
     "unigram_surprisal_docs": UNIGRAM_SURPRISAL_SQL,
     "dsir_selection_docs": DSIR_SELECTION_SQL,
     "mixture_materialize_docs": MIXTURE_MATERIALIZE_SQL,
+    "bm25_topk_docs": BM25_TOPK_SQL,
 }

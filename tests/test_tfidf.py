@@ -139,3 +139,66 @@ def test_no_cartesian_in_plan(spark):
     plan = tfidf_topk_pairs(_corpus(spark))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    """Full-output check of the integer BM25 scorer against an
+    independent python computation of the same closed form."""
+    import math
+
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        IDF_SCALE,
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "cat dog cat fish"),
+        (2, "dog dog dog"),
+        (3, "cat bird bird bird bird bird"),
+        (4, "fish"),
+        (5, "tree rock"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    query = ["cat", "dog"]
+
+    # python reference: same integer contract (a=12, c=75)
+    toks = {i: t.split() for i, t in rows}
+    n_docs = len(rows)
+    total_len = sum(len(t) for t in toks.values())
+    tf = {
+        (i, q): toks[i].count(q)
+        for i in toks
+        for q in query
+        if q in toks[i]
+    }
+    dfreq = {q: sum(1 for (i, qq) in tf if qq == q) for q in query}
+    idf_q = {
+        q: round(
+            math.log(1 + (n_docs - d + 0.5) / (d + 0.5)) * IDF_SCALE
+        )
+        for q, d in dfreq.items()
+    }
+    expected = {}
+    for (i, q), f in tf.items():
+        s = (
+            idf_q[q] * (2200 * f) * total_len
+            // (1000 * f * total_len + 300 * total_len
+                + 900 * len(toks[i]) * n_docs)
+        )
+        nm, sq = expected.get(i, (0, 0))
+        expected[i] = (nm + 1, sq + s)
+
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["score_q"])
+        for r in bm25_topk(df, query, k=10).collect()
+    }
+    assert got == expected
+    # ranking sanity: doc 2 (3x dog, short) outranks doc 3 (1 cat, long)
+    order = [
+        r["doc_id"] for r in bm25_topk(df, query, k=10).collect()
+    ]
+    assert order.index(2) < order.index(3)
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, [])
