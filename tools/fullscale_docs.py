@@ -303,6 +303,24 @@ def main() -> None:
             .cast("string"),
         ),
     )
+    # --- BM25 retrieval -------------------------------------------------
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        bm25_topk,
+    )
+
+    t0 = time.monotonic()
+    hits = bm25_topk(
+        docs, ["w5", "w17", "w123", "w999"], k=100
+    ).collect()
+    t = time.monotonic() - t0
+    print(
+        f"bm25: top-{len(hits)} of {n} docs for a 4-term query in "
+        f"{t:.1f}s = {n / t / 1e6:.2f}M docs/s "
+        f"(max score_q {hits[0]['score_q']}, "
+        f"{hits[0]['n_terms_matched']} terms matched)",
+        flush=True,
+    )
+
     budget = n * WORDS
     t0 = time.monotonic()
     mix = (
