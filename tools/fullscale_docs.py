@@ -303,6 +303,58 @@ def main() -> None:
             .cast("string"),
         ),
     )
+    # --- filter gauntlet: quality + lang-id + repetition + PII in ONE
+    # narrow pass (no shuffle until the final stats aggregate) ----------
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        pii_redact,
+        repetition_stats,
+    )
+    from implementation_of_an_etl_process_spark.operators.text import (
+        lang_id,
+        quality_scores,
+    )
+
+    t0 = time.monotonic()
+    gauntlet = (
+        pii_redact(quality_scores(docs, "text").withColumn(
+            "lang_g", lang_id("text")
+        ))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    (F.col("alpha_ratio") >= 0.5)
+                    & (F.col("n_tokens") >= 5)
+                ).cast("long")
+            ).alias("kept"),
+            F.sum("n_email").alias("emails"),
+            F.count_distinct("lang_g").alias("langs"),
+        )
+        .collect()[0]
+    )
+    t = time.monotonic() - t0
+    print(
+        f"filter_gauntlet: {gauntlet['n']} docs through quality+langid+"
+        f"pii in {t:.1f}s = {n / t / 1e6:.2f}M docs/s "
+        f"({gauntlet['kept']} kept by the quality gate, "
+        f"{gauntlet['emails']} emails redacted, "
+        f"{gauntlet['langs']} langs seen; single narrow pass)",
+        flush=True,
+    )
+
+    t0 = time.monotonic()
+    rep_agg = repetition_stats(docs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("dup_3gram_frac").alias("max_rep"),
+    ).collect()[0]
+    t = time.monotonic() - t0
+    print(
+        f"repetition_stats: {rep_agg['n']} docs in {t:.1f}s = "
+        f"{n / t / 1e6:.2f}M docs/s (max dup-3gram frac "
+        f"{rep_agg['max_rep']:.3f})",
+        flush=True,
+    )
+
     # --- BM25 retrieval -------------------------------------------------
     from implementation_of_an_etl_process_spark.operators.tfidf import (
         bm25_topk,
