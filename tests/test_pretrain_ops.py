@@ -307,3 +307,42 @@ def test_duplicate_spans_rejects_bad_params(spark):
         duplicate_spans(df, k=0)
     with pytest.raises(ValueError):
         duplicate_spans(df, min_count=1)
+
+
+def test_repetition_stats_narrow_matches_shuffle(spark):
+    """The zero-shuffle narrow mode must produce bit-identical rows to
+    the shuffle mode, including lexicographic frequency tie-breaks."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        repetition_stats,
+    )
+
+    rows = [
+        (1, "a a a b b c"),          # clear top1/top2
+        (2, "x y x y"),               # tie on count -> lexicographic
+        (3, "solo"),                  # single word, no 3-grams
+        (4, "p q r p q r p q r"),    # repeated 3-grams
+        (5, "z z z z z z z z"),      # one word dominating
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: (
+            r["n_words"], r["top_word_frac"], r["top2_word_frac"],
+            r["dup_3gram_frac"],
+        )
+        for r in repetition_stats(df, mode="shuffle").collect()
+    }
+    b = {
+        r["doc_id"]: (
+            r["n_words"], r["top_word_frac"], r["top2_word_frac"],
+            r["dup_3gram_frac"],
+        )
+        for r in repetition_stats(df, mode="narrow").collect()
+    }
+    assert a == b
+    # spot-check the tie row: x and y both appear twice; top1 = 2/4
+    assert b[2][1] == 0.5 and b[2][2] == 1.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        repetition_stats(df, mode="bogus")
