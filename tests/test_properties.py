@@ -273,3 +273,68 @@ def test_incremental_dedup_partitions_batch(spark, hist_texts, new_texts):
         assert r["verdict"] in ("exact", "near", "novel")
         if " ".join(new_texts[r["doc_id"] - 100]) in hist_set:
             assert r["verdict"] == "exact"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    budget=st.sampled_from([10, 200, 5_000]),
+)
+@_slow
+def test_materialize_mixture_invariants(spark, seed, budget):
+    """Mixture-materialization invariants on random corpora: every
+    emitted copy respects its source's integer repeat rate (epochs are
+    exactly 0..n_copies-1 per doc), total materialized token mass never
+    exceeds the budget by more than one doc per source (floor
+    arithmetic under-fills, never over-fills past the fractional-doc
+    granularity), and the copy list is a pure function of the input
+    (repartitioning invariance is covered by the unit test; here the
+    rerun must be identical)."""
+    import hashlib
+
+    from implementation_of_an_etl_process_spark.operators import pipeline as P
+
+    rng = random.Random(seed)
+    n_sources = rng.randint(1, 4)
+    rows = []
+    did = 0
+    for s in range(n_sources):
+        for _ in range(rng.randint(1, 8)):
+            n_words = rng.randint(1, 12)
+            rows.append(
+                (did, f"s{s}", " ".join(f"t{rng.randint(0, 30)}" for _ in range(n_words)))
+            )
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = P.materialize_mixture(
+        df, "source", "text", token_budget=budget
+    ).collect()
+    # epochs per doc are a dense 0..n-1 range
+    per_doc: dict[int, list[int]] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for doc_id, epochs in per_doc.items():
+        assert sorted(epochs) == list(range(len(epochs))), (doc_id, epochs)
+    # per-source materialized mass <= target + one max-doc of slack
+    # (hash sampling rounds at doc granularity)
+    n_tok = {r[0]: len(r[2].split()) for r in rows}
+    src_of = {r[0]: r[1] for r in rows}
+    src_tokens: dict[str, int] = {}
+    for r in rows:
+        src_tokens[r[1]] = src_tokens.get(r[1], 0) + n_tok[r[0]]
+    pw = {s: round(n**0.7 * 1_000) for s, n in src_tokens.items()}
+    tot_pw = sum(pw.values())
+    mass: dict[str, int] = {}
+    for r in out:
+        mass[r["source"]] = mass.get(r["source"], 0) + r["n_tokens"]
+    for s, m in mass.items():
+        target = pw[s] * budget // tot_pw
+        # n_copies per doc <= r//B + 1 and (r//B)*src_tokens <= target,
+        # so the mass can overshoot the target by at most one full pass
+        # over the source (the fractional epoch at doc granularity)
+        assert m <= target + src_tokens[s], (s, m, target, src_tokens[s])
+    # determinism: rerun equals first run
+    out2 = P.materialize_mixture(
+        df, "source", "text", token_budget=budget
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
