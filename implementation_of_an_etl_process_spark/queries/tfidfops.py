@@ -161,6 +161,101 @@ LIMIT {_BM25_K}
 """
 
 
+_CURATION_K = 200
+
+
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed retrieve-then-clean curation flow in ONE lazy plan:
+    BM25 retrieval of the top-200 query-relevant documents -> exact
+    dedup (min-id survivor within the retrieved set) -> quality gate
+    (alpha_ratio >= 0.5, n_tokens >= 5) -> deterministic hash split ->
+    per-split corpus stats carrying the retrieval scores (so a
+    regression in ANY stage, or in how the stages compose, breaks the
+    hash). Every stage reuses a battery-proven operator; the oracle
+    recomposes the whole chain in SQL.
+
+    Scale shape: the BM25 stage's plan (tokenize-once persisted tf,
+    broadcast idf, TakeOrdered top-k) feeds a broadcast-sized id list;
+    everything downstream operates on the retrieved subset only — the
+    corpus-scale work happens exactly once, in the retrieval scan.
+    """
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        drop_exact_duplicates,
+    )
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        hash_split,
+    )
+    from implementation_of_an_etl_process_spark.operators.text import (
+        quality_scores,
+    )
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        bm25_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    seeds = bm25_topk(docs, list(_BM25_QUERY), k=_CURATION_K).select(
+        "doc_id", "score_q"
+    )
+    relevant = docs.join(F.broadcast(seeds), "doc_id")
+    deduped = drop_exact_duplicates(relevant, ["text"], "doc_id")
+    kept = quality_scores(deduped, "text").filter(
+        (F.col("alpha_ratio") >= 0.5) & (F.col("n_tokens") >= 5)
+    )
+    return (
+        hash_split(kept, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("score_q").alias("relevance_q"),
+        )
+        .orderBy("split")
+    )
+
+
+_CURATION_BM25_CTE = BM25_TOPK_SQL.replace(
+    f"LIMIT {_BM25_K}", f"LIMIT {_CURATION_K}"
+).strip()
+
+CURATION_PIPELINE_SQL = rf"""
+WITH seeds AS (
+  {_CURATION_BM25_CTE}
+), rel AS (
+  SELECT d.doc_id, d.text, s.score_q FROM documents d
+  JOIN seeds s USING (doc_id)
+), reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM rel GROUP BY text
+), ded AS (
+  SELECT r.doc_id, r.text, r.score_q FROM rel r
+  JOIN reps USING (doc_id)
+), q AS (
+  SELECT doc_id, score_q,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+           AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS DOUBLE) / length(text)
+              ELSE 0.0 END AS alpha_ratio
+  FROM ded
+), kept AS (
+  SELECT doc_id, n_tokens, score_q FROM q
+  WHERE alpha_ratio >= 0.5 AND n_tokens >= 5
+), sp AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::UBIGINT % 10000 < 100 THEN 'val'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::UBIGINT % 10000 < 200 THEN 'test'
+              ELSE 'train' END AS split,
+         n_tokens, score_q
+  FROM kept
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(score_q) AS BIGINT) AS relevance_q
+FROM sp GROUP BY split ORDER BY split
+"""
+
+
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (alpha-sampling): per corpus
     source, token mass and the alpha=0.7 sampling weight
@@ -454,6 +549,7 @@ QUERIES = {
     "dsir_selection_docs": dsir_selection_docs,
     "mixture_materialize_docs": mixture_materialize_docs,
     "bm25_topk_docs": bm25_topk_docs,
+    "curation_pipeline_stats": curation_pipeline_stats,
 }
 
 ORACLES = {
@@ -463,4 +559,5 @@ ORACLES = {
     "dsir_selection_docs": DSIR_SELECTION_SQL,
     "mixture_materialize_docs": MIXTURE_MATERIALIZE_SQL,
     "bm25_topk_docs": BM25_TOPK_SQL,
+    "curation_pipeline_stats": CURATION_PIPELINE_SQL,
 }
