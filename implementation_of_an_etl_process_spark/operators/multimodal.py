@@ -629,6 +629,8 @@ def decode_pvm_header(payload: bytes) -> tuple[int, int, int, int]:
     if len(dims) != 3:
         raise ValueError("malformed PVM dimensions")
     nf, w, h = (int(x) for x in dims)
+    if nf < 1 or w < 1 or h < 1:
+        raise ValueError("non-positive PVM dimensions")
     if int(parts[2]) != 255:
         raise ValueError("only maxval=255 PVM supported")
     header_len = len(payload) - len(parts[3])

@@ -159,10 +159,13 @@ def repetition_stats(
         top2 = top1 + F.when(
             F.size(srt) > 1, srt[F.lit(1)]["c"]
         ).otherwise(F.lit(0))
-        n_words = F.size(w)
+        # cast + null filter keep narrow a bit-identical drop-in for
+        # shuffle: explode() drops null-text docs there, and the
+        # summed count is int64 while size() is int32
+        n_words = F.size(w).cast("long")
         n3 = F.size(tri)
         d3 = F.size(tri) - F.size(F.array_distinct(tri))
-        return docs.select(
+        return docs.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col),
             n_words.alias("n_words"),
             (top1 / n_words).alias("top_word_frac"),

@@ -220,6 +220,7 @@ def bm25_topk(
     b_x100: int = 75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_tf: bool = True,
 ) -> DataFrame:
     """Top-k documents by BM25 relevance to a bag of query terms
     (Robertson-Sparck Jones idf with Lucene's +1 smoothing) — the
@@ -274,12 +275,22 @@ def bm25_topk(
     # for each consumer. The persisted relation holds only matching
     # (doc, term) pairs — |query| * df rows, tiny next to the corpus —
     # and fills during the broadcast build, so the corpus tokenizes
-    # exactly once (plus the separate scalar-stats scan).
-    from pyspark import StorageLevel
-
+    # exactly once (plus the separate scalar-stats scan). Cache
+    # lifetime contract: the relation stays registered for the session
+    # (Spark's CacheManager dedupes identical repeat queries onto the
+    # same entry — that reuse IS the interactive many-queries-one-
+    # corpus win, measured 62.5s -> 3.8s in BASELINE_NOTES); distinct
+    # queries each add one query-sized entry. Callers that rotate
+    # through many one-shot queries should pass persist_tf=False
+    # (costs one extra token scan) or reclaim with
+    # spark.catalog.clearCache().
     tf = occ.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("_len").alias("_len")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist_tf:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     stats = docs.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.sum(n_tok).cast("long").alias("_total_len"),

@@ -143,8 +143,9 @@ except ImportError:  # pragma: no cover
 # median_retail_price, distinct_agg_nation — distinct-count coverage
 # stays in-cap via hypercube/reference_native_path's FD rewrite and
 # approx_distinct_customers; approx_distinct_gate and
-# multi_distinct_orders and grouping_sets_orders — rollup/cube keep
-# that family in-cap — joined the r7 backlog when the latest
+# multi_distinct_orders, approx_quantile_gate, and
+# grouping_sets_orders — rollup/cube keep that family in-cap —
+# joined the r7 backlog when the latest
 # round-6 entries took their slots).  Everything else stays covered by
 # ``tools/verify_local.py``.
 _DRIVER_PRIORITY = [

@@ -102,6 +102,10 @@ LIMIT {_K}
 
 
 _BM25_QUERY = ("vector", "stream", "merge", "hash")
+# SQL literal list built explicitly (a Python tuple repr is a syntax
+# error for 1-term queries and quotes apostrophes Python-style)
+assert all(t and "'" not in t for t in _BM25_QUERY)
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_QUERY)
 _BM25_K = 50
 
 
@@ -136,7 +140,7 @@ WITH tok AS (
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf
   FROM tok2
-  WHERE term IN {tuple(_BM25_QUERY)!r}
+  WHERE term IN ({_BM25_IN})
   GROUP BY doc_id, term
 ), dfq AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
@@ -174,10 +178,13 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash). Every stage reuses a battery-proven operator; the oracle
     recomposes the whole chain in SQL.
 
-    Scale shape: the BM25 stage's plan (tokenize-once persisted tf,
-    broadcast idf, TakeOrdered top-k) feeds a broadcast-sized id list;
-    everything downstream operates on the retrieved subset only — the
-    corpus-scale work happens exactly once, in the retrieval scan.
+    Scale shape: the BM25 stage (tokenize-once persisted tf, broadcast
+    idf, TakeOrdered top-k) feeds a broadcast-sized id list; everything
+    downstream operates on the retrieved subset only. The corpus is
+    scanned three times total — BM25's token scan and scalar-stats
+    scan, plus the id-probe that fetches the retrieved rows — and the
+    expensive work (tokenization) happens exactly once; dedup,
+    quality, and split touch only the k retrieved rows.
     """
     from implementation_of_an_etl_process_spark.operators.dedup import (
         drop_exact_duplicates,

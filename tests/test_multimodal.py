@@ -282,6 +282,10 @@ def test_pvm_header_parse_and_rejects():
         decode_pvm_header(b"PV\n2 2 2\n127\n" + b"\0" * 24)
     with pytest.raises(ValueError, match="raster area"):
         decode_pvm_header(_pvm(3, 2, 2, [10, 20]))  # one frame short
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_pvm_header(b"PV\n3 0 5\n255\n")  # zero width
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_pvm_header(b"PV\n-2 4 4\n255\n" + b"\0" * 96)
 
 
 def test_extract_video_frames_samples_and_seeks(spark):

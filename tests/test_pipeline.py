@@ -86,7 +86,6 @@ def test_materialize_mixture_matches_python_reference(spark):
     per-source alpha targets, basis-point repeat rates, md5-bucket
     fractional membership, 0-based epochs."""
     import hashlib
-    import math
 
     rows = [
         # big source: 8 docs x 10 tokens; small source: 3 docs x 4.
@@ -98,7 +97,6 @@ def test_materialize_mixture_matches_python_reference(spark):
 
     # -- python reference ------------------------------------------------
     n_tok = {doc_id: len(text.split()) for doc_id, _, text in rows}
-    src_of = {doc_id: s for doc_id, s, _ in rows}
     src_tokens: dict[str, int] = {}
     for doc_id, s, _ in rows:
         src_tokens[s] = src_tokens.get(s, 0) + n_tok[doc_id]

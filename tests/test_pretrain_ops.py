@@ -341,6 +341,15 @@ def test_repetition_stats_narrow_matches_shuffle(spark):
     assert a == b
     # spot-check the tie row: x and y both appear twice; top1 = 2/4
     assert b[2][1] == 0.5 and b[2][2] == 1.0
+    # null-text and schema parity: both modes drop null docs and agree
+    # on column types (narrow casts size() to long)
+    nulls = spark.createDataFrame(
+        [(1, "a b a"), (2, None)], "doc_id long, text string"
+    )
+    sh = repetition_stats(nulls, mode="shuffle")
+    na = repetition_stats(nulls, mode="narrow")
+    assert [r["doc_id"] for r in na.collect()] == [1]
+    assert sh.schema == na.schema
 
     import pytest
 

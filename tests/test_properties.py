@@ -289,8 +289,6 @@ def test_materialize_mixture_invariants(spark, seed, budget):
     granularity), and the copy list is a pure function of the input
     (repartitioning invariance is covered by the unit test; here the
     rerun must be identical)."""
-    import hashlib
-
     from implementation_of_an_etl_process_spark.operators import pipeline as P
 
     rng = random.Random(seed)
@@ -318,7 +316,6 @@ def test_materialize_mixture_invariants(spark, seed, budget):
     # per-source materialized mass <= target + one max-doc of slack
     # (hash sampling rounds at doc granularity)
     n_tok = {r[0]: len(r[2].split()) for r in rows}
-    src_of = {r[0]: r[1] for r in rows}
     src_tokens: dict[str, int] = {}
     for r in rows:
         src_tokens[r[1]] = src_tokens.get(r[1], 0) + n_tok[r[0]]
