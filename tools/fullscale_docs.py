@@ -393,6 +393,40 @@ def main() -> None:
         flush=True,
     )
 
+    # --- mixture -> pack: the composed last-mile tokenizer-prep pass -----
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        pack_sequences,
+    )
+
+    t0 = time.monotonic()
+    withtext = (
+        materialize_mixture(srcd, "source", "text", token_budget=budget)
+        .join(srcd.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "copy_key", F.col("epoch") * 10_000_000 + F.col("doc_id")
+        )
+    )
+    pk = (
+        pack_sequences(
+            withtext, "copy_key", "text", budget=512, partition_by="source"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("n_tokens").alias("tokens"),
+            F.count_distinct("source", "pack_id").alias("n_packs"),
+        )
+        .collect()[0]
+    )
+    t = time.monotonic() - t0
+    print(
+        f"mixture->pack: {pk['n_copies']} doc-copies / {pk['tokens']} "
+        f"tokens into {pk['n_packs']} 512-token packs in {t:.1f}s = "
+        f"{pk['n_copies'] / t / 1e3:.0f}k copies/s "
+        f"(closed form ~{pk['tokens'] // 512} packs + <=1 tail per "
+        f"source shard)",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
