@@ -130,7 +130,7 @@ except ImportError:  # pragma: no cover
 # multimodal_video_frames, bm25_topk_docs
 # — new entries gate the round they land, the r5 lesson), keeps one flagship per
 # hard-gate family inside the cap (tests/test_sql41.py pins the family
-# list), and spends the remaining 17 slots on the stalest entries
+# list), and spends the remaining 16 slots on the stalest entries
 # (last gated in r2).  The r7 rotation backlog: 27 r3-gated entries,
 # regex_extract_customer_ids and window_rank_family (displaced by the
 # round-6 dup_span_stats_docs / bpe_tokenize_gate additions; window
@@ -143,8 +143,8 @@ except ImportError:  # pragma: no cover
 # median_retail_price, distinct_agg_nation — distinct-count coverage
 # stays in-cap via hypercube/reference_native_path's FD rewrite and
 # approx_distinct_customers; approx_distinct_gate and
-# multi_distinct_orders, approx_quantile_gate, and
-# grouping_sets_orders — rollup/cube keep that family in-cap —
+# multi_distinct_orders, approx_quantile_gate, array_agg_segments,
+# and grouping_sets_orders — rollup/cube keep that family in-cap —
 # joined the r7 backlog when the latest
 # round-6 entries took their slots).  Everything else stays covered by
 # ``tools/verify_local.py``.
@@ -173,7 +173,7 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_indexed_docs",
     "streaming_incremental_dedup",
     "dedup_hot_bucket_farm",
-    # new this round (10): gate immediately.
+    # new this round (11): gate immediately.
     "semantic_dedup_survivors",
     "dsir_selection_docs",
     "similarity_ivf_arrow_recall",
@@ -184,6 +184,7 @@ _DRIVER_PRIORITY = [
     "multimodal_video_frames",
     "bm25_topk_docs",
     "curation_pipeline_stats",
+    "streaming_quality_gate",
     # family flagships the 50-entry cap must always carry (5):
     # structured streaming, source formats, UDF surface, TPC-H join
     # shapes, audio codec (the other 11 family reps are above).
@@ -192,7 +193,7 @@ _DRIVER_PRIORITY = [
     "arrow_python_udf_reverse",
     "q1_pricing_summary",
     "multimodal_wav_decode",
-    # stalest rotation (17): last driver-gated in round 2.
+    # stalest rotation (16): last driver-gated in round 2.
     # (approx-sketch family re-confirmation is covered by
     # approx_distinct_customers in the must-gate block.)
     "window_running_total",
@@ -211,7 +212,6 @@ _DRIVER_PRIORITY = [
     "left_join_part_usage",
     "full_outer_buyer_cohorts",
     "subquery_above_avg_items",
-    "array_agg_segments",
 ]
 
 

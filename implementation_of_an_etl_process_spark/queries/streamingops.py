@@ -524,6 +524,89 @@ ORDER BY d.doc_id
 """
 
 
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming corpus filter: Gopher-style repetition gates
+    applied INSIDE the micro-batch via `operators/pretrain.py::
+    repetition_stats(mode="narrow")` — the exchange-free mode exists
+    exactly for this context: pure Column/HOF expressions, so the
+    stream needs no state store, no watermark, no shuffle, and runs in
+    append mode end-to-end. Keeps docs with n_words >= 5,
+    top_word_frac <= 0.10, dup_3gram_frac <= 0.2; the oracle applies
+    the identical gates in batch SQL (same integer counts and double
+    divisions as the green `repetition_stats_docs` mirror)."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        repetition_stats,
+    )
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    try:
+        batch.select("doc_id", "text").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(stage)
+        )
+        kept = repetition_stats(stream, mode="narrow").filter(
+            (F.col("n_words") >= 5)
+            & (F.col("top_word_frac") <= 0.10)
+            & (F.col("dup_3gram_frac") <= 0.2)
+        )
+        name = f"stream_qgate_{uuid.uuid4().hex[:8]}"
+        q = (
+            kept.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q)
+        return spark.table(name).orderBy("doc_id")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAMING_QUALITY_GATE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tri AS (
+  SELECT doc_id,
+         GREATEST(len(w) - 2, 0) AS _n3,
+         GREATEST(len(w) - 2, 0)
+           - len(list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> array_to_string(w[i:i+2], ' ')))) AS _d3
+  FROM base
+), per_word AS (
+  SELECT doc_id, word, COUNT(*) AS _c
+  FROM (SELECT doc_id, unnest(w) AS word FROM base)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, _c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY _c DESC, word ASC) AS _rn
+  FROM per_word
+), agg AS (
+  SELECT doc_id, SUM(_c) AS n_words,
+         MAX(CASE WHEN _rn = 1 THEN _c END) AS _top1,
+         SUM(CASE WHEN _rn <= 2 THEN _c END) AS _top2
+  FROM ranked GROUP BY doc_id
+), stats AS (
+  SELECT a.doc_id, CAST(n_words AS BIGINT) AS n_words,
+         _top1 * 1.0 / n_words AS top_word_frac,
+         _top2 * 1.0 / n_words AS top2_word_frac,
+         CASE WHEN _n3 > 0 THEN _d3 * 1.0 / _n3 ELSE 0.0 END
+           AS dup_3gram_frac
+  FROM agg a JOIN tri t ON a.doc_id = t.doc_id
+)
+SELECT doc_id, n_words, top_word_frac, top2_word_frac, dup_3gram_frac
+FROM stats
+WHERE n_words >= 5 AND top_word_frac <= 0.10 AND dup_3gram_frac <= 0.2
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_incremental_dedup": streaming_incremental_dedup,
@@ -532,6 +615,7 @@ QUERIES = {
     "streaming_attribution_join": streaming_attribution_join,
     "streaming_user_totals": streaming_user_totals,
     "streaming_sliding_15m": streaming_sliding_15m,
+    "streaming_quality_gate": streaming_quality_gate,
 }
 ORACLES = {
     "streaming_dedup_events": STREAMING_DEDUP_SQL,
@@ -541,4 +625,5 @@ ORACLES = {
     "streaming_attribution_join": STREAMING_ATTRIBUTION_SQL,
     "streaming_user_totals": STREAMING_USER_TOTALS_SQL,
     "streaming_sliding_15m": STREAMING_SLIDING_SQL,
+    "streaming_quality_gate": STREAMING_QUALITY_GATE_SQL,
 }
