@@ -545,13 +545,20 @@ def remove_duplicate_spans(
     joined = base.join(sp, id_col, "left").withColumn(
         "_sp", F.coalesce(F.col("_sp"), F.array())
     )
-    keep_pos = F.filter(
-        F.sequence(F.lit(1), F.size("ts")),
-        lambda p: ~F.exists(
-            "_sp",
-            lambda s: (p >= s["span_start"]) & (p <= s["span_end"]),
+    # Empty/whitespace-only docs tokenize to a 0-element array;
+    # sequence(1, 0) is the DESCENDING [1, 0] and element_at on the
+    # empty array throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT — emit the
+    # empty keep-list for those instead of building the sequence.
+    keep_pos = F.when(
+        F.size("ts") > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size("ts")),
+            lambda p: ~F.exists(
+                "_sp",
+                lambda s: (p >= s["span_start"]) & (p <= s["span_end"]),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<int>"))
     return joined.select(
         id_col,
         F.array_join(

@@ -349,6 +349,12 @@ def ivf_topk_arrow(
                     continue
                 rows = np.flatnonzero(cells == c)
                 S = Xn[rows] @ Qn[qs_here].T  # (rows, probing queries)
+                if exclude_self:
+                    # Mask self pairs BEFORE the batch-local truncation:
+                    # filtering after top-k would let a query's own
+                    # corpus row occupy one of the k slots and
+                    # permanently evict the true k-th neighbor.
+                    S[cids[rows][:, None] == qids[qs_here][None, :]] = -np.inf
                 top = min(k, len(rows))
                 idx = np.argpartition(-S, top - 1, axis=0)[:top]
                 out_q.append(np.repeat(qids[qs_here], top))
@@ -427,6 +433,10 @@ def brute_force_topk_arrow(
             )
             S = Cn @ Qn.T  # (batch, n_queries)
             cids = pdf["cid"].to_numpy()
+            if exclude_self:
+                # Mask self pairs BEFORE batch-local truncation (a
+                # post-top-k filter can evict the true k-th neighbor).
+                S[cids[:, None] == qids[None, :]] = -np.inf
             top = min(k, len(cids))
             # batch-local top-k per query column
             idx = np.argpartition(-S, top - 1, axis=0)[:top]  # (top, nq)
@@ -732,6 +742,9 @@ def pq_topk(
             S = np.zeros((B, len(qids)))
             for j in range(m):
                 S += lut[:, j, codes[:, j]].T  # (B, nq)
+            if exclude_self:
+                # Same pre-truncation masking as the brute/IVF kernels.
+                S[pdf["cid"].to_numpy()[:, None] == qids[None, :]] = -np.inf
             top = min(shortlist, B)
             idx = np.argpartition(-S, top - 1, axis=0)[:top]
             yield pd.DataFrame(

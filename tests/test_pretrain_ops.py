@@ -297,6 +297,36 @@ def test_remove_duplicate_spans_strict_removal(spark):
     assert rows[3]["n_removed_tokens"] == 0
 
 
+def test_remove_duplicate_spans_empty_and_whitespace_docs(spark):
+    """Empty/whitespace-only docs tokenize to a 0-element array;
+    sequence(1, 0) is the DESCENDING [1, 0] and element_at on the empty
+    array used to throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT, killing the
+    whole job (round-6 ADVICE medium).  They must instead pass through
+    as clean_text='' with zero removed tokens."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   \t  "),
+            (3, "a b c d e f g h i j"),
+            (4, "z1 a b c d e f g h z2"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in remove_duplicate_spans(df, k=8).collect()
+    }
+    assert len(rows) == 4
+    assert rows[1]["clean_text"] == "" and rows[1]["n_removed_tokens"] == 0
+    assert rows[2]["clean_text"] == "" and rows[2]["n_removed_tokens"] == 0
+    # the non-empty docs still dedup normally alongside the empties
+    assert rows[3]["clean_text"] == "i j"
+    assert rows[4]["clean_text"] == "z1 z2"
+
+
 def test_duplicate_spans_rejects_bad_params(spark):
     from implementation_of_an_etl_process_spark.operators.pretrain import (
         duplicate_spans,

@@ -278,3 +278,64 @@ def test_trained_ivf_centroids_recall(spark):
     )
     hits = ivf.join(exact, ["qid", "cid"], "left_semi").count()
     assert hits / exact.count() >= 0.7
+
+
+def _line_corpus(spark, n=100, n_parts=17):
+    """cid 0..n-1 as 2-D unit vectors on an arc: cosine(i, j) is
+    strictly decreasing in |theta_i - theta_j| (max spread < pi).
+    Range-partitioned by cid into n_parts contiguous runs — with
+    n_parts * 2 > defaultParallelism, spread() passes the layout
+    through, so each mapInPandas batch holds one contiguous cid run
+    (a query's self row AND its nearest neighbors share a batch)."""
+    import math
+
+    # quadratic spacing: every pairwise angular distance is distinct,
+    # so no score ties can flip between float64-matmul and expression
+    # evaluation order
+    rows = [
+        (i, [math.cos(i * i * 0.0003), math.sin(i * i * 0.0003)])
+        for i in range(n)
+    ]
+    return (
+        spark.createDataFrame(rows, "cid long, cvec array<double>")
+        .repartitionByRange(n_parts, "cid")
+    )
+
+
+def test_arrow_exclude_self_masks_before_truncation(spark):
+    """Round-6 ADVICE: filtering qid==cid AFTER the batch-local top-k
+    lets a query's own corpus row occupy one of the k slots and
+    permanently evict the true k-th neighbor.  On the arc corpus every
+    query's top-3 true neighbors sit in its own batch, so the old
+    post-filter ordering loses the rank-3 neighbor; the fixed kernels
+    mask self pairs before argpartition and must match the expression
+    path exactly."""
+    c = _line_corpus(spark)
+    q = c.select(F.col("cid").alias("qid"), F.col("cvec").alias("qvec"))
+    kw = dict(
+        query_id="qid", query_vec="qvec",
+        corpus_id="cid", corpus_vec="cvec", k=3,
+    )
+    # float expression path: same arithmetic family as the kernels
+    expr = {
+        (r.qid, r.cid)
+        for r in S.brute_force_topk(q, c, exact_scores=False, **kw).collect()
+    }
+    arrow = {
+        (r.qid, r.cid) for r in S.brute_force_topk_arrow(q, c, **kw).collect()
+    }
+    assert arrow == expr
+    # every query keeps all k slots (the old bug returned k-1 rows for
+    # queries whose self row won a batch-local slot)
+    from collections import Counter
+
+    per_q = Counter(qid for qid, _ in arrow)
+    assert set(per_q.values()) == {3}
+    # IVF kernel has the same masking: probe every cell -> exact
+    ivf = {
+        (r.qid, r.cid)
+        for r in S.ivf_topk_arrow(
+            q, c, n_cells=4, n_probe=4, **kw
+        ).collect()
+    }
+    assert ivf == expr
