@@ -101,6 +101,7 @@ def dsir_logratio_weights(
     raw_counts: DataFrame,
     *,
     n_buckets: int = 10_000,
+    totals: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(bucket, w_q): quantized log-likelihood-ratio weights
     ``round(ln(p_target(b) / p_raw(b)) * DSIR_SCALE)`` with add-one
@@ -116,9 +117,20 @@ def dsir_logratio_weights(
     """
     t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
     r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
-    # scalar totals: two tiny aggregates (counts, not data collects)
-    t_tot = t.agg(F.sum("tc")).collect()[0][0] or 0
-    r_tot = r.agg(F.sum("rc")).collect()[0][0] or 0
+    if totals is not None:
+        # caller already knows the scalar totals (dsir_select computes
+        # both in ONE aggregate over its persisted feature relation) —
+        # no extra jobs here
+        t_tot, r_tot = totals
+    else:
+        # standalone path: one job for both totals (union of two
+        # single-row aggregates, not two separate collects)
+        t_tot, r_tot = [
+            row[0] or 0
+            for row in target_counts.agg(F.sum("cnt"))
+            .unionAll(raw_counts.agg(F.sum("cnt")))
+            .collect()
+        ]
     both = (
         t.join(r, "bucket", "full")
         .select(
@@ -172,23 +184,48 @@ def dsir_select(
     """End-to-end DSIR top-k selection: fit weights target-vs-raw, score
     every raw document, return the k highest-scoring (id, n_feats,
     score_q) rows ordered by (score_q DESC, id) — integer columns only,
-    deterministic under ties."""
+    deterministic under ties.
+
+    The corpus is n-gram-featurized exactly ONCE: the (id, bucket, cnt,
+    _is_t) relation is persisted MEMORY_AND_DISK, filled by the single
+    two-column totals aggregate, and every downstream consumer (the
+    per-bucket target/raw histograms inside the weight fit and the
+    raw-side scoring query) reads the cache — without the persist,
+    Catalyst replays the explode+hash+groupBy subtree per consumer
+    (~5 corpus passes; the bm25_topk ``persist_tf`` lesson,
+    operators/tfidf.py). The bounded top-k result is eagerly
+    localCheckpoint-ed so the cache can be released before returning —
+    collecting the returned frame runs no further corpus work."""
+    from pyspark import StorageLevel
+
     feats = hashed_ngram_counts(
         docs, id_col, text_col, n_buckets=n_buckets, max_n=max_n
     )
     flagged = feats.join(
         docs.select(F.col(id_col), is_target.alias("_is_t")), id_col
-    )
-    weights = dsir_logratio_weights(
-        flagged.filter(F.col("_is_t")).select(id_col, "bucket", "cnt"),
-        flagged.filter(~F.col("_is_t")).select(id_col, "bucket", "cnt"),
-        n_buckets=n_buckets,
-    )
-    raw_feats = flagged.filter(~F.col("_is_t")).select(
-        id_col, "bucket", "cnt"
-    )
-    return (
-        dsir_scores(raw_feats, weights, id_col)
-        .orderBy(F.desc("score_q"), id_col)
-        .limit(k)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # job 1 (fills the cache): BOTH scalar totals in one aggregate
+        tot = flagged.agg(
+            F.sum(F.when(F.col("_is_t"), F.col("cnt"))).alias("t"),
+            F.sum(F.when(~F.col("_is_t"), F.col("cnt"))).alias("r"),
+        ).collect()[0]
+        weights = dsir_logratio_weights(
+            flagged.filter(F.col("_is_t")).select(id_col, "bucket", "cnt"),
+            flagged.filter(~F.col("_is_t")).select(id_col, "bucket", "cnt"),
+            n_buckets=n_buckets,
+            totals=(int(tot["t"] or 0), int(tot["r"] or 0)),
+        )
+        raw_feats = flagged.filter(~F.col("_is_t")).select(
+            id_col, "bucket", "cnt"
+        )
+        # job 2 (reads the cache): weight fit + scoring + bounded top-k,
+        # materialized executor-side so unpersist can't trigger a replay
+        return (
+            dsir_scores(raw_feats, weights, id_col)
+            .orderBy(F.desc("score_q"), id_col)
+            .limit(k)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        flagged.unpersist()
