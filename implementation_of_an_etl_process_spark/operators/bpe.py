@@ -92,6 +92,54 @@ def _merge_pass(syms: Column | str, left: str, right: str) -> Column:
     )
 
 
+def _select_batch(
+    rows: list,
+    want: int,
+    batch_cap: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """Greedy prefix-disjoint batch from one round's ranked pair rows —
+    PROVABLY equal to replaying sequential argmax (m=1) merges:
+
+    Walk the ranked list (count DESC, a ASC, b ASC) selecting pairs
+    until one OVERLAPS an earlier selection (shares a symbol) or the
+    cap is hit; call the first unselected row's count ``stop_count``,
+    then trim trailing selections with count == stop_count.  Why this
+    is exact: a merge (a, b) can only create new pairs (x, ab) /
+    (ab, y) / (ab, ab), each bounded by the count of an EXISTING pair
+    overlapping (a, b) — and every overlapping pair ranks at or after
+    the stopping row (rank order is count order), so after the trim
+    each kept pair's count is STRICTLY greater than anything a prior
+    kept merge can create and at least the count of every not-yet-seen
+    old pair; the sequential argmax therefore picks exactly the kept
+    pairs in kept order.  If the trim empties the batch (an overlapping
+    tie at the very top), fall back to the plain argmax — always exact.
+    """
+    limit = min(want, batch_cap)
+    selected: list[tuple[str, str, int]] = []
+    blocked: set[str] = set()
+    stop_count = None
+    for r in rows:
+        if r["c"] < min_pair_count:
+            stop_count = None  # below-threshold rows can't create ties
+            break
+        if len(selected) == limit or r["a"] in blocked or r["b"] in blocked:
+            stop_count = r["c"]
+            break
+        selected.append((r["a"], r["b"], r["c"]))
+        blocked.update((r["a"], r["b"]))
+    # (no-break path: the ranked list genuinely ran out — the collect
+    # window holds limit+1 rows, so fewer rows means fewer pairs exist;
+    # nothing unseen, nothing to trim)
+    if stop_count is not None:
+        while selected and selected[-1][2] == stop_count:
+            selected.pop()
+    if not selected and rows and rows[0]["c"] >= min_pair_count:
+        r = rows[0]
+        selected = [(r["a"], r["b"], r["c"])]
+    return [(a, b) for a, b, _ in selected]
+
+
 def train_bpe(
     docs: DataFrame,
     *,
@@ -99,6 +147,7 @@ def train_bpe(
     n_merges: int = 100,
     min_pair_count: int = 2,
     checkpoint_every: int = 6,
+    batch_merges: int = 32,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns the
     ranked merge list (the model — ``n_merges`` driver-side tuples, the
@@ -108,11 +157,23 @@ def train_bpe(
     Each word contributes its character sequence plus a terminal
     ``</w>`` marker so merges never cross word boundaries and
     end-of-word units stay distinct from mid-word units.
+
+    ``batch_merges`` amortizes the per-iteration fixed cost (one Spark
+    job + one bounded collect, ~seconds of scheduling on a cluster)
+    across up to that many merges per round via prefix-disjoint batch
+    selection (:func:`_select_batch`) — BIT-IDENTICAL to the m=1
+    sequential reference by construction (the battery gate and the
+    property tests compare against ``py_train_bpe`` exactly), while
+    making production vocab sizes (30k+ merges) a matter of minutes
+    instead of days. ``batch_merges=1`` degenerates to the classic
+    one-argmax-per-job loop.
     """
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
     if min_pair_count < 1:
         raise ValueError("min_pair_count must be >= 1")
+    if batch_merges < 1:
+        raise ValueError("batch_merges must be >= 1")
     wt = word_count_table(docs, text_col).select(
         F.concat(
             F.split("word", "(?!$)"), F.array(F.lit(END_OF_WORD))
@@ -125,7 +186,9 @@ def train_bpe(
     # is touched once by contract).
     wt = wt.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    since_ckpt = 0
+    while len(merges) < n_merges:
+        want = n_merges - len(merges)
         pairs = wt.where(F.size("syms") >= 2).select(
             "cnt",
             F.explode(
@@ -140,21 +203,27 @@ def train_bpe(
                 )
             ).alias("pr"),
         )
-        best = (
+        rows = (
             pairs.groupBy("pr.a", "pr.b")
             .agg(F.sum("cnt").alias("c"))
             .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()  # bounded: exactly one scalar row per iteration
+            # +1 row beyond the cap so _select_batch can see the count
+            # of the first pair it did NOT take (tie-trim boundary)
+            .limit(min(want, batch_merges) + 1)
+            .collect()  # bounded: <= batch_merges+1 scalar rows/round
         )
-        if not best or best[0]["c"] < min_pair_count:
+        batch = _select_batch(rows, want, batch_merges, min_pair_count)
+        if not batch:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        wt = wt.withColumn("syms", _merge_pass("syms", a, b))
-        if (i + 1) % checkpoint_every == 0:
-            # cut lineage: the loop otherwise stacks one fold per merge
-            wt = wt.localCheckpoint(eager=True)
+        for a, b in batch:
+            merges.append((a, b))
+            wt = wt.withColumn("syms", _merge_pass("syms", a, b))
+            since_ckpt += 1
+            if since_ckpt >= checkpoint_every:
+                # cut lineage: the loop otherwise stacks one fold per
+                # merge, and codegen degrades past a few dozen folds
+                wt = wt.localCheckpoint(eager=True)
+                since_ckpt = 0
     return merges
 
 

@@ -221,6 +221,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     persist_tf: bool = True,
+    _tf_registry: list | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25 relevance to a bag of query terms
     (Robertson-Sparck Jones idf with Lucene's +1 smoothing) — the
@@ -291,6 +292,8 @@ def bm25_topk(
         from pyspark import StorageLevel
 
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        if _tf_registry is not None:
+            _tf_registry.append(tf)
     stats = docs.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.sum(n_tok).cast("long").alias("_total_len"),
@@ -331,3 +334,53 @@ def bm25_topk(
         .orderBy(F.desc("score_q"), F.col(id_col).asc())
         .limit(k)
     )
+
+
+class Bm25Session:
+    """Bounded-cache handle for many-DISTINCT-query BM25 loops over one
+    corpus (the round-6 footgun: each distinct query's ``bm25_topk``
+    persists a new query-sized tf relation for the whole session —
+    unbounded storage growth in a long curation loop).
+
+    ``topk()`` delegates to :func:`bm25_topk` with the tf relation
+    registered on this handle; at most ``max_live`` tf relations stay
+    persisted (oldest evicted first, identical-repeat queries still hit
+    Spark's CacheManager plan-match while live), and ``close()`` — or
+    exiting the ``with`` block — unpersists everything this handle
+    registered.  Evict-then-reuse is safe: an evicted relation's plan
+    simply recomputes (one extra query-filtered token scan), it never
+    changes results.
+
+    >>> with Bm25Session(docs, max_live=4) as s:
+    ...     for q in queries:
+    ...         s.topk(q, k=50).collect()
+    """
+
+    def __init__(self, docs: DataFrame, *, max_live: int = 8, **defaults):
+        if max_live < 1:
+            raise ValueError("max_live must be >= 1")
+        self._docs = docs
+        self._max_live = max_live
+        self._defaults = defaults
+        self._live: list[DataFrame] = []
+
+    def topk(self, query_terms: list[str], **kw) -> DataFrame:
+        out = bm25_topk(
+            self._docs,
+            query_terms,
+            **{**self._defaults, **kw},
+            _tf_registry=self._live,
+        )
+        while len(self._live) > self._max_live:
+            self._live.pop(0).unpersist()
+        return out
+
+    def close(self) -> None:
+        while self._live:
+            self._live.pop().unpersist()
+
+    def __enter__(self) -> "Bm25Session":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

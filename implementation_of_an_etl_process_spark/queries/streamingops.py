@@ -468,16 +468,29 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         await_or_raise(q)
         assert state["batches"] == 5, f"expected 5 micro-batches, got {state['batches']}"
-        # pin the sink's rows into Spark-managed local storage before
-        # the tempdir is removed; the sort stays lazy on top
-        return (
-            spark.read.parquet(sink)
-            .select(F.col("doc_id").cast("long"), "verdict")
-            .localCheckpoint(eager=True)
-            .orderBy("doc_id")
-        )
+        return read_verdict_sink(spark, sink)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def read_verdict_sink(spark: SparkSession, sink: str) -> DataFrame:
+    """Consumer-side read of a verdict parquet sink, completing the
+    at-least-once contract: ``foreachBatch`` replays may APPEND
+    duplicate verdict rows, but the writer-hook ordering guarantees a
+    replayed row is IDENTICAL to the original (the verdict frame is
+    pinned before the index append — ``operators/dedup.py::
+    ingest_batch`` and the kill-test in tests/test_incremental_dedup),
+    so dedup-by-id restores exactly-once semantics downstream.  The
+    sink's rows are pinned into Spark-managed local storage
+    (localCheckpoint) because battery callers delete the temp sink
+    before the frame is consumed; the sort stays lazy on top."""
+    return (
+        spark.read.parquet(sink)
+        .select(F.col("doc_id").cast("long"), "verdict")
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=True)
+        .orderBy("doc_id")
+    )
 
 
 STREAMING_INCR_DEDUP_SQL = r"""

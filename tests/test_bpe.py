@@ -90,3 +90,45 @@ def test_param_validation(spark, classic_df):
         train_bpe(classic_df, n_merges=0)
     with pytest.raises(ValueError):
         train_bpe(classic_df, n_merges=1, min_pair_count=0)
+
+
+def _wc_df(spark, wc: dict[str, int]):
+    rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(wc.items())]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_batched_selection_matches_sequential_reference_seeded(spark):
+    """Prefix-disjoint batch selection (batch_merges=32 default) must be
+    BIT-IDENTICAL to the sequential m=1 reference.  Seeded random
+    corpora over a tiny alphabet with counts drawn from {2,3,4} are
+    maximally tie-heavy — the regime where a naive top-m batch diverges
+    (a merge creates a new pair that ties an already-selected one)."""
+    import random
+
+    for seed in (11, 23, 47, 101):
+        rng = random.Random(seed)
+        words = {
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+            for _ in range(30)
+        }
+        wc = {w: rng.choice((2, 3, 4)) for w in words}
+        got = train_bpe(_wc_df(spark, wc), n_merges=20)
+        want = py_train_bpe(wc, 20)
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_batched_equals_batch1_on_classic(spark, classic_df):
+    """batch_merges=1 (the classic one-argmax-per-job loop) and the
+    default batched path must produce the identical merge list."""
+    a = train_bpe(classic_df, n_merges=12, batch_merges=1)
+    b = train_bpe(classic_df, n_merges=12, batch_merges=32)
+    assert a == b
+
+
+def test_batched_adversarial_overlap_tie(spark):
+    """Hand-built conflict: ('a','b') and ('b','c') overlap on 'b' with
+    EQUAL counts, and the runner-up disjoint pair ties the stopping
+    pair — the trim + argmax-fallback path."""
+    wc = {"ab": 5, "bc": 5, "de": 5, "fg": 4}
+    got = train_bpe(_wc_df(spark, wc), n_merges=8)
+    assert got == py_train_bpe(wc, 8)

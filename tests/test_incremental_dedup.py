@@ -426,3 +426,43 @@ def test_ingest_batch_verdict_writer_runs_before_append(spark, tmp_path):
     assert {(r.doc_id, r.verdict) for r in rows} == {
         (2, "exact"), (3, "novel"),
     }
+
+
+def test_verdict_sink_read_dedups_replayed_rows(spark, tmp_path):
+    """VERDICT r6 item 6 — the consumer side of at-least-once: a
+    foreachBatch replay appends duplicate-but-identical verdict rows
+    to the sink (the writer-hook ordering guarantees identity; see the
+    kill-test above).  read_verdict_sink must collapse them by id so
+    downstream sees exactly-once semantics."""
+    import os
+
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        ingest_batch,
+        write_dedup_index,
+    )
+    from implementation_of_an_etl_process_spark.queries.streamingops import (
+        read_verdict_sink,
+    )
+
+    idx = str(tmp_path / "idx")
+    sink = str(tmp_path / "sink")
+    b0 = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    b1 = spark.createDataFrame(
+        [(2, BASE), (3, "completely novel words")], ["doc_id", "text"]
+    )
+    write_dedup_index(b0, idx, "doc_id", "text")
+    writer = lambda v: v.write.mode("append").parquet(sink)  # noqa: E731
+    ingest_batch(spark, idx, b0, b1, "doc_id", "text", verdict_writer=writer)
+    # simulate re-delivery of the SAME micro-batch: per the replay
+    # contract the index append is already durable, so only the sink
+    # write repeats — duplicate identical rows land
+    writer(
+        spark.createDataFrame(
+            [(2, "exact"), (3, "novel")], ["doc_id", "verdict"]
+        )
+    )
+    assert spark.read.parquet(sink).count() == 4  # raw sink: duplicated
+    got = read_verdict_sink(spark, sink).collect()
+    assert [(r.doc_id, r.verdict) for r in got] == [
+        (2, "exact"), (3, "novel"),
+    ]

@@ -202,3 +202,42 @@ def test_bm25_topk_matches_python_reference(spark):
     assert order.index(2) < order.index(3)
     with pytest.raises(ValueError, match="non-empty"):
         bm25_topk(df, [])
+
+
+def test_bm25_session_bounds_cache_growth(spark):
+    """VERDICT r6 item 5: N distinct queries through a Bm25Session must
+    keep at most max_live tf relations persisted, and close() must
+    return the session to its starting storage state."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        Bm25Session,
+        bm25_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta w{i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    jsc = spark.sparkContext._jsc
+
+    def n_persisted():
+        return jsc.getPersistentRDDs().size()
+
+    # start from a clean slate: earlier tests' orphaned tf caches are
+    # reclaimed asynchronously by the ContextCleaner and would make the
+    # before/after counts drift mid-test
+    spark.catalog.clearCache()
+    base = n_persisted()
+    queries = [["alpha", f"w{i}"] for i in range(6)]  # 6 DISTINCT queries
+    with Bm25Session(df, max_live=2) as s:
+        for q in queries:
+            got = s.topk(q, k=5)
+            assert got.count() > 0
+            assert n_persisted() - base <= 2, "cache grew past max_live"
+        # eviction must not change results: evicted plan recomputes
+        again = {r["doc_id"] for r in s.topk(queries[0], k=5).collect()}
+        plain = {
+            r["doc_id"]
+            for r in bm25_topk(df, queries[0], k=5, persist_tf=False).collect()
+        }
+        assert again == plain
+    assert n_persisted() == base, "close() must unpersist everything"
