@@ -311,23 +311,30 @@ def _dup_member_map(
     path's choice; ~0.6s of fixed job overhead saved at sf0.1);
     ``"none"`` returns the bare lazy plan (the persistence-free caller
     contract)."""
+    from pyspark.sql import Window
+
     members = _exact_copy_members(
         df, id_col, text_col, with_shingle_flag=with_shingle_flag
     )
-    aggs = [F.min("_mid").alias("_rep"), F.count(F.lit(1)).alias("_gs")]
-    if with_shingle_flag is not None:
-        # group-constant (texts are byte-identical): any row's value is
-        # THE group's value
-        aggs.append(F.first("_hs").alias("_ghs"))
-    groups = members.groupBy("_m").agg(*aggs).filter(F.col("_gs") >= 2)
+    # ONE corpus scan + ONE shuffle: group size and representative as
+    # window aggregates over the md5 key, then keep multi-member rows.
+    # (The previous groupBy + join-back shape scanned the corpus twice
+    # and paid a second join exchange — same output, strictly more
+    # stages at every scale.)
+    w = Window.partitionBy("_m")
     cols = ["_m", "_mid", "_rep"] + (
         ["_ghs"] if with_shingle_flag is not None else []
     )
-    # join-back side needs only (_mid, _m): the flag (group-constant)
-    # already rides on the agg side, so don't tokenize the corpus twice
-    dup = _exact_copy_members(df, id_col, text_col).join(groups, "_m").select(
-        *cols
+    dup = (
+        members.withColumn("_gs", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", F.min("_mid").over(w))
+        .filter(F.col("_gs") >= 2)
     )
+    if with_shingle_flag is not None:
+        # group-constant (texts are byte-identical): the row's own flag
+        # is the group's flag
+        dup = dup.withColumn("_ghs", F.col("_hs"))
+    dup = dup.select(*cols)
     if materialize == "none":
         return dup
     if materialize == "persist":
@@ -401,8 +408,25 @@ def minhash_lsh_pairs(
     ``max_shingle_df`` is set (global shingle document frequencies
     must be counted over the full corpus, not representatives).
     """
+    from implementation_of_an_etl_process_spark.plans import (
+        latency_mode,
+        small_leaf_input,
+    )
+
     rows = n_hashes // bands
     collapse = collapse_exact and max_shingle_df is None and threshold <= 1.0
+    # Latency mode (small PROVEN input + the eager-materialization
+    # contract): the guard's extra joins cost ~8 AQE shuffle-stage
+    # sub-jobs of pure scheduling at toy scale (measured 27 vs 12 jobs,
+    # 3.1s vs 1.9s at sf0.1) — run the internal materializations with
+    # AQE off and pin the EXPANDED result before returning. Fails open:
+    # big or un-introspectable inputs keep AQE (skew splitting in the
+    # banding join, runtime broadcast promotion).
+    latency = (
+        persist_shingles
+        and cache_registry is None
+        and small_leaf_input(df)
+    )
     dup_members = None
     if collapse:
         # persist (not eager checkpoint): the map's cache fills inside
@@ -425,97 +449,113 @@ def minhash_lsh_pairs(
             F.col("_mid").alias(id_col)
         )
         df = df.join(non_reps, id_col, "left_anti")
-    classic_diamond = (
-        max_shingle_df is not None
-        or cache_registry is not None
-        or not persist_shingles
-    )
-    sh = _shingle_table(df, id_col, text_col, k, max_shingle_df)
-    if classic_diamond and persist_shingles:
-        # the shingle table feeds BOTH the signature and the verify
-        # stage (diamond plan) — persist so it's computed once; spills
-        # to disk under pressure, LRU-evicted when unused
-        from pyspark.storagelevel import StorageLevel
+    with latency_mode(df.sparkSession, latency):
+        classic_diamond = (
+            max_shingle_df is not None
+            or cache_registry is not None
+            or not persist_shingles
+        )
+        sh = _shingle_table(df, id_col, text_col, k, max_shingle_df)
+        if classic_diamond and persist_shingles:
+            # the shingle table feeds BOTH the signature and the verify
+            # stage (diamond plan) — persist so it's computed once; spills
+            # to disk under pressure, LRU-evicted when unused
+            from pyspark.storagelevel import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        if cache_registry is not None:
-            cache_registry.append(sh)
-    # one aggregate produces the signature AND the doc shingle-set size:
-    # the size rides along through banding into the verify arithmetic,
-    # replacing two joins against a separately-aggregated sizes table
-    # (measured ~2s of stage overhead at sf0.1, and at scale it removes
-    # one full pass over the shingle table)
-    sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True)
-    banded = _banded(sig, bands, rows)
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "band", "bucket"
-    )
-    cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_na", "_nb")
-        .distinct()
-    )
-    if not classic_diamond:
-        # Materialize the (small) candidate set once, then re-shingle
-        # ONLY the documents it names — the corpus-sized shingle table
-        # is never stored. localCheckpoint output is auto-cleaned when
-        # the frame is GC'd.
-        cand = cand.localCheckpoint(eager=True)
-        need = (
-            cand.select(F.col("id_a").alias(id_col))
-            .union(cand.select(F.col("id_b").alias(id_col)))
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+            if cache_registry is not None:
+                cache_registry.append(sh)
+        # one aggregate produces the signature AND the doc shingle-set size:
+        # the size rides along through banding into the verify arithmetic,
+        # replacing two joins against a separately-aggregated sizes table
+        # (measured ~2s of stage overhead at sf0.1, and at scale it removes
+        # one full pass over the shingle table)
+        sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True)
+        banded = _banded(sig, bands, rows)
+        left = banded.select(
+            F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
+        )
+        right = banded.select(
+            F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "band", "bucket"
+        )
+        cand = (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_na", "_nb")
             .distinct()
         )
-        verify_sh = _shingle_table(
-            df.join(need, id_col, "left_semi"), id_col, text_col, k, None
-        )
-        from pyspark.storagelevel import StorageLevel
-
-        verify_sh = verify_sh.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        verify_sh = sh
-    out = _jaccard_from_candidates(cand, verify_sh, threshold)
-    if persist_shingles and cache_registry is None:
-        out = out.localCheckpoint(eager=True)
-        verify_sh.unpersist()
-    if collapse:
-        # expand representative pairs back to member pairs (left-join
-        # miss = singleton = identity), and emit the intra-group
-        # (byte-identical, jaccard exactly 1.0) pairs directly — both
-        # joins are against the small dup-group map
-        ea = dup_members.select(
-            F.col("_rep").alias("id_a"), F.col("_mid").alias("_ma")
-        )
-        eb = dup_members.select(
-            F.col("_rep").alias("id_b"), F.col("_mid").alias("_mb")
-        )
-        cross = (
-            out.join(ea, "id_a", "left")
-            .join(eb, "id_b", "left")
-            .select(
-                F.least(
-                    F.coalesce(F.col("_ma"), F.col("id_a")),
-                    F.coalesce(F.col("_mb"), F.col("id_b")),
-                ).alias("id_a"),
-                F.greatest(
-                    F.coalesce(F.col("_ma"), F.col("id_a")),
-                    F.coalesce(F.col("_mb"), F.col("id_b")),
-                ).alias("id_b"),
-                "jaccard",
+        if not classic_diamond:
+            # Materialize the (small) candidate set once, then re-shingle
+            # ONLY the documents it names — the corpus-sized shingle table
+            # is never stored. localCheckpoint output is auto-cleaned when
+            # the frame is GC'd.
+            cand = cand.localCheckpoint(eager=True)
+            need = (
+                cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct()
             )
-        )
-        intra = (
-            dup_members.filter(F.col("_ghs"))
-            .select("_m", F.col("_mid").alias("id_a"))
-            .join(dup_members.select("_m", F.col("_mid").alias("id_b")), "_m")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-        )
-        out = cross.unionByName(intra)
+            verify_sh = _shingle_table(
+                df.join(need, id_col, "left_semi"), id_col, text_col, k, None
+            )
+            from pyspark.storagelevel import StorageLevel
+
+            verify_sh = verify_sh.persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            verify_sh = sh
+        out = _jaccard_from_candidates(cand, verify_sh, threshold)
+        if persist_shingles and cache_registry is None:
+            if not (latency and collapse):
+                out = out.localCheckpoint(eager=True)
+                verify_sh.unpersist()
+            # latency+collapse: the post-expansion checkpoint below
+            # subsumes this one — don't materialize the pair table twice
+        if collapse:
+            # expand representative pairs back to member pairs (left-join
+            # miss = singleton = identity), and emit the intra-group
+            # (byte-identical, jaccard exactly 1.0) pairs directly — both
+            # joins are against the small dup-group map
+            ea = dup_members.select(
+                F.col("_rep").alias("id_a"), F.col("_mid").alias("_ma")
+            )
+            eb = dup_members.select(
+                F.col("_rep").alias("id_b"), F.col("_mid").alias("_mb")
+            )
+            cross = (
+                out.join(ea, "id_a", "left")
+                .join(eb, "id_b", "left")
+                .select(
+                    F.least(
+                        F.coalesce(F.col("_ma"), F.col("id_a")),
+                        F.coalesce(F.col("_mb"), F.col("id_b")),
+                    ).alias("id_a"),
+                    F.greatest(
+                        F.coalesce(F.col("_ma"), F.col("id_a")),
+                        F.coalesce(F.col("_mb"), F.col("id_b")),
+                    ).alias("id_b"),
+                    "jaccard",
+                )
+            )
+            intra = (
+                dup_members.filter(F.col("_ghs"))
+                .select("_m", F.col("_mid").alias("id_a"))
+                .join(dup_members.select("_m", F.col("_mid").alias("id_b")), "_m")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+            )
+            out = cross.unionByName(intra)
+    if latency and collapse:
+        if persist_shingles and cache_registry is None:
+            _vsh_release = verify_sh
+        else:
+            _vsh_release = None
+        # pin the expanded pair list while AQE is still off (the
+        # expansion joins are exactly the sub-job-heavy part) and
+        # release the guard map — bounded-cache hygiene
+        out = out.localCheckpoint(eager=True)
+        if _vsh_release is not None:
+            _vsh_release.unpersist()
+        dup_members.unpersist()
     return out
 
 

@@ -2,9 +2,18 @@
 
 from implementation_of_an_etl_process_spark.plans.shape import (
     explain_str,
+    latency_mode,
     leaf_scan_bytes,
     maybe_broadcast,
+    small_leaf_input,
     spread,
 )
 
-__all__ = ["spread", "explain_str", "leaf_scan_bytes", "maybe_broadcast"]
+__all__ = [
+    "spread",
+    "explain_str",
+    "leaf_scan_bytes",
+    "maybe_broadcast",
+    "latency_mode",
+    "small_leaf_input",
+]

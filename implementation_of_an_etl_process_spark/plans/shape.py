@@ -75,3 +75,54 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), mode
     )
+
+
+#: Leaf-scan ceiling under which an operator may run its internal
+#: materializations in LATENCY mode (AQE off): below this, a
+#: multi-join pipeline's cost is dominated by AQE's per-shuffle-stage
+#: job scheduling (~100ms each on local[32] — measured 27 vs 12 jobs,
+#: 3.1s vs 1.9s, for the minhash hot-bucket guard at sf0.1), not by
+#: data. At scale AQE's runtime re-planning (skew splits, broadcast
+#: promotion, partition coalescing) is worth far more than the fixed
+#: scheduling cost, so the gate fails OPEN: un-introspectable plans
+#: and anything past the limit keep AQE.
+LATENCY_MODE_LIMIT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LATENCY_LIMIT", str(64 << 20))
+)
+
+
+def small_leaf_input(df: DataFrame, limit_bytes: int | None = None) -> bool:
+    """True iff the plan's leaf relations are provably under the
+    latency-mode ceiling (False on estimation failure — fail open to
+    the AQE path)."""
+    limit = LATENCY_MODE_LIMIT_BYTES if limit_bytes is None else limit_bytes
+    try:
+        return leaf_scan_bytes(df) <= limit
+    except Exception:
+        return False
+
+
+class latency_mode:
+    """Context manager: disable AQE for actions run inside the block
+    (restoring the previous setting on exit) — the small-input latency
+    path for operators whose internal pipelines pay more in AQE stage
+    scheduling than they could gain from runtime re-planning. Callers
+    MUST materialize (checkpoint/collect) inside the block; lazy frames
+    escaping the block run under the restored setting."""
+
+    _KEY = "spark.sql.adaptive.enabled"
+
+    def __init__(self, spark, enabled: bool = True):
+        self._spark = spark
+        self._enabled = enabled
+        self._old = None
+
+    def __enter__(self):
+        if self._enabled:
+            self._old = self._spark.conf.get(self._KEY, "true")
+            self._spark.conf.set(self._KEY, "false")
+        return self
+
+    def __exit__(self, *exc):
+        if self._enabled and self._old is not None:
+            self._spark.conf.set(self._KEY, self._old)

@@ -284,3 +284,50 @@ def test_materialize_mixture_two_scans_no_bnlj(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_latency_mode_restores_aqe(spark):
+    """latency_mode must flip AQE off only inside the block and restore
+    the prior setting on both clean exit and exception."""
+    from implementation_of_an_etl_process_spark.plans import latency_mode
+
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    with latency_mode(spark, True):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == before
+    try:
+        with latency_mode(spark, True):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
+    # disabled: a no-op
+    with latency_mode(spark, False):
+        assert spark.conf.get(key) == before
+
+
+def test_minhash_latency_gate_and_conf_restoration(spark):
+    """The minhash guard's latency path (small PROVEN input -> AQE off
+    for internal materializations) must leave the session conf exactly
+    as it found it, and small_leaf_input must fail OPEN on
+    un-introspectable plans (RDD-backed frames keep the AQE path)."""
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from implementation_of_an_etl_process_spark.plans import small_leaf_input
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert small_leaf_input(docs)  # 64 KB parquet: provably small
+    rdd_backed = spark.createDataFrame(
+        docs.limit(5).rdd, docs.schema
+    )
+    # RDD-backed leaf: Catalyst reports the unknown-size sentinel, so
+    # the gate fails open (keeps AQE)
+    assert not small_leaf_input(rdd_backed)
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    n = minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8).count()
+    assert n >= 0
+    assert spark.conf.get(key) == before
