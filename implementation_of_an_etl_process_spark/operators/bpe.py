@@ -19,11 +19,15 @@ Scale shape (100 TB):
 - The corpus is touched exactly ONCE: one tokenize+groupBy shuffle
   reduces it to the word-count table (map-side combining; vocabulary
   is millions of rows where the corpus is trillions of tokens).
-- Each training iteration is one aggregate over that already-reduced
-  vocab table (adjacent-pair explode -> partial-agg sum) plus ONE
-  collected row (the argmax) — the only driver-side data in the loop,
-  bounded by contract. Lineage is cut every few merges with
-  ``localCheckpoint`` so the plan stays flat across iterations.
+- Each training ROUND is one aggregate over that already-reduced
+  vocab table (adjacent-pair explode -> partial-agg sum) plus one
+  bounded collect (<= batch_merges+1 ranked rows) from which a
+  prefix-disjoint BATCH of merges is selected (:func:`_select_batch`
+  — provably identical to the one-argmax-per-job loop), amortizing
+  the fixed per-job scheduling cost ~batch_merges-fold; that collect
+  is the only driver-side data in the loop, bounded by contract.
+  Lineage is cut every few merges with ``localCheckpoint`` so the
+  plan stays flat across iterations.
 - The merge application is a pure-Column ``aggregate`` fold inside
   whole-stage codegen — no Python in the loop.
 - Encoding runs the per-word merge replay over the DISTINCT-word

