@@ -53,18 +53,9 @@ def _bucket(col: Column, n_buckets: int) -> Column:
     )
 
 
-def hashed_ngram_counts(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    n_buckets: int = 10_000,
-    max_n: int = 2,
-) -> DataFrame:
-    """(id, bucket, cnt): hashed 1..max_n-gram counts per document —
-    the DSIR feature vector in sparse (bucket, count) form. N-grams are
-    space-joined lowercase whitespace tokens; hashing collisions are
-    part of the method (they regularize, per the paper §3.1)."""
+def _flat_grams(text_col: str, max_n: int) -> Column:
+    """One array of all 1..max_n-grams (space-joined lowercase
+    whitespace tokens) — the shared featurization expression."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
     def gram_expr(n: int) -> Column:
@@ -83,16 +74,57 @@ def hashed_ngram_counts(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    grams = [gram_expr(n) for n in range(1, max_n + 1)]
+    return F.flatten(F.array(*[gram_expr(n) for n in range(1, max_n + 1)]))
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+) -> DataFrame:
+    """(id, bucket, cnt): hashed 1..max_n-gram counts per document —
+    the DSIR feature vector in sparse (bucket, count) form. N-grams are
+    space-joined lowercase whitespace tokens; hashing collisions are
+    part of the method (they regularize, per the paper §3.1)."""
     return (
         docs.select(
             F.col(id_col),
-            F.explode(F.flatten(F.array(*grams))).alias("g"),
+            F.explode(_flat_grams(text_col, max_n)).alias("g"),
         )
         .filter(F.col("g") != "")
         .select(id_col, _bucket(F.col("g"), n_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_bucket_histogram(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    is_target: Column,
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+) -> DataFrame:
+    """(bucket, tc, rc): target- and raw-side hashed n-gram OCCURRENCE
+    sums in ONE corpus pass — no per-document grouping, so the map-side
+    partial aggregate reduces each task's output to at most
+    ``n_buckets`` rows and the exchange is bucket-sized regardless of
+    corpus size (the weight fit never needs per-doc features)."""
+    occ = docs.select(
+        is_target.alias("_is_t"),
+        F.explode(_flat_grams(text_col, max_n)).alias("g"),
+    ).filter(F.col("g") != "")
+    return (
+        occ.select("_is_t", _bucket(F.col("g"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("tc"),
+            F.sum(F.when(~F.col("_is_t"), 1).otherwise(0)).alias("rc"),
+        )
     )
 
 
@@ -139,12 +171,21 @@ def dsir_logratio_weights(
             F.coalesce("rc", F.lit(0)).alias("rc"),
         )
     )
-    # ln( ((tc+1) * (r_tot+B)) / ((rc+1) * (t_tot+B)) ), one ln on a
-    # ratio of exact integers (products stay < 2^53 for corpora up to
-    # ~10^9 features per side at B=10k; shard the totals beyond that)
+    return _weights_from_histogram(both, n_buckets, (int(t_tot), int(r_tot)))
+
+
+def _weights_from_histogram(
+    hist: DataFrame, n_buckets: int, totals: tuple[int, int]
+) -> DataFrame:
+    """(bucket, w_q) from a (bucket, tc, rc) histogram — the shared
+    quantized log-ratio formula: one Spark-side ``ln`` on a ratio of
+    exact int64 products, identical in any engine (products stay
+    < 2^53 for corpora up to ~10^9 features per side at B=10k; shard
+    the totals beyond that)."""
+    t_tot, r_tot = totals
     num = (F.col("tc") + 1) * F.lit(int(r_tot) + n_buckets)
     den = (F.col("rc") + 1) * F.lit(int(t_tot) + n_buckets)
-    return both.select(
+    return hist.select(
         "bucket",
         F.round(F.log(num.cast("double") / den.cast("double")) * DSIR_SCALE)
         .cast("long")
@@ -180,22 +221,73 @@ def dsir_select(
     k: int,
     n_buckets: int = 10_000,
     max_n: int = 2,
+    strategy: str = "two_pass",
 ) -> DataFrame:
     """End-to-end DSIR top-k selection: fit weights target-vs-raw, score
     every raw document, return the k highest-scoring (id, n_feats,
     score_q) rows ordered by (score_q DESC, id) — integer columns only,
-    deterministic under ties.
+    deterministic under ties. Both strategies produce IDENTICAL rows
+    (4M-doc set-equality asserted in tools/fullscale_dsir.py); either
+    way the returned frame is an eagerly-checkpointed bounded top-k —
+    collecting it runs no further corpus work.
 
-    The corpus is n-gram-featurized exactly ONCE: the (id, bucket, cnt,
-    _is_t) relation is persisted MEMORY_AND_DISK, filled by the single
-    two-column totals aggregate, and every downstream consumer (the
-    per-bucket target/raw histograms inside the weight fit and the
-    raw-side scoring query) reads the cache — without the persist,
-    Catalyst replays the explode+hash+groupBy subtree per consumer
-    (~5 corpus passes; the bm25_topk ``persist_tf`` lesson,
-    operators/tfidf.py). The bounded top-k result is eagerly
-    localCheckpoint-ed so the cache can be released before returning —
-    collecting the returned frame runs no further corpus work."""
+    ``strategy="two_pass"`` (default — the 100 TB shape): pass 1
+    aggregates the (bucket, tc, rc) OCCURRENCE histogram straight off
+    the gram stream (map-side combine bounds the exchange at n_buckets
+    rows per task; no per-doc grouping, nothing persisted) and pins it
+    (<= n_buckets rows); totals and the broadcastable weight table
+    derive from the histogram with no further corpus work. Pass 2
+    re-streams only the RAW documents' gram occurrences through a
+    broadcast weight join into the per-doc sum — per-occurrence w_q
+    summation is exactly sum(cnt * w_q). Two corpus scans total, and
+    the only shuffles are bucket-sized (pass 1) and one-row-per-doc
+    (pass 2).
+
+    ``strategy="persist"``: featurize ONCE into the (id, bucket, cnt,
+    _is_t) relation persisted MEMORY_AND_DISK and derive everything
+    from the cache (the round-6 fix for Catalyst replaying the
+    featurization per consumer). One corpus scan, but the cached
+    relation is ~corpus-sized (one row per (doc, distinct bucket)) —
+    measured at 4M docs the persist's memory pressure costs more than
+    the second scan it saves (fullscale_dsir A/B), which is why
+    two_pass is the default; persist remains right when the feature
+    relation is small or feeds further reuse."""
+    if strategy == "two_pass":
+        hist = dsir_bucket_histogram(
+            docs,
+            text_col,
+            is_target=is_target,
+            n_buckets=n_buckets,
+            max_n=max_n,
+        ).localCheckpoint(eager=True)  # corpus pass 1; <= n_buckets rows
+        tot = hist.agg(F.sum("tc").alias("t"), F.sum("rc").alias("r")).collect()[0]
+        weights = _weights_from_histogram(
+            hist, n_buckets, (int(tot["t"] or 0), int(tot["r"] or 0))
+        )
+        raw_occ = (
+            docs.filter(~is_target)
+            .select(
+                F.col(id_col),
+                F.explode(_flat_grams(text_col, max_n)).alias("g"),
+            )
+            .filter(F.col("g") != "")
+            .select(id_col, _bucket(F.col("g"), n_buckets).alias("bucket"))
+        )
+        scored = (
+            raw_occ.join(F.broadcast(weights), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_feats"),
+                F.sum("w_q").alias("score_q"),
+            )
+        )
+        return (
+            scored.orderBy(F.desc("score_q"), id_col)
+            .limit(k)
+            .localCheckpoint(eager=True)  # corpus pass 2
+        )
+    if strategy != "persist":
+        raise ValueError(f"unknown strategy {strategy!r}")
     from pyspark import StorageLevel
 
     feats = hashed_ngram_counts(

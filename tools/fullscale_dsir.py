@@ -57,18 +57,39 @@ def main() -> None:
 
     is_t = F.col("doc_id") % 40 == 7  # ~2.5% target slice
 
-    # --- B: fixed dsir_select (one featurization pass) --------------------
+    # --- C: two_pass (default; histogram + broadcast-weight scoring) ------
+    t0 = time.monotonic()
+    sel_c = dsir_select(
+        docs, "doc_id", "text", is_target=is_t, k=K, n_buckets=N_BUCKETS,
+        strategy="two_pass",
+    )
+    ids_c = {r["doc_id"] for r in sel_c.collect()}
+    t_c = time.monotonic() - t0
+    print(
+        f"dsir_select two_pass (default): top-{K} of {n} docs in "
+        f"{t_c:.1f}s ({n / t_c:,.0f} docs/s)",
+        flush=True,
+    )
+
+    # --- B: persist strategy (one featurization pass, corpus-sized cache) -
     t0 = time.monotonic()
     sel = dsir_select(
-        docs, "doc_id", "text", is_target=is_t, k=K, n_buckets=N_BUCKETS
+        docs, "doc_id", "text", is_target=is_t, k=K, n_buckets=N_BUCKETS,
+        strategy="persist",
     )
     ids_b = {r["doc_id"] for r in sel.collect()}
     t_b = time.monotonic() - t0
     print(
-        f"dsir_select (persisted, 1 pass): top-{K} of {n} docs in "
+        f"dsir_select persist (1 pass + corpus-sized cache): "
         f"{t_b:.1f}s ({n / t_b:,.0f} docs/s)",
         flush=True,
     )
+    assert ids_c == ids_b, "two_pass != persist id set"
+
+    if os.environ.get("DSIR_SKIP_OLD"):
+        print(f"two_pass vs persist: {t_b / t_c:.2f}x; old wiring skipped "
+              "(quiet-measured separately)", flush=True)
+        return
 
     # --- A: round-6 wiring (unpersisted; Catalyst replays the pass) -------
     t0 = time.monotonic()
@@ -99,7 +120,7 @@ def main() -> None:
     assert ids_a == ids_b, (
         f"variant disagreement: {len(ids_a ^ ids_b)} ids differ"
     )
-    print(f"selected id sets identical ({len(ids_b)} ids)", flush=True)
+    print(f"all three variants identical ({len(ids_b)} ids)", flush=True)
 
 
 if __name__ == "__main__":
