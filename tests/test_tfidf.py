@@ -222,9 +222,12 @@ def test_bm25_session_bounds_cache_growth(spark):
     def n_persisted():
         return jsc.getPersistentRDDs().size()
 
-    # start from a clean slate: earlier tests' orphaned tf caches are
-    # reclaimed asynchronously by the ContextCleaner and would make the
-    # before/after counts drift mid-test
+    # start from a clean slate: earlier tests' orphaned tf caches would
+    # otherwise count against the growth bound. (localCheckpoint RDDs
+    # from other tests are NOT CacheManager entries and are reclaimed
+    # asynchronously by the ContextCleaner, so absolute RDD counts can
+    # only SHRINK under us — every assertion below is safe against
+    # concurrent cleanup, never dependent on it.)
     spark.catalog.clearCache()
     base = n_persisted()
     queries = [["alpha", f"w{i}"] for i in range(6)]  # 6 DISTINCT queries
@@ -232,6 +235,7 @@ def test_bm25_session_bounds_cache_growth(spark):
         for q in queries:
             got = s.topk(q, k=5)
             assert got.count() > 0
+            assert len(s._live) <= 2, "handle accounting grew past max_live"
             assert n_persisted() - base <= 2, "cache grew past max_live"
         # eviction must not change results: evicted plan recomputes
         again = {r["doc_id"] for r in s.topk(queries[0], k=5).collect()}
@@ -240,4 +244,10 @@ def test_bm25_session_bounds_cache_growth(spark):
             for r in bm25_topk(df, queries[0], k=5, persist_tf=False).collect()
         }
         assert again == plain
-    assert n_persisted() == base, "close() must unpersist everything"
+    assert not s._live, "close() must drain the handle"
+    # every CacheManager entry the handle created is gone (other tests'
+    # checkpoint RDDs don't live in the CacheManager, so this is
+    # deterministic in a shared session)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "close() must unpersist every cached tf relation"
+    )
