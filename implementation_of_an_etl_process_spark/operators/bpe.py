@@ -28,8 +28,12 @@ Scale shape (100 TB):
   is the only driver-side data in the loop, bounded by contract.
   Lineage is cut every few merges with ``localCheckpoint`` so the
   plan stays flat across iterations.
-- The merge application is a pure-Column ``aggregate`` fold inside
-  whole-stage codegen — no Python in the loop.
+- The merge application operates on the VOCAB table only (bounded:
+  distinct words, never the corpus): per-merge pure-Column folds with
+  frequent shallow lineage cuts by default, or one Arrow-batched
+  pandas replay per round (``apply_mode`` — both measured, see
+  BASELINE_NOTES round 7; shallow folds win, deep fold stacks are the
+  measured failure mode the checkpoint cadence guards against).
 - Encoding runs the per-word merge replay over the DISTINCT-word
   table only (an Arrow-batched pandas UDF over vocab rows — document
   text never passes through Python), then joins the encodings back to
@@ -152,6 +156,7 @@ def train_bpe(
     min_pair_count: int = 2,
     checkpoint_every: int = 6,
     batch_merges: int = 32,
+    apply_mode: str = "column",
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns the
     ranked merge list (the model — ``n_merges`` driver-side tuples, the
@@ -171,7 +176,20 @@ def train_bpe(
     making production vocab sizes (30k+ merges) a matter of minutes
     instead of days. ``batch_merges=1`` degenerates to the classic
     one-argmax-per-job loop.
+
+    ``apply_mode``: both application paths were measured at 4M docs /
+    50k vocab / 500 merges (BASELINE_NOTES round 7). ``"column"``
+    (default) applies per-merge Column folds with frequent shallow
+    lineage cuts — 198.4s; folds evaluate interpreted but are cheap at
+    <= checkpoint_every depth (523s at 32-deep is the failure mode the
+    cadence guards against). ``"arrow"`` replaces each round's folds
+    with one Arrow-batched pandas replay over the vocab table — 234.6s
+    (the Arrow round-trip of every symbol array per round costs more
+    than shallow folds save); kept for vocab shapes where fold depth
+    must be 1 regardless of cadence.
     """
+    if apply_mode not in ("arrow", "column"):
+        raise ValueError(f"unknown apply_mode {apply_mode!r}")
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
     if min_pair_count < 1:
@@ -219,16 +237,50 @@ def train_bpe(
         batch = _select_batch(rows, want, batch_merges, min_pair_count)
         if not batch:
             break
-        for a, b in batch:
-            merges.append((a, b))
-            wt = wt.withColumn("syms", _merge_pass("syms", a, b))
-            since_ckpt += 1
-            if since_ckpt >= checkpoint_every:
-                # cut lineage: the loop otherwise stacks one fold per
-                # merge, and codegen degrades past a few dozen folds
-                wt = wt.localCheckpoint(eager=True)
-                since_ckpt = 0
+        merges.extend(batch)
+        if apply_mode == "arrow":
+            # ONE Arrow-batched replay of the whole round's batch over
+            # the vocab table (the encode path's distinct-word
+            # pattern; _py_merge_pass is the same pass the Column fold
+            # encodes).
+            wt = wt.withColumn("syms", _apply_merges_udf(batch)("syms"))
+            since_ckpt += len(batch)
+        else:
+            for a, b in batch:
+                wt = wt.withColumn("syms", _merge_pass("syms", a, b))
+                since_ckpt += 1
+                if since_ckpt >= checkpoint_every:
+                    # cut lineage: the loop otherwise stacks one fold
+                    # per merge; HOF folds evaluate interpreted and
+                    # degrade super-linearly past a few dozen deep
+                    wt = wt.localCheckpoint(eager=True)
+                    since_ckpt = 0
+        if since_ckpt >= checkpoint_every:
+            wt = wt.localCheckpoint(eager=True)
+            since_ckpt = 0
     return merges
+
+
+def _apply_merges_udf(batch: list[tuple[str, str]]):
+    """Arrow-batched application of one round's merge batch to symbol
+    arrays — vocab-table-sized input by contract (distinct words, not
+    the corpus), same left-to-right non-overlapping pass as
+    :func:`_merge_pass` / :func:`_py_merge_pass`."""
+    from pyspark.sql.functions import pandas_udf
+
+    blist = list(batch)
+
+    @pandas_udf("array<string>")
+    def _apply(syms: pd.Series) -> pd.Series:
+        def f(s):
+            s = list(s)
+            for a, b in blist:
+                s = _py_merge_pass(s, a, b)
+            return s
+
+        return syms.map(f)
+
+    return _apply
 
 
 def encode_bpe(
