@@ -205,8 +205,40 @@ def train_bpe(
     # Materialize the vocab table up front: every loop iteration reads
     # wt, and without this the corpus-wide tokenize+groupBy would be
     # REPLAYED per merge until the first in-loop checkpoint (the corpus
-    # is touched once by contract).
+    # is touched once by contract). The word count itself runs with
+    # whatever AQE setting the session has (corpus-sized — AQE's skew
+    # and coalescing help there).
     wt = wt.localCheckpoint(eager=True)
+    # Every LOOP job is vocab-sized; when the vocab is provably modest,
+    # AQE's per-shuffle-stage sub-job scheduling is pure overhead in a
+    # many-round driver loop (measured 239.0s -> 209.1s for 500 merges
+    # at 50k vocab; the same finding as the minhash guard's latency
+    # mode, plans/shape.py). Fails open: big vocabs keep AQE.
+    from implementation_of_an_etl_process_spark.plans import latency_mode
+
+    n_vocab = wt.count()
+    merges: list[tuple[str, str]] = []
+    since_ckpt = 0
+    with latency_mode(docs.sparkSession, n_vocab <= 2_000_000):
+        merges.extend(
+            _train_loop(
+                wt, n_merges, min_pair_count, checkpoint_every,
+                batch_merges, apply_mode,
+            )
+        )
+    return merges
+
+
+def _train_loop(
+    wt: DataFrame,
+    n_merges: int,
+    min_pair_count: int,
+    checkpoint_every: int,
+    batch_merges: int,
+    apply_mode: str,
+) -> list[tuple[str, str]]:
+    """The per-round aggregate/select/apply loop over the materialized
+    vocab table (see :func:`train_bpe` for the contract)."""
     merges: list[tuple[str, str]] = []
     since_ckpt = 0
     while len(merges) < n_merges:
