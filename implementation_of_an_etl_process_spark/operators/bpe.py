@@ -105,6 +105,7 @@ def _select_batch(
     want: int,
     batch_cap: int,
     min_pair_count: int,
+    symbols: set[str],
 ) -> list[tuple[str, str]]:
     """Greedy prefix-disjoint batch from one round's ranked pair rows —
     PROVABLY equal to replaying sequential argmax (m=1) merges:
@@ -113,21 +114,42 @@ def _select_batch(
     until one OVERLAPS an earlier selection (shares a symbol) or the
     cap is hit; call the first unselected row's count ``stop_count``,
     then trim trailing selections with count == stop_count.  Why this
-    is exact: a merge (a, b) can only create new pairs (x, ab) /
-    (ab, y) / (ab, ab), each bounded by the count of an EXISTING pair
-    overlapping (a, b) — and every overlapping pair ranks at or after
-    the stopping row (rank order is count order), so after the trim
-    each kept pair's count is STRICTLY greater than anything a prior
-    kept merge can create and at least the count of every not-yet-seen
-    old pair; the sequential argmax therefore picks exactly the kept
-    pairs in kept order.  If the trim empties the batch (an overlapping
-    tie at the very top), fall back to the plain argmax — always exact.
+    is exact: a merge (a, b) with a != b and a fresh product ``a+b``
+    can only create new pairs (x, ab) / (ab, y) / (ab, ab), each
+    bounded by the count of an EXISTING pair overlapping (a, b) — and
+    every overlapping pair ranks at or after the stopping row (rank
+    order is count order), so after the trim each kept pair's count is
+    STRICTLY greater than anything a prior kept merge can create and
+    at least the count of every not-yet-seen old pair; the sequential
+    argmax therefore picks exactly the kept pairs in kept order.  If
+    the trim empties the batch (an overlapping tie at the very top),
+    fall back to the plain argmax — always exact.
+
+    Two cases break that bound, and each conservatively ENDS the batch
+    right after the offending pair (it stays last, so nothing selected
+    later can be reordered by what it creates; the next round's
+    aggregate sees the true post-merge counts):
+
+    - SELF-pairs (a == b): a run ``a a a a`` merges to ``aa aa``,
+      creating (aa, aa) with count bounded only by the selected pair's
+      OWN count (which ranks first), not by the stop row — fuzzing
+      shows (aa, aa) routinely outranking the rest of the batch.
+    - CONCAT collisions (``a+b`` already in ``symbols`` — the known
+      symbol universe: initial alphabet plus every merge product so
+      far, including earlier products of THIS batch): the created
+      pairs alias onto existing pair keys, whose counts grow to
+      old+new and can exceed the trim bound (ADVICE round 7).
+
+    The stopping row for these early endings is the next ranked row
+    (ties against it are trimmed as usual; a sub-threshold next row
+    can't create ties, same as the threshold break).
     """
     limit = min(want, batch_cap)
     selected: list[tuple[str, str, int]] = []
     blocked: set[str] = set()
+    products: set[str] = set()
     stop_count = None
-    for r in rows:
+    for i, r in enumerate(rows):
         if r["c"] < min_pair_count:
             stop_count = None  # below-threshold rows can't create ties
             break
@@ -135,7 +157,17 @@ def _select_batch(
             stop_count = r["c"]
             break
         selected.append((r["a"], r["b"], r["c"]))
-        blocked.update((r["a"], r["b"]))
+        prod = r["a"] + r["b"]
+        blocked.update((r["a"], r["b"], prod))
+        if r["a"] == r["b"] or prod in symbols or prod in products:
+            nxt = rows[i + 1] if i + 1 < len(rows) else None
+            stop_count = (
+                nxt["c"]
+                if nxt is not None and nxt["c"] >= min_pair_count
+                else None
+            )
+            break
+        products.add(prod)
     # (no-break path: the ranked list genuinely ran out — the collect
     # window holds limit+1 rows, so fewer rows means fewer pairs exist;
     # nothing unseen, nothing to trim)
@@ -217,16 +249,22 @@ def train_bpe(
     from implementation_of_an_etl_process_spark.plans import latency_mode
 
     n_vocab = wt.count()
-    merges: list[tuple[str, str]] = []
-    since_ckpt = 0
+    # The known symbol universe (initial alphabet; _train_loop adds
+    # each merge product) — _select_batch needs it to detect concat
+    # collisions, where a merge's product equals an existing symbol
+    # and the created pairs alias onto existing pair keys. Bounded
+    # collect: distinct characters + the end-of-word marker.
+    symbols = {
+        r["s"]
+        for r in wt.select(F.explode("syms").alias("s"))
+        .distinct()
+        .collect()
+    }
     with latency_mode(docs.sparkSession, n_vocab <= 2_000_000):
-        merges.extend(
-            _train_loop(
-                wt, n_merges, min_pair_count, checkpoint_every,
-                batch_merges, apply_mode,
-            )
+        return _train_loop(
+            wt, n_merges, min_pair_count, checkpoint_every,
+            batch_merges, apply_mode, symbols,
         )
-    return merges
 
 
 def _train_loop(
@@ -236,9 +274,11 @@ def _train_loop(
     checkpoint_every: int,
     batch_merges: int,
     apply_mode: str,
+    symbols: set[str],
 ) -> list[tuple[str, str]]:
     """The per-round aggregate/select/apply loop over the materialized
-    vocab table (see :func:`train_bpe` for the contract)."""
+    vocab table (see :func:`train_bpe` for the contract). ``symbols``
+    is the known symbol universe, mutated in place as merges land."""
     merges: list[tuple[str, str]] = []
     since_ckpt = 0
     while len(merges) < n_merges:
@@ -266,10 +306,13 @@ def _train_loop(
             .limit(min(want, batch_merges) + 1)
             .collect()  # bounded: <= batch_merges+1 scalar rows/round
         )
-        batch = _select_batch(rows, want, batch_merges, min_pair_count)
+        batch = _select_batch(
+            rows, want, batch_merges, min_pair_count, symbols
+        )
         if not batch:
             break
         merges.extend(batch)
+        symbols.update(a + b for a, b in batch)
         if apply_mode == "arrow":
             # ONE Arrow-batched replay of the whole round's batch over
             # the vocab table (the encode path's distinct-word

@@ -132,3 +132,35 @@ def test_batched_adversarial_overlap_tie(spark):
     wc = {"ab": 5, "bc": 5, "de": 5, "fg": 4}
     got = train_bpe(_wc_df(spark, wc), n_merges=8)
     assert got == py_train_bpe(wc, 8)
+
+
+def test_batched_self_pair_run_collapse_matches_sequential(spark):
+    """Regression (ADVICE round 7, generalized): a SELF-pair merge
+    (b,b) over long runs creates (bb,bb) with count bounded only by
+    the selected pair's own count — a naive prefix-disjoint batch
+    that keeps selecting past it diverges from sequential argmax.
+    These corpora were found by fuzzing the pre-fix _select_batch
+    (50k-trial fuzz of the fixed version: 0 divergences).  The fix
+    ends the batch at any self-pair or concat-collision."""
+    corpora = [
+        {"aa": 3, "a": 4, "bbbbbb": 8, "babaaba": 3},
+        {"bbaaaaaa": 9, "bb": 1, "a": 7, "aababb": 8},
+        {"bbbbbbaa": 7, "bbabab": 1, "aaa": 2},
+    ]
+    for wc in corpora:
+        for bm in (2, 32):
+            got = train_bpe(_wc_df(spark, wc), n_merges=12, batch_merges=bm)
+            want = py_train_bpe(wc, 12)
+            assert got == want, f"{wc} bm={bm}: {got} != {want}"
+
+
+def test_batched_concat_collision_matches_sequential(spark):
+    """Concat aliasing: merge ('a','ab') produces symbol 'aab' while
+    'aab'-adjacent contexts already exist via the ('aa','b') split
+    path — created pairs alias onto existing keys.  The symbol-universe
+    check must end the batch there and stay bit-identical to m=1."""
+    wc = {"aab": 6, "aaba": 5, "baab": 5, "cc": 9, "dcc": 3}
+    for bm in (2, 4, 32):
+        got = train_bpe(_wc_df(spark, wc), n_merges=10, batch_merges=bm)
+        want = py_train_bpe(wc, 10)
+        assert got == want, f"bm={bm}: {got} != {want}"
