@@ -544,18 +544,19 @@ def minhash_lsh_pairs(
                 .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
             )
             out = cross.unionByName(intra)
-    if latency and collapse:
-        if persist_shingles and cache_registry is None:
-            _vsh_release = verify_sh
-        else:
-            _vsh_release = None
-        # pin the expanded pair list while AQE is still off (the
-        # expansion joins are exactly the sub-job-heavy part) and
-        # release the guard map — bounded-cache hygiene
-        out = out.localCheckpoint(eager=True)
-        if _vsh_release is not None:
-            _vsh_release.unpersist()
-        dup_members.unpersist()
+        if latency and collapse:
+            if persist_shingles and cache_registry is None:
+                _vsh_release = verify_sh
+            else:
+                _vsh_release = None
+            # pin the expanded pair list while AQE is still off (the
+            # expansion joins are exactly the sub-job-heavy part —
+            # latency_mode's contract: materialize INSIDE the block)
+            # and release the guard map — bounded-cache hygiene
+            out = out.localCheckpoint(eager=True)
+            if _vsh_release is not None:
+                _vsh_release.unpersist()
+            dup_members.unpersist()
     return out
 
 

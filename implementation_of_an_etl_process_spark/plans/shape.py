@@ -11,6 +11,7 @@ on small inputs it buys linear speedup for explode/score-heavy stages
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -108,21 +109,47 @@ class latency_mode:
     path for operators whose internal pipelines pay more in AQE stage
     scheduling than they could gain from runtime re-planning. Callers
     MUST materialize (checkpoint/collect) inside the block; lazy frames
-    escaping the block run under the restored setting."""
+    escaping the block run under the restored setting.
+
+    The AQE flag is SESSION-GLOBAL, so nesting/overlap is handled with
+    a per-session re-entrancy counter under a lock: only the outermost
+    enter records the true original value and only the last exit
+    restores it (a naive save/restore would re-instate the inner
+    block's "false" as the "original"). Caveat that can't be fixed
+    here: any UNRELATED query running concurrently on the same
+    SparkSession (multi-threaded driver, streaming micro-batches)
+    executes with AQE off while a latency block is active — operators
+    use this only around their own small-input materializations, and
+    multi-query drivers should serialize around it."""
 
     _KEY = "spark.sql.adaptive.enabled"
+    _lock = threading.RLock()
+    #: id(session) -> [depth, original-value]; entry removed at depth 0
+    _active: dict[int, list] = {}
 
     def __init__(self, spark, enabled: bool = True):
         self._spark = spark
         self._enabled = enabled
-        self._old = None
 
     def __enter__(self):
         if self._enabled:
-            self._old = self._spark.conf.get(self._KEY, "true")
-            self._spark.conf.set(self._KEY, "false")
+            with self._lock:
+                st = self._active.get(id(self._spark))
+                if st is None:
+                    old = self._spark.conf.get(self._KEY, "true")
+                    self._active[id(self._spark)] = [1, old]
+                    self._spark.conf.set(self._KEY, "false")
+                else:
+                    st[0] += 1
         return self
 
     def __exit__(self, *exc):
-        if self._enabled and self._old is not None:
-            self._spark.conf.set(self._KEY, self._old)
+        if self._enabled:
+            with self._lock:
+                st = self._active.get(id(self._spark))
+                if st is None:  # unbalanced exit — nothing to restore
+                    return
+                st[0] -= 1
+                if st[0] <= 0:
+                    del self._active[id(self._spark)]
+                    self._spark.conf.set(self._KEY, st[1])

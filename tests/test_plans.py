@@ -307,6 +307,33 @@ def test_latency_mode_restores_aqe(spark):
         assert spark.conf.get(key) == before
 
 
+def test_latency_mode_nesting_restores_true_original(spark):
+    """Nested/overlapping blocks must restore the TRUE original value
+    on the last exit — a naive save/restore would record the inner
+    block's 'false' as the original (ADVICE round 7). Also: interleaved
+    (non-LIFO) overlap via manual __enter__/__exit__ ordering."""
+    from implementation_of_an_etl_process_spark.plans import latency_mode
+
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    with latency_mode(spark, True):
+        assert spark.conf.get(key) == "false"
+        with latency_mode(spark, True):
+            assert spark.conf.get(key) == "false"
+        # inner exit must NOT restore yet (outer block still active)
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == before
+    # interleaved: a exits before b (simulates two driver threads)
+    a = latency_mode(spark, True)
+    b = latency_mode(spark, True)
+    a.__enter__()
+    b.__enter__()
+    a.__exit__(None, None, None)
+    assert spark.conf.get(key) == "false"
+    b.__exit__(None, None, None)
+    assert spark.conf.get(key) == before
+
+
 def test_minhash_latency_gate_and_conf_restoration(spark):
     """The minhash guard's latency path (small PROVEN input -> AQE off
     for internal materializations) must leave the session conf exactly
