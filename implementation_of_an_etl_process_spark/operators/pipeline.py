@@ -177,6 +177,54 @@ def stratified_sample(
     return df.filter(b < thresh)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: str = "ws1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    A-ES ("Weighted random sampling with a reservoir", IPL 2006): each
+    row gets priority u^(1/w) for a uniform u, and the k largest
+    priorities form an exact without-replacement
+    probability-proportional-to-size sample. Used here with the
+    monotone-equivalent key ln(u)/w (all <= 0, larger is better),
+    which avoids the pow and keeps the expression trivially portable.
+
+    Deterministic and engine-portable: u = (h + 1) / 2**32 with h the
+    first 8 md5 hex chars of ``seed || ':' || id`` (the module's
+    portable-hash convention, :func:`id_hash_bucket`) — the DuckDB
+    oracle reproduces the exact same keys. Weights are clamped to
+    >= 1; ties break on id.
+
+    Scale shape: zero shuffles — the top-k compiles to
+    TakeOrderedAndProject (per-partition k-bounded heaps merged on the
+    driver), so cost is one scan + O(k) memory regardless of corpus
+    size; this is the reason to prefer A-ES over "sort all rows by
+    priority", which pays a full range shuffle for the same sample.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    c = F.col(id_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    key = F.log(u) / F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    return (
+        df.withColumn("_aes_key", key)
+        .orderBy(F.col("_aes_key").desc(), c.asc())
+        .limit(k)
+        .drop("_aes_key")
+    )
+
+
 def materialize_mixture(
     df: DataFrame,
     source_col: str,

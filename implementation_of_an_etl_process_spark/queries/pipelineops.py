@@ -329,8 +329,85 @@ FROM lbl WHERE b < 200
 """
 
 
+# --- weighted sampling without replacement (A-ES) --------------------------
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample (Efraimidis-Spirakis A-ES,
+    operators/pipeline.py::weighted_sample): longer documents
+    proportionally likelier, without replacement, deterministic by
+    portable hash — the standard quality-weighted subsetting move.
+    Zero-shuffle: the top-k is TakeOrderedAndProject."""
+    return (
+        P.weighted_sample(
+            _docs(spark, sf_dir), "doc_id", "n_chars", 100, seed="ws1"
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln((('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             ::UBIGINT + 1) / 4294967296.0)
+           / GREATEST(n_chars, 1) AS aes_key
+  FROM documents
+), top AS (
+  SELECT doc_id, lang, n_chars FROM keyed
+  ORDER BY aes_key DESC, doc_id ASC LIMIT 100
+)
+SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id
+"""
+
+
+# --- Z-order (Morton) layout key --------------------------------------------
+
+
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order clustering key (operators/layout.py::zorder_key)
+    over the events table's natural pruning dimensions — user and
+    event day. The key itself is what the oracle can gate bit-for-bit
+    (pure integer interleave in both engines); the LAYOUT effect —
+    files tight in both dimensions, conjunctive range predicates
+    skipping most of them — is measured in tests/test_layout.py."""
+    from implementation_of_an_etl_process_spark.operators import layout as L
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    return ev.select(
+        "event_id",
+        F.col("user_id"),
+        day.alias("day"),
+        L.zorder_key([F.col("user_id"), day], bits=12).alias("zkey"),
+    ).orderBy("event_id")
+
+
+def _zorder_sql() -> str:
+    from implementation_of_an_etl_process_spark.operators.layout import (
+        zorder_key_sql,
+    )
+
+    z = zorder_key_sql(["user_id", "day"], bits=12)
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') AS day
+  FROM events
+)
+SELECT event_id, user_id, day, {z} AS zkey
+FROM ev ORDER BY event_id
+"""
+
+
+ZORDER_KEY_SQL = _zorder_sql()
+
+
 QUERIES = {
     "vocab_topk_documents": vocab_topk_documents,
+    "weighted_sample_docs": weighted_sample_docs,
+    "zorder_key_events": zorder_key_events,
     "quality_classifier_gate": quality_classifier_gate,
     "shuffle_order_docs": shuffle_order_docs,
     "doc_length_histogram": doc_length_histogram,
@@ -342,6 +419,8 @@ QUERIES = {
 
 ORACLES = {
     "vocab_topk_documents": VOCAB_TOPK_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "zorder_key_events": ZORDER_KEY_SQL,
     "quality_classifier_gate": QUALITY_CLASSIFIER_SQL,
     "shuffle_order_docs": SHUFFLE_ORDER_SQL,
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,

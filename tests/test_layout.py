@@ -129,3 +129,125 @@ def test_zorder_write_skips_row_groups_in_both_dimensions(spark, tmp_path):
     assert price_hit / len(groups) <= 0.5, (price_hit, len(groups))
     # layout-only: the data itself is unchanged
     assert spark.read.parquet(path).count() == orders.count()
+
+
+# --- Z-order (Morton) clustering --------------------------------------------
+
+
+def _py_interleave(vals: list[int], bits: int) -> int:
+    out = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            out |= ((v >> i) & 1) << (i * len(vals) + j)
+    return out
+
+
+def test_interleave_bits_matches_python_reference(spark):
+    from implementation_of_an_etl_process_spark.operators.layout import (
+        zorder_key,
+    )
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 4095) for y in (0, 3, 17, 4095)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", zorder_key(["x", "y"], bits=12).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _py_interleave([r["x"], r["y"]], 12), (r["x"], r["y"])
+
+
+def test_zorder_key_validation(spark):
+    import pytest as _pytest
+
+    from implementation_of_an_etl_process_spark.operators.layout import (
+        interleave_bits,
+        zorder_key,
+    )
+
+    with _pytest.raises(ValueError):
+        interleave_bits([F.col("x")], 8)  # < 2 columns
+    with _pytest.raises(ValueError):
+        zorder_key(["x", "y"], bits=32)  # 64 bits > 63
+
+
+def _candidate_files(path: str, boxes: dict[str, tuple[int, int]]) -> int:
+    """Files whose parquet column min/max stats intersect every box —
+    exactly what a stats-based reader must scan for the predicate."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        lo: dict[str, int] = {}
+        hi: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in boxes and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = min(lo.get(name, s.min), s.min)
+                    hi[name] = max(hi.get(name, s.max), s.max)
+        if all(
+            name in lo and lo[name] <= b_hi and hi[name] >= b_lo
+            for name, (b_lo, b_hi) in boxes.items()
+        ):
+            n += 1
+    return n
+
+
+def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
+    """The layout claim, measured on real parquet footers: linearly
+    sorting events by user_id leaves every file's day range spanning
+    the whole domain (a day predicate scans ALL files), while the
+    Z-ordered layout keeps both dimensions tight (a day predicate
+    skips most files, and the user predicate still prunes)."""
+    from implementation_of_an_etl_process_spark.operators.layout import (
+        zorder_repartition,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            "event_id",
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+        )
+    )
+    n_files = 16
+    lin_path = str(tmp_path / "linear")
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(lin_path)
+    )
+    z_path = str(tmp_path / "zorder")
+    zorder_repartition(
+        ev, ["user_id", "day"], bits=12, num_files=n_files
+    ).write.parquet(z_path)
+
+    stats = ev.agg(
+        F.min("day"), F.max("day"), F.min("user_id"), F.max("user_id")
+    ).first()
+    d_lo, d_hi, u_lo, u_hi = stats
+    # a ~12% slice of the day domain (second dimension)
+    day_box = (d_lo, d_lo + max(1, (d_hi - d_lo) // 8))
+    lin_day = _candidate_files(lin_path, {"day": day_box})
+    z_day = _candidate_files(z_path, {"day": day_box})
+    # linear layout: day spans (nearly) the whole domain in every file
+    # (small files may miss a few days by chance — measured 14/16 at
+    # sf0.001's ~62 rows/file)
+    assert lin_day >= n_files * 3 // 4, (lin_day, n_files)
+    # z-order: most files' day boxes miss the slice (measured 3/16)
+    assert z_day <= lin_day // 2, (z_day, lin_day)
+    # and the first dimension still prunes under z-order
+    user_box = (u_lo, u_lo + max(1, (u_hi - u_lo) // 8))
+    z_user = _candidate_files(z_path, {"user_id": user_box})
+    assert z_user < n_files, z_user
+    # correctness: both layouts hold exactly the same rows
+    a = spark.read.parquet(lin_path)
+    b = spark.read.parquet(z_path)
+    assert a.count() == b.count() == ev.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

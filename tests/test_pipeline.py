@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.operators import pipeline as P
+from tests.conftest import SF_SMOKE
 
 
 def _docs_df(spark, rows):
@@ -134,3 +135,89 @@ def test_materialize_mixture_matches_python_reference(spark):
         ).collect()
     }
     assert got2 == expected
+
+
+# --- weighted sampling without replacement (A-ES) ---------------------------
+
+
+def test_weighted_sample_matches_key_reference(spark):
+    """The Spark top-k must equal recomputing the A-ES keys in python
+    over the collected table (same md5-derived u, same ln(u)/w key,
+    same (key DESC, id ASC) order)."""
+    import hashlib
+    import math
+
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = [
+        r["doc_id"]
+        for r in weighted_sample(docs, "doc_id", "n_chars", 25, seed="t7")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    rows = docs.select("doc_id", "n_chars").collect()
+
+    def key(r):
+        h = int(
+            hashlib.md5(f"t7:{r['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 1) / 2**32
+        return math.log(u) / max(r["n_chars"], 1)
+
+    want = sorted(
+        [r["doc_id"] for r in sorted(rows, key=lambda r: (-key(r), r["doc_id"]))][:25]
+    )
+    assert got == want
+
+
+def test_weighted_sample_weights_shift_inclusion(spark):
+    """Statistical direction: with weight = n_chars, long documents
+    must be overrepresented vs a uniform sample — the mean length of
+    the weighted sample exceeds the corpus mean."""
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = (
+        weighted_sample(docs, "doc_id", "n_chars", 100)
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_weighted_sample_k_edge_cases(spark):
+    import pytest as _pytest
+
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    # k >= rows: everything sampled, no _aes_key in the output schema
+    out = weighted_sample(docs, "doc_id", "n_chars", n + 50)
+    assert out.count() == n
+    assert "_aes_key" not in out.columns
+    with _pytest.raises(ValueError):
+        weighted_sample(docs, "doc_id", "n_chars", 0)
+
+
+def test_weighted_sample_plan_is_takeordered(spark):
+    """Scale contract: the sample is a TakeOrderedAndProject (per-
+    partition k-heaps), never a full sort shuffle."""
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        weighted_sample,
+    )
+    from implementation_of_an_etl_process_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = explain_str(weighted_sample(docs, "doc_id", "n_chars", 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

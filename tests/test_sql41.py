@@ -126,64 +126,63 @@ def test_driver_first50_covers_every_family():
     first50 = list(e.queries())[:50]
     from implementation_of_an_etl_process_spark.queries import _DRIVER_PRIORITY
 
-    # Round-7 rotation: the first 50 must be EXACTLY the curated list —
-    # 2 reference-parity flagships + 4 entries whose oracle or
-    # result-bearing code round 7 edits + the full 44-entry staleness
-    # queue (every entry whose latest driver-green row is r2/r3), so
-    # that after r7 no entry's freshest green row predates r4 (see
-    # _DRIVER_PRIORITY's comment).
+    # Round-8 rotation: the first 50 must be EXACTLY the curated list —
+    # 2 reference-parity flagships + 3 entries whose result-bearing
+    # code round 8 edits + all 37 entries last gated in r4 + the 8
+    # oldest-priority r5 dedup/text entries (see _DRIVER_PRIORITY's
+    # comment).
     assert first50 == _DRIVER_PRIORITY, (
         "driver gate drifted from the curated rotation: "
         f"{set(first50) ^ set(_DRIVER_PRIORITY)}"
     )
     # every hard-gate family keeps a representative inside the cap, OR
-    # its flagship sits out exactly one round on maximally-fresh
-    # r6-green evidence (CORRECTNESS_r06.json) while the staleness
-    # queue retires — family: (in-cap reps) | (r6-green exempt flagship)
+    # its flagship sits out this round on fresh driver-green evidence
+    # (green in one of the two most recent CORRECTNESS files) while
+    # the staleness queue retires — family: (in-cap reps) | (exempt
+    # flagship)
     family_cover = {
         "cube": ({"hypercube", "grouping_sets_orders"}, None),
         "reference-native": ({"reference_native_path"}, None),
         "streaming-cube": (set(), "streaming_hypercube_native"),
         "multimodal-codec": (set(), "multimodal_png_decode"),
-        "multimodal-container": ({"multimodal_binary_stats",
-                                  "multimodal_frame_offsets"}, None),
-        "near-dup": (set(), "dedup_minhash_lsh"),
-        "ann": ({"similarity_ivf_arrow_recall"}, None),
-        "graph": ({"triangle_count_purchases"}, "pagerank_purchases"),
-        "pretraining": ({"dsir_selection_docs", "bpe_tokenize_gate",
-                         "chunk_overlap_docs"}, None),
+        "multimodal-container": (set(), "multimodal_binary_stats"),
+        "near-dup": ({"dedup_minhash_lsh", "dedup_hot_bucket_farm"},
+                     None),
+        "ann": (set(), "similarity_ivf_arrow_recall"),
+        "graph": (set(), "triangle_count_purchases"),
+        "pretraining": ({"bpe_tokenize_gate"}, None),
         "structured-streaming": (set(), "streaming_session_windows"),
         "streaming-ingest": (set(), "streaming_incremental_dedup"),
-        "source-formats": ({"orc_source_roundtrip",
-                            "xml_source_roundtrip"},
+        "source-formats": ({"csv_permissive_ingest",
+                            "json_source_roundtrip",
+                            "gzip_text_ingest"},
                            "parquet_schema_evolution"),
-        "udf-surface": ({"sql_udf_price_band", "udtf_word_positions",
-                         "pandas_grouped_weighted_avg"},
+        "udf-surface": ({"pandas_udf_vowels", "apply_in_pandas_minmax",
+                         "udtf_polymorphic_first_words"},
                         "arrow_python_udf_reverse"),
-        "tpch": ({"q7_volume_shipping", "q12_shipmode_priority",
-                  "q18_large_volume"}, "q1_pricing_summary"),
+        "tpch": ({"q2_min_cost_supplier", "q6_forecast_revenue",
+                  "q18_large_volume", "q22_idle_customers"},
+                 "q1_pricing_summary"),
         "audio": (set(), "multimodal_wav_decode"),
     }
     import json
     import os
 
-    r6_path = os.path.join(os.path.dirname(__file__), "..",
-                           "CORRECTNESS_r06.json")
-    r6 = json.load(open(r6_path)) if os.path.exists(r6_path) else {}
-
-    def _r6_green(name):
-        row = r6.get(name, {})
-        return bool(
-            row.get("rows_match")
-            and row.get("schema_match")
-            and (row.get("hash_match") or row.get("values_match"))
-        )
+    recent: dict[str, dict] = {}
+    for rn in ("CORRECTNESS_r06.json", "CORRECTNESS_r07.json"):
+        p = os.path.join(os.path.dirname(__file__), "..", rn)
+        if os.path.exists(p):
+            for k, v in json.load(open(p)).items():
+                if v.get("rows_match") and v.get("schema_match") and (
+                    v.get("hash_match") or v.get("values_match")
+                ):
+                    recent[k] = v
 
     cap = set(first50)
     for fam, (reps, exempt) in family_cover.items():
-        assert (reps & cap) or (exempt and _r6_green(exempt)), (
-            f"family {fam!r} has neither an in-cap rep ({reps}) nor an "
-            f"r6-green exempt flagship ({exempt})"
+        assert (reps & cap) or (exempt and exempt in recent), (
+            f"family {fam!r} has neither an in-cap rep ({reps}) nor a "
+            f"recently-green exempt flagship ({exempt})"
         )
     osql = e.oracle_sql()
     no_oracle = [n for n in first50 if n not in osql]
