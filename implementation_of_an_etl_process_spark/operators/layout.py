@@ -20,6 +20,13 @@ Scale shape:
   layout cost is O(one pass), pruning benefit recurs on every read.
 - Bit width is per-dimension and bounded (``bits * len(cols) <= 63``)
   so the key always fits a BIGINT.
+
+Relationship to ``sources/sinks.py``: ``write_zordered_parquet`` /
+``zorder_column`` there handle GENERIC numeric columns (doubles,
+NULL/constant degradation) via ``width_bucket`` and delegate the
+interleave to :func:`interleave_bits` here; this module carries the
+exact integer-domain path whose key the DuckDB oracle reproduces
+bit-for-bit (:func:`zorder_key_sql`).
 """
 
 from __future__ import annotations

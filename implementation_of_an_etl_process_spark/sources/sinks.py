@@ -125,9 +125,11 @@ def zorder_column(
     ``width_bucket`` between its min and max (one bounded 2-value
     aggregate per column — same contract as a broadcast; swap in
     approxQuantile boundaries for heavily skewed columns), then bucket
-    bits are interleaved so neighbors in ANY dimension stay close in
-    the sort order. Everything after the min/max probe is a pure
-    codegen'd expression.
+    bits are interleaved (``operators/layout.py::interleave_bits`` —
+    the canonical Morton core; that module also carries the exact
+    integer-domain variant with its engine-portable SQL rendering for
+    the ``zorder_key_events`` oracle). Everything after the min/max
+    probe is a pure codegen'd expression.
     """
     from pyspark.sql import functions as F
 
@@ -147,14 +149,13 @@ def zorder_column(
         # width_bucket returns 1..n+1; clamp into 0..n-1
         b = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n))
         bucketed.append(F.least(F.greatest(b - 1, F.lit(0)), F.lit(n - 1)).cast("long"))
-    one = F.lit(1).cast("long")
-    z = F.lit(0).cast("long")
-    for bit in range(bits - 1, -1, -1):  # MSB first
-        for b in bucketed:
-            z = F.shiftleft(z, 1).bitwiseOR(
-                F.shiftright(b, bit).bitwiseAND(one)
-            )
-    return z
+    if len(bucketed) == 1:
+        return bucketed[0]
+    from implementation_of_an_etl_process_spark.operators.layout import (
+        interleave_bits,
+    )
+
+    return interleave_bits(bucketed, bits)
 
 
 def write_zordered_parquet(
