@@ -197,3 +197,104 @@ def unigram_surprisal(
             ).alias("avg_surprisal_q"),
         )
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document negative log-likelihood under a corpus-trained
+    add-one-smoothed BIGRAM language model — the full CCNet-style
+    LM-perplexity quality filter (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", LREC 2020,
+    uses a 5-gram KenLM; the bigram order keeps the model table
+    corpus-derivable in one pass while exercising the identical
+    pipeline shape). Low average NLL = repetitive/boilerplate, high =
+    noise; both tails get cut in a real curation pass
+    (:func:`unigram_surprisal` is the model-free proxy of this).
+
+    Model: P(w2|w1) = (B(w1,w2) + 1) / (C(w1) + V), where B = corpus
+    bigram count, C(w1) = occurrences of w1 as a context
+    (= sum_w2 B(w1,w2)), V = distinct tokens appearing in any bigram.
+    Everything derives from ONE bigram-count table, so training is a
+    single tokenize pass + one vocabulary-sized shuffle.
+
+    Scale shape (100 TB):
+    - bigrams are built INSIDE each row (array fold over the token
+      array, no positional self-join, no window);
+    - the model table is unique-bigram-sized (far below corpus size);
+      C and V are aggregates OVER that table, not extra corpus passes;
+    - scoring re-tokenizes the corpus once and joins by (w1, w2) —
+      vocabulary-sided, AQE broadcasts it when it fits;
+    - NLL is micro-quantized to int64 per BIGRAM before the per-doc
+      sum (summation-order independent, oracle-exact; repo convention,
+      see SURPRISAL_SCALE).
+
+    Output: (id, n_bigrams, sum_nll_q, avg_nll_q), one row per document
+    with >= 2 tokens.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    # guard: F.sequence(2, n) DESCENDS for n < 2 (out-of-bounds
+    # element_at); docs with < 2 tokens have no bigrams by contract
+    pairs = docs.where(F.size(toks) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size(toks)),
+                lambda j: F.struct(
+                    F.element_at(toks, (j - F.lit(1)).cast("int")).alias(
+                        "w1"
+                    ),
+                    F.element_at(toks, j.cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    # (empty-token filter happens BEFORE adjacency, so bigrams span the
+    # filtered sequence — the oracle mirrors this with list_filter)
+    model = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        model.select(F.col("w1").alias("w"))
+        .union(model.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )
+    ctx = model.groupBy("w1").agg(F.sum("b").alias("c"))
+    scored = model.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(
+                (F.col("c") + F.lit(v)).cast("double")
+                / (F.col("b") + F.lit(1)).cast("double")
+            )
+            * SURPRISAL_SCALE
+        )
+        .cast("long")
+        .alias("nll_q"),
+    )
+    return (
+        pairs.join(scored, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_q").alias("sum_nll_q"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_nll_q",
+            # integer-exact round-half-away-from-zero (repo convention)
+            F.expr(
+                "CAST(sign(sum_nll_q) AS BIGINT)"
+                " * ((2 * abs(sum_nll_q) + n_bigrams)"
+                " div (2 * n_bigrams))"
+            ).alias("avg_nll_q"),
+        )
+    )

@@ -375,6 +375,55 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
+def bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality filter, full model form: per-
+    doc average NLL under a corpus-trained add-one bigram LM
+    (`operators/text.py::bigram_lm_score`; unigram_surprisal_docs is
+    the model-free proxy of this)."""
+    from implementation_of_an_etl_process_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    return bigram_lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+BIGRAM_LM_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS arr
+  FROM documents
+), pairs0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(arr)),
+                i -> struct_pack(w1 := arr[i], w2 := arr[i + 1]))) AS bg
+  FROM arrs
+), pairs AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs0
+), model AS (
+  SELECT w1, w2, COUNT(*) AS b FROM pairs GROUP BY w1, w2
+), v AS (
+  SELECT COUNT(*) AS v FROM (
+    SELECT w1 AS w FROM model UNION SELECT w2 FROM model
+  )
+), ctx AS (
+  SELECT w1, SUM(b) AS c FROM model GROUP BY w1
+), scored AS (
+  SELECT w1, w2,
+         CAST(round(ln(CAST(c + v AS DOUBLE) / CAST(b + 1 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS nll_q
+  FROM model JOIN ctx USING (w1), v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(nll_q) AS BIGINT) AS sum_nll_q,
+       CAST(CAST(sign(SUM(nll_q)) AS BIGINT)
+            * ((2 * abs(SUM(nll_q)) + COUNT(*)) // (2 * COUNT(*)))
+            AS BIGINT) AS avg_nll_q
+FROM pairs JOIN scored USING (w1, w2)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
 
 _DSIR_TARGET = "src0"
 _DSIR_K = 100
@@ -553,6 +602,7 @@ QUERIES = {
     "tfidf_topk_docs": tfidf_topk_docs,
     "source_mixture_weights": source_mixture_weights,
     "unigram_surprisal_docs": unigram_surprisal_docs,
+    "bigram_lm_docs": bigram_lm_docs,
     "dsir_selection_docs": dsir_selection_docs,
     "mixture_materialize_docs": mixture_materialize_docs,
     "bm25_topk_docs": bm25_topk_docs,
@@ -563,6 +613,7 @@ ORACLES = {
     "tfidf_topk_docs": TFIDF_TOPK_SQL,
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
     "unigram_surprisal_docs": UNIGRAM_SURPRISAL_SQL,
+    "bigram_lm_docs": BIGRAM_LM_SQL,
     "dsir_selection_docs": DSIR_SELECTION_SQL,
     "mixture_materialize_docs": MIXTURE_MATERIALIZE_SQL,
     "bm25_topk_docs": BM25_TOPK_SQL,

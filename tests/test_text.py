@@ -80,3 +80,72 @@ def test_fingerprint_normalization(spark):
     rows = X.fingerprint(df, "doc_id", "text").collect()
     assert rows[0].md5 == rows[1].md5  # trim+lower normalization
     assert rows[0].roll_hash != rows[1].roll_hash  # raw-content hash
+
+
+def test_bigram_lm_score_matches_python_reference(spark):
+    """Exact per-doc NLL against a pure-python add-one bigram LM over
+    the same corpus (same quantization, same rounding)."""
+    import math
+
+    from implementation_of_an_etl_process_spark.operators.text import (
+        SURPRISAL_SCALE,
+        bigram_lm_score,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a dog sat on a mat"),
+        (4, "single"),
+        (5, "  the   the the  "),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_nll_q"], r["avg_nll_q"])
+        for r in bigram_lm_score(df).collect()
+    }
+
+    def toks(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    pairs = {}
+    per_doc = {}
+    for doc_id, text in rows:
+        ws = toks(text)
+        bs = list(zip(ws, ws[1:]))
+        per_doc[doc_id] = bs
+        for bg in bs:
+            pairs[bg] = pairs.get(bg, 0) + 1
+    vocab = {w for bg in pairs for w in bg}
+    v = len(vocab)
+    ctx = {}
+    for (w1, _), b in pairs.items():
+        ctx[w1] = ctx.get(w1, 0) + b
+    nll_q = {
+        bg: round(math.log((ctx[bg[0]] + v) / (b + 1)) * SURPRISAL_SCALE)
+        for bg, b in pairs.items()
+    }
+    for doc_id, bs in per_doc.items():
+        if not bs:
+            assert doc_id not in got  # <2 tokens -> no row
+            continue
+        sum_q = sum(nll_q[bg] for bg in bs)
+        n = len(bs)
+        avg = (1 if sum_q >= 0 else -1) * ((2 * abs(sum_q) + n) // (2 * n))
+        assert got[doc_id] == (n, sum_q, avg), doc_id
+
+
+def test_bigram_lm_repetition_scores_low(spark):
+    """The filter's point: a doc of one repeated bigram must score a
+    LOWER average NLL than a doc of corpus-unique transitions."""
+    from implementation_of_an_etl_process_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    rows = [(1, "spam spam spam spam spam spam spam spam")] + [
+        (i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_nll_q"] for r in bigram_lm_score(df).collect()}
+    assert got[1] < min(v for k, v in got.items() if k != 1)
