@@ -642,31 +642,54 @@ def simhash_pairs(
     within Hamming<=3 must agree on >=1 chunk (pigeonhole), so the join
     on (chunk_idx, chunk_value) finds all such pairs; bit_count(XOR)
     verifies exactly."""
+    sig = simhash_signature(df, id_col, text_col, hash_fn=hash_fn)
+    return hamming_banded_pairs(
+        sig, "_id", "simhash", max_hamming=max_hamming
+    )
+
+
+def hamming_banded_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs of rows whose 64-bit signatures are within
+    ``max_hamming`` — the banded join any 64-bit fingerprint family
+    (SimHash text, aHash images, …) shares.
+
+    Banding: split the signature into 4 16-bit chunks; any pair within
+    Hamming<=3 must agree on >=1 chunk (pigeonhole), so the join on
+    (chunk_idx, chunk_value) finds all such pairs without an all-pairs
+    product; bit_count(XOR) verifies exactly. Output:
+    (id_a, id_b, hamming) with id_a < id_b."""
     if max_hamming >= _SIMHASH_CHUNKS:
         raise ValueError(
             f"banding supports max_hamming < {_SIMHASH_CHUNKS}"
         )
-    sig = simhash_signature(df, id_col, text_col, hash_fn=hash_fn)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk_idx"),
-                F.shiftright(F.col("simhash"), 16 * c)
+                F.shiftright(F.col(sig_col), 16 * c)
                 .bitwiseAND(F.lit(0xFFFF))
                 .alias("chunk_val"),
             )
             for c in range(_SIMHASH_CHUNKS)
         ]
     )
-    banded = sig.select("_id", "simhash", F.explode(chunks).alias("cc")).select(
-        "_id", "simhash", F.col("cc.chunk_idx"), F.col("cc.chunk_val")
-    )
+    banded = sig.select(
+        F.col(id_col).alias("_hid"),
+        F.col(sig_col).alias("_hsig"),
+        F.explode(chunks).alias("cc"),
+    ).select("_hid", "_hsig", F.col("cc.chunk_idx"), F.col("cc.chunk_val"))
     left = banded.select(
-        F.col("_id").alias("id_a"), F.col("simhash").alias("sig_a"),
+        F.col("_hid").alias("id_a"), F.col("_hsig").alias("sig_a"),
         "chunk_idx", "chunk_val",
     )
     right = banded.select(
-        F.col("_id").alias("id_b"), F.col("simhash").alias("sig_b"),
+        F.col("_hid").alias("id_b"), F.col("_hsig").alias("sig_b"),
         "chunk_idx", "chunk_val",
     )
     return (

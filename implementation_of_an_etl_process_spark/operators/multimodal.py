@@ -688,3 +688,85 @@ def extract_video_frames(df: DataFrame, *, every_n: int = 2) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         run, schema=VIDEO_FRAMES_SCHEMA
     )
+
+
+# --- perceptual image hash (aHash) + near-dup pairs -------------------------
+
+AHASH_SCHEMA = "media_id long, width int, height int, ahash long"
+
+
+def ahash64_grid(gray, *, grid: int = 8) -> int:
+    """Integer-exact average hash of a 2-D uint8 grayscale array:
+    partition into grid x grid cells (floor-divided bounds, so any
+    h, w >= grid works), set bit (r*grid + c) iff the cell's pixel sum
+    exceeds the image mean EXACTLY in cross-multiplied integers
+    (cell_sum * n_pixels > total_sum * n_cell) — no float compare, so
+    an oracle reproduces every bit. Bit 63 is folded in signed two's
+    complement (chunk arithmetic below), matching BIGINT engines that
+    reject 1<<63."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64)
+    h, w = g.shape
+    if h < grid or w < grid:
+        raise ValueError(f"image {w}x{h} smaller than {grid}x{grid} grid")
+    total = int(g.sum())
+    n = h * w
+    bits = 0
+    row_b = [h * r // grid for r in range(grid + 1)]
+    col_b = [w * c // grid for c in range(grid + 1)]
+    for r in range(grid):
+        for c in range(grid):
+            cell = g[row_b[r]:row_b[r + 1], col_b[c]:col_b[c + 1]]
+            if int(cell.sum()) * n > total * cell.size:
+                bits |= 1 << (r * grid + c)
+    # fold into signed int64 (two's complement) without 1<<63
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def ahash_ppm(df: DataFrame) -> DataFrame:
+    """media rows with P6 payloads -> (media_id, width, height, ahash):
+    REAL decode (``decode_ppm``'s parser, grayscale = R channel of the
+    R=G=B raster convention; general RGB uses the exact integer sum
+    R+G+B per pixel, still order-exact) then the integer-exact 8x8
+    average hash. Same mapInPandas batching as the feature extractors —
+    payloads never leave the executors; the output is 4 numbers per
+    image. Near-dup pairs come from
+    ``operators/dedup.py::hamming_banded_pairs`` over the hash column
+    (banded join, never all-pairs)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        out_id, out_w, out_h, out_hash = [], [], [], []
+        for batch in batches:
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None:
+                    continue
+                if bytes(p[:2]) != b"P6":
+                    raise ValueError("not a P6 PPM payload")
+                parts = bytes(p).split(b"\n", 3)
+                w, h = (int(x) for x in parts[1].split())
+                raster = np.frombuffer(
+                    parts[3], dtype=np.uint8, count=w * h * 3
+                ).reshape(h, w, 3)
+                gray = raster.astype(np.int64).sum(axis=2)
+                out_id.append(mid)
+                out_w.append(w)
+                out_h.append(h)
+                out_hash.append(ahash64_grid(gray))
+        yield pd.DataFrame(
+            {
+                "media_id": out_id,
+                "width": out_w,
+                "height": out_h,
+                "ahash": out_hash,
+            }
+        )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )

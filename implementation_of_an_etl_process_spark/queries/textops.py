@@ -832,12 +832,99 @@ ORDER BY n.doc_id
 """
 
 
+def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs, end to end for REAL:
+    deterministic 16x16 P6 payloads are built in-plan (pixel value
+    varies by position, printable-ASCII so UTF-8 encode is
+    byte-identity; every 10th image is a near-copy of its predecessor
+    with the first 4 pixels nudged), `operators/multimodal.py::
+    ahash_ppm` actually parses the raster and computes the
+    integer-exact 8x8 average hash in Arrow batches, and
+    `operators/dedup.py::hamming_banded_pairs` finds all pairs within
+    Hamming<=3 via the pigeonhole chunk join — never an all-pairs
+    product. The oracle predicts every pixel, every threshold bit
+    (cross-multiplied integer compare, no floats), the signed-int64
+    hash fold, and brute-forces the pairs."""
+    from implementation_of_an_etl_process_spark.operators import (
+        multimodal as M,
+    )
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        hamming_banded_pairs,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400).select("doc_id")
+    cp = F.col("doc_id") % 10 == 9
+    base = F.col("doc_id") - F.when(cp, 1).otherwise(0)
+
+    def v(p):
+        raw = F.pmod(base * 31 + p, F.lit(95))
+        nudged = F.pmod(
+            raw + F.when(cp & (p < 4), 1).otherwise(0), F.lit(95)
+        )
+        return (nudged + 32).cast("int")
+
+    raster = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda p: F.repeat(F.char(v(p)), 3),
+        ),
+        "",
+    )
+    payloads = d.select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit("P6\n16 16\n255\n"), raster), "UTF-8"
+        ).alias("blob"),
+    )
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "image")
+    sig = M.ahash_ppm(media)
+    return hamming_banded_pairs(
+        sig, "media_id", "ahash", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+IMAGE_AHASH_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id - (CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END) AS base,
+         (doc_id % 10 = 9) AS cp
+  FROM documents WHERE doc_id < 400
+), px AS (
+  SELECT doc_id,
+         ((((base * 31 + p) % 95) + 95) % 95
+          + CASE WHEN cp AND p < 4 THEN 1 ELSE 0 END) % 95 + 32 AS v,
+         ((p // 16) // 2) * 8 + (p % 16) // 2 AS cell
+  FROM d, range(0, 256) t(p)
+), cells AS (
+  SELECT doc_id, cell, SUM(v) AS cs FROM px GROUP BY doc_id, cell
+), tot AS (
+  SELECT doc_id, SUM(cs) AS ts FROM cells GROUP BY doc_id
+), hashes AS (
+  -- CAST to BIGINT: DuckDB SUM yields HUGEINT, whose 128-bit xor /
+  -- bit_count diverges from two's-complement int64 (an all-ones xor
+  -- even wraps bit_count's result negative)
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN cs * 64 > ts THEN
+               CASE WHEN cell = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << CAST(cell AS INTEGER)) END
+             ELSE 0 END) AS BIGINT) AS ahash
+  FROM cells JOIN tot USING (doc_id) GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "incremental_dedup_docs": incremental_dedup_docs,
     "incremental_dedup_indexed_docs": incremental_dedup_indexed_docs,
     "multimodal_video_frames": multimodal_video_frames,
     "multimodal_ppm_decode": multimodal_ppm_decode,
+    "image_ahash_dedup": image_ahash_dedup,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
@@ -861,6 +948,7 @@ ORACLES = {
     "incremental_dedup_indexed_docs": INCREMENTAL_DEDUP_SQL,
     "multimodal_video_frames": MULTIMODAL_VIDEO_SQL,
     "multimodal_ppm_decode": MULTIMODAL_PPM_SQL,
+    "image_ahash_dedup": IMAGE_AHASH_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

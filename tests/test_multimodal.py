@@ -320,3 +320,78 @@ def test_extract_video_frames_samples_and_seeks(spark):
     )
     with pytest.raises(ValueError, match="every_n"):
         extract_video_frames(df, every_n=0)
+
+
+# --- perceptual hash (aHash) -------------------------------------------------
+
+
+def _ppm_bytes(vals):
+    """16x16 P6 payload with R=G=B pixel bytes from vals (len 256)."""
+    raster = b"".join(bytes([v, v, v]) for v in vals)
+    return b"P6\n16 16\n255\n" + raster
+
+
+def test_ahash64_grid_known_patterns():
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        ahash64_grid,
+    )
+
+    # vertical gradient: bottom half above mean -> bits 32..63
+    g = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    assert ahash64_grid(g) & (2**64 - 1) == 0xFFFFFFFF00000000
+    # constant image: no cell strictly exceeds the mean -> all zero
+    assert ahash64_grid(np.full((16, 16), 7, np.uint8)) == 0
+    # left half bright -> columns 0..3 of every row
+    g = np.zeros((16, 16), np.uint8)
+    g[:, :8] = 200
+    expect = 0
+    for r in range(8):
+        for c in range(4):
+            expect |= 1 << (r * 8 + c)
+    assert ahash64_grid(g) == expect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ahash64_grid(np.zeros((4, 16), np.uint8))
+
+
+def test_ahash_ppm_real_decode_and_near_dup_pairs(spark):
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        hamming_banded_pairs,
+    )
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        ahash64_grid,
+        ahash_ppm,
+        attach_media_meta,
+    )
+
+    base = [(i * 37) % 200 for i in range(256)]
+    near = list(base)
+    near[0] = (near[0] + 3) % 200  # one pixel nudged
+    other = [((i // 16) * 16) % 256 for i in range(256)]  # row bands
+    rows = [
+        (1, _ppm_bytes(base)),
+        (2, _ppm_bytes(near)),
+        (3, _ppm_bytes(other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    media = attach_media_meta(df, "doc_id", "blob", "image")
+    sig = ahash_ppm(media)
+    got = {r["media_id"]: (r["width"], r["height"], r["ahash"])
+           for r in sig.collect()}
+    # hash matches the python reference on the same grayscale grid
+    import numpy as np
+
+    for mid, vals in ((1, base), (2, near), (3, other)):
+        grid = (np.array(vals, np.int64) * 3).reshape(16, 16)
+        assert got[mid] == (16, 16, ahash64_grid(grid)), mid
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_banded_pairs(
+            sig, "media_id", "ahash", max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) in pairs  # the near-copy is found
+    assert (1, 3) not in pairs and (2, 3) not in pairs
