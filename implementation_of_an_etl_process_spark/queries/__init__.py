@@ -126,9 +126,10 @@ except ImportError:  # pragma: no cover
 # selection now ends at self-pairs/concat collisions, bit-identical to
 # m=1 by 50k-trial fuzz; dedup_minhash_lsh + dedup_hot_bucket_farm —
 # the latency checkpoint moved inside the latency_mode block and the
-# re-entrant AQE restore), all 37 entries last gated in r4, and the 8
+# re-entrant AQE restore), all 37 entries last gated in r4, and the 6
 # oldest-priority r5 entries from the shared-helper-heavy dedup/text
-# families.  The remaining 21 r5 entries (streaming five, asof pair,
+# families, plus the two new round-8 operators (bigram_lm_docs,
+# image_ahash_dedup).  The remaining 21 r5 entries (streaming five, asof pair,
 # similarity trio, q3/q5/window/events flagships, pack/mixture/
 # stratified, ppm/map/feature/paragraph/embedding) rotate into r9 —
 # after which no entry's latest green row would predate r5.
@@ -136,10 +137,13 @@ _DRIVER_PRIORITY = [
     # reference-parity flagships (2): gated every round.
     "hypercube",
     "reference_native_path",
-    # round-8 edited result-bearing code (3): re-gate now.
+    # round-8 edited result-bearing code (3) and NEW round-8
+    # operators (2): gate now.
     "bpe_tokenize_gate",
     "dedup_minhash_lsh",
     "dedup_hot_bucket_farm",
+    "bigram_lm_docs",
+    "image_ahash_dedup",
     # staleness queue: all 37 entries last gated in r4 ...
     "window_range_trailing_30d",
     "unpivot_part_metrics",
@@ -178,15 +182,15 @@ _DRIVER_PRIORITY = [
     "q19_bracket_revenue",
     "q20_excess_stock",
     "q22_idle_customers",
-    # ... and the 8 oldest-priority entries last gated in r5.
+    # ... and the 6 oldest-priority entries last gated in r5
+    # (text_token_count/text_langid ceded their slots to the two new
+    # round-8 operators; they rotate in r9 with the other 21 r5 rows).
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_cluster_docs",
     "dedup_survivors",
     "text_quality",
-    "text_token_count",
-    "text_langid",
 ]
 
 def _prioritize(entries: dict) -> dict:

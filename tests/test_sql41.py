@@ -128,9 +128,9 @@ def test_driver_first50_covers_every_family():
 
     # Round-8 rotation: the first 50 must be EXACTLY the curated list —
     # 2 reference-parity flagships + 3 entries whose result-bearing
-    # code round 8 edits + all 37 entries last gated in r4 + the 8
-    # oldest-priority r5 dedup/text entries (see _DRIVER_PRIORITY's
-    # comment).
+    # code round 8 edits + the 2 new round-8 operators + all 37
+    # entries last gated in r4 + the 6 oldest-priority r5 dedup/text
+    # entries (see _DRIVER_PRIORITY's comment).
     assert first50 == _DRIVER_PRIORITY, (
         "driver gate drifted from the curated rotation: "
         f"{set(first50) ^ set(_DRIVER_PRIORITY)}"
