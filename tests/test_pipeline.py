@@ -221,3 +221,35 @@ def test_weighted_sample_plan_is_takeordered(spark):
     plan = explain_str(weighted_sample(docs, "doc_id", "n_chars", 10))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_oracle_boundary_margin(spark):
+    """The battery oracle recomputes ln(u)/w in DuckDB; engines may
+    differ in the last ulp of ln. The gate is safe iff the key gap at
+    the top-k boundary dwarfs that noise — assert a relative margin of
+    >= 1e-9 (ulp noise is ~1e-16) on both gated datasets so a future
+    testdata regeneration that collapses the boundary fails HERE, not
+    in the driver's hash compare."""
+    import hashlib
+    import math
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+        keys = sorted(
+            (
+                math.log(
+                    (int(hashlib.md5(f"ws1:{r['doc_id']}".encode())
+                         .hexdigest()[:8], 16) + 1) / 2**32
+                )
+                / max(r["n_chars"], 1)
+                for r in rows
+            ),
+            reverse=True,
+        )
+        k = 100
+        gap = keys[k - 1] - keys[k]
+        assert gap > 1e-9 * abs(keys[k - 1]), (sf_dir, gap, keys[k - 1])
