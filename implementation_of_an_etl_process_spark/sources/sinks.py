@@ -183,3 +183,45 @@ def write_zordered_parquet(
         .parquet(path)
     )
     return path
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    zorder_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a parquet directory into ~target-size files — the
+    OPTIMIZE/compaction maintenance pass every long-lived table needs
+    (streaming sinks and incremental ingests accrete small files; at
+    100 TB the file count, not the byte count, is what kills listing,
+    task scheduling, and footer-stat pruning). File count is sized
+    from the SOURCE bytes (compression ratio carries over since the
+    data is the same), minimum 1. With ``zorder_cols`` the rewrite
+    also re-clusters along the Z-curve (one range shuffle — the same
+    price as the plain rebalance); otherwise a round-robin
+    repartition. Returns the output file count."""
+    import math
+
+    total = sum(
+        f.stat().st_size
+        for f in os.scandir(src)
+        if f.name.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if zorder_cols:
+        from implementation_of_an_etl_process_spark.operators.layout import (
+            zorder_repartition,
+        )
+
+        out = zorder_repartition(df, zorder_cols, num_files=n_files)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dst)
+    return sum(
+        1 for f in os.scandir(dst) if f.name.endswith(".parquet")
+    )

@@ -251,3 +251,45 @@ def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
     b = spark.read.parquet(z_path)
     assert a.count() == b.count() == ev.count()
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction: 64 tiny files -> a handful of target-size files,
+    values identical; with zorder_cols the rewrite also re-clusters."""
+    from implementation_of_an_etl_process_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    )
+    src = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(src)
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src == 64
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(src)
+        if e.name.endswith(".parquet")
+    )
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(
+        spark, src, dst, target_file_bytes=total // 4 + 1
+    )
+    assert n_out <= 5, n_out
+    a, b = spark.read.parquet(src), spark.read.parquet(dst)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # z-ordered compaction: same values, clustered layout
+    dstz = str(tmp_path / "compacted_z")
+    n_outz = compact_parquet(
+        spark, src, dstz,
+        target_file_bytes=total // 8 + 1,
+        zorder_cols=["user_id", "day"],
+    )
+    c = spark.read.parquet(dstz)
+    assert c.count() == a.count()
+    assert a.exceptAll(c).isEmpty()
+    assert n_outz >= 2
