@@ -654,6 +654,7 @@ def hamming_banded_pairs(
     sig_col: str,
     *,
     max_hamming: int = 3,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """All pairs of rows whose 64-bit signatures are within
     ``max_hamming`` — the banded join any 64-bit fingerprint family
@@ -663,11 +664,60 @@ def hamming_banded_pairs(
     Hamming<=3 must agree on >=1 chunk (pigeonhole), so the join on
     (chunk_idx, chunk_value) finds all such pairs without an all-pairs
     product; bit_count(XOR) verifies exactly. Output:
-    (id_a, id_b, hamming) with id_a < id_b."""
+    (id_a, id_b, hamming) with id_a < id_b.
+
+    Hot-bucket guard (``collapse_exact``, default on — the same
+    degenerate case the MinHash farm guard handles): n rows with the
+    IDENTICAL signature (blank/near-black images, boilerplate text)
+    collide in every chunk of every band, so the raw candidate join
+    materializes 4n^2 rows before distinct. The guard groups identical
+    signatures first (one map-side-combined shuffle on the narrow
+    (id, sig) relation), runs banding over DISTINCT signatures only,
+    then expands representatives back to members — intra-group pairs
+    (hamming 0) are emitted directly and cross-group pairs via two
+    joins against the group map; everything materialized is
+    output-sized. Remaining skew honesty: near-identical-but-unequal
+    signatures sharing one hot chunk value still fan out in that
+    chunk's bucket — bounded by 4 chunk tables of 2^16 buckets, and
+    exact duplicates (the unbounded case) no longer contribute."""
     if max_hamming >= _SIMHASH_CHUNKS:
         raise ValueError(
             f"banding supports max_hamming < {_SIMHASH_CHUNKS}"
         )
+    if collapse_exact:
+        members = sig.select(
+            F.col(id_col).alias("_mid"), F.col(sig_col).alias("_msig")
+        )
+        groups = members.groupBy("_msig").agg(
+            F.min("_mid").alias("_rep"), F.count(F.lit(1)).alias("_n")
+        )
+        reps = groups.select(
+            F.col("_rep").alias(id_col), F.col("_msig").alias(sig_col)
+        )
+        core = hamming_banded_pairs(
+            reps, id_col, sig_col,
+            max_hamming=max_hamming, collapse_exact=False,
+        )
+        gmap = members.join(groups, "_msig")
+        ea = gmap.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("_ma"))
+        eb = gmap.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("_mb"))
+        cross = (
+            core.join(ea, "id_a")
+            .join(eb, "id_b")
+            .select(
+                F.least("_ma", "_mb").alias("id_a"),
+                F.greatest("_ma", "_mb").alias("id_b"),
+                "hamming",
+            )
+        )
+        intra = (
+            gmap.filter(F.col("_n") > 1)
+            .select("_msig", F.col("_mid").alias("id_a"))
+            .join(gmap.select("_msig", F.col("_mid").alias("id_b")), "_msig")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(0).alias("hamming"))
+        )
+        return cross.unionByName(intra)
     chunks = F.array(
         *[
             F.struct(

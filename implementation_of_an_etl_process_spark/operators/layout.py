@@ -107,14 +107,34 @@ def zorder_repartition(
     scaled = []
     for c in cols:
         lo, hi = domains[c]
-        width = max(int(hi) - int(lo) + 1, 1)
-        v = F.col(c).cast("long")
-        # exact integer scale to [0, dom), clamped for out-of-domain rows
-        s = ((v - F.lit(int(lo))) * F.lit(dom)) / F.lit(width)
+        if lo is None or hi is None or hi <= lo:
+            # all-NULL column, empty input, or constant column: one
+            # bucket (same degradation as sinks.zorder_column)
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        width = int(hi) - int(lo) + 1
+        # NULLs sort with the domain minimum; out-of-domain rows clamp
+        v = F.coalesce(F.col(c).cast("long"), F.lit(int(lo)))
+        if width <= 1 << 62:
+            # EXACT integer bucketing via a power-of-two step:
+            # shiftright(v - lo, shift) — no multiply that could
+            # overflow int64 (and crash under Spark 4's default ANSI
+            # mode), no double division that rounds past 2**53. The
+            # pow2 step may use up to 2x fewer than 2**bits buckets
+            # when width isn't a power of two — irrelevant for a
+            # layout key.
+            shift = max(0, width.bit_length() - bits)
+            s = F.shiftright(v - F.lit(int(lo)), shift)
+        else:
+            # full-int64-range domains (snowflake ids, raw 64-bit
+            # hashes): (v - lo) itself overflows, so bucket by the
+            # top bits of v directly — arithmetic shift is monotone
+            # over signed int64; the offset moves it into [0, dom)
+            s = F.shiftright(v, 64 - bits) + F.lit(1 << (bits - 1))
         scaled.append(
             F.greatest(
                 F.lit(0).cast("long"),
-                F.least(F.lit(dom - 1).cast("long"), F.floor(s)),
+                F.least(F.lit(dom - 1).cast("long"), s.cast("long")),
             )
         )
     key = interleave_bits(scaled, bits).alias("_zkey")

@@ -103,13 +103,11 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     return (64 + h % 1024, 64 + (h >> 10) % 1024)
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, float]:
-    """REAL image decode, no codec library: binary PPM (P6, canonical
-    ``P6\\n<w> <h>\\n<maxval>\\n<raster>`` layout) via stdlib header
-    parsing and a zero-copy numpy uint8 view over the RGB raster.
-    Returns (width, height, mean_pixel)."""
-    import numpy as np
-
+def parse_p6(payload: bytes) -> tuple[int, int, bytes]:
+    """Validated P6 header parse (canonical ``P6\\n<w> <h>\\n<maxval>\\n
+    <raster>`` layout): returns (width, height, raster bytes). Shared
+    by every PPM consumer (``decode_ppm``, ``ahash_ppm``) so magic /
+    truncation / maxval validation can't drift between them."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     parts = payload.split(b"\n", 3)
@@ -125,7 +123,17 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float]:
     raster = parts[3]
     if len(raster) < n:
         raise ValueError(f"raster holds {len(raster)} bytes, need {n}")
-    arr = np.frombuffer(raster, dtype=np.uint8, count=n)
+    return w, h, raster
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """REAL image decode, no codec library: binary PPM (P6) via the
+    shared ``parse_p6`` header validation and a zero-copy numpy uint8
+    view over the RGB raster. Returns (width, height, mean_pixel)."""
+    import numpy as np
+
+    w, h, raster = parse_p6(payload)
+    arr = np.frombuffer(raster, dtype=np.uint8, count=w * h * 3)
     return w, h, float(arr.mean())
 
 
@@ -746,12 +754,9 @@ def ahash_ppm(df: DataFrame) -> DataFrame:
             for mid, p in zip(batch["media_id"], batch["payload"]):
                 if p is None:
                     continue
-                if bytes(p[:2]) != b"P6":
-                    raise ValueError("not a P6 PPM payload")
-                parts = bytes(p).split(b"\n", 3)
-                w, h = (int(x) for x in parts[1].split())
+                w, h, raster_b = parse_p6(bytes(p))
                 raster = np.frombuffer(
-                    parts[3], dtype=np.uint8, count=w * h * 3
+                    raster_b, dtype=np.uint8, count=w * h * 3
                 ).reshape(h, w, 3)
                 gray = raster.astype(np.int64).sum(axis=2)
                 out_id.append(mid)

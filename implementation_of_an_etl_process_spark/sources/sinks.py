@@ -206,10 +206,14 @@ def compact_parquet(
     repartition. Returns the output file count."""
     import math
 
+    # recursive: partitioned (hive-layout) tables keep their data files
+    # in key=... subdirectories — a top-level scan would size them at 0
+    # and funnel the whole table into one file
     total = sum(
-        f.stat().st_size
-        for f in os.scandir(src)
-        if f.name.endswith(".parquet")
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src)

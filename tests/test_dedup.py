@@ -227,3 +227,44 @@ def test_corpus_free_of_banding_sensitive_pairs(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     bad = D.banding_sensitive_pairs(docs, "doc_id", "text").collect()
     assert bad == [], f"borderline pairs {bad[:5]}"
+
+
+def test_hamming_banded_pairs_collapse_guard_equivalence(spark):
+    """The exact-duplicate collapse guard must be output-identical to
+    the raw banded join on a mixed corpus (duplicate, near, far
+    signatures), and survive a farm of identical signatures whose raw
+    candidate join would be bands x n^2."""
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        hamming_banded_pairs,
+    )
+
+    mixed = [
+        (1, 0b1010), (2, 0b1010), (3, 0b1010),      # identical trio
+        (4, 0b1011), (5, 0b1000),                    # near (hamming 1-2)
+        (6, -42), (7, -42),                          # identical negatives
+        (8, 0x7FFFFFFFFFFFFFFF),                     # far
+    ]
+    df = spark.createDataFrame(mixed, "id long, sig long")
+    on = {
+        tuple(r)
+        for r in hamming_banded_pairs(
+            df, "id", "sig", collapse_exact=True
+        ).collect()
+    }
+    off = {
+        tuple(r)
+        for r in hamming_banded_pairs(
+            df, "id", "sig", collapse_exact=False
+        ).collect()
+    }
+    assert on == off
+    assert (1, 2, 0) in on and (6, 7, 0) in on and (1, 4, 1) in on
+
+    # farm: 1500 identical signatures -> 1,124,250 intra pairs emitted
+    # directly; the unguarded plan would push 4 * 1500^2 = 9M candidate
+    # rows into distinct before verification
+    farm = spark.range(1500).select(
+        F.col("id"), F.lit(123456789).alias("sig")
+    )
+    n = hamming_banded_pairs(farm, "id", "sig").count()
+    assert n == 1500 * 1499 // 2

@@ -293,3 +293,26 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert c.count() == a.count()
     assert a.exceptAll(c).isEmpty()
     assert n_outz >= 2
+
+
+def test_zorder_repartition_extreme_and_null_domains(spark):
+    """Regression (round-8 review): full-int64-range domains must not
+    overflow (ANSI mode aborts the whole rewrite), and all-NULL
+    columns degrade to one bucket instead of TypeError."""
+    from implementation_of_an_etl_process_spark.operators.layout import (
+        zorder_repartition,
+    )
+
+    rows = [
+        (-(1 << 63), 1, None),
+        ((1 << 63) - 1, 2, None),
+        (0, 3, None),
+        (None, 4, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "snowflake long, day long, dead long"
+    )
+    out = zorder_repartition(df, ["snowflake", "day"], bits=16, num_files=2)
+    assert out.count() == 4  # no ANSI overflow, NULL row kept
+    out2 = zorder_repartition(df, ["day", "dead"], bits=16, num_files=2)
+    assert out2.count() == 4  # all-NULL column degrades, no TypeError

@@ -161,7 +161,7 @@ def test_driver_first50_covers_every_family():
                          "udtf_polymorphic_first_words"},
                         "arrow_python_udf_reverse"),
         "tpch": ({"q2_min_cost_supplier", "q6_forecast_revenue",
-                  "q18_large_volume", "q22_idle_customers"},
+                  "q22_idle_customers"},
                  "q1_pricing_summary"),
         "audio": (set(), "multimodal_wav_decode"),
     }

@@ -91,8 +91,12 @@ def main() -> None:
                     if nm in ("user_id", "day") and c.statistics:
                         lo[nm] = min(lo.get(nm, c.statistics.min), c.statistics.min)
                         hi[nm] = max(hi.get(nm, c.statistics.max), c.statistics.max)
-            if (lo["user_id"] <= u_box[1] and hi["user_id"] >= u_box[0]
-                    and lo["day"] <= d_box[1] and hi["day"] >= d_box[0]):
+            # a 0-row-group file (empty range partition) has no stats:
+            # it can't contain matching rows, skip it
+            if all(
+                k in lo and lo[k] <= b[1] and hi[k] >= b[0]
+                for k, b in (("user_id", u_box), ("day", d_box))
+            ):
                 n_hit += 1
         return n_hit, n_all
 
