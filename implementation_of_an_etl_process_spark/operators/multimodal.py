@@ -775,3 +775,66 @@ def ahash_ppm(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         run, schema=AHASH_SCHEMA
     )
+
+
+# --- audio energy hash + near-dup pairs --------------------------------------
+
+ENERGY_HASH_SCHEMA = "media_id long, n_samples long, ehash long"
+
+
+def energy_hash_samples(abs_energy, *, windows: int = 64) -> int:
+    """Integer-exact 64-bit energy fingerprint of a 1-D absolute-sample
+    array: window j (= i*windows // n, the same rule the oracle uses)
+    sets bit j iff its energy exceeds the track mean EXACTLY in
+    cross-multiplied integers (E_j * n > total * n_j) — the audio twin
+    of :func:`ahash64_grid`, sharing its signed-int64 fold."""
+    import numpy as np
+
+    e = np.asarray(abs_energy, dtype=np.int64)
+    n = e.shape[0]
+    if n < windows:
+        raise ValueError(f"{n} samples < {windows} windows")
+    j = (np.arange(n, dtype=np.int64) * windows) // n
+    acc = np.zeros(windows, dtype=np.int64)
+    np.add.at(acc, j, e)
+    cnt = np.bincount(j, minlength=windows).astype(np.int64)
+    total = int(e.sum())
+    bits = 0
+    for w in range(windows):
+        if int(acc[w]) * n > total * int(cnt[w]):
+            bits |= 1 << w
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def energy_hash_wav(df: DataFrame) -> DataFrame:
+    """media rows with PCM-16 WAV payloads -> (media_id, n_samples,
+    ehash): REAL RIFF decode (shared ``decode_wav`` chunk walk),
+    per-sample absolute amplitude summed across channels, then the
+    integer-exact 64-window energy fingerprint. Near-dup pairs come
+    from ``operators/dedup.py::hamming_banded_pairs`` — the identical
+    banding the image aHash and text SimHash use, so one guard and one
+    verify path serve all three fingerprint families."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        out_id, out_n, out_hash = [], [], []
+        for batch in batches:
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None:
+                    continue
+                _, _, samples = decode_wav(bytes(p))
+                e = np.abs(samples.astype(np.int64)).sum(axis=1)
+                out_id.append(mid)
+                out_n.append(int(e.shape[0]))
+                out_hash.append(energy_hash_samples(e))
+        yield pd.DataFrame(
+            {"media_id": out_id, "n_samples": out_n, "ehash": out_hash}
+        )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=ENERGY_HASH_SCHEMA
+    )

@@ -918,6 +918,99 @@ ORDER BY id_a, id_b
 """
 
 
+def audio_energy_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs, end to end for REAL: the wav entry's
+    deterministic PCM-16 waveforms (every 10th track a 4-sample-nudged
+    near-copy of its predecessor) are RIFF-encoded executor-side,
+    `operators/multimodal.py::energy_hash_wav` walks the container and
+    computes the integer-exact 64-window energy fingerprint, and the
+    shared `hamming_banded_pairs` finds all pairs within Hamming<=3.
+    The oracle regenerates every sample, every window sum (window =
+    i*64//n, the operator's rule), every threshold bit, the signed
+    BIGINT fold, and brute-forces the pairs."""
+    from implementation_of_an_etl_process_spark.operators import (
+        multimodal as M,
+    )
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        hamming_banded_pairs,
+    )
+
+    cp = F.col("doc_id") % 10 == 9
+    base = F.col("doc_id") - F.when(cp, 1).otherwise(0)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (400 + base % 200).cast("int").alias("n"),
+        (3 + base % 7).cast("int").alias("k"),
+        (base % 97).cast("int").alias("c"),
+        cp.alias("cp"),
+    )
+
+    def make_wav(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, n, k, c, is_cp in zip(
+                pdf["doc_id"], pdf["n"], pdf["k"], pdf["c"], pdf["cp"]
+            ):
+                i = np.arange(int(n), dtype=np.int64)
+                s = ((i * int(k) + int(c)) % 191 - 95).astype(np.int16)
+                if is_cp:
+                    s[:4] += 1
+                ids.append(did)
+                blobs.append(M.encode_wav(s, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    payloads = d.mapInPandas(make_wav, "doc_id long, blob binary")
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "audio")
+    sig = M.energy_hash_wav(media)
+    return hamming_banded_pairs(
+        sig, "media_id", "ehash", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+AUDIO_ENERGY_HASH_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id - (CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END) AS base,
+         (doc_id % 10 = 9) AS cp
+  FROM documents WHERE doc_id < 200
+), p AS (
+  SELECT doc_id,
+         400 + base % 200 AS n, 3 + base % 7 AS k, base % 97 AS c, cp
+  FROM d
+), s AS (
+  SELECT doc_id, n, k, c, cp,
+         unnest(range(0, CAST(n AS BIGINT))) AS i
+  FROM p
+), e AS (
+  SELECT doc_id, n,
+         ABS((i * k + c) % 191 - 95
+             + CASE WHEN cp AND i < 4 THEN 1 ELSE 0 END) AS ev,
+         (i * 64) // n AS w
+  FROM s
+), wins AS (
+  SELECT doc_id, n, w, SUM(ev) AS ew, COUNT(*) AS nw
+  FROM e GROUP BY doc_id, n, w
+), tot AS (
+  SELECT doc_id, SUM(ew) AS te FROM wins GROUP BY doc_id
+), hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN ew * n > te * nw THEN
+               CASE WHEN w = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << CAST(w AS INTEGER)) END
+             ELSE 0 END) AS BIGINT) AS ehash
+  FROM wins JOIN tot USING (doc_id) GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "incremental_dedup_docs": incremental_dedup_docs,
@@ -925,6 +1018,7 @@ QUERIES = {
     "multimodal_video_frames": multimodal_video_frames,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "image_ahash_dedup": image_ahash_dedup,
+    "audio_energy_hash_dedup": audio_energy_hash_dedup,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
@@ -949,6 +1043,7 @@ ORACLES = {
     "multimodal_video_frames": MULTIMODAL_VIDEO_SQL,
     "multimodal_ppm_decode": MULTIMODAL_PPM_SQL,
     "image_ahash_dedup": IMAGE_AHASH_SQL,
+    "audio_energy_hash_dedup": AUDIO_ENERGY_HASH_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

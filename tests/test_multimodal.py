@@ -395,3 +395,63 @@ def test_ahash_ppm_real_decode_and_near_dup_pairs(spark):
     }
     assert (1, 2) in pairs  # the near-copy is found
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_energy_hash_samples_known_patterns():
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        energy_hash_samples,
+    )
+
+    # front-loaded energy: first 32 windows above mean
+    e = np.concatenate([np.full(320, 90), np.full(320, 10)])
+    assert energy_hash_samples(e) & (2**64 - 1) == 0xFFFFFFFF
+    # flat energy: no window strictly exceeds the mean
+    assert energy_hash_samples(np.full(640, 50)) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        energy_hash_samples(np.full(63, 1))
+
+
+def test_energy_hash_wav_real_decode_and_near_pairs(spark):
+    """RIFF-encode three waveforms (two near-identical), real-decode +
+    fingerprint in Arrow batches, and find the near pair via the shared
+    Hamming banding — the audio twin of the image aHash test."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        hamming_banded_pairs,
+    )
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        attach_media_meta,
+        encode_wav,
+        energy_hash_samples,
+        energy_hash_wav,
+    )
+
+    i = np.arange(500, dtype=np.int64)
+    base = ((i * 5 + 11) % 191 - 95).astype(np.int16)
+    near = base.copy()
+    near[:3] += 1
+    other = (np.where(i < 250, 90, 2)).astype(np.int16)
+    rows = [
+        (1, encode_wav(base)),
+        (2, encode_wav(near)),
+        (3, encode_wav(other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    sig = energy_hash_wav(attach_media_meta(df, "doc_id", "blob", "audio"))
+    got = {r["media_id"]: (r["n_samples"], r["ehash"]) for r in sig.collect()}
+    for mid, w in ((1, base), (2, near), (3, other)):
+        expect = energy_hash_samples(np.abs(w.astype(np.int64)))
+        assert got[mid] == (500, expect), mid
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_banded_pairs(
+            sig, "media_id", "ehash", max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
