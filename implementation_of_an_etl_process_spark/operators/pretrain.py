@@ -29,6 +29,7 @@ __all__ = [
     "repetition_stats",
     "pii_redact",
     "strip_urls",
+    "canonicalize_url",
     "paragraph_dedup",
     "chunk_documents",
     "duplicate_spans",
@@ -569,3 +570,51 @@ def remove_duplicate_spans(
             "n_removed_tokens"
         ),
     )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an absolute URL — the dedup-prep
+    normalization a web corpus runs before URL-level dedup, as a pure
+    Column expression (shuffle-free, engine-portable regex):
+
+    1. drop the fragment (FIRST, so a ``?`` inside a fragment can't
+       masquerade as a query);
+    2. lowercase scheme and host;
+    3. strip a ``www.`` host prefix and the scheme's default port
+       (:80 http, :443 https);
+    4. drop a trailing slash (empty path renders as ``/``);
+    5. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``) and
+       sort the remaining query parameters.
+
+    Inputs are expected to be ``scheme://host[:port][/path][?q][#f]``;
+    anything unparseable passes through with only fragment/case
+    normalization of the scheme (garbage in, stable garbage out)."""
+    u = F.regexp_replace(
+        F.col(url) if isinstance(url, str) else url, r"#.*$", ""
+    )
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(host, r":443$", "")) \
+        .otherwise(host)
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid)(=|$)"),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(scheme == "", u).otherwise(canon)

@@ -1011,6 +1011,71 @@ ORDER BY id_a, id_b
 """
 
 
+def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup prep
+    (`operators/pretrain.py::canonicalize_url`): four formatting
+    variants per logical URL (case, www, default port, tracking
+    params, unsorted query, trailing slash, fragment) are built
+    in-plan; canonicalization must collapse each group of 4 to ONE
+    form. Output: per-doc canonical plus the group's distinct-canonical
+    count (always 1 — the collapse property is value-gated, not just
+    eyeballed)."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        canonicalize_url,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400).select(
+        "doc_id",
+        (F.col("doc_id") / 4).cast("long").alias("grp"),
+        (F.col("doc_id") % 4).alias("v"),
+    )
+    b = F.col("grp").cast("string")
+    url = (
+        F.when(F.col("v") == 0,
+               F.concat(F.lit("http://Example"), b, F.lit(".com/path"), b,
+                        F.lit("?b=2&a=1")))
+        .when(F.col("v") == 1,
+              F.concat(F.lit("HTTP://WWW.EXAMPLE"), b, F.lit(".COM:80/path"),
+                       b, F.lit("/?a=1&b=2#sec1")))
+        .when(F.col("v") == 2,
+              F.concat(F.lit("http://example"), b,
+                       F.lit(".com:80/path"), b,
+                       F.lit("?utm_source=x&b=2&a=1")))
+        .otherwise(
+            F.concat(F.lit("http://www.example"), b, F.lit(".com/path"), b,
+                     F.lit("/?a=1&b=2&gclid=zz#frag")))
+    )
+    out = d.select("doc_id", "grp", url.alias("url")).withColumn(
+        "canonical", canonicalize_url("url")
+    )
+    grp_check = out.groupBy("grp").agg(
+        F.countDistinct("canonical").alias("n_canon")
+    )
+    return (
+        out.join(grp_check, "grp")
+        .select("doc_id", "canonical", "n_canon")
+        .orderBy("doc_id")
+    )
+
+
+URL_CANONICALIZE_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id // 4 AS grp
+  FROM documents WHERE doc_id < 400
+), c AS (
+  SELECT doc_id, grp,
+         'http://example' || grp || '.com/path' || grp || '?a=1&b=2'
+           AS canonical
+  FROM d
+), g AS (
+  SELECT grp, COUNT(DISTINCT canonical) AS n_canon FROM c GROUP BY grp
+)
+SELECT doc_id, canonical, CAST(n_canon AS BIGINT) AS n_canon
+FROM c JOIN g USING (grp)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "incremental_dedup_docs": incremental_dedup_docs,
@@ -1019,6 +1084,7 @@ QUERIES = {
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "image_ahash_dedup": image_ahash_dedup,
     "audio_energy_hash_dedup": audio_energy_hash_dedup,
+    "url_canonicalize_docs": url_canonicalize_docs,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
@@ -1044,6 +1110,7 @@ ORACLES = {
     "multimodal_ppm_decode": MULTIMODAL_PPM_SQL,
     "image_ahash_dedup": IMAGE_AHASH_SQL,
     "audio_energy_hash_dedup": AUDIO_ENERGY_HASH_SQL,
+    "url_canonicalize_docs": URL_CANONICALIZE_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

@@ -385,3 +385,35 @@ def test_repetition_stats_narrow_matches_shuffle(spark):
 
     with pytest.raises(ValueError, match="unknown mode"):
         repetition_stats(df, mode="bogus")
+
+
+def test_canonicalize_url_rules(spark):
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        canonicalize_url,
+    )
+
+    cases = [
+        ("http://Example.com/Path?b=2&a=1", "http://example.com/Path?a=1&b=2"),
+        ("HTTPS://WWW.Site.COM:443/x/", "https://site.com/x"),
+        ("http://a.com:80/", "http://a.com/"),
+        ("http://a.com", "http://a.com/"),
+        ("http://a.com/p?utm_source=x&utm_medium=y", "http://a.com/p"),
+        ("http://a.com/p?gclid=1&z=9&fbclid=2", "http://a.com/p?z=9"),
+        # '?' INSIDE a fragment must not be parsed as a query
+        ("http://a.com/p#frag?fake=1", "http://a.com/p"),
+        # non-default port kept; https :80 kept (not the default)
+        ("http://a.com:8080/p", "http://a.com:8080/p"),
+        ("https://a.com:80/p", "https://a.com:80/p"),
+        # unparseable: passes through with only the fragment dropped
+        ("not a url#x", "not a url"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expect string")
+    bad = (
+        df.withColumn(
+            "got",
+            canonicalize_url("url"),
+        )
+        .filter(F.col("got") != F.col("expect"))
+        .collect()
+    )
+    assert not bad, [(r["url"], r["got"], r["expect"]) for r in bad]
