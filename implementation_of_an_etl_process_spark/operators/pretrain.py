@@ -30,6 +30,7 @@ __all__ = [
     "pii_redact",
     "strip_urls",
     "canonicalize_url",
+    "html_main_text",
     "paragraph_dedup",
     "chunk_documents",
     "duplicate_spans",
@@ -618,3 +619,66 @@ def canonicalize_url(url: Column | str) -> Column:
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
     )
     return F.when(scheme == "", u).otherwise(canon)
+
+
+def html_main_text(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    min_words: int = 5,
+    out_col: str = "main_text",
+) -> DataFrame:
+    """Boilerplate removal for crawled HTML — the crawl->text step a
+    web corpus runs before every other text operator, as shuffle-free
+    Column expressions (a line-density simplification of the
+    jusText/trafilatura family: no DOM, deterministic, oracle-
+    predictable):
+
+    1. drop ``<script>``/``<style>`` blocks (two separate patterns —
+       no regex backreferences, so the expression stays portable to
+       RE2-based engines);
+    2. convert block-level tag boundaries to newlines, every other tag
+       to a space, and decode the minimal entity set;
+    3. keep lines with >= ``min_words`` whitespace words (nav bars,
+       headings, and footers die here), collapse whitespace.
+
+    Adds ``out_col`` (kept lines joined by newline), ``n_kept_lines``,
+    and ``n_main_words``.
+    """
+    h = F.col(html_col)
+    h = F.regexp_replace(h, r"(?is)<script[^>]*>.*?</script>", " ")
+    h = F.regexp_replace(h, r"(?is)<style[^>]*>.*?</style>", " ")
+    h = F.regexp_replace(
+        h, r"(?i)</?(p|br|div|li|tr|h[1-6]|ul|ol|table)[^>]*>", "\n"
+    )
+    h = F.regexp_replace(h, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # amp last, per the usual decode order
+    ):
+        h = F.replace(h, F.lit(ent), F.lit(ch))
+    lines = F.transform(
+        F.split(h, r"\n"),
+        lambda l: F.trim(F.regexp_replace(l, r"\s+", " ")),
+    )
+    kept = F.filter(
+        lines,
+        lambda l: F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+        >= F.lit(min_words),
+    )
+    return (
+        df.withColumn(out_col, F.array_join(kept, "\n"))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn(
+            "n_main_words",
+            F.size(
+                F.filter(
+                    F.split(F.col(out_col), r"\s+"), lambda w: w != ""
+                )
+            ),
+        )
+    )

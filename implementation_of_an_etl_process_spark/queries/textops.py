@@ -1076,6 +1076,55 @@ ORDER BY doc_id
 """
 
 
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl->text boilerplate removal under the driver gate
+    (`operators/pretrain.py::html_main_text`): each doc's text is
+    wrapped in-plan into a realistic page (title, style+script blocks,
+    nav div, a short headline from its first 3 words, the body
+    paragraph, an entity-bearing footer); extraction must drop every
+    boilerplate line and recover EXACTLY the body paragraph. The
+    oracle predicts the output analytically from the generation rule
+    (body = words 4.. of the original text)."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        html_main_text,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    head3 = F.array_join(F.slice(words, 1, 3), " ")
+    body = F.array_join(F.slice(words, 4, F.size(words) - 3), " ")
+    html = F.concat(
+        F.lit("<html><head><title>T</title><style>p {color: red}</style>"
+              "<script>var x = 1; if (x < 2) { x++; }</script></head>"
+              "<body><div>Home About Contact</div><h1>"),
+        head3,
+        F.lit("</h1><p>"),
+        body,
+        F.lit("</p><div>&copy; 2024 footer</div></body></html>"),
+    )
+    return (
+        html_main_text(
+            d.select("doc_id", html.alias("html")), "html"
+        )
+        .select("doc_id", "main_text", "n_kept_lines", "n_main_words")
+        .orderBy("doc_id")
+    )
+
+
+HTML_EXTRACT_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id,
+       array_to_string(w[4:], ' ') AS main_text,
+       1 AS n_kept_lines,
+       CAST(len(w) - 3 AS INTEGER) AS n_main_words
+FROM d ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "incremental_dedup_docs": incremental_dedup_docs,
@@ -1085,6 +1134,7 @@ QUERIES = {
     "image_ahash_dedup": image_ahash_dedup,
     "audio_energy_hash_dedup": audio_energy_hash_dedup,
     "url_canonicalize_docs": url_canonicalize_docs,
+    "html_extract_docs": html_extract_docs,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
@@ -1111,6 +1161,7 @@ ORACLES = {
     "image_ahash_dedup": IMAGE_AHASH_SQL,
     "audio_energy_hash_dedup": AUDIO_ENERGY_HASH_SQL,
     "url_canonicalize_docs": URL_CANONICALIZE_SQL,
+    "html_extract_docs": HTML_EXTRACT_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

@@ -417,3 +417,36 @@ def test_canonicalize_url_rules(spark):
         .collect()
     )
     assert not bad, [(r["url"], r["got"], r["expect"]) for r in bad]
+
+
+def test_html_main_text_extraction(spark):
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        html_main_text,
+    )
+
+    html = (
+        "<html><head><title>T</title><style>p {color: red}</style>"
+        "<script>var x = 1; if (x < 2) { x++; }</script></head>"
+        "<body><div>Home About Contact</div>"
+        "<h1>Big Headline Here</h1>"
+        "<p>this paragraph has clearly more than five words in it</p>"
+        "<ul><li>one</li><li>two</li></ul>"
+        "<p>a second &amp; final &lt;kept&gt; paragraph with many words"
+        " too</p><div>&copy; 2024 footer</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = html_main_text(df).first()
+    assert r["main_text"] == (
+        "this paragraph has clearly more than five words in it\n"
+        'a second & final <kept> paragraph with many words too'
+    )
+    assert r["n_kept_lines"] == 2
+    assert r["n_main_words"] == 20
+    # empty / tag-free inputs degrade sanely
+    df2 = spark.createDataFrame(
+        [(1, ""), (2, "no tags but still six plain words here")],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in html_main_text(df2).collect()}
+    assert rows[1]["n_kept_lines"] == 0 and rows[1]["main_text"] == ""
+    assert rows[2]["n_kept_lines"] == 1
