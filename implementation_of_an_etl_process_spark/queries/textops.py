@@ -1076,6 +1076,26 @@ ORDER BY doc_id
 """
 
 
+def _wrap_page() -> F.Column:
+    """Deterministic synthetic page around a doc's ``text`` column:
+    title + style + script (with a '<' inside the script body), a nav
+    div, a 3-word headline, the body paragraph (words 4..), and an
+    entity-bearing footer — shared by html_extract_docs and the
+    composed web_pipeline_stats so the two entries stay in lockstep."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    head3 = F.array_join(F.slice(words, 1, 3), " ")
+    body = F.array_join(F.slice(words, 4, F.size(words) - 3), " ")
+    return F.concat(
+        F.lit("<html><head><title>T</title><style>p {color: red}</style>"
+              "<script>var x = 1; if (x < 2) { x++; }</script></head>"
+              "<body><div>Home About Contact</div><h1>"),
+        head3,
+        F.lit("</h1><p>"),
+        body,
+        F.lit("</p><div>&copy; 2024 footer</div></body></html>"),
+    )
+
+
 def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl->text boilerplate removal under the driver gate
     (`operators/pretrain.py::html_main_text`): each doc's text is
@@ -1090,21 +1110,9 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    head3 = F.array_join(F.slice(words, 1, 3), " ")
-    body = F.array_join(F.slice(words, 4, F.size(words) - 3), " ")
-    html = F.concat(
-        F.lit("<html><head><title>T</title><style>p {color: red}</style>"
-              "<script>var x = 1; if (x < 2) { x++; }</script></head>"
-              "<body><div>Home About Contact</div><h1>"),
-        head3,
-        F.lit("</h1><p>"),
-        body,
-        F.lit("</p><div>&copy; 2024 footer</div></body></html>"),
-    )
     return (
         html_main_text(
-            d.select("doc_id", html.alias("html")), "html"
+            d.select("doc_id", _wrap_page().alias("html")), "html"
         )
         .select("doc_id", "main_text", "n_kept_lines", "n_main_words")
         .orderBy("doc_id")
@@ -1125,6 +1133,80 @@ FROM d ORDER BY doc_id
 """
 
 
+def web_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-curation flow in ONE lazy plan: synthetic pages
+    (the html_extract_docs template) + the url_canonicalize_docs URL
+    variants -> HTML boilerplate removal -> URL canonicalization ->
+    URL-level dedup (min-doc_id survivor per canonical URL) -> quality
+    gate (>= 10 main words) -> corpus stats. A regression in ANY stage
+    or in how they compose breaks the hash. Everything is one narrow
+    plan over the page build plus one group-by-canonical shuffle; the
+    oracle recomposes the chain analytically (survivors are exactly
+    the doc_id % 4 == 0 rows, main words = total words - 3)."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        canonicalize_url,
+        html_main_text,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400).select(
+        "doc_id", "text",
+        (F.col("doc_id") / 4).cast("long").alias("grp"),
+        (F.col("doc_id") % 4).alias("v"),
+    )
+    b = F.col("grp").cast("string")
+    url = (
+        F.when(F.col("v") == 0,
+               F.concat(F.lit("http://Example"), b, F.lit(".com/path"), b,
+                        F.lit("?b=2&a=1")))
+        .when(F.col("v") == 1,
+              F.concat(F.lit("HTTP://WWW.EXAMPLE"), b, F.lit(".COM:80/path"),
+                       b, F.lit("/?a=1&b=2#sec1")))
+        .when(F.col("v") == 2,
+              F.concat(F.lit("http://example"), b,
+                       F.lit(".com:80/path"), b,
+                       F.lit("?utm_source=x&b=2&a=1")))
+        .otherwise(
+            F.concat(F.lit("http://www.example"), b, F.lit(".com/path"), b,
+                     F.lit("/?a=1&b=2&gclid=zz#frag")))
+    )
+    pages = d.select(
+        "doc_id", _wrap_page().alias("html"), url.alias("url")
+    )
+    extracted = html_main_text(pages, "html").withColumn(
+        "canonical", canonicalize_url("url")
+    )
+    survivors = (
+        extracted.groupBy("canonical")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("n_main_words", "doc_id").alias("n_main_words"),
+        )
+    )
+    passed = survivors.filter(F.col("n_main_words") >= 10)
+    return passed.agg(
+        F.count(F.lit(1)).alias("n_pages_kept"),
+        F.sum("n_main_words").alias("total_main_words"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+WEB_PIPELINE_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) - 3 AS n_main_words
+  FROM documents
+  WHERE doc_id < 400 AND doc_id % 4 = 0
+)
+SELECT CAST(COUNT(*) FILTER (n_main_words >= 10) AS BIGINT) AS n_pages_kept,
+       CAST(SUM(n_main_words) FILTER (n_main_words >= 10) AS BIGINT)
+         AS total_main_words,
+       CAST(MIN(doc_id) FILTER (n_main_words >= 10) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) FILTER (n_main_words >= 10) AS BIGINT) AS max_doc_id
+FROM d
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "incremental_dedup_docs": incremental_dedup_docs,
@@ -1135,6 +1217,7 @@ QUERIES = {
     "audio_energy_hash_dedup": audio_energy_hash_dedup,
     "url_canonicalize_docs": url_canonicalize_docs,
     "html_extract_docs": html_extract_docs,
+    "web_pipeline_stats": web_pipeline_stats,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
@@ -1162,6 +1245,7 @@ ORACLES = {
     "audio_energy_hash_dedup": AUDIO_ENERGY_HASH_SQL,
     "url_canonicalize_docs": URL_CANONICALIZE_SQL,
     "html_extract_docs": HTML_EXTRACT_SQL,
+    "web_pipeline_stats": WEB_PIPELINE_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
