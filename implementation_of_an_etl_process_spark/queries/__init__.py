@@ -129,10 +129,15 @@ except ImportError:  # pragma: no cover
 # re-entrant AQE restore), all 37 entries last gated in r4, and the 6
 # oldest-priority r5 entries from the shared-helper-heavy dedup/text
 # families, plus the two new round-8 operators (bigram_lm_docs,
-# image_ahash_dedup).  The remaining 21 r5 entries (streaming five, asof pair,
-# similarity trio, q3/q5/window/events flagships, pack/mixture/
-# stratified, ppm/map/feature/paragraph/embedding) rotate into r9 —
-# after which no entry's latest green row would predate r5.
+# image_ahash_dedup).  The r9 queue: the six round-8 entries that
+# landed after the cap froze (weighted_sample_docs, zorder_key_events,
+# audio_energy_hash_dedup, url_canonicalize_docs, html_extract_docs,
+# web_pipeline_stats — all value-exact locally at two SFs), the two
+# ceded text rows, and the remaining 21 r5 entries (streaming five,
+# asof pair, similarity trio, q3/q5/window/events flagships,
+# pack/mixture/stratified, ppm/map/feature/paragraph/embedding) —
+# 29 + 2 flagships fits the 50-slot cap with room, after which no
+# entry's latest green row would predate r5.
 _DRIVER_PRIORITY = [
     # reference-parity flagships (2): gated every round.
     "hypercube",
