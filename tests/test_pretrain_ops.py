@@ -450,3 +450,36 @@ def test_html_main_text_extraction(spark):
     rows = {r["doc_id"]: r for r in html_main_text(df2).collect()}
     assert rows[1]["n_kept_lines"] == 0 and rows[1]["main_text"] == ""
     assert rows[2]["n_kept_lines"] == 1
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): the output grammar must
+    be a fixed point, or chained pipelines would keep mutating URLs.
+    Seeded random URLs over the full rule surface."""
+    import random
+
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        canonicalize_url,
+    )
+
+    rng = random.Random(88)
+    urls = []
+    for i in range(300):
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS"])
+        host = rng.choice(["www.", ""]) + f"Site{rng.randrange(40)}.example"
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", f"/a{i}", f"/a{i}/b/", "/x%20y"])
+        params = rng.sample(
+            ["a=1", "b=2", "utm_source=t", "gclid=9", "z", "c=3&d"],
+            rng.randrange(0, 4),
+        )
+        frag = rng.choice(["", "#f", "#f?fake=1"])
+        q = ("?" + "&".join(params)) if params else ""
+        urls.append((i, f"{scheme}://{host}{port}{path}{q}{frag}"))
+    df = spark.createDataFrame(urls, "i long, url string")
+    once = df.select("i", canonicalize_url("url").alias("c1"))
+    twice = once.select(
+        "i", "c1", canonicalize_url("c1").alias("c2")
+    )
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, [(r["c1"], r["c2"]) for r in bad[:5]]
