@@ -164,3 +164,20 @@ def test_batched_concat_collision_matches_sequential(spark):
         got = train_bpe(_wc_df(spark, wc), n_merges=10, batch_merges=bm)
         want = py_train_bpe(wc, 10)
         assert got == want, f"bm={bm}: {got} != {want}"
+
+
+def test_apply_mode_arrow_equals_column(spark, classic_df):
+    """Both merge-application paths (per-merge Column folds vs one
+    Arrow-batched replay per round) must learn the identical merge
+    list — including on a self-pair/collision-heavy corpus where the
+    batch ends early."""
+    a = train_bpe(classic_df, n_merges=12, apply_mode="column")
+    b = train_bpe(classic_df, n_merges=12, apply_mode="arrow")
+    assert a == b
+    wc = {"aa": 3, "a": 4, "bbbbbb": 8, "babaaba": 3}
+    df = _wc_df(spark, wc)
+    assert train_bpe(df, n_merges=10, apply_mode="arrow") == py_train_bpe(
+        wc, 10
+    )
+    with pytest.raises(ValueError):
+        train_bpe(classic_df, n_merges=2, apply_mode="nope")
