@@ -298,3 +298,117 @@ def bigram_lm_score(
             ).alias("avg_nll_q"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003) — the MOSS algorithm: hash every word k-gram, slide a window
+    of ``w`` consecutive hashes, select each window's minimum
+    (rightmost on ties), keep the distinct (hash, position)
+    selections. GUARANTEE: two documents sharing any run of
+    >= w + k - 1 tokens share at least one fingerprint — a local
+    property MinHash can't give (its collisions are probabilistic).
+
+    Portable hashing (first 8 md5 hex chars of the space-joined gram,
+    the module's engine convention) so the oracle reproduces every
+    fingerprint bit-for-bit. Documents with fewer than k tokens yield
+    no row; documents with fewer than w grams use one window over all
+    grams (the natural degeneration).
+
+    Pure Column expressions per document (transform/slice folds — the
+    O(m*w) work happens inside codegen, no UDF, no shuffle); output is
+    the exploded (id, fp_hash, fp_pos) relation.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    n = F.size(words)
+    m = n - k + 1  # gram count
+    hashes = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(words, i, k), " ")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    wl = F.least(F.lit(w), m)  # window length (degenerate: all grams)
+    n_win = F.greatest(m - w + 1, F.lit(1))
+    sels = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.struct(
+            F.array_min(F.slice(hashes, j, wl)).alias("fp_hash"),
+            (
+                j
+                + (
+                    wl
+                    - F.array_position(
+                        F.reverse(F.slice(hashes, j, wl)),
+                        F.array_min(F.slice(hashes, j, wl)),
+                    )
+                    + 1
+                )
+                - 1
+            ).cast("long").alias("fp_pos"),
+        ),
+    )
+    return (
+        docs.where(n >= k)
+        .select(F.col(id_col), F.explode(F.array_distinct(sels)).alias("fp"))
+        .select(id_col, F.col("fp.fp_hash"), F.col("fp.fp_pos"))
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup / partial-overlap pairs from winnowing fingerprints:
+    inverted index on fp_hash, pairs counted by DISTINCT shared hash
+    values, kept at >= ``min_shared``. ``max_df`` drops fingerprints
+    appearing in more than that many documents (stop-gram cutoff — the
+    same hot-posting bound the TF-IDF index uses; a fingerprint shared
+    by half the corpus identifies boilerplate, not overlap, and its
+    posting list would drive the self-join quadratic).
+
+    Scale shape: one explode+distinct per doc (fingerprints), one
+    df-capped inverted-index self-join keyed by fp_hash, one pair
+    aggregate — never an all-pairs product.
+    """
+    fps = winnow_fingerprints(
+        docs, id_col=id_col, text_col=text_col, k=k, w=w
+    )
+    postings = fps.select(F.col(id_col).alias("_id"), "fp_hash").distinct()
+    df_ok = (
+        postings.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp_hash")
+    )
+    p = postings.join(df_ok, "fp_hash")
+    a = p.select(F.col("_id").alias("id_a"), "fp_hash")
+    b = p.select(F.col("_id").alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1207,6 +1207,58 @@ FROM d
 """
 
 
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) partial-overlap detection under the driver
+    gate (`operators/text.py::winnow_pairs`, Schleimer et al. SIGMOD
+    2003): word-3-gram hashes, window-4 rightmost-min selection,
+    df-capped inverted index, pairs sharing >= 2 fingerprints. Unlike
+    MinHash this is a LOCAL algorithm: any shared token run of
+    >= w + k - 1 = 6 words is guaranteed a shared fingerprint. The
+    oracle re-runs the whole algorithm in SQL (same md5 gram hash,
+    same window argmin tie rule)."""
+    from implementation_of_an_etl_process_spark.operators.text import (
+        winnow_pairs,
+    )
+
+    return winnow_pairs(
+        _docs(spark, sf_dir), k=3, w=4, min_shared=2, max_df=50
+    ).orderBy("id_a", "id_b")
+
+
+WINNOW_PAIRS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, len(ws) - 2 AS m,
+         list_transform(range(1, len(ws) - 1), i ->
+           CAST(('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')),
+                 1, 8))::UBIGINT AS BIGINT)) AS hs
+  FROM d WHERE len(ws) >= 3
+), sel AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(m - 3, 1) + 1),
+           j -> list_min(hs[j:j + least(4, m) - 1])))) AS fp_hash
+  FROM g
+), postings AS (
+  SELECT DISTINCT doc_id, fp_hash FROM sel
+), df_ok AS (
+  SELECT fp_hash FROM postings GROUP BY fp_hash HAVING COUNT(*) <= 50
+), p AS (
+  SELECT doc_id, fp_hash FROM postings JOIN df_ok USING (fp_hash)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p a JOIN p b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY id_a, id_b
+HAVING COUNT(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "incremental_dedup_docs": incremental_dedup_docs,
@@ -1218,6 +1270,7 @@ QUERIES = {
     "url_canonicalize_docs": url_canonicalize_docs,
     "html_extract_docs": html_extract_docs,
     "web_pipeline_stats": web_pipeline_stats,
+    "winnow_overlap_pairs": winnow_overlap_pairs,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
@@ -1246,6 +1299,7 @@ ORACLES = {
     "url_canonicalize_docs": URL_CANONICALIZE_SQL,
     "html_extract_docs": HTML_EXTRACT_SQL,
     "web_pipeline_stats": WEB_PIPELINE_SQL,
+    "winnow_overlap_pairs": WINNOW_PAIRS_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

@@ -149,3 +149,101 @@ def test_bigram_lm_repetition_scores_low(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["avg_nll_q"] for r in bigram_lm_score(df).collect()}
     assert got[1] < min(v for k, v in got.items() if k != 1)
+
+
+def _py_winnow(words, k=3, w=4):
+    import hashlib
+
+    m = len(words) - k + 1
+    if m < 1:
+        return set()
+    hs = [
+        int(
+            hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()[:8],
+            16,
+        )
+        for i in range(m)
+    ]
+    wl = min(w, m)
+    sels = set()
+    for j in range(max(m - w + 1, 1)):
+        sub = hs[j : j + wl]
+        mn = min(sub)
+        pos_in = wl - sub[::-1].index(mn) - 1  # rightmost min
+        sels.add((mn, j + pos_in + 1))  # 1-based absolute position
+    return sels
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    from implementation_of_an_etl_process_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a b"),                      # < k tokens: no row
+        (3, "x y z"),                    # exactly k tokens: one window
+        (4, "w w w w w w"),              # identical grams: tie-breaking
+        (5, "  padded   text with  odd   spacing here  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["fp_pos"]))
+    for doc_id, text in rows:
+        want = _py_winnow(text.lower().split())
+        if not want:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == want, doc_id
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee: documents sharing a token run of
+    length >= w + k - 1 (= 6 at k=3, w=4) share at least one
+    fingerprint HASH — checked across 30 seeded pairs."""
+    import random
+
+    from implementation_of_an_etl_process_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for p in range(30):
+        shared = [f"s{p}_{i}" for i in range(6)]
+        left = [f"l{p}_{i}" for i in range(rng.randrange(0, 8))]
+        right = [f"r{p}_{i}" for i in range(rng.randrange(0, 8))]
+        rows.append((2 * p, " ".join(left + shared + right)))
+        rows.append((2 * p + 1, " ".join(
+            [f"L{p}_{i}" for i in range(rng.randrange(0, 8))]
+            + shared
+            + [f"R{p}_{i}" for i in range(rng.randrange(0, 8))]
+        )))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp: dict[int, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        fp.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    for p in range(30):
+        assert fp[2 * p] & fp[2 * p + 1], f"pair {p} shares no fingerprint"
+
+
+def test_winnow_pairs_finds_overlap_and_caps_df(spark):
+    from implementation_of_an_etl_process_spark.operators.text import (
+        winnow_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "prefix words alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "totally different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # max_df=1 kills every shared fingerprint -> no pairs survive
+    assert winnow_pairs(df, min_shared=1, max_df=1).count() == 0
