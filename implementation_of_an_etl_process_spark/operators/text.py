@@ -345,22 +345,36 @@ def winnow_fingerprints(
     )
     wl = F.least(F.lit(w), m)  # window length (degenerate: all grams)
     n_win = F.greatest(m - w + 1, F.lit(1))
-    sels = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda j: F.struct(
-            F.array_min(F.slice(hashes, j, wl)).alias("fp_hash"),
-            (
-                j
-                + (
-                    wl
-                    - F.array_position(
-                        F.reverse(F.slice(hashes, j, wl)),
-                        F.array_min(F.slice(hashes, j, wl)),
-                    )
-                    + 1
-                )
-                - 1
-            ).cast("long").alias("fp_pos"),
+
+    def let(value, body):
+        # single-binding "let": a 1-element transform evaluates `value`
+        # ONCE and binds it — Catalyst does NOT common-subexpression-
+        # eliminate across HOF lambdas, so referencing the md5 gram
+        # array directly in every window slice recomputes the whole
+        # hash pass per window (measured: 84.3s -> 7.6s at 50k docs)
+        return F.element_at(F.transform(F.array(value), body), 1)
+
+    sels = let(
+        hashes,
+        lambda hs: F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: let(
+                F.slice(hs, j, wl),
+                lambda sub: F.struct(
+                    F.array_min(sub).alias("fp_hash"),
+                    (
+                        j
+                        + (
+                            wl
+                            - F.array_position(
+                                F.reverse(sub), F.array_min(sub)
+                            )
+                            + 1
+                        )
+                        - 1
+                    ).cast("long").alias("fp_pos"),
+                ),
+            ),
         ),
     )
     return (

@@ -100,5 +100,63 @@ def main() -> None:
           flush=True)
 
 
+def winnow_leg(n_docs: int = None, workdir: str = None) -> None:
+    """Winnowing at corpus scale: fingerprint every doc, build the
+    df-capped inverted index, and check the LOCALITY guarantee against
+    the corpus's planted duplicates — exact copies (id%100==50 copies
+    id-2) share every fingerprint, near copies (id%100==99 = id-1 with
+    the last word changed) share the long common prefix run, so BOTH
+    planted families must surface as pairs."""
+    import time as _t
+
+    from implementation_of_an_etl_process_spark import get_spark
+    from implementation_of_an_etl_process_spark.operators.text import (
+        winnow_pairs,
+    )
+    from tools.fullscale_docs import synth_corpus
+
+    n_docs = n_docs or N_DOCS
+    workdir = workdir or WORKDIR
+    spark = get_spark("fullscale-winnow")
+    path = os.path.join(workdir, f"docs_{n_docs}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(workdir, exist_ok=True)
+        synth_corpus(spark, n_docs).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    docs = spark.read.parquet(path)
+    n = docs.count()
+
+    t0 = _t.monotonic()
+    pairs = winnow_pairs(docs, k=3, w=4, min_shared=2, max_df=50)
+    from pyspark.sql import functions as FF
+
+    agg = pairs.agg(
+        FF.count(FF.lit(1)).alias("total"),
+        FF.sum(
+            FF.when(
+                (FF.col("id_b") - FF.col("id_a") == 2)
+                & (FF.col("id_b") % 100 == 50), 1
+            ).otherwise(0)
+        ).alias("exact_hits"),
+        FF.sum(
+            FF.when(
+                (FF.col("id_b") - FF.col("id_a") == 1)
+                & (FF.col("id_b") % 100 == 99), 1
+            ).otherwise(0)
+        ).alias("near_hits"),
+    ).first()
+    t = _t.monotonic() - t0
+    n_exact = n // 100
+    n_near = n // 100
+    print(f"winnow_pairs: {agg['total']} pairs over {n} docs in {t:.1f}s; "
+          f"planted exact {agg['exact_hits']}/{n_exact}, "
+          f"planted near {agg['near_hits']}/{n_near} "
+          f"(locality guarantee: both must be 100%)", flush=True)
+    assert agg["exact_hits"] == n_exact, agg
+    assert agg["near_hits"] == n_near, agg
+
+
 if __name__ == "__main__":
     main()
+    winnow_leg()
