@@ -51,3 +51,17 @@ def rolling_hash(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
     )
+
+
+def let(value: Column, body) -> Column:
+    """Single-binding "let" expression: evaluate ``value`` ONCE and
+    bind it as the lambda variable of ``body``.
+
+    Catalyst performs no common-subexpression elimination across
+    higher-order-function lambdas, so an expensive expression (a
+    tokenize, an md5-per-gram array) referenced inside a per-element
+    lambda is recomputed at EVERY element — measured 11x on winnowing
+    fingerprints (operators/text.py) and the per-bigram tokenize in
+    bigram_lm_score. A 1-element ``transform`` is the cheapest binder:
+    the array wraps one value, the lambda sees a plain reference."""
+    return F.element_at(F.transform(F.array(value), body), 1)

@@ -232,22 +232,35 @@ def bigram_lm_score(
     Output: (id, n_bigrams, sum_nll_q, avg_nll_q), one row per document
     with >= 2 tokens.
     """
+    from implementation_of_an_etl_process_spark.functions.text_exprs import (
+        let,
+    )
+
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != F.lit(""),
     )
     # guard: F.sequence(2, n) DESCENDS for n < 2 (out-of-bounds
-    # element_at); docs with < 2 tokens have no bigrams by contract
+    # element_at); docs with < 2 tokens have no bigrams by contract.
+    # The tokenize is LET-BOUND (functions/text_exprs.py::let).
+    # Measured A/B at 1M docs: NEUTRAL here (65-69s both ways — the
+    # model/scoring shuffles dominate, and codegen's subexpression
+    # elimination already hoists the flat single-lambda reference),
+    # unlike winnowing's nested-HOF case where the bind is 11x; kept
+    # for defensive consistency.
     pairs = docs.where(F.size(toks) >= 2).select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(2), F.size(toks)),
-                lambda j: F.struct(
-                    F.element_at(toks, (j - F.lit(1)).cast("int")).alias(
-                        "w1"
+            let(
+                toks,
+                lambda ts: F.transform(
+                    F.sequence(F.lit(2), F.size(ts)),
+                    lambda j: F.struct(
+                        F.element_at(ts, (j - F.lit(1)).cast("int")).alias(
+                            "w1"
+                        ),
+                        F.element_at(ts, j.cast("int")).alias("w2"),
                     ),
-                    F.element_at(toks, j.cast("int")).alias("w2"),
                 ),
             )
         ).alias("bg"),
@@ -327,35 +340,38 @@ def winnow_fingerprints(
     O(m*w) work happens inside codegen, no UDF, no shuffle); output is
     the exploded (id, fp_hash, fp_pos) relation.
     """
-    words = F.filter(
+    from implementation_of_an_etl_process_spark.functions.text_exprs import (
+        let,
+    )
+
+    raw_words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != F.lit(""),
     )
-    n = F.size(words)
+    n = F.size(raw_words)
+
+    def _hashes(words):
+        m0 = F.size(words) - k + 1
+        return F.transform(
+            F.sequence(F.lit(1), m0),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(words, i, k), " ")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+
+    # both binds matter: the tokenize would otherwise re-run per GRAM
+    # and the md5 gram array per WINDOW (Catalyst has no CSE across
+    # HOF lambdas — measured 84.3s -> 7.6s at 50k docs; see
+    # functions/text_exprs.py::let)
     m = n - k + 1  # gram count
-    hashes = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice(words, i, k), " ")), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
     wl = F.least(F.lit(w), m)  # window length (degenerate: all grams)
     n_win = F.greatest(m - w + 1, F.lit(1))
-
-    def let(value, body):
-        # single-binding "let": a 1-element transform evaluates `value`
-        # ONCE and binds it — Catalyst does NOT common-subexpression-
-        # eliminate across HOF lambdas, so referencing the md5 gram
-        # array directly in every window slice recomputes the whole
-        # hash pass per window (measured: 84.3s -> 7.6s at 50k docs)
-        return F.element_at(F.transform(F.array(value), body), 1)
-
     sels = let(
-        hashes,
+        let(raw_words, _hashes),
         lambda hs: F.transform(
             F.sequence(F.lit(1), n_win),
             lambda j: let(
