@@ -335,3 +335,80 @@ def test_materialize_mixture_invariants(spark, seed, budget):
         df, "source", "text", token_budget=budget
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000))
+def test_weighted_sample_nesting_property(spark, seed):
+    """A-ES samples NEST: the top-k1 sample is a subset of the top-k2
+    sample for k1 < k2 (both rank by the same deterministic priority) —
+    the property that lets a pipeline cheaply grow a sample without
+    resampling."""
+    import random
+
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        weighted_sample,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(1, 500)) for i in range(rng.randint(30, 80))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    small = {
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", "wt", 10, seed=f"s{seed}")
+        .select("doc_id").collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", "wt", 25, seed=f"s{seed}")
+        .select("doc_id").collect()
+    }
+    assert small <= big
+    assert len(small) == 10 and len(big) == 25
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000))
+def test_zorder_key_monotone_per_dimension(spark, seed):
+    """With the other coordinate fixed, the Morton key is strictly
+    monotone in each dimension — the property that makes range
+    predicates on any single clustered column map to key ranges."""
+    import random
+
+    from implementation_of_an_etl_process_spark.operators.layout import (
+        zorder_key,
+    )
+
+    rng = random.Random(seed)
+    y = rng.randrange(0, 4096)
+    xs = sorted(rng.sample(range(4096), 20))
+    rows = [(x, y) for x in xs] + [(y, x) for x in xs]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", zorder_key(["x", "y"], bits=12).alias("z")
+    ).collect()
+    by_y = sorted(
+        [(r["x"], r["z"]) for r in got if r["y"] == y and (r["x"], r["y"]) in set((x, y) for x in xs)]
+    )
+    zs = [z for _, z in by_y]
+    assert zs == sorted(zs) and len(set(zs)) == len(zs)
+
+
+def test_energy_hash_scale_invariance():
+    """The cross-multiplied threshold makes the fingerprint invariant
+    to uniform amplitude scaling — volume changes don't defeat the
+    audio dedup."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        energy_hash_samples,
+    )
+
+    rng = np.random.default_rng(7)
+    e = rng.integers(0, 100, size=777).astype(np.int64)
+    assert energy_hash_samples(e) == energy_hash_samples(e * 3)
+    assert energy_hash_samples(e) == energy_hash_samples(e * 11)
