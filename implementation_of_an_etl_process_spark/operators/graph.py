@@ -64,9 +64,12 @@ def pagerank_fixed_point(
     unpersisted before returning instead of leaking for the session
     lifetime.
     """
+    # node ids keep their input type — numeric graph keys and string
+    # keys (word co-occurrence graphs) both work; only RANKS are
+    # integer arithmetic
     e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
     ).distinct()
     nodes = (
         e.select(F.col("src").alias("id"))

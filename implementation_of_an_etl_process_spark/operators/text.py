@@ -199,6 +199,47 @@ def unigram_surprisal(
     )
 
 
+def adjacent_word_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The (id, w1, w2) adjacent-word-pair relation — built inside each
+    row (array fold over the token array, no positional self-join).
+    Shared by the bigram LM and the co-occurrence graph builders.
+
+    Guard: F.sequence(2, n) DESCENDS for n < 2 (out-of-bounds
+    element_at); docs with < 2 tokens have no pairs by contract. The
+    tokenize is LET-BOUND (functions/text_exprs.py::let). Measured A/B
+    at 1M docs: NEUTRAL here (65-69s both ways — downstream shuffles
+    dominate, and codegen subexpression elimination already hoists the
+    flat single-lambda reference), unlike winnowing's nested-HOF case
+    where the bind is 11x; kept for defensive consistency."""
+    from implementation_of_an_etl_process_spark.functions.text_exprs import (
+        let,
+    )
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    return docs.where(F.size(toks) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            let(
+                toks,
+                lambda ts: F.transform(
+                    F.sequence(F.lit(2), F.size(ts)),
+                    lambda j: F.struct(
+                        F.element_at(ts, (j - F.lit(1)).cast("int")).alias(
+                            "w1"
+                        ),
+                        F.element_at(ts, j.cast("int")).alias("w2"),
+                    ),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+
+
 def bigram_lm_score(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -232,39 +273,7 @@ def bigram_lm_score(
     Output: (id, n_bigrams, sum_nll_q, avg_nll_q), one row per document
     with >= 2 tokens.
     """
-    from implementation_of_an_etl_process_spark.functions.text_exprs import (
-        let,
-    )
-
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
-    # guard: F.sequence(2, n) DESCENDS for n < 2 (out-of-bounds
-    # element_at); docs with < 2 tokens have no bigrams by contract.
-    # The tokenize is LET-BOUND (functions/text_exprs.py::let).
-    # Measured A/B at 1M docs: NEUTRAL here (65-69s both ways — the
-    # model/scoring shuffles dominate, and codegen's subexpression
-    # elimination already hoists the flat single-lambda reference),
-    # unlike winnowing's nested-HOF case where the bind is 11x; kept
-    # for defensive consistency.
-    pairs = docs.where(F.size(toks) >= 2).select(
-        F.col(id_col),
-        F.explode(
-            let(
-                toks,
-                lambda ts: F.transform(
-                    F.sequence(F.lit(2), F.size(ts)),
-                    lambda j: F.struct(
-                        F.element_at(ts, (j - F.lit(1)).cast("int")).alias(
-                            "w1"
-                        ),
-                        F.element_at(ts, j.cast("int")).alias("w2"),
-                    ),
-                ),
-            )
-        ).alias("bg"),
-    ).select(id_col, "bg.w1", "bg.w2")
+    pairs = adjacent_word_pairs(docs, id_col=id_col, text_col=text_col)
     # (empty-token filter happens BEFORE adjacency, so bigrams span the
     # filtered sequence — the oracle mirrors this with list_filter)
     model = (

@@ -132,7 +132,8 @@ except ImportError:  # pragma: no cover
 # image_ahash_dedup).  The r9 queue: the six round-8 entries that
 # landed after the cap froze (weighted_sample_docs, zorder_key_events,
 # audio_energy_hash_dedup, url_canonicalize_docs, html_extract_docs,
-# web_pipeline_stats, winnow_overlap_pairs — all value-exact locally
+# web_pipeline_stats, winnow_overlap_pairs, keyword_pagerank_docs —
+# all value-exact locally
 # at two SFs), the two
 # ceded text rows, and the remaining 21 r5 entries (streaming five,
 # asof pair, similarity trio, q3/q5/window/events flagships,

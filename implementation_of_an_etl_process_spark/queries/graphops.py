@@ -64,13 +64,18 @@ def pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_oracle(
+    edge_sql: str = None, final_select: str = None
+) -> str:
     """Unrolled-CTE oracle including the dangling-mass term: each step
     computes the previous ranks' sum over out-degree-less nodes, floor-
     divides by N, and adds the per-node share inside the damped multiply
-    — mirroring the operator's integer formula exactly."""
+    — mirroring the operator's integer formula exactly. Parameterized
+    by the edge relation so any graph (purchases, word co-occurrence)
+    reuses the same generated algebra."""
+    edge_sql = edge_sql or _EDGE_SQL
     head = f"""
-WITH e AS ({_EDGE_SQL}),
+WITH e AS ({edge_sql}),
 nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
 dangling AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM deg)),
@@ -98,11 +103,11 @@ r{k} AS (
   ) t ON t.id = n.id
   GROUP BY n.id, c.n, dm.share)"""
         )
-    return (
-        head
-        + "".join(steps)
-        + f"\nSELECT id, CAST(rank AS BIGINT) AS rank FROM r{_ITERATIONS} ORDER BY id"
+    final_select = final_select or (
+        f"SELECT id, CAST(rank AS BIGINT) AS rank "
+        f"FROM r{_ITERATIONS} ORDER BY id"
     )
+    return head + "".join(steps) + "\n" + final_select
 
 
 PAGERANK_SQL = _pagerank_oracle()
@@ -124,12 +129,75 @@ JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+_WORD_EDGE_SQL = r"""
+  WITH arrs AS (
+    SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t <> '') AS arr
+    FROM documents
+  ), bp AS (
+    SELECT unnest(list_transform(range(1, len(arr)),
+             i -> struct_pack(a := arr[i], b := arr[i + 1]))) AS bg
+    FROM arrs
+  ), und AS (
+    SELECT DISTINCT bg.a AS w1, bg.b AS w2 FROM bp WHERE bg.a <> bg.b
+  )
+  SELECT w1 AS src, w2 AS dst FROM und
+  UNION
+  SELECT w2 AS src, w1 AS dst FROM und
+"""
+
+
+def keyword_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
+    Bringing Order into Text", EMNLP 2004) at corpus scale: the word
+    co-occurrence graph (symmetrized distinct adjacent-word pairs,
+    self-loops dropped) ranked by the integer fixed-point PageRank —
+    text + graph machinery composed, and the iterative algorithm still
+    value-hashes exactly thanks to the all-integer formula. Top-10 by
+    (rank DESC, word ASC)."""
+    from implementation_of_an_etl_process_spark.operators.text import (
+        adjacent_word_pairs,
+    )
+    from implementation_of_an_etl_process_spark.queries.textops import _docs
+
+    pairs = adjacent_word_pairs(_docs(spark, sf_dir)).select("w1", "w2")
+    und = pairs.filter(F.col("w1") != F.col("w2")).distinct()
+    edges = und.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).union(
+        und.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+    ).distinct()
+    ranks = pagerank_fixed_point(
+        edges,
+        iterations=_ITERATIONS,
+        damping_pct=_DAMPING,
+        redistribute_dangling=True,
+    )
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("id").asc())
+        .limit(10)
+        .select(F.col("id").alias("word"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("word").asc())
+    )
+
+
+KEYWORD_PAGERANK_SQL = _pagerank_oracle(
+    edge_sql=_WORD_EDGE_SQL,
+    final_select=(
+        f"SELECT id AS word, CAST(rank AS BIGINT) AS rank FROM r{_ITERATIONS} "
+        "ORDER BY rank DESC, word ASC LIMIT 10"
+    ),
+)
+
+
 QUERIES = {
     "pagerank_purchases": pagerank_purchases,
     "triangle_count_purchases": triangle_count_purchases,
+    "keyword_pagerank_docs": keyword_pagerank_docs,
 }
 
 ORACLES = {
     "pagerank_purchases": PAGERANK_SQL,
     "triangle_count_purchases": TRIANGLE_SQL,
+    "keyword_pagerank_docs": KEYWORD_PAGERANK_SQL,
 }
