@@ -316,3 +316,34 @@ def test_zorder_repartition_extreme_and_null_domains(spark):
     assert out.count() == 4  # no ANSI overflow, NULL row kept
     out2 = zorder_repartition(df, ["day", "dead"], bits=16, num_files=2)
     assert out2.count() == 4  # all-NULL column degrades, no TypeError
+
+
+def test_compact_parquet_sizes_partitioned_sources(spark, tmp_path):
+    """Regression (round-8 review): hive-partitioned sources keep data
+    files in key=... subdirectories — sizing must scan recursively, or
+    total=0 collapses the whole table into one file regardless of the
+    target."""
+    from implementation_of_an_etl_process_spark.sources.sinks import (
+        compact_parquet,
+        write_partitioned_parquet,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "etype", F.col("event_type")
+    )
+    src = str(tmp_path / "hive_src")
+    write_partitioned_parquet(ev.repartition(8), src, ["etype"])
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert total > 0
+    dst = str(tmp_path / "hive_dst")
+    n_out = compact_parquet(
+        spark, src, dst, target_file_bytes=total // 4 + 1
+    )
+    assert n_out >= 2, n_out  # NOT collapsed to one file
+    a, b = spark.read.parquet(src), spark.read.parquet(dst)
+    assert a.count() == b.count()
