@@ -34,6 +34,7 @@ def pagerank_fixed_point(
     dst_col: str = "dst",
     checkpoint: bool = False,
     redistribute_dangling: bool = False,
+    assume_distinct_edges: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list, exact int64 fixed-point.
 
@@ -64,13 +65,35 @@ def pagerank_fixed_point(
     unpersisted before returning instead of leaking for the session
     lifetime.
     """
-    # node ids keep their input type — numeric graph keys and string
-    # keys (word co-occurrence graphs) both work; only RANKS are
-    # integer arithmetic
+    # Numeric node ids are harmonized to long (src int32 joined against
+    # dst int64, or decimal ids, would otherwise join on unharmonized
+    # types); string keys (word co-occurrence graphs) pass through
+    # untouched. Mixed numeric/non-numeric key columns are a caller
+    # bug — fail loudly rather than silently matching nothing.
+    from pyspark.sql.types import NumericType
+
+    src_t = edges.schema[src_col].dataType
+    dst_t = edges.schema[dst_col].dataType
+    s_num = isinstance(src_t, NumericType)
+    d_num = isinstance(dst_t, NumericType)
+    if s_num != d_num:
+        raise TypeError(
+            f"pagerank_fixed_point: src/dst key types are incompatible "
+            f"({src_t.simpleString()} vs {dst_t.simpleString()})"
+        )
+    s_col, d_col = F.col(src_col), F.col(dst_col)
+    if s_num:
+        s_col, d_col = s_col.cast("long"), d_col.cast("long")
     e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-    ).distinct()
+        s_col.alias("src"),
+        d_col.alias("dst"),
+    )
+    # ``assume_distinct_edges=True`` skips the dedup shuffle when the
+    # caller guarantees uniqueness BY CONSTRUCTION (e.g. exploding a
+    # distinct canonical pair set — keyword TextRank); duplicated edges
+    # would otherwise double-count contributions.
+    if not assume_distinct_edges:
+        e = e.distinct()
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

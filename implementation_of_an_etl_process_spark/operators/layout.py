@@ -114,7 +114,16 @@ def zorder_repartition(
             continue
         width = int(hi) - int(lo) + 1
         # NULLs sort with the domain minimum; out-of-domain rows clamp
+        # INTO [lo, hi] *before* any arithmetic — with caller-supplied
+        # domains narrower than the data, ``v - lo`` on an unclamped
+        # far-out value could overflow int64 and abort the whole
+        # rewrite under Spark 4's default ANSI mode (greatest/least is
+        # pure comparison, overflow-free).
         v = F.coalesce(F.col(c).cast("long"), F.lit(int(lo)))
+        v = F.greatest(
+            F.lit(int(lo)).cast("long"),
+            F.least(F.lit(int(hi)).cast("long"), v),
+        )
         if width <= 1 << 62:
             # EXACT integer bucketing via a power-of-two step:
             # shiftright(v - lo, shift) — no multiply that could

@@ -34,6 +34,10 @@ from implementation_of_an_etl_process_spark.functions.text_exprs import tokens
 # Denominator for hash-bucket assignment. 10_000 gives basis-point
 # resolution for split weights / sample rates.
 HASH_BUCKETS = 10_000
+# A-ES priority keys are quantized to int64 at this scale before the
+# top-k so both engines select by exact-integer comparison (see
+# weighted_sample).
+AES_KEY_SCALE = 10**12
 
 
 def id_hash_bucket(col: Column | str, *, buckets: int = HASH_BUCKETS) -> Column:
@@ -192,12 +196,19 @@ def weighted_sample(
     probability-proportional-to-size sample. Used here with the
     monotone-equivalent key ln(u)/w (all <= 0, larger is better),
     which avoids the pow and keeps the expression trivially portable.
+    (ln(u) is at most ln(2**-32) ~ -22.2 in magnitude, so the scaled
+    key fits comfortably in int64 at AES_KEY_SCALE=1e12.)
 
     Deterministic and engine-portable: u = (h + 1) / 2**32 with h the
     first 8 md5 hex chars of ``seed || ':' || id`` (the module's
     portable-hash convention, :func:`id_hash_bucket`) — the DuckDB
     oracle reproduces the exact same keys. Weights are clamped to
-    >= 1; ties break on id.
+    >= 1; ties break on id. The double key is QUANTIZED to int64 at
+    ``AES_KEY_SCALE`` (micro-quantization, the repo's SURPRISAL_SCALE
+    convention) before the top-k, so a 1-ulp libm divergence between
+    JVM Math.log and DuckDB's log on a key straddling the k-th-place
+    boundary cannot flip the selected row — selection compares exact
+    integers on both engines.
 
     Scale shape: zero shuffles — the top-k compiles to
     TakeOrderedAndProject (per-partition k-bounded heaps merged on the
@@ -216,7 +227,11 @@ def weighted_sample(
         10,
     ).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
-    key = F.log(u) / F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    key = F.round(
+        F.log(u)
+        / F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+        * F.lit(float(AES_KEY_SCALE))
+    ).cast("long")
     return (
         df.withColumn("_aes_key", key)
         .orderBy(F.col("_aes_key").desc(), c.asc())

@@ -241,7 +241,11 @@ def adjacent_word_pairs(
 
 
 def bigram_lm_score(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
 ) -> DataFrame:
     """Per-document negative log-likelihood under a corpus-trained
     add-one-smoothed BIGRAM language model — the full CCNet-style
@@ -257,7 +261,18 @@ def bigram_lm_score(
     bigram count, C(w1) = occurrences of w1 as a context
     (= sum_w2 B(w1,w2)), V = distinct tokens appearing in any bigram.
     Everything derives from ONE bigram-count table, so training is a
-    single tokenize pass + one vocabulary-sized shuffle.
+    single tokenize pass + one vocabulary-sided shuffle.
+
+    ``min_count`` bounds the MODEL table (CCNet-style pruning): bigrams
+    seen fewer than ``min_count`` times are dropped from the model
+    before C/V are derived, and pairs not in the pruned model score the
+    smoothed-unseen NLL ln(C(w1) + V) (with C(w1) = 0 for contexts that
+    vanished entirely) — add-one smoothing already prices unseen pairs,
+    so pruning changes the model's SIZE class, not its shape. Zipf says
+    roughly half a web corpus's unique bigrams are hapax: at 100 TB the
+    unpruned model is O(10^9-10^10) rows, ``min_count=2`` halves it for
+    one extra filter. Default 1 keeps the exact unpruned model (and the
+    inner-join scoring plan).
 
     Scale shape (100 TB):
     - bigrams are built INSIDE each row (array fold over the token
@@ -273,14 +288,15 @@ def bigram_lm_score(
     Output: (id, n_bigrams, sum_nll_q, avg_nll_q), one row per document
     with >= 2 tokens.
     """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
     pairs = adjacent_word_pairs(docs, id_col=id_col, text_col=text_col)
     # (empty-token filter happens BEFORE adjacency, so bigrams span the
     # filtered sequence — the oracle mirrors this with list_filter)
-    model = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("b"))
-        .localCheckpoint(eager=True)
-    )
+    model = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("b"))
+    if min_count > 1:
+        model = model.filter(F.col("b") >= min_count)
+    model = model.localCheckpoint(eager=True)
     v = (
         model.select(F.col("w1").alias("w"))
         .union(model.select(F.col("w2").alias("w")))
@@ -301,8 +317,39 @@ def bigram_lm_score(
         .cast("long")
         .alias("nll_q"),
     )
+    if min_count > 1:
+        # pruned model: unmatched pairs take the smoothed-unseen NLL
+        # ln(C(w1) + V) (b = 0 in the add-one formula); both joins stay
+        # vocabulary-sided and the per-bigram quantization contract is
+        # unchanged. min_count=1 keeps the inner-join plan below (every
+        # corpus pair is in the model, so the left joins would be a
+        # plan-only regression there).
+        # greatest(.., 1) guards the degenerate fully-pruned model
+        # (V = 0 would make ln undefined); NLL 0 is the only coherent
+        # score when no model survives
+        unseen_q = (
+            F.round(
+                F.log(
+                    F.greatest(
+                        F.coalesce(F.col("c"), F.lit(0)) + F.lit(v),
+                        F.lit(1),
+                    ).cast("double")
+                )
+                * SURPRISAL_SCALE
+            )
+            .cast("long")
+        )
+        scored_pairs = (
+            pairs.join(scored.select("w1", "w2", "nll_q"), ["w1", "w2"], "left")
+            .join(ctx, "w1", "left")
+            .select(
+                id_col, F.coalesce(F.col("nll_q"), unseen_q).alias("nll_q")
+            )
+        )
+    else:
+        scored_pairs = pairs.join(scored, ["w1", "w2"])
     return (
-        pairs.join(scored, ["w1", "w2"])
+        scored_pairs
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

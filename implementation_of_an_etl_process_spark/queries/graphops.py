@@ -57,10 +57,11 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(
-        _edges(spark, sf_dir),
+        _edges(spark, sf_dir),  # ends in .distinct(): skip the re-dedup
         iterations=_ITERATIONS,
         damping_pct=_DAMPING,
         redistribute_dangling=True,
+        assume_distinct_edges=True,
     ).orderBy("id")
 
 
@@ -161,17 +162,33 @@ def keyword_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from implementation_of_an_etl_process_spark.queries.textops import _docs
 
     pairs = adjacent_word_pairs(_docs(spark, sf_dir)).select("w1", "w2")
-    und = pairs.filter(F.col("w1") != F.col("w2")).distinct()
-    edges = und.select(
-        F.col("w1").alias("src"), F.col("w2").alias("dst")
-    ).union(
-        und.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
-    ).distinct()
+    # ONE vocab²-bounded dedup shuffle total (round-8 plan note): emit
+    # each undirected edge canonically as (least, greatest), distinct
+    # once, then EXPLODE both directions — the exploded set is distinct
+    # by construction (a < b strictly), so the symmetrize step and
+    # PageRank's own edge dedup both become free.
+    canon = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("a"),
+            F.greatest("w1", "w2").alias("b"),
+        )
+        .distinct()
+    )
+    edges = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     ranks = pagerank_fixed_point(
         edges,
         iterations=_ITERATIONS,
         damping_pct=_DAMPING,
         redistribute_dangling=True,
+        assume_distinct_edges=True,
     )
     return (
         ranks.orderBy(F.col("rank").desc(), F.col("id").asc())

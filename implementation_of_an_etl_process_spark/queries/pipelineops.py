@@ -350,9 +350,10 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_SQL = """
 WITH keyed AS (
   SELECT doc_id, lang, n_chars,
-         ln((('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 8))
-             ::UBIGINT + 1) / 4294967296.0)
-           / GREATEST(n_chars, 1) AS aes_key
+         CAST(round(ln((('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8))::UBIGINT + 1) / 4294967296.0)
+                    / GREATEST(n_chars, 1) * 1000000000000.0)
+              AS BIGINT) AS aes_key
   FROM documents
 ), top AS (
   SELECT doc_id, lang, n_chars FROM keyed

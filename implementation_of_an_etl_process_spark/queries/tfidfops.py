@@ -425,6 +425,71 @@ ORDER BY doc_id
 """
 
 
+def bigram_lm_pruned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram LM with CCNet-style model pruning (min_count=2):
+    hapax bigrams leave the MODEL (Zipf: roughly half the unique-bigram
+    table at web scale) and score the smoothed-unseen NLL instead —
+    the knob that bounds the model table at 100 TB. Pins the pruned
+    semantics against the oracle; bigram_lm_docs pins the unpruned
+    default."""
+    from implementation_of_an_etl_process_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    return bigram_lm_score(_docs(spark, sf_dir), min_count=2).orderBy(
+        "doc_id"
+    )
+
+
+BIGRAM_LM_PRUNED_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS arr
+  FROM documents
+), pairs0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(arr)),
+                i -> struct_pack(w1 := arr[i], w2 := arr[i + 1]))) AS bg
+  FROM arrs
+), pairs AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs0
+), model AS (
+  SELECT w1, w2, COUNT(*) AS b FROM pairs GROUP BY w1, w2
+  HAVING COUNT(*) >= 2
+), v AS (
+  SELECT COUNT(*) AS v FROM (
+    SELECT w1 AS w FROM model UNION SELECT w2 FROM model
+  )
+), ctx AS (
+  SELECT w1, SUM(b) AS c FROM model GROUP BY w1
+), scored AS (
+  SELECT w1, w2,
+         CAST(round(ln(CAST(c + v AS DOUBLE) / CAST(b + 1 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS nll_q
+  FROM model JOIN ctx USING (w1), v
+), per_pair AS (
+  SELECT doc_id,
+         COALESCE(s.nll_q,
+                  CAST(round(ln(CAST(GREATEST(COALESCE(ctx.c, 0) + v.v, 1)
+                                     AS DOUBLE))
+                             * 1000000) AS BIGINT)) AS nll_q
+  FROM pairs p
+  LEFT JOIN scored s USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(nll_q) AS BIGINT) AS sum_nll_q,
+       CAST(CAST(sign(SUM(nll_q)) AS BIGINT)
+            * ((2 * abs(SUM(nll_q)) + COUNT(*)) // (2 * COUNT(*)))
+            AS BIGINT) AS avg_nll_q
+FROM per_pair
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 _DSIR_TARGET = "src0"
 _DSIR_K = 100
 _DSIR_BUCKETS = 10_000
@@ -603,6 +668,7 @@ QUERIES = {
     "source_mixture_weights": source_mixture_weights,
     "unigram_surprisal_docs": unigram_surprisal_docs,
     "bigram_lm_docs": bigram_lm_docs,
+    "bigram_lm_pruned_docs": bigram_lm_pruned_docs,
     "dsir_selection_docs": dsir_selection_docs,
     "mixture_materialize_docs": mixture_materialize_docs,
     "bm25_topk_docs": bm25_topk_docs,
@@ -614,6 +680,7 @@ ORACLES = {
     "source_mixture_weights": SOURCE_MIXTURE_SQL,
     "unigram_surprisal_docs": UNIGRAM_SURPRISAL_SQL,
     "bigram_lm_docs": BIGRAM_LM_SQL,
+    "bigram_lm_pruned_docs": BIGRAM_LM_PRUNED_SQL,
     "dsir_selection_docs": DSIR_SELECTION_SQL,
     "mixture_materialize_docs": MIXTURE_MATERIALIZE_SQL,
     "bm25_topk_docs": BM25_TOPK_SQL,

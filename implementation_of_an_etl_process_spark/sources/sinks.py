@@ -185,6 +185,27 @@ def write_zordered_parquet(
     return path
 
 
+def detect_hive_partition_cols(src: str) -> list[str]:
+    """Partition columns of a hive-layout parquet directory, inferred
+    from the ``key=value`` directory names (outermost first). Returns
+    [] for an unpartitioned table."""
+    cols: list[str] = []
+    level = src
+    while True:
+        subs = [
+            e
+            for e in os.scandir(level)
+            if e.is_dir() and "=" in e.name and not e.name.startswith("_")
+        ]
+        if not subs:
+            return cols
+        names = {e.name.split("=", 1)[0] for e in subs}
+        if len(names) != 1:  # mixed keys at one level: not hive layout
+            return cols
+        cols.append(names.pop())
+        level = subs[0].path
+
+
 def compact_parquet(
     spark,
     src: str,
@@ -192,6 +213,7 @@ def compact_parquet(
     *,
     target_file_bytes: int = 128 << 20,
     zorder_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
     mode: str = "overwrite",
 ) -> int:
     """Rewrite a parquet directory into ~target-size files — the
@@ -200,10 +222,19 @@ def compact_parquet(
     100 TB the file count, not the byte count, is what kills listing,
     task scheduling, and footer-stat pruning). File count is sized
     from the SOURCE bytes (compression ratio carries over since the
-    data is the same), minimum 1. With ``zorder_cols`` the rewrite
-    also re-clusters along the Z-curve (one range shuffle — the same
-    price as the plain rebalance); otherwise a round-robin
-    repartition. Returns the output file count."""
+    data is the same), minimum 1.
+
+    Hive-partitioned sources KEEP their partitioning: ``partition_by``
+    defaults to the layout auto-detected from the ``key=value``
+    directory names, so downstream readers keep partition pruning
+    (pass ``partition_by=[]`` to deliberately flatten). Partitioned
+    rewrites shuffle on the partition key (plus a deterministic salt
+    when a single key's data would exceed several target files) so
+    each output directory holds few well-sized files instead of one
+    file per input task. With ``zorder_cols`` the rewrite also
+    re-clusters along the Z-curve — one range shuffle for flat tables;
+    within-partition sort (row-group-level pruning) for partitioned
+    ones. Returns the output data-file count, counted recursively."""
     import math
 
     # recursive: partitioned (hive-layout) tables keep their data files
@@ -216,16 +247,56 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
+    if partition_by is None:
+        partition_by = detect_hive_partition_cols(src)
     df = spark.read.parquet(src)
-    if zorder_cols:
-        from implementation_of_an_etl_process_spark.operators.layout import (
-            zorder_repartition,
+    if partition_by:
+        # one leaf directory per distinct key; size the per-key salt
+        # from the GLOBAL average (no extra per-key pass — compaction
+        # is a maintenance job, close-enough sizing is the contract)
+        n_keys = max(
+            1,
+            sum(
+                1
+                for root, dirs, files in os.walk(src)
+                if not dirs and any(f.endswith(".parquet") for f in files)
+            ),
         )
-
-        out = zorder_repartition(df, zorder_cols, num_files=n_files)
+        per_key = max(1, math.ceil(n_files / n_keys))
+        out = df
+        shuffle_cols = list(partition_by)
+        if per_key > 1:
+            # deterministic salt (hash of the whole row, not rand())
+            # so re-runs produce the same layout
+            out = out.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(per_key)),
+            )
+            shuffle_cols.append("_salt")
+        if zorder_cols:
+            z = zorder_column(out, zorder_cols)
+            out = (
+                out.withColumn("_z", z)
+                .repartition(n_files, *shuffle_cols)
+                .sortWithinPartitions(*partition_by, "_z")
+                .drop("_z", "_salt")
+            )
+        else:
+            out = out.repartition(n_files, *shuffle_cols).drop("_salt")
+        out.write.mode(mode).partitionBy(*partition_by).parquet(dst)
     else:
-        out = df.repartition(n_files)
-    out.write.mode(mode).parquet(dst)
+        if zorder_cols:
+            from implementation_of_an_etl_process_spark.operators.layout import (
+                zorder_repartition,
+            )
+
+            out = zorder_repartition(df, zorder_cols, num_files=n_files)
+        else:
+            out = df.repartition(n_files)
+        out.write.mode(mode).parquet(dst)
     return sum(
-        1 for f in os.scandir(dst) if f.name.endswith(".parquet")
+        1
+        for root, _, files in os.walk(dst)
+        for f in files
+        if f.endswith(".parquet")
     )

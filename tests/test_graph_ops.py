@@ -140,3 +140,56 @@ def test_pagerank_dangling_redistribution_matches_reference(spark):
     kept = sum(_pagerank_python(edges, redistribute=True).values())
     assert kept > leaky
     assert kept <= SCALE  # floor-divides only ever drop mass
+
+
+def test_pagerank_key_type_harmonization(spark):
+    """Regression (round-8 ADVICE): numeric src/dst of DIFFERENT widths
+    (int vs long) must still join — keys harmonize to long; string
+    keys pass through; mixed numeric/string raises instead of silently
+    matching nothing."""
+    import pytest
+
+    edges = [(1, 2), (2, 3), (3, 1)]
+    wide = spark.createDataFrame(edges, "src int, dst long")
+    same = spark.createDataFrame(edges, "src long, dst long")
+    got_w = {
+        r["id"]: r["rank"] for r in pagerank_fixed_point(wide).collect()
+    }
+    got_s = {
+        r["id"]: r["rank"] for r in pagerank_fixed_point(same).collect()
+    }
+    assert got_w == got_s and len(got_w) == 3
+    strs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got_str = {
+        r["id"]: r["rank"] for r in pagerank_fixed_point(strs).collect()
+    }
+    assert sorted(got_str.values()) == sorted(got_s.values())
+    mixed = spark.createDataFrame(
+        [(1, "b")], "src long, dst string"
+    )
+    with pytest.raises(TypeError, match="incompatible"):
+        pagerank_fixed_point(mixed)
+
+
+def test_pagerank_assume_distinct_edges_skips_dedup(spark):
+    """assume_distinct_edges=True on a truly-distinct edge list gives
+    the identical ranks with one fewer dedup shuffle; on a DUPLICATED
+    list the flag (correctly) changes the answer — documenting why it
+    is opt-in."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    base = {r["id"]: r["rank"] for r in pagerank_fixed_point(e).collect()}
+    fast = {
+        r["id"]: r["rank"]
+        for r in pagerank_fixed_point(
+            e, assume_distinct_edges=True
+        ).collect()
+    }
+    assert base == fast
+    dup = spark.createDataFrame(edges + edges, "src long, dst long")
+    dedup = {
+        r["id"]: r["rank"] for r in pagerank_fixed_point(dup).collect()
+    }
+    assert dedup == base  # default path still dedups

@@ -347,3 +347,110 @@ def test_compact_parquet_sizes_partitioned_sources(spark, tmp_path):
     assert n_out >= 2, n_out  # NOT collapsed to one file
     a, b = spark.read.parquet(src), spark.read.parquet(dst)
     assert a.count() == b.count()
+
+
+def test_compact_parquet_preserves_hive_partitioning(spark, tmp_path):
+    """Regression (round-8 ADVICE): compaction must keep the source's
+    hive partitioning by default — flattening silently inlines the
+    partition columns and loses partition pruning for every downstream
+    reader. partition_by=[] is the documented explicit flatten."""
+    from implementation_of_an_etl_process_spark.sources.sinks import (
+        compact_parquet,
+        detect_hive_partition_cols,
+        write_partitioned_parquet,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "etype", F.col("event_type")
+    )
+    src = str(tmp_path / "hive_src")
+    write_partitioned_parquet(ev.repartition(8), src, ["etype"])
+    assert detect_hive_partition_cols(src) == ["etype"]
+    dst = str(tmp_path / "hive_dst")
+    n_out = compact_parquet(spark, src, dst)
+    # layout preserved: etype=... directories exist in dst
+    part_dirs = sorted(
+        e.name for e in os.scandir(dst) if e.is_dir() and "=" in e.name
+    )
+    src_dirs = sorted(
+        e.name for e in os.scandir(src) if e.is_dir() and "=" in e.name
+    )
+    assert part_dirs == src_dirs and part_dirs
+    # compaction happened: one file per partition (8 inputs each)
+    assert n_out == len(part_dirs), (n_out, part_dirs)
+    a, b = spark.read.parquet(src), spark.read.parquet(dst)
+    assert a.count() == b.count()
+    cols = a.columns
+    assert (
+        a.select(cols).exceptAll(b.select(cols)).isEmpty()
+        and b.select(cols).exceptAll(a.select(cols)).isEmpty()
+    )
+    # a partition filter on dst matches the source slice
+    val = part_dirs[0].split("=", 1)[1]
+    assert (
+        b.filter(F.col("etype") == val).count()
+        == a.filter(F.col("etype") == val).count()
+        > 0
+    )
+    # explicit flatten still available
+    flat = str(tmp_path / "flat_dst")
+    compact_parquet(spark, src, flat, partition_by=[])
+    assert not any(
+        e.is_dir() and "=" in e.name for e in os.scandir(flat)
+    )
+    assert spark.read.parquet(flat).count() == a.count()
+
+
+def test_compact_parquet_partitioned_salting_splits_big_keys(
+    spark, tmp_path
+):
+    """When one partition key's data spans several target files, the
+    deterministic salt splits it instead of writing one giant file."""
+    from implementation_of_an_etl_process_spark.sources.sinks import (
+        compact_parquet,
+        write_partitioned_parquet,
+    )
+
+    df = spark.range(20_000).select(
+        F.lit("k0").alias("k"),
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    src = str(tmp_path / "one_key_src")
+    write_partitioned_parquet(df.repartition(16), src, ["k"])
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    dst = str(tmp_path / "one_key_dst")
+    n_out = compact_parquet(
+        spark, src, dst, target_file_bytes=total // 4 + 1
+    )
+    assert 2 <= n_out <= 8, n_out  # split, but far below the 16 inputs
+    assert spark.read.parquet(dst).count() == 20_000
+
+
+def test_zorder_repartition_narrow_caller_domains_clamp(spark):
+    """Regression (round-8 ADVICE): caller-supplied domains NARROWER
+    than the data, with a large-magnitude lo, must clamp — not
+    overflow int64 in ``v - lo`` and abort under ANSI mode."""
+    from implementation_of_an_etl_process_spark.operators.layout import (
+        zorder_repartition,
+    )
+
+    rows = [
+        ((1 << 63) - 1, 1),   # far above the claimed hi
+        (-(1 << 63), 2),      # far below the claimed lo
+        (-4_000_000_000, 3),  # inside
+    ]
+    df = spark.createDataFrame(rows, "v long, day long")
+    out = zorder_repartition(
+        df,
+        ["v", "day"],
+        bits=16,
+        num_files=2,
+        domains={"v": (-5_000_000_000, -3_000_000_000), "day": (1, 3)},
+    )
+    assert out.count() == 3  # no ANSI overflow, out-of-domain rows kept

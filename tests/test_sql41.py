@@ -126,11 +126,11 @@ def test_driver_first50_covers_every_family():
     first50 = list(e.queries())[:50]
     from implementation_of_an_etl_process_spark.queries import _DRIVER_PRIORITY
 
-    # Round-8 rotation: the first 50 must be EXACTLY the curated list —
-    # 2 reference-parity flagships + 3 entries whose result-bearing
-    # code round 8 edits + the 2 new round-8 operators + all 37
-    # entries last gated in r4 + the 6 oldest-priority r5 dedup/text
-    # entries (see _DRIVER_PRIORITY's comment).
+    # Round-9 rotation: the first 50 must be EXACTLY the curated list —
+    # 2 reference-parity flagships + 3 round-9 result-edited entries +
+    # the 8 never-driver-gated r7/r8 entries + all 23 entries last
+    # gated in r5 + 14 oldest-priority r6 rows (see _DRIVER_PRIORITY's
+    # comment). This round retires the gating debt completely.
     assert first50 == _DRIVER_PRIORITY, (
         "driver gate drifted from the curated rotation: "
         f"{set(first50) ^ set(_DRIVER_PRIORITY)}"
@@ -141,42 +141,51 @@ def test_driver_first50_covers_every_family():
     # the staleness queue retires — family: (in-cap reps) | (exempt
     # flagship)
     family_cover = {
-        "cube": ({"hypercube", "grouping_sets_orders"}, None),
+        "cube": ({"hypercube", "grouping_sets_orders",
+                  "rollup_region_nation", "cube_status_priority"}, None),
         "reference-native": ({"reference_native_path"}, None),
-        "streaming-cube": (set(), "streaming_hypercube_native"),
-        "multimodal-codec": (set(), "multimodal_png_decode"),
+        "streaming-cube": ({"streaming_hypercube_native"}, None),
+        "multimodal-codec": ({"multimodal_png_decode",
+                              "multimodal_ppm_decode"}, None),
         "multimodal-container": (set(), "multimodal_binary_stats"),
-        "near-dup": ({"dedup_minhash_lsh", "dedup_hot_bucket_farm"},
-                     None),
-        "ann": (set(), "similarity_ivf_arrow_recall"),
-        "graph": (set(), "triangle_count_purchases"),
-        "pretraining": ({"bpe_tokenize_gate"}, None),
-        "structured-streaming": (set(), "streaming_session_windows"),
-        "streaming-ingest": (set(), "streaming_incremental_dedup"),
-        "source-formats": ({"csv_permissive_ingest",
-                            "json_source_roundtrip",
-                            "gzip_text_ingest"},
-                           "parquet_schema_evolution"),
-        "udf-surface": ({"pandas_udf_vowels", "apply_in_pandas_minmax",
-                         "udtf_polymorphic_first_words"},
-                        "arrow_python_udf_reverse"),
-        "tpch": ({"q2_min_cost_supplier", "q6_forecast_revenue",
-                  "q22_idle_customers"},
-                 "q1_pricing_summary"),
-        "audio": (set(), "multimodal_wav_decode"),
+        "near-dup": ({"audio_energy_hash_dedup", "paragraph_dedup_frac",
+                      "winnow_overlap_pairs"},
+                     "dedup_minhash_lsh"),
+        "ann": ({"similarity_ivf_topk", "similarity_topk_cosine"},
+                "similarity_ivf_arrow_recall"),
+        "graph": ({"pagerank_purchases", "keyword_pagerank_docs"},
+                  "triangle_count_purchases"),
+        "pretraining": ({"pack_sequences_docs", "bigram_lm_docs",
+                         "bigram_lm_pruned_docs"},
+                        "bpe_tokenize_gate"),
+        "structured-streaming": ({"streaming_sliding_15m",
+                                  "streaming_tumbling_1h"},
+                                 "streaming_session_windows"),
+        "streaming-ingest": ({"streaming_incremental_dedup"}, None),
+        "source-formats": ({"parquet_schema_evolution"},
+                           "csv_permissive_ingest"),
+        "udf-surface": ({"arrow_python_udf_reverse"},
+                        "pandas_udf_vowels"),
+        "tpch": ({"q1_pricing_summary", "q3_top_orders",
+                  "q5_local_supplier"},
+                 "q6_forecast_revenue"),
+        "audio": ({"multimodal_wav_decode"}, None),
     }
+    import glob
     import json
     import os
 
+    root = os.path.join(os.path.dirname(__file__), "..")
+    correctness_files = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    )
     recent: dict[str, dict] = {}
-    for rn in ("CORRECTNESS_r06.json", "CORRECTNESS_r07.json"):
-        p = os.path.join(os.path.dirname(__file__), "..", rn)
-        if os.path.exists(p):
-            for k, v in json.load(open(p)).items():
-                if v.get("rows_match") and v.get("schema_match") and (
-                    v.get("hash_match") or v.get("values_match")
-                ):
-                    recent[k] = v
+    for p in correctness_files[-2:]:
+        for k, v in json.load(open(p)).items():
+            if v.get("rows_match") and v.get("schema_match") and (
+                v.get("hash_match") or v.get("values_match")
+            ):
+                recent[k] = v
 
     cap = set(first50)
     for fam, (reps, exempt) in family_cover.items():
@@ -187,3 +196,52 @@ def test_driver_first50_covers_every_family():
     osql = e.oracle_sql()
     no_oracle = [n for n in first50 if n not in osql]
     assert not no_oracle, f"rows-only entries waste driver-cap slots: {no_oracle}"
+
+
+def test_driver_gate_freshness_rule():
+    """Rotation freshness, enforced (r8 verdict item 4, previously a
+    comment convention): (a) every registered entry that has NEVER
+    held a driver slot must be in the NEXT gate's 50 — new operators
+    can't merge gated only by local verify for more than one round;
+    (b) no entry's latest driver-green evidence may lag more than 3
+    rounds behind the newest CORRECTNESS file unless it holds a slot
+    this round. Fails at authoring time (this repo's CI), not at
+    judge time."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+    from implementation_of_an_etl_process_spark.queries import (
+        _DRIVER_PRIORITY,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:  # fresh clone without driver artifacts: nothing to check
+        return
+    latest: dict[str, int] = {}
+    for p in files:
+        rnd = int(os.path.basename(p).split("_r")[1].split(".")[0])
+        for k, v in json.load(open(p)).items():
+            if v.get("rows_match") and v.get("schema_match"):
+                latest[k] = max(latest.get(k, 0), rnd)
+    gate = set(_DRIVER_PRIORITY)
+    registered = set(e.queries())
+    never_gated = registered - set(latest)
+    assert never_gated <= gate, (
+        "entries registered but never driver-gated must hold a slot in "
+        f"the next gate: {sorted(never_gated - gate)}"
+    )
+    newest = max(
+        int(os.path.basename(p).split("_r")[1].split(".")[0]) for p in files
+    )
+    too_stale = {
+        k
+        for k in registered
+        if k in latest and latest[k] <= newest - 3 and k not in gate
+    }
+    assert not too_stale, (
+        f"entries whose latest driver-green round is <= r{newest - 3} "
+        f"must rotate into the gate: {sorted(too_stale)}"
+    )

@@ -136,6 +136,84 @@ def test_bigram_lm_score_matches_python_reference(spark):
         assert got[doc_id] == (n, sum_q, avg), doc_id
 
 
+def test_bigram_lm_min_count_prunes_model(spark):
+    """min_count=2 (CCNet-style model bounding): hapax bigrams leave
+    the MODEL; pairs scoring against the pruned model take the
+    smoothed-unseen NLL ln(C(w1)+V) with C/V derived from the pruned
+    table. min_count=1 must be bit-identical to the default path."""
+    import math
+
+    from implementation_of_an_etl_process_spark.operators.text import (
+        SURPRISAL_SCALE,
+        bigram_lm_score,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a dog sat on a mat"),
+        (4, "the cat sat again"),
+        (5, "zz unique tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_nll_q"], r["avg_nll_q"])
+        for r in bigram_lm_score(df).collect()
+    }
+    same = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_nll_q"], r["avg_nll_q"])
+        for r in bigram_lm_score(df, min_count=1).collect()
+    }
+    assert base == same  # default semantics untouched
+
+    def toks(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    pairs = {}
+    per_doc = {}
+    for doc_id, text in rows:
+        ws = toks(text)
+        bs = list(zip(ws, ws[1:]))
+        per_doc[doc_id] = bs
+        for bg in bs:
+            pairs[bg] = pairs.get(bg, 0) + 1
+    model = {bg: b for bg, b in pairs.items() if b >= 2}
+    assert model and len(model) < len(pairs)  # pruning actually bites
+    vocab = {w for bg in model for w in bg}
+    v = len(vocab)
+    ctx = {}
+    for (w1, _), b in model.items():
+        ctx[w1] = ctx.get(w1, 0) + b
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_nll_q"], r["avg_nll_q"])
+        for r in bigram_lm_score(df, min_count=2).collect()
+    }
+    for doc_id, bs in per_doc.items():
+        if not bs:
+            continue
+        q = []
+        for bg in bs:
+            if bg in model:
+                q.append(
+                    round(
+                        math.log((ctx[bg[0]] + v) / (model[bg] + 1))
+                        * SURPRISAL_SCALE
+                    )
+                )
+            else:
+                q.append(
+                    round(
+                        math.log(ctx.get(bg[0], 0) + v) * SURPRISAL_SCALE
+                    )
+                )
+        sum_q, n = sum(q), len(q)
+        avg = (1 if sum_q >= 0 else -1) * ((2 * abs(sum_q) + n) // (2 * n))
+        assert got[doc_id] == (n, sum_q, avg), doc_id
+    # pruned NLLs differ from the unpruned model's where hapax bigrams
+    # were dropped (docs made only of repeated bigrams keep their rows)
+    assert got != base
+
+
 def test_bigram_lm_repetition_scores_low(spark):
     """The filter's point: a doc of one repeated bigram must score a
     LOWER average NLL than a doc of corpus-unique transitions."""
