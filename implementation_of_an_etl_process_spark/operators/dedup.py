@@ -648,13 +648,21 @@ def simhash_pairs(
     )
 
 
+# "auto" collapse threshold: an identical-signature group of n rows
+# contributes ~4n² candidate rows per band before distinct; below this
+# the guard's extra group/expand joins cost more than they save (the
+# measured crossover sits well above it — 64² = 4096 candidates/group
+# is noise, 20k² is an 84.7s -> 9.6s disaster).
+_COLLAPSE_AUTO_THRESHOLD = 64
+
+
 def hamming_banded_pairs(
     sig: DataFrame,
     id_col: str,
     sig_col: str,
     *,
     max_hamming: int = 3,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = True,
 ) -> DataFrame:
     """All pairs of rows whose 64-bit signatures are within
     ``max_hamming`` — the banded join any 64-bit fingerprint family
@@ -679,10 +687,41 @@ def hamming_banded_pairs(
     output-sized. Remaining skew honesty: near-identical-but-unequal
     signatures sharing one hot chunk value still fan out in that
     chunk's bucket — bounded by 4 chunk tables of 2^16 buckets, and
-    exact duplicates (the unbounded case) no longer contribute."""
+    exact duplicates (the unbounded case) no longer contribute.
+
+    The guard costs ~2x on ALL-DISTINCT signature sets (committed
+    round-8 A/B: 7.4s -> 14.1s on the 500k-image leg), so callers that
+    know their signatures are unique should pass ``False`` — and
+    callers that DON'T know can pass ``"auto"``: one map-side-combined
+    max-multiplicity probe over the narrow (sig) projection decides at
+    plan-build time (an eager action — feed an already-materialized
+    ``sig`` such as a localCheckpoint when the signature lineage is
+    expensive, e.g. image decode, or the probe re-executes it). The
+    signal is the LARGEST identical-signature group, not mere duplicate
+    existence: candidate blowup is Σ nᵢ² per band, so 46k thin pairs in
+    a 500k corpus are harmless (round-9 A/B: guard-off 1.6s, guard-on
+    ~7.5s there) while one 20k-identical farm is fatal (round-8 A/B:
+    84.7s -> 9.6s). ``auto`` collapses iff max multiplicity >=
+    _COLLAPSE_AUTO_THRESHOLD. Note a payload-level exact dedup upstream
+    does NOT imply distinct signatures — distinct payloads can hash
+    identically — which is why the probe looks at the signatures
+    themselves."""
     if max_hamming >= _SIMHASH_CHUNKS:
         raise ValueError(
             f"banding supports max_hamming < {_SIMHASH_CHUNKS}"
+        )
+    if collapse_exact == "auto":
+        probe = (
+            sig.groupBy(sig_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("mx"))
+            .first()
+        )
+        collapse_exact = (probe["mx"] or 0) >= _COLLAPSE_AUTO_THRESHOLD
+    elif not isinstance(collapse_exact, bool):
+        raise ValueError(
+            f"collapse_exact must be True, False, or 'auto': "
+            f"{collapse_exact!r}"
         )
     if collapse_exact:
         members = sig.select(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "connected_components_star",
     "pagerank_fixed_point",
     "triangle_count",
     "triangle_count_unoriented",
@@ -200,6 +201,129 @@ def _pagerank_iterate(
         if checkpoint:
             rank = rank.localCheckpoint()
     return rank
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-LARGER
+    neighbors to the minimum of its closed neighborhood."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("_mv", "u").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge larger->smaller, then
+    every node connects its (all-smaller) neighbors and itself to the
+    neighborhood minimum."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    # v < u for every row, so min(closed neighborhood) = min(v)
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        d.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = m.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        relink.unionByName(self_link)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    Components in MapReduce and Beyond", SoCC 2014): returns
+    (``_id``, ``cluster``) with cluster = the component's minimum id —
+    the same contract as ``dedup.cluster_pairs``.
+
+    Why a second CC operator: min-label propagation converges in
+    O(diameter) rounds — perfect for shallow near-dup clusters, fatal
+    for chain-shaped components (a 10k-link chain needs 10k rounds =
+    10k shuffles). Star contraction converges in O(log² n) rounds on
+    ANY topology (tests/test_graph_ops.py pins a 2000-link chain in
+    ~a dozen rounds), making it the default for graphs whose shape you
+    don't control at 100 TB — web-domain link graphs, citation chains,
+    transitively-chained near-dup families.
+
+    Scale shape per round: one map-side-combined aggregate (the
+    neighborhood min over the symmetrized edge list) + one join back
+    on the grouping key (AQE co-locates it with the aggregate's
+    partitioning) + a distinct — all relational, nothing driver-side
+    except the O(1)-row convergence probe. The edge list SHRINKS
+    monotonically toward the star forest, so later rounds are cheaper.
+    ``localCheckpoint`` cuts lineage each round (same discipline as
+    ``cluster_pairs``)."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("_id"))
+        .unionByName(e.select(F.col("v").alias("_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = e
+    converged = False
+    for _ in range(max_iterations):
+        ls = _large_star(cur).localCheckpoint()
+        ss = _small_star(ls).localCheckpoint()
+        if (
+            ss.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(ss).limit(1).count() == 0
+        ):
+            cur = ss
+            converged = True
+            break
+        cur = ss
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iterations} rounds"
+        )
+    # at convergence ``cur`` is a star forest: (node -> component min)
+    # for every non-root; roots label themselves. Cheap structural
+    # check (defense against a hypothetical oscillating fixed point):
+    # parent must be a FUNCTION of the child.
+    multi = (
+        cur.groupBy("u")
+        .agg(F.count_distinct("v").alias("_n"))
+        .where(F.col("_n") > 1)
+        .limit(1)
+        .count()
+    )
+    if multi:
+        raise RuntimeError("star contraction stopped on a non-star state")
+    return nodes.join(
+        cur.select(F.col("u").alias("_id"), F.col("v").alias("_root")),
+        "_id",
+        "left",
+    ).select("_id", F.coalesce("_root", "_id").alias("cluster"))
 
 
 def _canonical_undirected(

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "word_ngrams",
+    "bloom_filter_build",
+    "bloom_membership",
     "contamination_overlap",
     "repetition_stats",
     "pii_redact",
@@ -54,6 +56,127 @@ def word_ngrams(text: Column | str, n: int, sep: str = " ") -> Column:
     )
     return F.when(F.size(w) >= n, grams).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def _bloom_probes(value: Column, *, m_bits: int, k: int) -> Column:
+    """Array of k (word_idx, mask) probe structs for ``value``.
+
+    Position j = pmod(portable_hash64('bj:' || value), m_bits); word =
+    position div 64, mask = 1 << (position % 64). ``m_bits`` must be a
+    power of two so Spark's SIGNED pmod and DuckDB's UNSIGNED modulo
+    agree (2^64 ≡ 0 mod m ⇒ the signed and unsigned readings of the
+    same 64 hash bits are congruent mod m).
+    """
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        portable_hash64,
+    )
+
+    probes = []
+    for j in range(k):
+        pos = F.pmod(
+            portable_hash64(F.concat(F.lit(f"b{j}:"), value)),
+            F.lit(m_bits).cast("long"),
+        )
+        # pos is non-negative: div/mod 64 are pure bit ops (>> 6, & 63).
+        # call_function: the python shiftleft() wrapper only takes a
+        # literal shift amount; the SQL function accepts a Column.
+        probes.append(
+            F.struct(
+                F.shiftright(pos, 6).alias("word_idx"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    pos.bitwiseAND(F.lit(63).cast("long")).cast("int"),
+                ).alias("mask"),
+            )
+        )
+    return F.array(*probes)
+
+
+def _check_bloom_params(m_bits: int, k: int) -> None:
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64: {m_bits}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16]: {k}")
+
+
+def bloom_filter_build(
+    values: DataFrame,
+    value_col: str,
+    *,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Build a portable Bloom filter over ``values[value_col]`` as a
+    RELATION: (word_idx long, bits long), at most m_bits/64 rows.
+
+    Why: `contamination_overlap` joins candidates against the DISTINCT
+    benchmark n-gram set — broadcastable while eval suites are small,
+    but a full contamination corpus (every published benchmark × all
+    paraphrase expansions, or "every document we ever served") can be
+    GBs of n-grams. The Bloom relation is **O(m_bits) regardless of
+    how many values went in** — 2 KB..2 MB — so the probe side joins
+    against a broadcast bitset and the corpus never shuffles, at the
+    price of a bounded false-positive rate
+    (~(1 - e^{-kn/m})^k; size m for your n). The build is one
+    map-side-combined `bit_or` aggregate, so it is mergeable across
+    partitions, batches, and days exactly like any distributive
+    aggregate (union new values = build over the delta + bit_or the
+    two relations).
+
+    Portability: md5-derived positions (``portable_hash64``), so a
+    DuckDB oracle reconstructs the identical bitset word-for-word.
+    """
+    _check_bloom_params(m_bits, k)
+    return (
+        values.select(
+            F.explode(
+                _bloom_probes(F.col(value_col), m_bits=m_bits, k=k)
+            ).alias("p")
+        )
+        .groupBy(F.col("p.word_idx").alias("word_idx"))
+        .agg(F.bit_or("p.mask").alias("bits"))
+    )
+
+
+def bloom_membership(
+    probes: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    *,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """``probes`` plus a boolean ``out_col``: True iff value_col's k
+    Bloom positions are ALL set in ``bloom`` (maybe-present), False =
+    definitely absent. The join is on word_idx against the <= m/64-row
+    bitset relation — broadcast by size, the probe side keeps its
+    partitioning (no shuffle of the big side)."""
+    _check_bloom_params(m_bits, k)
+    exploded = probes.select(
+        "*",
+        F.posexplode(
+            _bloom_probes(F.col(value_col), m_bits=m_bits, k=k)
+        ).alias("_pj", "_p"),
+    )
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("_p.mask")) == F.col("_p.mask"))
+    )
+    keys = [c for c in probes.columns]
+    return (
+        exploded.join(
+            F.broadcast(bloom),
+            exploded["_p.word_idx"] == bloom["word_idx"],
+            "left",
+        )
+        .groupBy(*keys)
+        .agg(
+            F.min(F.when(hit, 1).otherwise(0)).alias("_all")
+        )
+        .select(*keys, (F.col("_all") == 1).alias(out_col))
     )
 
 

@@ -219,6 +219,143 @@ SELECT 1 AS n_checks, {_DS_HLL_TOL_PCT} AS err_pct_floor
 """
 
 
+_KLL_ACCURACY = 10_000
+_KLL_PCTS = (0.5, 0.95, 0.99)
+_KLL_TOL = 4  # rank-error units the gate tolerates (merge slack)
+
+
+def quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna mergeable quantile sketch) —
+    the streaming/partial-aggregating percentile for 100 TB where an
+    exact percentile needs a full sort. Gated in RANK space, where the
+    sketch's guarantee lives (rank error <= n/accuracy): for each
+    probed percentile p, count rows <= the approx value and check
+    |count_le - p*n| <= n/accuracy — all exact integer arithmetic, so
+    the gate itself is deterministic even though the sketch value can
+    vary with merge order. Same loud-failure convention as the HLL
+    gate above: the output floors to the tolerance when inside it and
+    reports the ceil'd violation when not."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    probes = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.percentile_approx("x", p, _KLL_ACCURACY).alias(f"a{i}")
+            for i, p in enumerate(_KLL_PCTS)
+        ],
+    )
+    counted = li.crossJoin(F.broadcast(probes)).agg(
+        F.max("n").alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("x") <= F.col(f"a{i}"), 1).otherwise(0)
+            ).alias(f"le{i}")
+            for i in range(len(_KLL_PCTS))
+        ],
+    )
+    # worst rank error across probes, in n/accuracy units; a single
+    # GK sketch guarantees <= 1 unit, but Spark's partial-aggregated
+    # percentile_approx MERGES per-partition sketches and merge can
+    # compound the bound (measured 1.x units at sf0.001) — gate at
+    # _KLL_TOL units, loud beyond it
+    errs = [
+        F.abs(F.col(f"le{i}") - F.lit(p) * F.col("n"))
+        * F.lit(_KLL_ACCURACY)
+        / F.col("n")
+        for i, p in enumerate(_KLL_PCTS)
+    ]
+    worst = F.greatest(*errs) if len(errs) > 1 else errs[0]
+    return counted.select(
+        F.lit(len(_KLL_PCTS)).cast("int").alias("n_checks"),
+        F.when(worst <= float(_KLL_TOL), F.lit(_KLL_TOL))
+        .otherwise(F.ceil(worst))
+        .cast("int")
+        .alias("rank_err_units_floor"),
+    )
+
+
+QUANTILE_SKETCH_GATE_SQL = f"""
+SELECT {len(_KLL_PCTS)} AS n_checks, {_KLL_TOL} AS rank_err_units_floor
+"""
+
+
+_CMS_D, _CMS_W = 4, 1024
+
+
+def cms_heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (`operators/sketch.py`): build
+    the depth x width frequency sketch over every corpus token — the
+    fixed-size summary an unbounded key space needs at 100 TB (the
+    frequency analogue of the HLL gate above; the sketch relation
+    partial-aggregates to <= 4096 rows per partition BEFORE the
+    shuffle, and merges across batches by re-summing) — then point-
+    estimate the 15 alphabetically-first vocabulary tokens and carry
+    the exact count beside it. CMS is deterministic given the portable
+    hash, so the oracle rebuilds the identical sketch and the driver
+    hashes BOTH the estimates and the exact counts; the est >= exact
+    one-sided guarantee is pinned in tests/test_sketch.py."""
+    from implementation_of_an_etl_process_spark.functions.text_exprs import (
+        tokens,
+    )
+    from implementation_of_an_etl_process_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from implementation_of_an_etl_process_spark.plans import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    sketch = cms_build(toks, "token", depth=_CMS_D, width=_CMS_W)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy("token")
+        .limit(15)
+    )
+    return cms_estimate(
+        exact, sketch, "token", depth=_CMS_D, width=_CMS_W
+    ).orderBy("token")
+
+
+def _cms_hash_sql(row: str, value: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('r' || {row} || ':' || {value}), 1, 16))"
+        f"::UBIGINT % {_CMS_W} AS BIGINT)"
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), tok2 AS (
+  SELECT token FROM tok WHERE token <> ''
+), rows_ AS (
+  SELECT unnest(generate_series(0, {_CMS_D - 1})) AS row
+), cms AS (
+  SELECT row, {_cms_hash_sql("row", "token")} AS cell,
+         COUNT(*) AS cnt
+  FROM tok2, rows_ GROUP BY 1, 2
+), exact AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM tok2 GROUP BY token
+  ORDER BY token LIMIT 15
+), probed AS (
+  SELECT e.token, e.exact_cnt,
+         COALESCE(c.cnt, 0) AS cell_cnt
+  FROM exact e
+  CROSS JOIN rows_ r
+  LEFT JOIN cms c
+    ON c.row = r.row AND c.cell = {_cms_hash_sql("r.row", "e.token")}
+)
+SELECT token, CAST(MIN(exact_cnt) AS BIGINT) AS exact_cnt,
+       CAST(MIN(cell_cnt) AS BIGINT) AS est
+FROM probed GROUP BY token ORDER BY token
+"""
+
+
 def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching (entity-resolution shape): candidate
     pairs block on nationkey (the classic blocking-key step that keeps
@@ -355,6 +492,8 @@ QUERIES = {
     "array_hof_orders": array_hof_orders,
     "topk_sketch_tokens": topk_sketch_tokens,
     "hll_sketch_gate": hll_sketch_gate,
+    "cms_heavy_hitters_docs": cms_heavy_hitters_docs,
+    "quantile_sketch_gate": quantile_sketch_gate,
     "fuzzy_match_customers": fuzzy_match_customers,
 }
 
@@ -365,5 +504,7 @@ ORACLES = {
     "array_hof_orders": ARRAY_HOF_SQL,
     "topk_sketch_tokens": TOPK_SKETCH_SQL,
     "hll_sketch_gate": HLL_SKETCH_GATE_SQL,
+    "cms_heavy_hitters_docs": CMS_HEAVY_HITTERS_SQL,
+    "quantile_sketch_gate": QUANTILE_SKETCH_GATE_SQL,
     "fuzzy_match_customers": FUZZY_MATCH_SQL,
 }

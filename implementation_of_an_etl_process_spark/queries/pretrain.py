@@ -444,8 +444,115 @@ SELECT CAST((SELECT COUNT(DISTINCT t) FROM (
 """
 
 
+_BLOOM_M = 1 << 14
+_BLOOM_K = 4
+
+
+def bloom_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination screen re-expressed through a portable BLOOM
+    bitset (`operators/pretrain.py::bloom_filter_build` /
+    `bloom_membership`): the benchmark's distinct 3-grams collapse to a
+    <= m/64-row bit_or relation, and every candidate gram probes the
+    broadcast bitset instead of joining the full benchmark n-gram set —
+    the O(fixed-size) screen a GB-scale contamination corpus needs.
+    Output (doc_id, n_grams, n_maybe) is integer-exact: the oracle
+    reconstructs the SAME bitset word-for-word (md5-derived positions,
+    power-of-two modulus) and replays the probes, so Bloom false
+    positives — part of the semantics — match too."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        bloom_filter_build,
+        bloom_membership,
+        word_ngrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(word_ngrams("text", 3)).alias("gram"))
+        .distinct()
+    )
+    bloom = bloom_filter_build(
+        bench_grams, "gram", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    cand = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("text", 3))).alias("gram"),
+    )
+    flagged = bloom_membership(
+        cand, bloom, "gram", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("maybe_member"), 1).otherwise(0)).alias(
+                "n_maybe"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# The DuckDB rendering of ``_bloom_probes``' hash math: position j of
+# a gram = (md5-derived unsigned 64-bit hash of 'bj:' || gram) mod m;
+# word = pos >> 6, mask = 1 << (pos & 63) with the bit-63 literal
+# special-cased (DuckDB's BIGINT << 63 differs from the signed fold).
+_BLOOM_HASH = (
+    f"CAST(('0x' || substr(md5('b' || j || ':' || gram), 1, 16))::UBIGINT"
+    f" % {_BLOOM_M} AS BIGINT)"
+)
+
+BLOOM_CONTAMINATION_SQL = f"""
+WITH js AS (
+  SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j
+), bench AS (
+  SELECT DISTINCT array_to_string(w[g.x:g.x+2], ' ') AS gram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 50 = 0),
+       (SELECT unnest(generate_series(1, 4000)) AS x) g
+  WHERE g.x <= len(w) - 2
+), bench_pos AS (
+  SELECT {_BLOOM_HASH} AS h FROM bench, js
+), bloom AS (
+  SELECT (h >> 6) AS word_idx,
+         bit_or(CASE WHEN (h & 63) = 63
+                     THEN CAST(-9223372036854775808 AS BIGINT)
+                     ELSE (CAST(1 AS BIGINT) << CAST((h & 63) AS INTEGER))
+                END) AS bits
+  FROM bench_pos GROUP BY 1
+), cand AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' ')))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 50 <> 0)
+), cand_pos AS (
+  SELECT doc_id, gram, {_BLOOM_HASH} AS h FROM cand, js
+), per_gram AS (
+  SELECT doc_id, gram,
+         MIN(CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (CASE WHEN (p.h & 63) = 63
+                        THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT)
+                              << CAST((p.h & 63) AS INTEGER)) END))
+                     = (CASE WHEN (p.h & 63) = 63
+                        THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT)
+                              << CAST((p.h & 63) AS INTEGER)) END)
+                  THEN 1 ELSE 0 END) AS all_set
+  FROM cand_pos p LEFT JOIN bloom b ON b.word_idx = (p.h >> 6)
+  GROUP BY doc_id, gram
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(all_set) AS BIGINT) AS n_maybe
+FROM per_gram GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "contamination_ngram_overlap": contamination_ngram_overlap,
+    "bloom_contamination_docs": bloom_contamination_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "pii_redaction": pii_redaction,
     "strip_urls_docs": strip_urls_docs,
@@ -457,6 +564,7 @@ QUERIES = {
 
 ORACLES = {
     "contamination_ngram_overlap": CONTAMINATION_SQL,
+    "bloom_contamination_docs": BLOOM_CONTAMINATION_SQL,
     "repetition_stats_docs": REPETITION_SQL,
     "pii_redaction": PII_SQL,
     "strip_urls_docs": STRIP_URLS_SQL,

@@ -361,6 +361,30 @@ ORDER BY doc_id
 """
 
 
+def dedup_cluster_star_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup components as ``dedup_cluster_docs``, computed
+    by the round-complexity-robust algorithm instead: alternating
+    large-star/small-star contraction (Kiveris et al. SoCC 2014,
+    `operators/graph.py::connected_components_star`) — O(log² n) rounds
+    on ANY component shape where min-label propagation pays O(diameter).
+    Same oracle, same labels: the two distributed algorithms and the
+    recursive-CTE transitive closure must all agree."""
+    from implementation_of_an_etl_process_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8
+    )
+    return (
+        connected_components_star(
+            pairs, src_col="id_a", dst_col="id_b"
+        )
+        .select(F.col("_id").alias("doc_id"), "cluster")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup REMOVAL: pairs -> connected components ->
     keep one representative (min doc_id) per cluster, return the
@@ -1282,6 +1306,7 @@ QUERIES = {
     "dedup_hot_bucket_farm": dedup_hot_bucket_farm,
     "dedup_simhash": dedup_simhash,
     "dedup_cluster_docs": dedup_cluster_docs,
+    "dedup_cluster_star_docs": dedup_cluster_star_docs,
     "dedup_survivors": dedup_survivors,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_image_features": multimodal_image_features,
@@ -1311,6 +1336,7 @@ ORACLES = {
     "dedup_hot_bucket_farm": HOT_BUCKET_FARM_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
+    "dedup_cluster_star_docs": DEDUP_CLUSTER_SQL,
     "dedup_survivors": _DEDUP_SURVIVORS_SQL,
     "multimodal_binary_stats": MULTIMODAL_STATS_SQL,
     "multimodal_image_features": MULTIMODAL_FEATURES_SQL,

@@ -268,3 +268,57 @@ def test_hamming_banded_pairs_collapse_guard_equivalence(spark):
     )
     n = hamming_banded_pairs(farm, "id", "sig").count()
     assert n == 1500 * 1499 // 2
+
+
+def test_hamming_banded_pairs_auto_guard(spark):
+    """collapse_exact='auto' (round-9): a max-multiplicity probe turns
+    the guard on only when some identical-signature group is big
+    enough for the quadratic candidate blowup to matter — same output
+    in every mode; bogus values rejected."""
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        hamming_banded_pairs,
+    )
+
+    mixed = [(1, 10), (2, 10), (3, 11), (4, 1 << 40)]
+    dup = spark.createDataFrame(mixed, "id long, sig long")
+    got = {
+        tuple(r)
+        for r in hamming_banded_pairs(
+            dup, "id", "sig", collapse_exact="auto"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in hamming_banded_pairs(
+            dup, "id", "sig", collapse_exact=False
+        ).collect()
+    }
+    assert got == want and (1, 2, 0) in got
+    distinct = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 1 << 40)], "id long, sig long"
+    )
+    got2 = {
+        tuple(r)
+        for r in hamming_banded_pairs(
+            distinct, "id", "sig", collapse_exact="auto"
+        ).collect()
+    }
+    assert got2 == {
+        tuple(r)
+        for r in hamming_banded_pairs(
+            distinct, "id", "sig", collapse_exact=True
+        ).collect()
+    }
+    with pytest.raises(ValueError, match="collapse_exact"):
+        hamming_banded_pairs(dup, "id", "sig", collapse_exact="yes")
+    # a farm over the threshold flips auto to collapse: the count is
+    # right and the run completes without the 4n² candidate blowup
+    farm = spark.range(300).select(
+        F.col("id"), F.lit(77).alias("sig")
+    )
+    n = hamming_banded_pairs(
+        farm, "id", "sig", collapse_exact="auto"
+    ).count()
+    assert n == 300 * 299 // 2

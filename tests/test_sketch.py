@@ -1,0 +1,128 @@
+"""Count-min sketch + Bloom filter: the classic guarantees, pinned.
+
+Both sketches are RELATIONS built by map-side-combined aggregates (see
+operators/sketch.py and operators/pretrain.py docstrings), so these
+tests double as shape checks: nothing here collects more than the
+bounded sketch itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cms_never_underestimates_and_merge_is_rebuild(spark):
+    """est >= exact for EVERY key (the one-sided CMS guarantee), the
+    estimate of a never-seen key probes cleanly, and merging two
+    half-corpus sketches equals building one over the union."""
+    from implementation_of_an_etl_process_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    # Zipf-ish: token t_k appears 200//k times
+    rows = [(f"t{k}",) for k in range(1, 21) for _ in range(200 // k)]
+    df = spark.createDataFrame(rows, "v string")
+    # tight width forces collisions so the >= is non-trivial
+    sk = cms_build(df, "v", depth=3, width=16)
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(exact, sk, "v", depth=3, width=16)
+    bad = est.filter(F.col("est") < F.col("exact")).count()
+    assert bad == 0
+    over = est.filter(F.col("est") > F.col("exact")).count()
+    assert over > 0  # collisions really happened at width=16
+    # unseen key: estimate is whatever its cells hold, never negative
+    unseen = spark.createDataFrame([("nope",)], "v string")
+    got = cms_estimate(unseen, sk, "v", depth=3, width=16).first()
+    assert got["est"] >= 0
+    # mergeability
+    a = df.filter(F.length("v") == 2)  # t1..t9
+    b = df.filter(F.length("v") > 2)   # t10..t20
+    merged = cms_merge(
+        cms_build(a, "v", depth=3, width=16),
+        cms_build(b, "v", depth=3, width=16),
+    )
+    whole = cms_build(df, "v", depth=3, width=16)
+    assert (
+        merged.exceptAll(whole).isEmpty()
+        and whole.exceptAll(merged).isEmpty()
+    )
+
+
+def test_cms_weighted_and_param_validation(spark):
+    from implementation_of_an_etl_process_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "v string, w int"
+    )
+    sk = cms_build(df, "v", depth=4, width=64, weight_col="w")
+    est = {
+        r["v"]: r["est"]
+        for r in cms_estimate(
+            df.select("v").distinct(), sk, "v", depth=4, width=64
+        ).collect()
+    }
+    assert est["a"] >= 12 and est["b"] >= 1
+    with pytest.raises(ValueError, match="width"):
+        cms_build(df, "v", width=100)
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(df, "v", depth=0)
+
+
+def test_cms_sketch_is_bounded(spark):
+    """The sketch relation never exceeds depth x width rows, however
+    many values went in — the fixed-size contract."""
+    from implementation_of_an_etl_process_spark.operators.sketch import (
+        cms_build,
+    )
+
+    df = spark.range(50_000).select(F.col("id").cast("string").alias("v"))
+    sk = cms_build(df, "v", depth=4, width=256)
+    assert sk.count() <= 4 * 256
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted value is maybe_member=True (the Bloom
+    guarantee); a disjoint probe set sees a low false-positive rate at
+    the sized m; the filter relation is at most m/64 rows."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        bloom_filter_build,
+        bloom_membership,
+    )
+
+    m, k = 1 << 12, 4
+    inserted = spark.range(500).select(
+        F.concat(F.lit("in"), F.col("id")).alias("v")
+    )
+    bloom = bloom_filter_build(inserted, "v", m_bits=m, k=k)
+    assert bloom.count() <= m // 64
+    got = bloom_membership(inserted, bloom, "v", m_bits=m, k=k)
+    assert got.filter(~F.col("maybe_member")).count() == 0
+    outside = spark.range(2000).select(
+        F.concat(F.lit("out"), F.col("id")).alias("v")
+    )
+    fp = (
+        bloom_membership(outside, bloom, "v", m_bits=m, k=k)
+        .filter(F.col("maybe_member"))
+        .count()
+    )
+    # theory: (1 - e^{-kn/m})^k ~ 0.024 at n=500, m=4096, k=4;
+    # allow generous slack — the point is "low", not the 3rd decimal
+    assert fp / 2000 < 0.15, fp
+
+
+def test_bloom_param_validation(spark):
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        bloom_filter_build,
+    )
+
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_filter_build(df, "v", m_bits=1000)
+    with pytest.raises(ValueError, match="k must"):
+        bloom_filter_build(df, "v", k=0)

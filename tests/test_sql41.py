@@ -229,9 +229,20 @@ def test_driver_gate_freshness_rule():
     gate = set(_DRIVER_PRIORITY)
     registered = set(e.queries())
     never_gated = registered - set(latest)
-    assert never_gated <= gate, (
-        "entries registered but never driver-gated must hold a slot in "
-        f"the next gate: {sorted(never_gated - gate)}"
+    # entries that land THIS round may rotate in next round; "already
+    # landed" = appeared in the newest committed VERIFY_LOCAL artifact
+    # (every entry is locally verified the round it lands)
+    landed_before: set[str] = set()
+    vl = sorted(glob.glob(os.path.join(root, "VERIFY_LOCAL_r*.txt")))
+    if vl:
+        for line in open(vl[-1]):
+            parts = line.split()
+            if len(parts) >= 2 and parts[0] in ("OK", "FAIL", "WEAK"):
+                landed_before.add(parts[1])
+    overdue = (never_gated & landed_before) - gate
+    assert not overdue, (
+        "entries registered a round ago and never driver-gated must "
+        f"hold a slot in the next gate: {sorted(overdue)}"
     )
     newest = max(
         int(os.path.basename(p).split("_r")[1].split(".")[0]) for p in files

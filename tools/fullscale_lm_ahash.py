@@ -79,6 +79,49 @@ def main() -> None:
         flush=True,
     )
 
+    # --- min_count model bounding (round-9) --------------------------------
+    # How much does CCNet-style pruning shrink the MODEL table (the one
+    # localCheckpointed relation) on this corpus, and what does the
+    # pruned-path scoring cost end to end?
+    from implementation_of_an_etl_process_spark.operators.text import (
+        adjacent_word_pairs,
+    )
+
+    t0 = time.monotonic()
+    mstats = (
+        adjacent_word_pairs(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("b") >= 2, 1).otherwise(0)).alias("kept2"),
+        )
+        .first()
+    )
+    print(
+        f"bigram model: {mstats['rows']} unique bigrams, min_count=2 "
+        f"keeps {mstats['kept2']} "
+        f"({mstats['kept2'] / mstats['rows']:.1%}) — measured in "
+        f"{time.monotonic() - t0:.1f}s",
+        flush=True,
+    )
+    t0 = time.monotonic()
+    agg2 = (
+        bigram_lm_score(docs, min_count=2)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+        )
+        .first()
+    )
+    t2 = time.monotonic() - t0
+    assert agg2["n_docs"] == n and agg2["n_bigrams"] == agg["n_bigrams"]
+    print(
+        f"bigram_lm min_count=2: scored in {t2:.1f}s = "
+        f"{n / t2 / 1e3:.0f}k docs/s (same doc/bigram counts)",
+        flush=True,
+    )
+
     # --- aHash image dedup -------------------------------------------------
     base = F.col("img_id") - F.when(F.col("img_id") % 10 == 9, 1).otherwise(0)
     cp = F.col("img_id") % 10 == 9
@@ -153,6 +196,37 @@ def main() -> None:
         flush=True,
     )
     assert planted / n_planted > 0.5  # nudges can flip >3 cells sometimes
+
+    # --- collapse-guard A/B (round-9: the auto gate) -----------------------
+    # The guard's worth depends on whether exact-duplicate signatures
+    # exist; "auto" probes count vs count-distinct and decides. Measure
+    # all three modes on this corpus and assert identical pair sets.
+    t0 = time.monotonic()
+    nodup = hamming_banded_pairs(
+        sig, "media_id", "ahash", max_hamming=3, collapse_exact=False
+    )
+    total_off = nodup.count()
+    t_off = time.monotonic() - t0
+    t0 = time.monotonic()
+    auto = hamming_banded_pairs(
+        sig, "media_id", "ahash", max_hamming=3, collapse_exact="auto"
+    )
+    total_auto = auto.count()
+    t_auto = time.monotonic() - t0
+    assert total_off == total_auto == total, (total, total_off, total_auto)
+    sym = pairs.select("id_a", "id_b").exceptAll(
+        nodup.select("id_a", "id_b")
+    ).count() + nodup.select("id_a", "id_b").exceptAll(
+        pairs.select("id_a", "id_b")
+    ).count()
+    assert sym == 0, sym
+    n_dist = sig.select("ahash").distinct().count()
+    print(
+        f"ahash guard A/B: {N_IMAGES} sigs ({n_dist} distinct) -> pairs "
+        f"guard-on {t_pairs:.1f}s / guard-off {t_off:.1f}s / auto "
+        f"{t_auto:.1f}s (identical {total} pairs each)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
