@@ -289,27 +289,41 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    def _sig(d: DataFrame):
+        # order-independent SET fingerprint (the edge lists are
+        # distinct by construction): one scalar aggregate per round
+        # instead of two exceptAll shuffles. bit_xor, not sum — a long
+        # sum overflows under ANSI mode; xor is overflow-free and
+        # order-independent. A collision would only stop the loop
+        # EARLY, and the star-forest structural check below rejects
+        # any non-fixed-point state.
+        return d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+
     cur = e
+    prev_sig = _sig(cur)
     converged = False
     for _ in range(max_iterations):
         ls = _large_star(cur).localCheckpoint()
         ss = _small_star(ls).localCheckpoint()
-        if (
-            ss.exceptAll(cur).limit(1).count() == 0
-            and cur.exceptAll(ss).limit(1).count() == 0
-        ):
+        sig = _sig(ss)
+        if (sig["n"], sig["h"]) == (prev_sig["n"], prev_sig["h"]):
             cur = ss
             converged = True
             break
-        cur = ss
+        cur, prev_sig = ss, sig
     if not converged:
         raise RuntimeError(
             f"star contraction did not converge in {max_iterations} rounds"
         )
     # at convergence ``cur`` is a star forest: (node -> component min)
-    # for every non-root; roots label themselves. Cheap structural
-    # check (defense against a hypothetical oscillating fixed point):
-    # parent must be a FUNCTION of the child.
+    # for every non-root; roots label themselves. Full structural
+    # characterization, run ONCE (defense against an oscillating fixed
+    # point or a fingerprint collision stopping the loop early): the
+    # parent map is a FUNCTION of the child, and no parent is itself a
+    # child (depth exactly 1 — a chain u->v->w would label u wrongly).
     multi = (
         cur.groupBy("u")
         .agg(F.count_distinct("v").alias("_n"))
@@ -317,7 +331,13 @@ def connected_components_star(
         .limit(1)
         .count()
     )
-    if multi:
+    deep = (
+        cur.select("v")
+        .join(cur.select(F.col("u").alias("v")), "v", "left_semi")
+        .limit(1)
+        .count()
+    )
+    if multi or deep:
         raise RuntimeError("star contraction stopped on a non-star state")
     return nodes.join(
         cur.select(F.col("u").alias("_id"), F.col("v").alias("_root")),

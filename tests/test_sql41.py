@@ -230,10 +230,20 @@ def test_driver_gate_freshness_rule():
     registered = set(e.queries())
     never_gated = registered - set(latest)
     # entries that land THIS round may rotate in next round; "already
-    # landed" = appeared in the newest committed VERIFY_LOCAL artifact
-    # (every entry is locally verified the round it lands)
+    # landed" = appeared in the VERIFY_LOCAL artifact of the last
+    # COMPLETED round (= the newest CORRECTNESS round — the current
+    # round may write its own VERIFY_LOCAL before the gate runs, and
+    # that must not count entries landed mid-round as overdue)
+    completed = max(
+        int(os.path.basename(p).split("_r")[1].split(".")[0])
+        for p in files
+    )
     landed_before: set[str] = set()
-    vl = sorted(glob.glob(os.path.join(root, "VERIFY_LOCAL_r*.txt")))
+    vl = [
+        p
+        for p in sorted(glob.glob(os.path.join(root, "VERIFY_LOCAL_r*.txt")))
+        if int(os.path.basename(p).split("_r")[1].split(".")[0]) <= completed
+    ]
     if vl:
         for line in open(vl[-1]):
             parts = line.split()
@@ -244,13 +254,10 @@ def test_driver_gate_freshness_rule():
         "entries registered a round ago and never driver-gated must "
         f"hold a slot in the next gate: {sorted(overdue)}"
     )
-    newest = max(
-        int(os.path.basename(p).split("_r")[1].split(".")[0]) for p in files
-    )
     too_stale = {
         k
         for k in registered
-        if k in latest and latest[k] <= newest - 3 and k not in gate
+        if k in latest and latest[k] <= completed - 3 and k not in gate
     }
     assert not too_stale, (
         f"entries whose latest driver-green round is <= r{newest - 3} "
