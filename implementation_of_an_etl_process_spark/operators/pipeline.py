@@ -219,6 +219,17 @@ def weighted_sample(
     if k < 1:
         raise ValueError("k must be >= 1")
     c = F.col(id_col)
+    return (
+        df.withColumn("_aes_key", _aes_key(id_col, weight_col, seed))
+        .orderBy(F.col("_aes_key").desc(), c.asc())
+        .limit(k)
+        .drop("_aes_key")
+    )
+
+
+def _aes_key(id_col: str, weight_col: str, seed: str) -> Column:
+    """The quantized A-ES priority (see :func:`weighted_sample`)."""
+    c = F.col(id_col)
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string"))), 1, 8
@@ -227,16 +238,45 @@ def weighted_sample(
         10,
     ).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
-    key = F.round(
+    return F.round(
         F.log(u)
         / F.greatest(F.col(weight_col), F.lit(1)).cast("double")
         * F.lit(float(AES_KEY_SCALE))
     ).cast("long")
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    *,
+    seed: str = "wg1",
+) -> DataFrame:
+    """A-ES weighted sampling without replacement, k PER GROUP — the
+    stratified form every mixture pipeline wants ("best 10k docs per
+    language/source, length-weighted"). Same quantized portable
+    priority as :func:`weighted_sample`; the top-k-per-group is a
+    rank-over-window, so the cost is ONE shuffle on the group key (the
+    minimum any per-group semantics can pay without a pre-bucketed
+    layout) and the per-partition sort is k-independent. Ties break on
+    id; rows keep their columns.
+
+    Scale note vs the global sampler: the global one is zero-shuffle
+    (TakeOrderedAndProject); per-group cannot be, but the window
+    carries only rank state — no collect, no per-group materialization
+    beyond the winners."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = W.partitionBy(group_col).orderBy(
+        F.col("_aes_key").desc(), F.col(id_col).asc()
+    )
     return (
-        df.withColumn("_aes_key", key)
-        .orderBy(F.col("_aes_key").desc(), c.asc())
-        .limit(k)
-        .drop("_aes_key")
+        df.withColumn("_aes_key", _aes_key(id_col, weight_col, seed))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_aes_key", "_rn")
     )
 
 

@@ -151,33 +151,38 @@ def bloom_membership(
 ) -> DataFrame:
     """``probes`` plus a boolean ``out_col``: True iff value_col's k
     Bloom positions are ALL set in ``bloom`` (maybe-present), False =
-    definitely absent. The join is on word_idx against the <= m/64-row
-    bitset relation — broadcast by size, the probe side keeps its
-    partitioning (no shuffle of the big side)."""
+    definitely absent. Row-preserving (1:1 with ``probes``).
+
+    Shape: k BROADCAST left joins against the <= m/64-row bitset
+    relation — ZERO shuffles of the probe side and no re-aggregation.
+    (The first cut exploded the k probes and grouped them back per
+    probe row; at 149M grams that groupBy was a 600M-row shuffle
+    costing more than the exact gram join it replaces — measured
+    197.7s vs 128.4s. The k-join form keeps the probe side streaming.)
+    """
     _check_bloom_params(m_bits, k)
-    exploded = probes.select(
+    keys = list(probes.columns)
+    arr = _bloom_probes(F.col(value_col), m_bits=m_bits, k=k)
+    out = probes.select(
         "*",
-        F.posexplode(
-            _bloom_probes(F.col(value_col), m_bits=m_bits, k=k)
-        ).alias("_pj", "_p"),
+        *[F.element_at(arr, j + 1).alias(f"_p{j}") for j in range(k)],
     )
-    hit = (
-        F.col("bits").isNotNull()
-        & (F.col("bits").bitwiseAND(F.col("_p.mask")) == F.col("_p.mask"))
-    )
-    keys = [c for c in probes.columns]
-    return (
-        exploded.join(
-            F.broadcast(bloom),
-            exploded["_p.word_idx"] == bloom["word_idx"],
-            "left",
+    cond = F.lit(True)
+    for j in range(k):
+        bj = bloom.select(
+            F.col("word_idx").alias(f"_w{j}"), F.col("bits").alias(f"_b{j}")
         )
-        .groupBy(*keys)
-        .agg(
-            F.min(F.when(hit, 1).otherwise(0)).alias("_all")
+        out = out.join(
+            F.broadcast(bj), out[f"_p{j}.word_idx"] == bj[f"_w{j}"], "left"
         )
-        .select(*keys, (F.col("_all") == 1).alias(out_col))
-    )
+        cond = cond & (
+            F.col(f"_b{j}").isNotNull()
+            & (
+                F.col(f"_b{j}").bitwiseAND(F.col(f"_p{j}.mask"))
+                == F.col(f"_p{j}.mask")
+            )
+        )
+    return out.select(*keys, cond.alias(out_col))
 
 
 def contamination_overlap(

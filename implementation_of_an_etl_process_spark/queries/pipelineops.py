@@ -363,6 +363,41 @@ SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id
 """
 
 
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group A-ES sampling (operators/pipeline.py::
+    weighted_sample_per_group): the 20 length-weighted winners PER
+    LANGUAGE — the stratified subsetting move ("best k per
+    language/source") a mixture pipeline runs after global curation.
+    One shuffle on the group key; identical quantized keys on both
+    engines."""
+    return (
+        P.weighted_sample_per_group(
+            _docs(spark, sf_dir), "doc_id", "n_chars", "lang", 20,
+            seed="wg1",
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+WEIGHTED_SAMPLE_PER_LANG_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(round(ln((('0x' || substr(md5('wg1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8))::UBIGINT + 1) / 4294967296.0)
+                    / GREATEST(n_chars, 1) * 1000000000000.0)
+              AS BIGINT) AS aes_key
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY aes_key DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20 ORDER BY doc_id
+"""
+
+
 # --- Z-order (Morton) layout key --------------------------------------------
 
 
@@ -408,6 +443,7 @@ ZORDER_KEY_SQL = _zorder_sql()
 QUERIES = {
     "vocab_topk_documents": vocab_topk_documents,
     "weighted_sample_docs": weighted_sample_docs,
+    "weighted_sample_per_lang": weighted_sample_per_lang,
     "zorder_key_events": zorder_key_events,
     "quality_classifier_gate": quality_classifier_gate,
     "shuffle_order_docs": shuffle_order_docs,
@@ -421,6 +457,7 @@ QUERIES = {
 ORACLES = {
     "vocab_topk_documents": VOCAB_TOPK_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "weighted_sample_per_lang": WEIGHTED_SAMPLE_PER_LANG_SQL,
     "zorder_key_events": ZORDER_KEY_SQL,
     "quality_classifier_gate": QUALITY_CLASSIFIER_SQL,
     "shuffle_order_docs": SHUFFLE_ORDER_SQL,

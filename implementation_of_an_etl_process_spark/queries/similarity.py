@@ -552,7 +552,97 @@ ORDER BY label, dim
 """
 
 
+_KM_K = 4
+_KM_ITERS = 2
+_KM_SCALE = 10**6
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding table in exact int64 fixed
+    point (`operators/clustering.py::kmeans_fixed_point`) — the
+    clustering family (semantic-dedup buckets, topic balancing, IVF
+    coarse quantizers) under the same value gate as everything else:
+    2 full assign/update iterations, deterministically seeded by the
+    4 smallest vec_ids, and the ORACLE re-runs both iterations as
+    unrolled CTEs — like the PageRank gate, an iterative algorithm
+    hash-matching because every step is integer."""
+    from implementation_of_an_etl_process_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+
+    return kmeans_fixed_point(
+        _emb(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        k=_KM_K,
+        iterations=_KM_ITERS,
+        scale=_KM_SCALE,
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle() -> str:
+    dim = 64
+    head = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))
+           AS v
+  FROM embeddings
+), c0 AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {_KM_K})
+)"""
+    steps = []
+    for t in range(1, _KM_ITERS + 1):
+        steps.append(f""",
+d{t} AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+              i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS d
+  FROM q, c{t - 1} c
+), a{t} AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+), upd{t} AS (
+  SELECT a.cid, gs.i AS dim, CAST(SUM(q.v[gs.i]) // COUNT(*) AS BIGINT) AS s
+  FROM a{t} a JOIN q USING (vec_id),
+       (SELECT unnest(generate_series(1, {dim})) AS i) gs
+  GROUP BY a.cid, gs.i
+), c{t} AS (
+  SELECT cid, list(s ORDER BY dim) AS v FROM upd{t} GROUP BY cid
+  UNION ALL
+  SELECT c.cid, c.v FROM c{t - 1} c
+  WHERE c.cid NOT IN (SELECT cid FROM upd{t})
+)""")
+    # final assignment against the post-iteration centroids
+    final = f""",
+df AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+              i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS d
+  FROM q, c{_KM_ITERS} c
+), af AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM df
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster, CAST(d AS BIGINT) AS dist_q
+FROM af ORDER BY vec_id
+"""
+    return head + "".join(steps) + final
+
+
+KMEANS_SQL = _kmeans_oracle()
+
+
 QUERIES = {
+    "kmeans_embeddings": kmeans_embeddings,
     "embedding_label_centroids": embedding_label_centroids,
     "similarity_pq_recall": similarity_pq_recall,
     "similarity_topk_cosine": similarity_topk_cosine,
@@ -564,6 +654,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kmeans_embeddings": KMEANS_SQL,
     "embedding_label_centroids": LABEL_CENTROIDS_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,
     "similarity_topk_cosine": SIMILARITY_TOPK_SQL,

@@ -166,12 +166,53 @@ def test_weighted_sample_matches_key_reference(spark):
             hashlib.md5(f"t7:{r['doc_id']}".encode()).hexdigest()[:8], 16
         )
         u = (h + 1) / 2**32
-        return math.log(u) / max(r["n_chars"], 1)
+        # the round-9 contract quantizes to int64 (AES_KEY_SCALE) so
+        # both engines select by exact-integer comparison
+        return round(math.log(u) / max(r["n_chars"], 1) * 10**12)
 
     want = sorted(
         [r["doc_id"] for r in sorted(rows, key=lambda r: (-key(r), r["doc_id"]))][:25]
     )
     assert got == want
+
+
+def test_weighted_sample_per_group_matches_reference(spark):
+    """Per-group A-ES: exactly k winners per group (fewer iff the
+    group is smaller), equal to the python recomputation with the
+    same quantized keys."""
+    import hashlib
+    import math
+
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        weighted_sample_per_group,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = weighted_sample_per_group(
+        docs, "doc_id", "n_chars", "lang", 5, seed="g3"
+    )
+    got = {
+        (r["lang"], r["doc_id"])
+        for r in out.select("lang", "doc_id").collect()
+    }
+    rows = docs.select("doc_id", "n_chars", "lang").collect()
+
+    def key(r):
+        h = int(
+            hashlib.md5(f"g3:{r['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 1) / 2**32
+        return round(math.log(u) / max(r["n_chars"], 1) * 10**12)
+
+    want = set()
+    langs = {r["lang"] for r in rows}
+    for lang in langs:
+        members = [r for r in rows if r["lang"] == lang]
+        members.sort(key=lambda r: (-key(r), r["doc_id"]))
+        want |= {(lang, r["doc_id"]) for r in members[:5]}
+    assert got == want
+    per = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in per)
 
 
 def test_weighted_sample_weights_shift_inclusion(spark):
