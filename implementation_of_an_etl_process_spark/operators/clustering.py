@@ -4,6 +4,12 @@ surface; clustering is the embedding-side workhorse of a training-data
 pipeline: semantic dedup buckets, topic balancing, IVF coarse
 quantizers for the ANN stack in ``operators/similarity.py``).
 
+Relationship to ``operators/similarity.py::train_ivf_centroids``: that
+one fits float Spark-ML KMeans on a SAMPLE (fast coarse quantizer,
+seeded but not engine-reproducible); this one is the exact-arithmetic
+full-corpus path that can sit under the value-hash gate and be
+replayed by any engine.
+
 The same determinism trick as ``operators/graph.py``'s PageRank:
 embeddings quantize to int64 once (round(x * SCALE)), every distance
 is an integer sum of squares, every centroid update is an integer

@@ -133,7 +133,12 @@ except ImportError:  # pragma: no cover
 # r6 rows (the shared-helper-heavy grouping/join/codec/dedup/tfidf
 # families).  2 + 3 + 8 + 23 + 14 = 50.  After this round no entry has
 # EVER been driver-ungated and nothing's latest green row predates r6;
-# the r10 queue is the remaining 28 r6 rows.
+# the r10 queue is the remaining 28 r6 rows plus the 7 round-9-new
+# entries (bigram_lm_pruned_docs is gated this round; the other 6 —
+# dedup_cluster_star_docs, bloom_contamination_docs,
+# cms_heavy_hitters_docs, quantile_sketch_gate,
+# weighted_sample_per_lang, kmeans_embeddings — MUST take r10 slots,
+# and test_driver_gate_freshness_rule fails the build otherwise).
 _DRIVER_PRIORITY = [
     # reference-parity flagships (2): gated every round.
     "hypercube",

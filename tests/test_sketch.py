@@ -11,6 +11,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 
 def test_cms_never_underestimates_and_merge_is_rebuild(spark):
     """est >= exact for EVERY key (the one-sided CMS guarantee), the
@@ -114,6 +116,64 @@ def test_bloom_no_false_negatives(spark):
     # theory: (1 - e^{-kn/m})^k ~ 0.024 at n=500, m=4096, k=4;
     # allow generous slack — the point is "low", not the 3rd decimal
     assert fp / 2000 < 0.15, fp
+
+
+def test_cms_streaming_incremental_merge(spark, tmp_path):
+    """The mergeability contract under Structured Streaming: a
+    foreachBatch sink that builds a per-micro-batch sketch and
+    cms_merges it into a parquet state must end bit-identical to the
+    one-shot batch sketch over the same rows — the per-day/per-batch
+    summary pattern."""
+    import os
+    import shutil
+
+    from implementation_of_an_etl_process_spark.operators.sketch import (
+        cms_build,
+        cms_merge,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        part = tmp_path / f"part{i}"
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(
+            str(part)
+        )
+        for f in os.listdir(part):
+            if f.endswith(".parquet"):
+                shutil.copy(part / f, src / f"{i}.parquet")
+    state = str(tmp_path / "cms_state")
+
+    def upsert(batch_df, batch_id):
+        sk = cms_build(batch_df, "event_type", depth=3, width=64)
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            prev = batch_df.sparkSession.read.parquet(state)
+            sk = cms_merge(prev, sk)
+        sk.coalesce(1).write.mode("overwrite").parquet(state + ".tmp")
+        out = batch_df.sparkSession.read.parquet(state + ".tmp")
+        out.coalesce(1).write.mode("overwrite").parquet(state)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(state)
+    batch = cms_build(ev, "event_type", depth=3, width=64)
+    assert (
+        streamed.exceptAll(batch).isEmpty()
+        and batch.exceptAll(streamed).isEmpty()
+    )
 
 
 def test_bloom_param_validation(spark):
