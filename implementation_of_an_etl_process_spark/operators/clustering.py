@@ -74,6 +74,15 @@ def kmeans_fixed_point(
         quantize_vec(vec_col, scale=scale).alias("_v"),
     )
     dim = q.select(F.size("_v").alias("n")).first()["n"]
+    # assignment embeds k x dim literals in ONE expression — fine for
+    # analysis-scale k (this operator's niche: exact, oracle-gated),
+    # hostile to codegen beyond it. Large-k coarse quantizers belong to
+    # similarity.train_ivf_centroids (sampled Spark-ML KMeans).
+    if k * dim > 65536:
+        raise ValueError(
+            f"k*dim = {k * dim} literals would blow up codegen; "
+            "use similarity.train_ivf_centroids for large-k quantizers"
+        )
     # deterministic seed: the k smallest ids' vectors
     seed_rows = q.orderBy("_id").limit(k).collect()
     if len(seed_rows) < k:

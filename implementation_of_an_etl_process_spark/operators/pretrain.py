@@ -27,6 +27,7 @@ __all__ = [
     "word_ngrams",
     "bloom_filter_build",
     "bloom_membership",
+    "bloom_merge",
     "contamination_overlap",
     "repetition_stats",
     "pii_redact",
@@ -137,6 +138,18 @@ def bloom_filter_build(
         )
         .groupBy(F.col("p.word_idx").alias("word_idx"))
         .agg(F.bit_or("p.mask").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two Bloom filters built with identical (m_bits, k): the
+    bitsets OR together — the per-batch/per-day summary pattern (build
+    over the delta, merge into the running filter), same contract as
+    ``operators/sketch.py::cms_merge``."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
     )
 
 

@@ -176,6 +176,34 @@ def test_cms_streaming_incremental_merge(spark, tmp_path):
     )
 
 
+def test_bloom_merge_is_rebuild(spark):
+    """bloom_merge over two half-corpus filters equals building one
+    over the union — the same per-batch summary contract as
+    cms_merge."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        bloom_filter_build,
+        bloom_membership,
+        bloom_merge,
+    )
+
+    vals = spark.range(1000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    a = vals.filter(F.col("v").substr(2, 10).cast("long") % 2 == 0)
+    b = vals.filter(F.col("v").substr(2, 10).cast("long") % 2 == 1)
+    merged = bloom_merge(
+        bloom_filter_build(a, "v", m_bits=1 << 12),
+        bloom_filter_build(b, "v", m_bits=1 << 12),
+    )
+    whole = bloom_filter_build(vals, "v", m_bits=1 << 12)
+    assert (
+        merged.exceptAll(whole).isEmpty()
+        and whole.exceptAll(merged).isEmpty()
+    )
+    got = bloom_membership(vals, merged, "v", m_bits=1 << 12)
+    assert got.filter(~F.col("maybe_member")).count() == 0
+
+
 def test_bloom_param_validation(spark):
     from implementation_of_an_etl_process_spark.operators.pretrain import (
         bloom_filter_build,
