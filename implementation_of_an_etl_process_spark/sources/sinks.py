@@ -266,12 +266,26 @@ def compact_parquet(
         out = df
         shuffle_cols = list(partition_by)
         if per_key > 1:
-            # deterministic salt (hash of the whole row, not rand())
-            # so re-runs produce the same layout
-            out = out.withColumn(
-                "_salt",
-                F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(per_key)),
+            # deterministic salt (hash of the row, not rand()) so
+            # re-runs produce the same layout; MapType columns are not
+            # hashable in Spark — salt over the hashable subset, or
+            # fall back to the scan partition id (still stable for an
+            # unchanged source) when nothing is hashable
+            from pyspark.sql.types import MapType
+
+            hashable = [
+                f.name
+                for f in df.schema.fields
+                if not isinstance(f.dataType, MapType)
+            ]
+            salt = (
+                F.pmod(
+                    F.xxhash64(F.struct(*hashable)), F.lit(per_key)
+                )
+                if hashable
+                else F.pmod(F.spark_partition_id(), F.lit(per_key))
             )
+            out = out.withColumn("_salt", salt)
             shuffle_cols.append("_salt")
         if zorder_cols:
             z = zorder_column(out, zorder_cols)
