@@ -412,3 +412,55 @@ def test_energy_hash_scale_invariance():
     e = rng.integers(0, 100, size=777).astype(np.int64)
     assert energy_hash_samples(e) == energy_hash_samples(e * 3)
     assert energy_hash_samples(e) == energy_hash_samples(e * 11)
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_cc_matches_union_find(spark, seed):
+    """Star contraction labels equal a pure-python union-find's
+    min-of-component on random sparse graphs (mixed shapes: chains,
+    stars, cliques emerge at random)."""
+    from implementation_of_an_etl_process_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(2, 60)
+    m = rng.randint(1, 2 * n)
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    nodes = {v for e in edges for v in e}
+    comp: dict[int, int] = {}
+    for v in nodes:
+        comp.setdefault(find(v), []).append(v)
+    want = {
+        v: min(members)
+        for members in comp.values()
+        for v in members
+    }
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["_id"]: r["cluster"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
