@@ -109,9 +109,21 @@ def cms_estimate(
 ) -> DataFrame:
     """``probes`` plus column ``out_col`` = the CMS point estimate of
     value_col's frequency: min over the depth rows of the probed cell
-    counts (0 where the cell was never touched). The join is against
-    the <= depth x width-row sketch — broadcast, probe side unshuffled
-    until the per-value min (grouped on the probe's own columns)."""
+    counts (0 where the cell was never touched). Collapses duplicate
+    probe rows (grouped on the probe's own columns).
+
+    Shape note: probes to a frequency sketch are QUERY-sized (the
+    candidate heavy hitters you want estimates for), so the lazy
+    explode + broadcast-join + per-probe min is the right plan — ONE
+    job in which the sketch lineage executes once and fuses with the
+    probe scan. Two alternatives were tried and rejected on plan shape
+    (round 9): depth separate broadcast joins embed the (unmaterialized)
+    sketch lineage depth times, and collecting the sketch into
+    create_map literals pushes ~2 x depth x width literal expressions
+    through Catalyst analysis. If you genuinely need corpus-sided
+    membership probing, that is the Bloom filter's job
+    (``operators/pretrain.py::bloom_membership``), not a frequency
+    estimate."""
     _check_params(depth, width)
     cells = F.array(
         *[
