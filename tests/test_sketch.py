@@ -204,6 +204,52 @@ def test_bloom_merge_is_rebuild(spark):
     assert got.filter(~F.col("maybe_member")).count() == 0
 
 
+def test_sketch_degenerate_inputs(spark):
+    """Edge sweep: minimum parameters and empty build sets behave —
+    empty Bloom = everything definitely-absent, empty CMS = all-zero
+    estimates, d=1/w=2 CMS still upholds est >= exact."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        bloom_filter_build,
+        bloom_membership,
+    )
+    from implementation_of_an_etl_process_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    sk = cms_build(df, "v", depth=1, width=2)
+    est = {
+        r["v"]: r["est"]
+        for r in cms_estimate(
+            df.distinct(), sk, "v", depth=1, width=2
+        ).collect()
+    }
+    assert est["a"] >= 2 and est["b"] >= 1
+    empty = spark.createDataFrame([], "v string")
+    b0 = bloom_filter_build(empty, "v", m_bits=64, k=2)
+    g0 = bloom_membership(df, b0, "v", m_bits=64, k=2)
+    assert g0.filter(F.col("maybe_member")).count() == 0
+    sk0 = cms_build(empty, "v", depth=2, width=4)
+    e0 = cms_estimate(df.distinct(), sk0, "v", depth=2, width=4)
+    assert e0.filter(F.col("est") != 0).count() == 0
+
+
+def test_star_cc_degenerate_graphs(spark):
+    """Single edge and all-self-loop (effectively empty) graphs."""
+    from implementation_of_an_etl_process_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    e1 = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert sorted(
+        (r["_id"], r["cluster"])
+        for r in connected_components_star(e1).collect()
+    ) == [(1, 1), (2, 1)]
+    e2 = spark.createDataFrame([(5, 5), (7, 7)], "src long, dst long")
+    assert connected_components_star(e2).count() == 0
+
+
 def test_bloom_param_validation(spark):
     from implementation_of_an_etl_process_spark.operators.pretrain import (
         bloom_filter_build,
