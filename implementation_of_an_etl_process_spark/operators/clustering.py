@@ -66,14 +66,26 @@ def kmeans_fixed_point(
     smallest ``id_col`` values (the deterministic seeding), dist_q is
     the squared distance to the final assigned centroid in quantized
     units. Ties in argmin break toward the lower cluster id, exactly
-    as the oracle's (distance, cid) ordering does."""
+    as the oracle's (distance, cid) ordering does.
+
+    Input contract: vectors must be non-null and uniform-length. A
+    null or shorter-than-dim vector is not validated in-plan (that
+    would cost a full scan before any work) — it propagates as null
+    distances and a null cluster id; validate upstream if the corpus
+    can be ragged. Empty input fails loudly below."""
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
     q = df.select(
         F.col(id_col).alias("_id"),
         quantize_vec(vec_col, scale=scale).alias("_v"),
     )
-    dim = q.select(F.size("_v").alias("n")).first()["n"]
+    head = q.select(F.size("_v").alias("n")).first()
+    if head is None or head["n"] is None:
+        raise ValueError(
+            f"need >= {k} non-null rows to seed {k} clusters "
+            f"({'empty input' if head is None else 'first vector is null'})"
+        )
+    dim = head["n"]
     # assignment embeds k x dim literals in ONE expression — fine for
     # analysis-scale k (this operator's niche: exact, oracle-gated),
     # hostile to codegen beyond it. Large-k coarse quantizers belong to

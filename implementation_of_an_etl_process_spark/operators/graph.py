@@ -274,7 +274,12 @@ def connected_components_star(
     except the O(1)-row convergence probe. The edge list SHRINKS
     monotonically toward the star forest, so later rounds are cheaper.
     ``localCheckpoint`` cuts lineage each round (same discipline as
-    ``cluster_pairs``)."""
+    ``cluster_pairs``); each round's checkpoints are RELEASED once the
+    next round's have materialized, and the returned DataFrame is an
+    eager checkpoint of the final labels so e/nodes/cur can all be
+    unpersisted before returning (same try/finally discipline as
+    ``pagerank_fixed_point`` — resident checkpoints otherwise stay for
+    the session and degrade later persists)."""
     e = (
         edges.select(
             F.col(src_col).alias("u"), F.col(dst_col).alias("v")
@@ -305,45 +310,73 @@ def connected_components_star(
     cur = e
     prev_sig = _sig(cur)
     converged = False
-    for _ in range(max_iterations):
-        ls = _large_star(cur).localCheckpoint()
-        ss = _small_star(ls).localCheckpoint()
-        sig = _sig(ss)
-        if (sig["n"], sig["h"]) == (prev_sig["n"], prev_sig["h"]):
-            cur = ss
-            converged = True
-            break
-        cur, prev_sig = ss, sig
-    if not converged:
-        raise RuntimeError(
-            f"star contraction did not converge in {max_iterations} rounds"
+    # live[] holds the checkpoints the remaining computation still
+    # depends on; everything that falls out of it is unpersisted as
+    # soon as the NEXT round's checkpoints have materialized (eager),
+    # so at most one round of ls/ss is resident at any time.
+    live: list[DataFrame] = [e, nodes]
+    try:
+        for _ in range(max_iterations):
+            ls = _large_star(cur).localCheckpoint()
+            ss = _small_star(ls).localCheckpoint()
+            # ss is materialized: the previous round's edge state and
+            # this round's intermediate ls are both dead weight now
+            if cur is not e:
+                cur.unpersist(blocking=False)
+            ls.unpersist(blocking=False)
+            sig = _sig(ss)
+            if (sig["n"], sig["h"]) == (prev_sig["n"], prev_sig["h"]):
+                cur = ss
+                converged = True
+                break
+            cur, prev_sig = ss, sig
+        if cur is not e:
+            live.append(cur)  # released on every exit path, error included
+        if not converged:
+            raise RuntimeError(
+                f"star contraction did not converge in "
+                f"{max_iterations} rounds"
+            )
+        # at convergence ``cur`` is a star forest: (node -> component
+        # min) for every non-root; roots label themselves. Full
+        # structural characterization, run ONCE (defense against an
+        # oscillating fixed point or a fingerprint collision stopping
+        # the loop early): the parent map is a FUNCTION of the child,
+        # and no parent is itself a child (depth exactly 1 — a chain
+        # u->v->w would label u wrongly).
+        multi = (
+            cur.groupBy("u")
+            .agg(F.count_distinct("v").alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(1)
+            .count()
         )
-    # at convergence ``cur`` is a star forest: (node -> component min)
-    # for every non-root; roots label themselves. Full structural
-    # characterization, run ONCE (defense against an oscillating fixed
-    # point or a fingerprint collision stopping the loop early): the
-    # parent map is a FUNCTION of the child, and no parent is itself a
-    # child (depth exactly 1 — a chain u->v->w would label u wrongly).
-    multi = (
-        cur.groupBy("u")
-        .agg(F.count_distinct("v").alias("_n"))
-        .where(F.col("_n") > 1)
-        .limit(1)
-        .count()
-    )
-    deep = (
-        cur.select("v")
-        .join(cur.select(F.col("u").alias("v")), "v", "left_semi")
-        .limit(1)
-        .count()
-    )
-    if multi or deep:
-        raise RuntimeError("star contraction stopped on a non-star state")
-    return nodes.join(
-        cur.select(F.col("u").alias("_id"), F.col("v").alias("_root")),
-        "_id",
-        "left",
-    ).select("_id", F.coalesce("_root", "_id").alias("cluster"))
+        deep = (
+            cur.select("v")
+            .join(cur.select(F.col("u").alias("v")), "v", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if multi or deep:
+            raise RuntimeError(
+                "star contraction stopped on a non-star state"
+            )
+        # materialize the final labels NOW so every upstream checkpoint
+        # is still alive, then release them all in the finally
+        return (
+            nodes.join(
+                cur.select(
+                    F.col("u").alias("_id"), F.col("v").alias("_root")
+                ),
+                "_id",
+                "left",
+            )
+            .select("_id", F.coalesce("_root", "_id").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in live:
+            d.unpersist(blocking=False)
 
 
 def _canonical_undirected(

@@ -123,8 +123,20 @@ def cms_estimate(
     through Catalyst analysis. If you genuinely need corpus-sided
     membership probing, that is the Bloom filter's job
     (``operators/pretrain.py::bloom_membership``), not a frequency
-    estimate."""
+    estimate.
+
+    The sketch side is aliased to reserved ``_cms_*`` names before the
+    join, so probe frames may freely carry columns named row/cell/cnt;
+    a probe column colliding with the reserved names (or ``out_col``)
+    raises up front instead of an AnalysisException mid-plan."""
     _check_params(depth, width)
+    reserved = {"_cms_row", "_cms_cell", "_cms_cnt", "_c", out_col}
+    collide = reserved & set(probes.columns)
+    if collide:
+        raise ValueError(
+            f"probe columns collide with cms_estimate's reserved names: "
+            f"{sorted(collide)}"
+        )
     cells = F.array(
         *[
             F.struct(
@@ -134,15 +146,20 @@ def cms_estimate(
             for r in range(depth)
         ]
     )
+    sk = cms.select(
+        F.col("row").alias("_cms_row"),
+        F.col("cell").alias("_cms_cell"),
+        F.col("cnt").alias("_cms_cnt"),
+    )
     keys = list(probes.columns)
     exploded = probes.select("*", F.explode(cells).alias("_c"))
     return (
         exploded.join(
-            F.broadcast(cms),
-            (exploded["_c.row"] == cms["row"])
-            & (exploded["_c.cell"] == cms["cell"]),
+            F.broadcast(sk),
+            (F.col("_c.row") == F.col("_cms_row"))
+            & (F.col("_c.cell") == F.col("_cms_cell")),
             "left",
         )
         .groupBy(*keys)
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(out_col))
+        .agg(F.min(F.coalesce("_cms_cnt", F.lit(0))).alias(out_col))
     )

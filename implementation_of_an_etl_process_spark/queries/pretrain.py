@@ -42,11 +42,17 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAMINATION_SQL = """
-WITH bench AS (
+WITH bmx AS (
+  -- series bound derived from the longest benchmark doc (no fixed
+  -- cap: the Spark side's word_ngrams is uncapped, so a corpus with
+  -- longer docs must not silently lose tail grams on the oracle side)
+  SELECT MAX(len(string_split(text, ' '))) AS m
+  FROM documents WHERE doc_id % 50 = 0
+), bench AS (
   SELECT DISTINCT array_to_string(w[g.x:g.x+2], ' ') AS gram
   FROM (SELECT string_split(text, ' ') AS w FROM documents
         WHERE doc_id % 50 = 0),
-       (SELECT unnest(generate_series(1, 4000)) AS x) g
+       (SELECT unnest(generate_series(1, (SELECT m FROM bmx))) AS x) g
   WHERE g.x <= len(w) - 2
 ), cand AS (
   SELECT doc_id,
@@ -505,11 +511,16 @@ _BLOOM_HASH = (
 BLOOM_CONTAMINATION_SQL = f"""
 WITH js AS (
   SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j
+), bmx AS (
+  -- bound derived from the longest benchmark doc, same rationale as
+  -- the chunk oracle: the Spark side (word_ngrams) is uncapped
+  SELECT MAX(len(string_split(text, ' '))) AS m
+  FROM documents WHERE doc_id % 50 = 0
 ), bench AS (
   SELECT DISTINCT array_to_string(w[g.x:g.x+2], ' ') AS gram
   FROM (SELECT string_split(text, ' ') AS w FROM documents
         WHERE doc_id % 50 = 0),
-       (SELECT unnest(generate_series(1, 4000)) AS x) g
+       (SELECT unnest(generate_series(1, (SELECT m FROM bmx))) AS x) g
   WHERE g.x <= len(w) - 2
 ), bench_pos AS (
   SELECT {_BLOOM_HASH} AS h FROM bench, js

@@ -86,3 +86,21 @@ def test_kmeans_validates_and_seeds(spark):
 
 
 SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_kmeans_empty_and_null_first_vector(spark):
+    """Empty input and a null first vector both fail with the loud
+    seeding ValueError, not a NoneType crash at the dim probe (r9
+    advice)."""
+    from implementation_of_an_etl_process_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_fixed_point(empty, "vec_id", "embedding", k=2)
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="null"):
+        kmeans_fixed_point(nulls, "vec_id", "embedding", k=2)

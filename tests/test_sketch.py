@@ -260,3 +260,33 @@ def test_bloom_param_validation(spark):
         bloom_filter_build(df, "v", m_bits=1000)
     with pytest.raises(ValueError, match="k must"):
         bloom_filter_build(df, "v", k=0)
+
+
+def test_cms_probe_column_names_and_collisions(spark):
+    """Probe frames may carry columns named row/cell/cnt (the sketch
+    side is aliased to _cms_* before the join — r9 advice); a probe
+    column that collides with the reserved names raises up front."""
+    from implementation_of_an_etl_process_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)], "v string"
+    )
+    sk = cms_build(df, "v", depth=2, width=8)
+    probes = spark.createDataFrame(
+        [("a", 1, 2, 3), ("b", 4, 5, 6)],
+        "v string, row int, cell int, cnt int",
+    )
+    got = {
+        r["v"]: r["est"]
+        for r in cms_estimate(probes, sk, "v", depth=2, width=8).collect()
+    }
+    assert got["a"] >= 3 and got["b"] >= 1
+    bad = spark.createDataFrame([("a", 0)], "v string, _cms_row int")
+    with pytest.raises(ValueError, match="reserved"):
+        cms_estimate(bad, sk, "v", depth=2, width=8)
+    # out_col colliding with a probe column is the same error
+    with pytest.raises(ValueError, match="reserved"):
+        cms_estimate(probes, sk, "v", depth=2, width=8, out_col="cnt")
