@@ -13,16 +13,21 @@ PNG) with stdlib ``zlib`` + ``struct`` + numpy — chunk framing with
 CRC-32 verification, IDAT inflate, and all five scanline filters
 (None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/RGBA — and
 ``extract_png_features`` runs the decode per Arrow batch under the
-driver gate (``multimodal_png_decode``). Audio is real too:
+driver gate (``multimodal_png_decode``). JPEG is real too (round 10):
+``decode_jpeg``/``encode_jpeg`` implement baseline-sequential ITU-T
+T.81 — marker framing, DQT/SOF0/DHT/SOS/DRI, canonical Huffman
+entropy coding with 0xFF stuffing and restart handling, float
+DCT/IDCT, JFIF YCbCr<->RGB — under the gate
+(``multimodal_jpeg_decode``). Audio is real as well:
 ``decode_wav``/``encode_wav`` parse/emit RIFF/WAVE PCM-16 containers
 (chunk walk, word alignment, little-endian sample views) and
 ``extract_wav_features`` runs under the gate
 (``multimodal_wav_decode``). Codecs that genuinely need an external
-native library (JPEG's DCT, lossy audio) stay STUBBED
+native library (lossy audio/video: MP3, AAC, H.264) stay STUBBED
 (``decode_image`` raises NotImplementedError unless ``fake=True``);
 swapping that stub body for PIL/libsndfile calls is a one-function
-change and every surrounding stage is exercised by the real PPM/PNG
-paths.
+change and every surrounding stage is exercised by the real
+PPM/PNG/JPEG/WAV paths.
 
 Design for 100 TB of media:
 - payloads stay in executor-side Arrow batches end-to-end (mapInPandas);
@@ -87,17 +92,20 @@ def attach_media_meta(df: DataFrame, id_col: str, payload_col: str, kind: str) -
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
-    """STUB for codecs that need a native library (JPEG's DCT, audio):
-    real deployments decode with PIL/turbojpeg/libsndfile here. PNG
-    decodes FOR REAL via ``decode_png`` below and uncompressed PPM via
-    ``decode_ppm``. ``fake=True`` derives deterministic dimensions from
-    the payload bytes (so plumbing tests have stable expectations)."""
+    """STUB for codecs that genuinely need a native library (lossy
+    audio/video: MP3, AAC, H.264): real deployments decode with
+    PIL/ffmpeg/libsndfile here. PNG decodes FOR REAL via
+    ``decode_png``, baseline JPEG via ``decode_jpeg``, uncompressed
+    PPM via ``decode_ppm``, PCM WAV via ``decode_wav``. ``fake=True``
+    derives deterministic dimensions from the payload bytes (so
+    plumbing tests have stable expectations)."""
     if not fake:
         raise NotImplementedError(
-            "native-library codecs (JPEG/audio) are not available in "
-            "this environment; use decode_png for PNG, decode_ppm for "
-            "P6 payloads, or pass fake=True for the deterministic "
-            "test decode"
+            "native-library codecs (lossy audio/video) are not "
+            "available in this environment; use decode_png for PNG, "
+            "decode_jpeg for baseline JPEG, decode_ppm for P6, "
+            "decode_wav for PCM WAV, or pass fake=True for the "
+            "deterministic test decode"
         )
     h = int.from_bytes(payload[:8].ljust(8, b"\0"), "big")
     return (64 + h % 1024, 64 + (h >> 10) % 1024)
@@ -837,4 +845,553 @@ def energy_hash_wav(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         run, schema=ENERGY_HASH_SCHEMA
+    )
+
+
+# --- JPEG: real baseline-sequential codec, stdlib + numpy -------------------
+#
+# De-stubs the last compressed-image family (r9 verdict item 5): a
+# self-contained baseline-sequential JPEG (ITU-T T.81) encoder/decoder
+# in the PNG codec's style — marker framing, DQT/SOF0/DHT/SOS/DRI
+# parsing, canonical Huffman entropy coding with 0xFF byte stuffing
+# and restart-marker handling, dequantization, zigzag, float IDCT,
+# and JFIF YCbCr<->RGB — no image library. Scope: 8-bit baseline,
+# grayscale or 4:4:4 color (the shapes the encoder emits); progressive
+# (SOF2), 12-bit, and subsampled streams are rejected loudly.
+
+_ZIGZAG = []  # (row, col) in zigzag scan order, per the T.81 diagonal walk
+_r = _c = 0
+for _i in range(64):
+    _ZIGZAG.append((_r, _c))
+    if (_r + _c) % 2 == 0:
+        if _c == 7:
+            _r += 1
+        elif _r == 0:
+            _c += 1
+        else:
+            _r -= 1
+            _c += 1
+    else:
+        if _r == 7:
+            _c += 1
+        elif _c == 0:
+            _r += 1
+        else:
+            _r += 1
+            _c -= 1
+del _r, _c, _i
+
+# Synthetic-but-valid default quantization tables (any 1..255 table is
+# legal; both sides read them from the DQT segment, so the exact values
+# only shape the rate/distortion point). Q[0][0] = 16 keeps the
+# DC-only roundtrip integer-friendly (see multimodal_jpeg_decode's
+# closed-form oracle).
+JPEG_LUMA_QUANT = [[16 + 4 * (u + v) for v in range(8)] for u in range(8)]
+JPEG_CHROMA_QUANT = [[17 + 5 * (u + v) for v in range(8)] for u in range(8)]
+
+
+def _dct_basis():
+    """Orthonormal 8-point DCT-II basis matrix B: F = B X B^T,
+    X = B^T F B. B[u, x] = c(u)/2 * cos((2x+1) u pi / 16)."""
+    import math
+
+    import numpy as np
+
+    B = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            B[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return B
+
+
+def _build_huffman(bits: list[int], values: list[int]):
+    """Canonical JPEG Huffman assignment (T.81 Annex C): returns
+    {(length, code): symbol}. ``bits[i]`` = number of codes of length
+    i+1; ``values`` = symbols in code order."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# Self-generated canonical tables (the encoder ships them in DHT, the
+# decoder reads whatever DHT says, so no reliance on the Annex K
+# example tables): 12 DC categories at length 4 (12 of 16 codes — the
+# all-ones code stays unused, as T.81 requires), all 162 AC symbols
+# (EOB, ZRL, and (run 0-15) x (size 1-10)) at length 8 (162 of 256).
+# Fixed-length codes cost compression, not correctness.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALUES = list(range(12))
+_AC_VALUES = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0] * 7 + [len(_AC_VALUES)] + [0] * 8
+
+
+class _BitWriter:
+    """MSB-first bit emitter with JPEG 0xFF00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """MSB-first bit reader over an unstuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.n < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= n
+        v = (self.acc >> self.n) & ((1 << n) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def decode_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 EXTEND: map ``size`` raw bits to the signed coefficient."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _quantize(F, Q):
+    """Symmetric round-half-away-from-zero quantization — the exact
+    integer convention the battery oracle reproduces."""
+    import numpy as np
+
+    return (np.sign(F) * np.floor(np.abs(F) / Q + 0.5)).astype(np.int32)
+
+
+def _rgb_to_ycbcr(rgb):
+    """JFIF full-range color transform, rounded to uint8."""
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(ycc):
+    import numpy as np
+
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(raster, *, luma_quant=None, chroma_quant=None) -> bytes:
+    """Minimal-but-real baseline-sequential JPEG encoder: numpy (h, w)
+    grayscale or (h, w, 3) RGB uint8 -> JPEG bytes (SOI, DQT, SOF0,
+    DHT, SOS, entropy-coded 4:4:4 or single-component scan, EOI).
+    Level shift -> float DCT -> symmetric-round quantization ->
+    zigzag -> DC-differential + run-length AC Huffman coding with byte
+    stuffing. Used by tests and the battery entry to manufacture
+    deterministic compressed payloads executor-side; it and
+    ``decode_jpeg`` check each other only through the format (markers,
+    canonical Huffman, quantization algebra) plus the oracle's raster
+    prediction, exactly like the PNG pair."""
+    import struct
+
+    import numpy as np
+
+    raster = np.asarray(raster, dtype=np.uint8)
+    color = raster.ndim == 3
+    if color and raster.shape[2] != 3:
+        raise ValueError("color rasters must be (h, w, 3) RGB")
+    h, w = raster.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty raster")
+    lq = np.array(luma_quant if luma_quant is not None else JPEG_LUMA_QUANT)
+    cq = np.array(
+        chroma_quant if chroma_quant is not None else JPEG_CHROMA_QUANT
+    )
+    if color:
+        planes = [ _rgb_to_ycbcr(raster)[..., i] for i in range(3) ]
+        quants = [lq, cq, cq]
+        qids = [0, 1, 1]
+    else:
+        planes = [raster]
+        quants = [lq]
+        qids = [0]
+    # pad to full 8x8 blocks by edge replication
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+        - 128.0
+        for p in planes
+    ]
+    B = _dct_basis()
+    dc_tab = {
+        s: (c, l) for (l, c), s in _build_huffman(_DC_BITS, _DC_VALUES).items()
+    }
+    ac_tab = {
+        s: (c, l) for (l, c), s in _build_huffman(_AC_BITS, _AC_VALUES).items()
+    }
+    zz_r = [r for r, _ in _ZIGZAG]
+    zz_c = [c for _, c in _ZIGZAG]
+    bw = _BitWriter()
+    dc_pred = [0] * len(planes)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, plane in enumerate(planes):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                Fq = _quantize(B @ blk @ B.T, quants[ci])
+                zz = Fq[zz_r, zz_c]
+                diff = int(zz[0]) - dc_pred[ci]
+                dc_pred[ci] = int(zz[0])
+                t = _category(diff)
+                code, length = dc_tab[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i]), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, length = ac_tab[0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    s = _category(v)
+                    if s > 10:
+                        raise ValueError(
+                            f"AC coefficient {v} exceeds the 10-bit "
+                            "baseline range; use a larger quant table"
+                        )
+                    code, length = ac_tab[(run << 4) | s]
+                    bw.write(code, length)
+                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_tab[0x00]  # EOB
+                    bw.write(code, length)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, q) -> bytes:
+        return seg(
+            0xFFDB,
+            bytes([tid]) + bytes(int(q[r, c]) for r, c in _ZIGZAG),
+        )
+
+    def dht(tc: int, th: int, bits, values) -> bytes:
+        return seg(
+            0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        )
+
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qids[ci]])  # 1x1 sampling (4:4:4)
+        sos += bytes([ci + 1, (qids[ci] << 4) | qids[ci]])
+    sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (baseline full scan)
+    out = struct.pack(">H", 0xFFD8) + dqt(0, lq)
+    if ncomp == 3:
+        out += dqt(1, cq)
+    out += seg(0xFFC0, sof)
+    out += dht(0, 0, _DC_BITS, _DC_VALUES) + dht(1, 0, _AC_BITS, _AC_VALUES)
+    if ncomp == 3:
+        out += dht(0, 1, _DC_BITS, _DC_VALUES) + dht(
+            1, 1, _AC_BITS, _AC_VALUES
+        )
+    out += seg(0xFFDA, sos) + bytes(bw.buf) + struct.pack(">H", 0xFFD9)
+    return out
+
+
+def decode_jpeg(payload: bytes):
+    """REAL compressed-image decode with no codec library: baseline-
+    sequential JPEG per ITU-T T.81 with stdlib + numpy. Walks the
+    marker stream (APPn/COM skipped per spec), reads quantization and
+    canonical Huffman tables from DQT/DHT, entropy-decodes the
+    interleaved scan (0xFF00 unstuffing, DRI/RSTn restart handling with
+    DC-predictor reset), dequantizes, de-zigzags, applies the float
+    IDCT with half-up rounding, and converts JFIF YCbCr back to RGB
+    for 3-component streams. Supports 8-bit baseline, grayscale or
+    4:4:4 (sampling factors all 1x1) — progressive, 12-bit, arithmetic
+    coding, and subsampled streams raise loudly.
+
+    Returns (width, height, n_components, raster) with raster a
+    (height, width * n_components) uint8 array, the PNG decoder's
+    layout convention."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    quant: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError(f"truncated segment 0xFF{marker:02X}")
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 15
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                q = np.zeros((8, 8), dtype=np.int32)
+                for (r, c), v in zip(_ZIGZAG, body[bp + 1 : bp + 65]):
+                    q[r, c] = v
+                if not q.all():
+                    raise ValueError("zero entry in quantization table")
+                quant[tq] = q
+                bp += 65
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 15
+                bits = list(body[bp + 1 : bp + 17])
+                n = sum(bits)
+                values = list(body[bp + 17 : bp + 17 + n])
+                if len(values) != n:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _build_huffman(bits, values)
+                bp += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG unsupported (8 only)")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (4:4:4 / gray only)"
+                    )
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF 0xFF{marker:02X}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            nc = body[0]
+            scomps = [
+                (body[1 + i * 2], body[2 + i * 2]) for i in range(nc)
+            ]
+            scan = (scomps, pos)
+            break
+        # APPn / COM / anything else: skipped per spec
+    if sof is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = sof
+    scomps, pos = scan
+    if len(scomps) != len(comps):
+        raise ValueError("SOS/SOF component mismatch")
+    if len(comps) not in (1, 3):
+        raise ValueError(f"{len(comps)} components unsupported (1 or 3)")
+    # split the entropy stream at restart markers, unstuffing 0xFF00
+    segs, cur = [], bytearray()
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0xFF:
+            m = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break  # next real marker (EOI)
+        cur.append(b)
+        pos += 1
+    segs.append(bytes(cur))
+    B = _dct_basis()
+    zz_r = [r for r, _ in _ZIGZAG]
+    zz_c = [c for _, c in _ZIGZAG]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [np.zeros((ph, pw), dtype=np.uint8) for _ in comps]
+    tabs = []
+    for (cid_s, tsel), (cid_f, tq) in zip(scomps, comps):
+        if cid_s != cid_f:
+            raise ValueError("scan component order differs from frame")
+        if tq not in quant:
+            raise ValueError(f"missing quant table {tq}")
+        dc_t, ac_t = huff.get((0, tsel >> 4)), huff.get((1, tsel & 15))
+        if dc_t is None or ac_t is None:
+            raise ValueError("missing Huffman table referenced by SOS")
+        tabs.append((dc_t, ac_t, quant[tq]))
+    n_mcu = (ph // 8) * (pw // 8)
+    seg_i = 0
+    br = _BitReader(segs[0])
+    dc_pred = [0] * len(comps)
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart marker")
+            br = _BitReader(segs[seg_i])
+            dc_pred = [0] * len(comps)
+        by, bx = divmod(mcu, pw // 8)
+        for ci, (dc_t, ac_t, q) in enumerate(tabs):
+            zz = np.zeros(64, dtype=np.int64)
+            t = br.decode_symbol(dc_t)
+            dc_pred[ci] += _extend(br.read(t), t)
+            zz[0] = dc_pred[ci]
+            k = 1
+            while k < 64:
+                sym = br.decode_symbol(ac_t)
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(br.read(s), s)
+                k += 1
+            Fq = np.zeros((8, 8), dtype=np.float64)
+            Fq[zz_r, zz_c] = zz
+            blk = B.T @ (Fq * q) @ B + 128.0
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.floor(blk + 0.5), 0, 255
+            ).astype(np.uint8)
+    cropped = [p[:h, :w] for p in planes]
+    if len(cropped) == 1:
+        return w, h, 1, cropped[0]
+    rgb = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
+    return w, h, 3, rgb.reshape(h, w * 3)
+
+
+JPEG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_components", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("raster_sha256", T.StringType(), True),
+    ]
+)
+
+
+def extract_jpeg_features(df: DataFrame) -> DataFrame:
+    """media rows with JPEG payloads -> decoded features: dimensions,
+    component count, exact pixel sum, and the sha256 of the decoded
+    raster bytes — only reproducible if marker parsing, Huffman
+    decoding, dequantization, and the IDCT are all correct, the same
+    strong-check contract as ``extract_png_features``. Arrow-batched
+    mapInPandas; payloads never leave the executors."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                w, h, nc, raster = decode_jpeg(bytes(p))
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        nc,
+                        int(raster.sum(dtype="uint64")),
+                        hashlib.sha256(raster.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_components",
+                    "pixel_sum", "raster_sha256",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=JPEG_FEATURES_SCHEMA
     )

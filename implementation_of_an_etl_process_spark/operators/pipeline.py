@@ -253,6 +253,7 @@ def weighted_sample_per_group(
     k: int,
     *,
     seed: str = "wg1",
+    salt: int | None = None,
 ) -> DataFrame:
     """A-ES weighted sampling without replacement, k PER GROUP — the
     stratified form every mixture pipeline wants ("best 10k docs per
@@ -267,19 +268,43 @@ def weighted_sample_per_group(
     (TakeOrderedAndProject); per-group cannot be, but the window
     carries only rank state — no collect, no per-group materialization
     beyond the winners. Measured at 50M rows / 20 groups: 9.6s vs the
-    global path's 6.6s — the +45% is the group shuffle. Parallelism is
-    capped by the number of groups (20 groups = 20 window tasks); with
-    FEW, HUGE groups and a small k, prefer running the global sampler
-    once per group value (broadcast-filter loop) or add a salt +
-    re-rank stage."""
+    global path's 6.6s — the +45% is the group shuffle.
+
+    Parallelism is capped by the number of groups (20 groups = 20
+    window tasks). With FEW, HUGE groups and a small k, pass ``salt=s``
+    to split each group into s deterministic sub-groups (xxhash64 of
+    the id — any row-pure split preserves the result): stage 1 ranks
+    per (group, salt) with n_groups x s parallel tasks, stage 2
+    re-ranks only the <= n_groups x s x k survivors. EXACT by
+    construction — every global top-k row is top-k within its own
+    sub-group, so stage 1 never drops a winner, and the final rank
+    uses the identical (key desc, id asc) order; the battery gate
+    (``weighted_sample_per_lang``) hash-checks the salted path against
+    the unsalted oracle. Measured at 50M rows / 4 groups, rank stage
+    over staged keys (ABAB min): salt=8 7.2s -> 5.6s vs the
+    group-capped window (BASELINE_NOTES r10; end-to-end the md5 key
+    computation dominates at this scale, so the gap shrinks)."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    keyed = df.withColumn("_aes_key", _aes_key(id_col, weight_col, seed))
+    if salt is not None and salt > 1:
+        w1 = W.partitionBy(group_col, "_aes_salt").orderBy(
+            F.col("_aes_key").desc(), F.col(id_col).asc()
+        )
+        keyed = (
+            keyed.withColumn(
+                "_aes_salt",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)),
+            )
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k)
+            .drop("_aes_salt", "_rn")
+        )
     w = W.partitionBy(group_col).orderBy(
         F.col("_aes_key").desc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("_aes_key", _aes_key(id_col, weight_col, seed))
-        .withColumn("_rn", F.row_number().over(w))
+        keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_aes_key", "_rn")
     )

@@ -369,11 +369,12 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     LANGUAGE — the stratified subsetting move ("best k per
     language/source") a mixture pipeline runs after global curation.
     One shuffle on the group key; identical quantized keys on both
-    engines."""
+    engines. Runs the SALTED path (salt=4) against the UNSALTED
+    oracle — the hash match is the proof that salting is exact."""
     return (
         P.weighted_sample_per_group(
             _docs(spark, sf_dir), "doc_id", "n_chars", "lang", 20,
-            seed="wg1",
+            seed="wg1", salt=4,
         )
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")

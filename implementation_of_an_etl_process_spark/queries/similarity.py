@@ -496,6 +496,103 @@ SELECT {_N_QUERY_VECS} AS n_queries,
 """
 
 
+# measured 94% sf0.001 / 94% sf0.01 / 96% sf0.1 at 16 cells, 12
+# probes, m=16 K=64, shortlist=50 + exact re-rank. Unlike flat PQ
+# (which scans every code), IVF-PQ recall is CAPPED by coarse-probe
+# coverage — and the synthetic embeddings are uniform-random, the
+# worst case for any coarse quantizer (8/16 probes measured only
+# 82%: true neighbors land in unprobed cells at ~the unprobed mass
+# fraction). 12/16 probes clears the flat-PQ 90% bar with margin
+# here; a real (clustered) corpus gets the same recall at far
+# smaller probe fractions — that gap is data structure, not the
+# operator.
+_IVFPQ_RECALL_FLOOR_PCT = 90
+
+
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the COMPOSED IVF-PQ path (`encode_ivfpq` /
+    `ivfpq_topk` — coarse inverted lists -> in-list ADC -> exact
+    re-rank, the standard 10^9-vector ANN stack): recall@5 vs the
+    brute-force baseline, same loud-failure contract as the IVF/PQ
+    gates — emits the pinned floor when cleared, else the measured
+    percentage so a regression shows its number in the hash diff.
+    Both training stages are the DISTRIBUTED trainers (seeded Spark ML
+    KMeans over bounded sample DataFrames; no vector collect), and the
+    codebooks train on coarse RESIDUALS — the textbook IVFADC layout
+    the operator defaults to."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    cents = S.train_ivf_centroids(
+        emb,
+        corpus_vec="embedding",
+        corpus_id="vec_id",
+        n_cells=16,
+        n_train=4096,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb,
+        corpus_vec="embedding",
+        corpus_id="vec_id",
+        m=16,
+        n_codes=64,
+        dim=_EMB_DIM,
+        centroids=cents,
+    )
+    index = S.encode_ivfpq(
+        emb, books, cents, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    pq = S.ivfpq_topk(
+        q,
+        emb,
+        index,
+        books,
+        cents,
+        query_id="vec_id",
+        query_vec="embedding",
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        k=5,
+        n_probe=12,
+        shortlist=50,
+    )
+    exact = S.brute_force_topk(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        query_id="qid",
+        query_vec="qvec",
+        corpus_id="cid",
+        corpus_vec="cvec",
+        k=5,
+    )
+    hits = pq.join(exact, ["qid", "cid"], "left_semi")
+    return (
+        hits.agg(F.count(F.lit(1)).alias("_hits"))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("_total"),
+                F.countDistinct("qid").alias("_nq"),
+            )
+        )
+        .select(
+            F.col("_nq").cast("int").alias("n_queries"),
+            F.when(
+                (F.col("_hits") * 100 / F.col("_total"))
+                >= _IVFPQ_RECALL_FLOOR_PCT,
+                F.lit(_IVFPQ_RECALL_FLOOR_PCT),
+            )
+            .otherwise(F.floor(F.col("_hits") * 100 / F.col("_total")))
+            .cast("int")
+            .alias("recall_pct_floor"),
+        )
+    )
+
+
+IVFPQ_RECALL_SQL = f"""
+SELECT {_N_QUERY_VECS} AS n_queries,
+       {_IVFPQ_RECALL_FLOOR_PCT} AS recall_pct_floor
+"""
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding space, computed in the
     exploded (label, dim) plane: posexplode the quantized vector and
@@ -651,6 +748,7 @@ QUERIES = {
     "similarity_ivf_topk": similarity_ivf_topk,
     "similarity_ivf_recall": similarity_ivf_recall,
     "similarity_ivf_arrow_recall": similarity_ivf_arrow_recall,
+    "similarity_ivfpq_recall": similarity_ivfpq_recall,
 }
 
 ORACLES = {
@@ -663,4 +761,5 @@ ORACLES = {
     "similarity_ivf_topk": IVF_TOPK_SQL,
     "similarity_ivf_recall": IVF_RECALL_SQL,
     "similarity_ivf_arrow_recall": IVF_ARROW_RECALL_SQL,
+    "similarity_ivfpq_recall": IVFPQ_RECALL_SQL,
 }

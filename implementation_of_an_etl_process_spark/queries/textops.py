@@ -699,6 +699,84 @@ FROM agg ORDER BY media_id
 """
 
 
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-image decoding under the driver gate: each doc gets a
+    grayscale raster of 8x8-constant blocks with EVEN values
+    (v = 32 + 2 * ((doc_id*7 + bx*13 + by*29) % 48)), JPEG-ENCODED
+    executor-side (baseline sequential: float DCT, quantization,
+    canonical Huffman, byte stuffing), then ``extract_jpeg_features``
+    walks the markers, entropy-decodes, dequantizes, and runs the IDCT.
+    The oracle predicts the DECODED raster independently: with the
+    default Q00=16 table, a constant even-valued block is a fixed
+    point of the lossy roundtrip (all ACs quantize to zero; the DC
+    code is exact for even values — odd values sit on the quantizer's
+    half-code boundary, which is why the rule emits even ones), so
+    decoded == generated, byte for byte, through a REAL lossy codec.
+    Any defect in either side (a Huffman length, a stuffing byte, a
+    DC prediction reset, the IDCT scale) changes pixel_sum or the
+    sha256."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (8 * (1 + F.col("doc_id") % 3)).cast("int").alias("w"),
+        (8 * (1 + (F.col("doc_id") / 3).cast("long") % 3)).cast("int").alias("h"),
+    )
+
+    def make_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                did, w, h = int(did), int(w), int(h)
+                bx = np.arange(w // 8)
+                by = np.arange(h // 8)
+                v = (
+                    32 + 2 * ((did * 7 + bx[None, :] * 13 + by[:, None] * 29) % 48)
+                ).astype(np.uint8)
+                raster = np.kron(v, np.ones((8, 8), np.uint8))
+                ids.append(did)
+                blobs.append(M.encode_jpeg(raster))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    payloads = d.mapInPandas(make_jpeg, "doc_id long, blob binary")
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "image")
+    return M.extract_jpeg_features(media).orderBy("media_id")
+
+
+MULTIMODAL_JPEG_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         8 * (1 + doc_id % 3) AS w,
+         8 * (1 + (doc_id // 3) % 3) AS h
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id, w, h,
+         unnest(range(0, CAST(w * h AS BIGINT))) AS i
+  FROM d
+), v AS (
+  SELECT doc_id, w, h, i,
+         32 + 2 * ((doc_id * 7 + ((i % w) // 8) * 13
+                    + ((i // w) // 8) * 29) % 48) AS val
+  FROM px
+), agg AS (
+  SELECT doc_id, w, h,
+         SUM(val) AS pixel_sum,
+         string_agg(chr(CAST(val AS INTEGER)), '' ORDER BY i) AS raster
+  FROM v GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       1 AS n_components,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       sha256(raster) AS raster_sha256  -- values <= 126: VARCHAR bytes == raster bytes
+FROM agg ORDER BY media_id
+"""
+
+
 def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decoding under the driver gate: each doc gets a
     deterministic PCM-16 mono waveform (sample[i] = ((i*k + c) % 191)
@@ -1296,6 +1374,7 @@ QUERIES = {
     "web_pipeline_stats": web_pipeline_stats,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
@@ -1326,6 +1405,7 @@ ORACLES = {
     "web_pipeline_stats": WEB_PIPELINE_SQL,
     "winnow_overlap_pairs": WINNOW_PAIRS_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
+    "multimodal_jpeg_decode": MULTIMODAL_JPEG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,

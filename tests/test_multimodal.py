@@ -455,3 +455,155 @@ def test_energy_hash_wav_real_decode_and_near_pairs(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jpeg_dc_only_roundtrip_is_exact():
+    """8x8-block-constant images with EVEN pixel values roundtrip
+    EXACTLY through the JPEG codec with the default tables: all ACs
+    quantize to zero and the Q00=16 DC roundtrip is the identity on
+    even values (the closed form the battery oracle uses — decoded =
+    v - (v % 2) in general)."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    blocks = np.array([[32, 64, 126], [90, 126, 40]], dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), np.uint8))
+    w, h, nc, out = decode_jpeg(encode_jpeg(img))
+    assert (w, h, nc) == (24, 16, 1)
+    assert (out == img).all()
+    # ODD values sit exactly on the Q00/2 quantization boundary, where
+    # the float DCT's ulp noise picks the side — they land on v - 1 or
+    # v + 1, never anything else. This is WHY the battery's generation
+    # rule emits even values only.
+    odd = np.kron(
+        np.array([[33, 101]], dtype=np.uint8), np.ones((8, 8), np.uint8)
+    )
+    _, _, _, out_odd = decode_jpeg(encode_jpeg(odd))
+    assert (np.abs(out_odd.astype(int) - odd.astype(int)) == 1).all()
+
+
+def test_jpeg_decoder_matches_independent_reference():
+    """decode(encode(X)) must equal an INDEPENDENT loop-based
+    DCT -> quantize -> dequantize -> IDCT reference (shares only the
+    quantization convention, none of the codec's matrix/Huffman code)
+    within the float .5-boundary tolerance — this exercises the full
+    AC path: run lengths, ZRL, EOB, multi-category Huffman codes."""
+    import math
+
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        JPEG_LUMA_QUANT,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def ref_pipeline(img, Q):
+        h, w = img.shape
+        out = np.zeros_like(img)
+        cs = [1 / math.sqrt(2)] + [1.0] * 7
+        cos = [
+            [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+            for u in range(8)
+        ]
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                X = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                    float
+                ) - 128.0
+                R = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        s = sum(
+                            X[x, y] * cos[u][x] * cos[v][y]
+                            for x in range(8)
+                            for y in range(8)
+                        )
+                        f = 0.25 * cs[u] * cs[v] * s
+                        q = math.copysign(
+                            math.floor(abs(f) / Q[u][v] + 0.5), f
+                        )
+                        fd = q * Q[u][v]
+                        for x in range(8):
+                            for y in range(8):
+                                R[x, y] += (
+                                    0.25 * cs[u] * cs[v] * fd
+                                    * cos[u][x] * cos[v][y]
+                                )
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.floor(R + 128.5), 0, 255
+                )
+        return out
+
+    x = np.arange(24)
+    y = np.arange(16)
+    g = ((x[None, :] * 5 + y[:, None] * 9) % 200 + 20).astype(np.uint8)
+    want = ref_pipeline(g, JPEG_LUMA_QUANT)
+    w, h, nc, got = decode_jpeg(encode_jpeg(g))
+    assert (w, h, nc) == (24, 16, 1)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
+
+
+def test_jpeg_color_and_odd_dims_roundtrip():
+    """4:4:4 color roundtrips within quantization tolerance on a
+    smooth raster; non-multiple-of-8 dims crop back exactly."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    x = np.arange(24)
+    y = np.arange(16)
+    base = (40 + x[None, :] * 3 + y[:, None] * 2).astype(np.uint8)  # smooth
+    rgb = np.stack([base, base // 2 + 30, np.full_like(base, 90)], axis=-1)
+    w, h, nc, out = decode_jpeg(encode_jpeg(rgb))
+    assert (w, h, nc) == (24, 16, 3)
+    err = np.abs(
+        out.reshape(16, 24, 3).astype(int) - rgb.astype(int)
+    ).max()
+    assert err <= 12, err  # chroma transform + quantization, smooth image
+    odd = base[:13, :19]
+    w2, h2, nc2, out2 = decode_jpeg(encode_jpeg(odd))
+    assert (w2, h2, nc2) == (19, 13, 1)
+    assert np.abs(out2.astype(int) - odd.astype(int)).max() <= 12
+
+
+def test_jpeg_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.kron(
+        np.array([[50, 100]], dtype=np.uint8), np.ones((8, 8), np.uint8)
+    )
+    jpg = encode_jpeg(img)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"definitely not a jpeg")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(jpg[:40])
+    # flip a bit INSIDE the entropy stream: either an invalid Huffman
+    # code, a run past the block end, or a truncated stream — never a
+    # silent wrong raster with a crashed shape
+    bad = bytearray(jpg)
+    bad[-6] ^= 0x55
+    try:
+        _, _, _, out = decode_jpeg(bytes(bad))
+        assert out.shape == (8, 16)  # decoded something block-shaped
+    except ValueError:
+        pass
+    # progressive SOF must be rejected loudly
+    sof2 = bytearray(jpg)
+    i = sof2.find(b"\xff\xc0")
+    sof2[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(sof2))

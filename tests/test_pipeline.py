@@ -294,3 +294,36 @@ def test_weighted_sample_oracle_boundary_margin(spark):
         k = 100
         gap = keys[k - 1] - keys[k]
         assert gap > 1e-9 * abs(keys[k - 1]), (sf_dir, gap, keys[k - 1])
+
+
+def test_weighted_sample_per_group_salted_is_exact(spark):
+    """The salted two-stage path returns EXACTLY the unsalted result
+    for several salt factors (including salts larger than any group),
+    on every column — salting is a parallelism rewrite, not an
+    approximation."""
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        weighted_sample_per_group,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = sorted(
+        (r["lang"], r["doc_id"], r["n_chars"])
+        for r in weighted_sample_per_group(
+            docs, "doc_id", "n_chars", "lang", 7, seed="g9"
+        ).select("lang", "doc_id", "n_chars").collect()
+    )
+    for s in (2, 8, 64):
+        salted = sorted(
+            (r["lang"], r["doc_id"], r["n_chars"])
+            for r in weighted_sample_per_group(
+                docs, "doc_id", "n_chars", "lang", 7, seed="g9", salt=s
+            ).select("lang", "doc_id", "n_chars").collect()
+        )
+        assert salted == base, f"salt={s} diverged"
+    # salt=1 / None are the single-stage path
+    assert sorted(
+        (r["lang"], r["doc_id"], r["n_chars"])
+        for r in weighted_sample_per_group(
+            docs, "doc_id", "n_chars", "lang", 7, seed="g9", salt=1
+        ).select("lang", "doc_id", "n_chars").collect()
+    ) == base

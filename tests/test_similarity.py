@@ -339,3 +339,70 @@ def test_arrow_exclude_self_masks_before_truncation(spark):
         ).collect()
     }
     assert ivf == expr
+
+
+def test_ivfpq_composed_recall_and_index_shape(spark):
+    """The composed IVF-PQ path (encode_ivfpq -> ivfpq_topk): the index
+    carries exactly one (cell, codes) row per corpus vector, full-probe
+    IVF-PQ equals flat PQ (the coarse stage only PRUNES — with every
+    cell probed it must change nothing), and partial probing keeps the
+    gate-level recall."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    books = S.train_pq_codebooks(
+        emb, corpus_vec="embedding", corpus_id="vec_id", m=16, n_codes=64
+    )
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=16, n_train=4096,
+    )
+    index = S.encode_ivfpq(
+        emb, books, cents, corpus_id="vec_id", corpus_vec="embedding",
+        residual=False,
+    )
+    n = emb.count()
+    assert index.count() == n
+    assert index.select("cid").distinct().count() == n
+    cells = {r["cell"] for r in index.select("cell").distinct().collect()}
+    assert cells <= set(range(16))
+    kw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, shortlist=50,
+    )
+    # NON-RESIDUAL mode, full probe == flat PQ row-for-row (same codes,
+    # same ADC, same re-rank; the only difference is the cell grouping)
+    enc_flat = S.encode_pq(
+        emb, books, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    flat = {
+        (r.qid, r.cid, r.score, r.rank)
+        for r in S.pq_topk(q, emb, enc_flat, books, **kw).collect()
+    }
+    full = {
+        (r.qid, r.cid, r.score, r.rank)
+        for r in S.ivfpq_topk(
+            q, emb, index, books, cents, n_probe=16, residual=False, **kw
+        ).collect()
+    }
+    assert full == flat
+    # RESIDUAL mode (the default / textbook IVFADC): residual-trained
+    # codebooks, partial probing, gate-level recall vs exact
+    exact = S.brute_force_topk(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        query_id="qid", query_vec="qvec", corpus_id="cid", corpus_vec="cvec",
+        k=5,
+    )
+    books_r = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=64, dim=64, centroids=cents,
+    )
+    index_r = S.encode_ivfpq(
+        emb, books_r, cents, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    part = S.ivfpq_topk(q, emb, index_r, books_r, cents, n_probe=12, **kw)
+    hits = part.join(exact, ["qid", "cid"], "left_semi").count()
+    total = exact.count()
+    assert total == 50
+    assert hits / total >= 0.9, f"IVF-PQ recall {hits / total}"

@@ -6,6 +6,12 @@ the one group-key shuffle per-group semantics require. Checks the
 exact per-group contract (k winners per group) and records the cost
 of that shuffle at 50M rows / 20 groups.
 
+Round-10 leg: FEW HUGE GROUPS (4 groups at 50M rows), where the plain
+window's parallelism is capped at 4 tasks — the salted two-stage path
+(salt=8 -> 32 stage-1 tasks, stage-2 re-rank over <= 4*8*k survivors)
+must beat it while producing the BYTE-IDENTICAL sample (asserted via
+an order-insensitive checksum of the winner set).
+
 Usage: python tools/fullscale_sample.py [n_rows] [k_per_group]
 """
 
@@ -70,6 +76,79 @@ def main() -> None:
         f"(ONE group-key shuffle + rank window; exact k per group)",
         flush=True,
     )
+
+    # few-huge-groups leg: 4 groups, window parallelism capped at 4.
+    # End-to-end at 50M rows the md5 A-ES key computation dominates
+    # (the zero-shuffle global leg costs the same ~7s), so the rank
+    # stage is isolated: keys are STAGED to parquet once (the repo's
+    # measured-stage discipline — parquet, not resident checkpoints)
+    # and the two rank paths are ABAB-timed over the staged table.
+    import shutil
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="aes_stage_")
+    try:
+        few = rows.withColumn(
+            "grp", F.concat(F.lit("g"), F.pmod(F.col("doc_id"), F.lit(4)))
+        )
+        from implementation_of_an_etl_process_spark.operators.pipeline import (
+            _aes_key,
+        )
+
+        few.withColumn(
+            "_aes_key", _aes_key("doc_id", "n_chars", "fs2")
+        ).write.mode("overwrite").parquet(stage_dir)
+        staged = spark.read.parquet(stage_dir)
+
+        from pyspark.sql import Window as W
+
+        def _rank(salt):
+            keyed = staged
+            if salt:
+                w1 = W.partitionBy("grp", "_aes_salt").orderBy(
+                    F.col("_aes_key").desc(), F.col("doc_id").asc()
+                )
+                keyed = (
+                    keyed.withColumn(
+                        "_aes_salt",
+                        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt)),
+                    )
+                    .withColumn("_rn", F.row_number().over(w1))
+                    .filter(F.col("_rn") <= K)
+                    .drop("_aes_salt", "_rn")
+                )
+            w = W.partitionBy("grp").orderBy(
+                F.col("_aes_key").desc(), F.col("doc_id").asc()
+            )
+            t0 = time.monotonic()
+            got = (
+                keyed.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= K)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("grp", "doc_id")).alias("h"),
+                )
+                .first()
+            )
+            return time.monotonic() - t0, got["n"], got["h"]
+
+        runs = [(_rank(None), "plain"), (_rank(8), "salt8"),
+                (_rank(None), "plain"), (_rank(8), "salt8")]
+        t_plain = min(t for (t, _, _), tag in runs if tag == "plain")
+        t_salt = min(t for (t, _, _), tag in runs if tag == "salt8")
+        sigs = {(n, h) for (_, n, h), _ in runs}
+        assert len(sigs) == 1 and next(iter(sigs))[0] == K * 4, (
+            "salted sample diverged from unsalted"
+        )
+        print(
+            f"few-huge-groups rank stage (4 groups, staged keys, "
+            f"ABAB min): plain window {t_plain:.1f}s (4 rank tasks) vs "
+            f"salt=8 two-stage {t_salt:.1f}s (32 stage-1 tasks); "
+            f"winner sets checksum-identical",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
