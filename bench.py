@@ -39,6 +39,10 @@ HEADLINE = [
     "text_quality",
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
+    # layout family: co-located join with zero join-side Exchange (the
+    # entry asserts that on its own plan). First pass pays the one-time
+    # bucketed write; the min-of-N floor reflects the steady-state read.
+    "bucketed_join_orders",
 ]
 
 # ``bench.py --tpch``: interleaved min-of-N floors for ALL 22 TPC-H

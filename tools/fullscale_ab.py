@@ -170,8 +170,13 @@ def main() -> None:
     decode_times: list[float] = []
     if WITH_DUCKDB:
         times["duckdb"] = []
+    legs = (
+        (("packed", True), ("generic", False))
+        if "--packed-first" in sys.argv
+        else (("generic", False), ("packed", True))
+    )
     for r in range(ROUNDS):
-        for name, packed in (("generic", False), ("packed", True)):
+        for name, packed in legs:
             out = f"/tmp/ab_{name}.csv"
             dt = run(packed, out)
             times[name].append(dt)
