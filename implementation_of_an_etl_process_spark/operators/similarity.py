@@ -1047,3 +1047,196 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "score", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF-PQ index: the steady-state shape of a growing corpus.
+# A 10^9-vector deployment does not re-encode on every ingest — it
+# freezes the coarse centroids + codebooks once (model drift is a
+# re-index event, not an append), encodes each NEW batch with the
+# frozen model, and appends only the touched cell partitions. Same
+# lifecycle discipline as the dedup index (dedup.py::write_dedup_index):
+# meta sidecar pins the model, a _pending_append marker makes torn
+# appends loud instead of silently-partial.
+
+
+def _ivfpq_meta(codebooks, centroids, residual: bool, corpus_id: str) -> dict:
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    return {
+        "m": int(books.shape[0]),
+        "n_codes": int(books.shape[1]),
+        "sub": int(books.shape[2]),
+        "residual": bool(residual),
+        "id_col": corpus_id,
+        # full-precision float lists: json round-trips float64 exactly
+        # (repr shortest-roundtrip), so reloaded books encode the same
+        # codes bit-for-bit as the originals
+        "codebooks": books.tolist(),
+        "centroids": [[float(x) for x in c] for c in centroids],
+    }
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    codebooks,
+    centroids: list[list[float]],
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+    residual: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF-PQ index at ``path``: (cid, codes) parquet
+    PARTITIONED BY cell (so :func:`ivfpq_topk`'s probe filter is
+    directory pruning — asserted in tests/test_plans.py) plus a
+    ``meta.json`` sidecar pinning the frozen model. ``mode="append"``
+    encodes a new batch with the index's OWN stored model and adds only
+    the touched cell partitions — the steady-state ingest loop; it
+    refuses an index built with a different model (codes from
+    mismatched codebooks would silently rank garbage). The
+    ``_pending_append`` marker turns a crash mid-append into a loud
+    read-time error rather than a silently partial index."""
+    import json
+    import os
+
+    meta = _ivfpq_meta(codebooks, centroids, residual, corpus_id)
+    pending_path = os.path.join(path, "_pending_append")
+    if mode == "append":
+        existing = _load_ivfpq_meta(path)
+        if existing != meta:
+            raise ValueError(
+                f"ivfpq index at {path} was built with a different "
+                "model (m/n_codes/residual/codebooks/centroids must "
+                "match exactly) — re-encode with the stored model via "
+                "append_ivfpq_index, or rebuild with mode='overwrite'"
+            )
+        if os.path.exists(pending_path):
+            raise ValueError(
+                f"ivfpq index at {path} has a torn append "
+                "(_pending_append present) — rebuild with "
+                "mode='overwrite'"
+            )
+        with open(pending_path, "w") as f:
+            f.write("append in progress\n")
+    else:
+        os.makedirs(path, exist_ok=True)
+        if os.path.exists(pending_path):
+            os.remove(pending_path)  # fresh overwrite repairs torn state
+        # meta FIRST (crash leaves meta-without-data -> loud at read)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    import numpy as np
+
+    encode_ivfpq(
+        corpus,
+        np.asarray(codebooks, dtype=np.float64),
+        centroids,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        residual=residual,
+    ).write.mode(mode).partitionBy("cell").parquet(os.path.join(path, "codes"))
+    if mode == "append":
+        os.remove(pending_path)
+
+
+def _load_ivfpq_meta(path: str) -> dict:
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no meta.json at {path}: ivfpq index incomplete or never "
+            "built — build with write_ivfpq_index(mode='overwrite')"
+        )
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def append_ivfpq_index(
+    corpus_batch: DataFrame,
+    path: str,
+    *,
+    corpus_vec: str,
+) -> None:
+    """Append a new batch using the index's OWN frozen model — the
+    ingest-loop entry point (no way to pass mismatched codebooks).
+    Id uniqueness across batches is the caller's contract, exactly as
+    with the dedup index: re-appending an id yields two index rows for
+    it (both scoring identically)."""
+    import numpy as np
+
+    meta = _load_ivfpq_meta(path)
+    write_ivfpq_index(
+        corpus_batch,
+        path,
+        np.asarray(meta["codebooks"], dtype=np.float64),
+        meta["centroids"],
+        corpus_id=meta["id_col"],
+        corpus_vec=corpus_vec,
+        residual=meta["residual"],
+        mode="append",
+    )
+
+
+def read_ivfpq_index(spark, path: str):
+    """Load (index_df, codebooks, centroids, residual) from ``path``,
+    refusing torn-append state. The returned frame is the partitioned
+    parquet read — probe filters prune directories."""
+    import os
+
+    import numpy as np
+
+    meta = _load_ivfpq_meta(path)
+    if os.path.exists(os.path.join(path, "_pending_append")):
+        raise ValueError(
+            f"ivfpq index at {path} has a torn append (_pending_append "
+            "present): the last batch may be partially written — "
+            "rebuild with mode='overwrite'"
+        )
+    index = spark.read.parquet(os.path.join(path, "codes"))
+    return (
+        index,
+        np.asarray(meta["codebooks"], dtype=np.float64),
+        meta["centroids"],
+        bool(meta["residual"]),
+    )
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int = 10,
+    n_probe: int = 8,
+    shortlist: int = 100,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted index end to end: load model + codes, probe,
+    ADC, exact re-rank against ``corpus`` (the true vectors — the index
+    never stores them)."""
+    index, books, cents, residual = read_ivfpq_index(spark, path)
+    return ivfpq_topk(
+        queries,
+        corpus,
+        index,
+        books,
+        cents,
+        query_id=query_id,
+        query_vec=query_vec,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        k=k,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        exclude_self=exclude_self,
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.operators import similarity as S
@@ -406,3 +407,77 @@ def test_ivfpq_composed_recall_and_index_shape(spark):
     total = exact.count()
     assert total == 50
     assert hits / total >= 0.9, f"IVF-PQ recall {hits / total}"
+
+
+def test_ivfpq_persisted_index_incremental_equals_oneshot(spark, tmp_path):
+    """The steady-state ingest loop: an index built as base-write +
+    frozen-model append must answer queries ROW-IDENTICALLY to a
+    one-shot encode of the full corpus — encoding is deterministic per
+    vector given the frozen model, so incrementality can't cost
+    accuracy. Also pins the lifecycle guards: torn-append marker
+    refuses reads/appends, missing meta refuses reads, and a
+    mismatched model refuses append."""
+    import numpy as np
+
+    emb = _emb(spark)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=16, n_train=4096,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=64, dim=64, centroids=cents,
+    )
+    path = str(tmp_path / "idx")
+    cut = 300
+    S.write_ivfpq_index(
+        emb.filter(F.col("vec_id") < cut), path, books, cents,
+        corpus_id="vec_id", corpus_vec="embedding",
+    )
+    S.append_ivfpq_index(
+        emb.filter(F.col("vec_id") >= cut), path, corpus_vec="embedding"
+    )
+    index, books2, cents2, residual = S.read_ivfpq_index(spark, path)
+    assert residual is True
+    assert np.array_equal(books2, books)  # exact json round-trip
+    assert cents2 == [[float(x) for x in c] for c in cents]
+    assert index.count() == emb.count()
+    kw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, n_probe=12, shortlist=50,
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    got = {
+        tuple(r)
+        for r in S.ivfpq_query_index(spark, path, q, emb, **kw).collect()
+    }
+    oneshot = S.encode_ivfpq(
+        emb, books, cents, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    want = {
+        tuple(r)
+        for r in S.ivfpq_topk(q, emb, oneshot, books, cents, **kw).collect()
+    }
+    assert got == want
+
+    # model-mismatch guard: append under perturbed codebooks refuses
+    with pytest.raises(ValueError, match="different model"):
+        S.write_ivfpq_index(
+            emb.limit(1), path, books + 1e-9, cents,
+            corpus_id="vec_id", corpus_vec="embedding", mode="append",
+        )
+    # torn-append guard: marker present -> read and append both refuse
+    marker = tmp_path / "idx" / "_pending_append"
+    marker.write_text("append in progress\n")
+    with pytest.raises(ValueError, match="torn append"):
+        S.read_ivfpq_index(spark, path)
+    with pytest.raises(ValueError, match="torn append"):
+        S.write_ivfpq_index(
+            emb.limit(1), path, books, cents,
+            corpus_id="vec_id", corpus_vec="embedding", mode="append",
+        )
+    marker.unlink()
+    # never-built guard
+    with pytest.raises(ValueError, match="no meta.json"):
+        S.read_ivfpq_index(spark, str(tmp_path / "nope"))
