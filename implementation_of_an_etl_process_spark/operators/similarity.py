@@ -942,10 +942,17 @@ def ivfpq_topk(
        (a cid-keyed join that reads only shortlist rows per query) and
        the final top-k ranks on the oracle-exact quantized-int cosine.
 
-    vs flat :func:`pq_topk`: identical ADC math, but stage 1 skips
-    (n_cells - n_probe)/n_cells of the code scan — measured 2.8x at 2M
-    vectors with 64 cells / 8 probes (BASELINE_NOTES r10), converging
-    to the probe fraction as the corpus grows."""
+    vs flat :func:`pq_topk`: identical ADC math, but (a) each cell's
+    rows score only the queries PROBING that cell (flat scores every
+    query against every row), and (b) stage 1 skips the cells no query
+    probes. How much (b) prunes depends on the probe-list UNION across
+    the query batch, not n_probe/n_cells: 100 queries spanning every
+    cluster probe all 64 cells (union 1.00 — no scan pruning, yet
+    still 2.0x from (a)), while a 20-query single-cluster batch scans
+    0.31 of the corpus (measured at 2M vectors, BASELINE_NOTES r10;
+    tools/fullscale_ann.py prints the union fraction per leg). At
+    corpus scales where the scan dominates the fixed window/re-rank
+    cost, (b) converges to the union fraction."""
     import numpy as np
 
     m, n_codes, sub = codebooks.shape
@@ -1130,6 +1137,14 @@ def write_ivfpq_index(
             json.dump(meta, f)
     import numpy as np
 
+    # repartition by cell BEFORE the partitioned write: without it,
+    # every input partition sprays a file into every cell directory
+    # (measured 2,018 files for a 64-cell 2M-vector index vs 33 flat),
+    # and the probe scan's per-file Arrow overhead then DWARFS the ADC
+    # (39.6s vs 4.4s flat — the pruning win inverted). One task per
+    # cell -> one file per cell; at corpus sizes where a single cell
+    # outgrows one file, raise spark.sql.shuffle.partitions and salt
+    # the repartition key.
     encode_ivfpq(
         corpus,
         np.asarray(codebooks, dtype=np.float64),
@@ -1137,7 +1152,9 @@ def write_ivfpq_index(
         corpus_id=corpus_id,
         corpus_vec=corpus_vec,
         residual=residual,
-    ).write.mode(mode).partitionBy("cell").parquet(os.path.join(path, "codes"))
+    ).repartition(F.col("cell")).write.mode(mode).partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
     if mode == "append":
         os.remove(pending_path)
 

@@ -200,29 +200,100 @@ def main() -> None:
     t0 = time.monotonic()
     S.encode_ivfpq(
         emb, books_r, cents, corpus_id="vec_id", corpus_vec="embedding"
-    ).write.mode("overwrite").partitionBy("cell").parquet(idx_path)
+    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(idx_path)  # 1 file/cell: see write_ivfpq_index
     t_enc_ivf = time.monotonic() - t0
     index = spark.read.parquet(idx_path)
-    t0 = time.monotonic()
-    comp = (
-        S.ivfpq_topk(
-            q, emb, index, books_r, cents,
-            query_id="vec_id", query_vec="embedding",
-            corpus_id="vec_id", corpus_vec="embedding",
-            k=K, n_probe=N_PROBE, shortlist=SHORTLIST,
+
+    def pruned_fraction(queries_df) -> float:
+        """What the probe scan actually reads: the UNION of all
+        queries' probe lists, as a fraction of corpus rows. Per-query
+        probing is n_probe/n_cells, but a query batch spanning many
+        clusters probes the union — with 100 queries over all 32
+        clusters that union is 64/64 cells and the 'pruned' scan reads
+        everything. Printing it keeps the speedup claim honest."""
+        import numpy as np
+
+        C = np.array(cents, dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+        Q = np.array(
+            [r.embedding for r in queries_df.collect()], dtype=np.float64
         )
-        .select("qid", "cid")
-        .collect()
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+        s = Qn @ Cn.T
+        qidx = np.argsort(-s[:, ::-1], axis=1, kind="stable")[:, :N_PROBE]
+        probed = sorted({int(c) for row in (N_CELLS - 1 - qidx) for c in row})
+        return index.filter(
+            F.col("cell").isin(probed)
+        ).count() / max(n, 1)
+
+    kw_pq = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=K, shortlist=SHORTLIST,
     )
-    t_ivfpq = time.monotonic() - t0
+    # this host swings 3x on a minutes timescale -> interleaved min-of-2
+    t_ivfpq, t_pq2 = [], []
+    comp = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        comp = (
+            S.ivfpq_topk(
+                q, emb, index, books_r, cents, n_probe=N_PROBE, **kw_pq
+            )
+            .select("qid", "cid")
+            .collect()
+        )
+        t_ivfpq.append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        S.pq_topk(q, emb, encoded, books, **kw_pq).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_pq2.append(time.monotonic() - t0)
     hits_c = sum(1 for r in comp if r.cid in truth.get(r.qid, set()))
+    frac = pruned_fraction(q)
     print(
         f"ivfpq (residual): codebook train {t_books_r:.1f}s, encode "
         f"(cell + codes, one pass) {t_enc_ivf:.1f}s; "
-        f"probe {N_PROBE}/{N_CELLS} cells (partition-pruned scan) + "
-        f"in-list ADC + re-rank {t_ivfpq:.1f}s ({t_pq / t_ivfpq:.2f}x "
-        f"vs flat ADC scan); recall@{K} {hits_c}/{total} = "
-        f"{hits_c / total:.4f} (vs flat {hits_f / total:.4f})",
+        f"probe {N_PROBE}/{N_CELLS} cells/query, scan union "
+        f"{frac:.2f} of corpus; ADC + re-rank min "
+        f"{min(t_ivfpq):.1f}s vs flat min {min(t_pq2):.1f}s "
+        f"(interleaved x2: ivfpq {[round(t,1) for t in t_ivfpq]}, "
+        f"flat {[round(t,1) for t in t_pq2]}); recall@{K} "
+        f"{hits_c}/{total} = {hits_c / total:.4f} "
+        f"(vs flat {hits_f / total:.4f})",
+        flush=True,
+    )
+
+    # --- clustered query batch: where the probe PRUNES -------------------
+    # A batch of queries from ONE cluster probes a union of a few
+    # cells; the partition-pruned scan then reads that fraction of the
+    # index no matter the corpus size — the mechanism a 10^9-vector
+    # deployment's per-tenant / per-topic query batches rely on.
+    qc = emb.filter(
+        (F.col("vec_id") % N_CLUSTERS == 0) & (F.col("vec_id") < 640)
+    )  # 20 queries, all cluster 0
+    t_cl, t_cl_flat = [], []
+    for _ in range(2):
+        t0 = time.monotonic()
+        S.ivfpq_topk(
+            qc, emb, index, books_r, cents, n_probe=N_PROBE, **kw_pq
+        ).write.format("noop").mode("overwrite").save()
+        t_cl.append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        S.pq_topk(qc, emb, encoded, books, **kw_pq).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_cl_flat.append(time.monotonic() - t0)
+    frac_cl = pruned_fraction(qc)
+    print(
+        f"ivfpq clustered batch (20 queries, 1 cluster): scan union "
+        f"{frac_cl:.3f} of corpus; ivfpq min {min(t_cl):.1f}s vs flat "
+        f"ADC-all min {min(t_cl_flat):.1f}s = "
+        f"{min(t_cl_flat) / min(t_cl):.2f}x "
+        f"(interleaved x2: ivfpq {[round(t,1) for t in t_cl]}, "
+        f"flat {[round(t,1) for t in t_cl_flat]})",
         flush=True,
     )
 
@@ -267,28 +338,40 @@ def main() -> None:
     fidx_path = os.path.join(WORKDIR, f"ivfpq_fine_{N_VECS}.parquet")
     S.encode_ivfpq(
         femb, fbooks, fcents, corpus_id="vec_id", corpus_vec="embedding"
-    ).write.mode("overwrite").partitionBy("cell").parquet(fidx_path)
+    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(fidx_path)
     findex = spark.read.parquet(fidx_path)
-    t0 = time.monotonic()
-    fcomp = (
-        S.ivfpq_topk(
-            fq, femb, findex, fbooks, fcents,
-            query_id="vec_id", query_vec="embedding",
-            corpus_id="vec_id", corpus_vec="embedding",
-            k=K, n_probe=N_PROBE, shortlist=50,
+    # Recall on THIS synthetic geometry is floored by construction:
+    # within a cluster every decoy sits at the same noise radius, so
+    # the true top-5 differ from ~3.9k near-ties only in noise
+    # direction — exactly what 8-byte codes quantize away. The recall
+    # EVIDENCE for the operator is the battery's real-data gates
+    # (similarity_*_recall, 90-100% measured); these legs measure the
+    # throughput mechanics, and the shortlist sweep below shows recall
+    # is shortlist-bound (the exact re-rank recovers whatever the ADC
+    # shortlist retains), not a scoring bug.
+    for fsl in (50, 500):
+        t0 = time.monotonic()
+        fcomp = (
+            S.ivfpq_topk(
+                fq, femb, findex, fbooks, fcents,
+                query_id="vec_id", query_vec="embedding",
+                corpus_id="vec_id", corpus_vec="embedding",
+                k=K, n_probe=N_PROBE, shortlist=fsl,
+            )
+            .select("qid", "cid")
+            .collect()
         )
-        .select("qid", "cid")
-        .collect()
-    )
-    t_fivfpq = time.monotonic() - t0
-    fhits = sum(1 for r in fcomp if r.cid in ftruth.get(r.qid, set()))
-    print(
-        f"ivfpq fine (512 clusters, shortlist 50): query "
-        f"{t_fivfpq:.1f}s vs brute force {t_fbf:.1f}s "
-        f"({t_fbf / t_fivfpq:.2f}x); recall@{K} {fhits}/{ftotal} = "
-        f"{fhits / ftotal:.4f}",
-        flush=True,
-    )
+        t_fivfpq = time.monotonic() - t0
+        fhits = sum(1 for r in fcomp if r.cid in ftruth.get(r.qid, set()))
+        print(
+            f"ivfpq fine (512 clusters, shortlist {fsl}): query "
+            f"{t_fivfpq:.1f}s vs brute force {t_fbf:.1f}s "
+            f"({t_fbf / t_fivfpq:.2f}x); recall@{K} {fhits}/{ftotal} = "
+            f"{fhits / ftotal:.4f}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
