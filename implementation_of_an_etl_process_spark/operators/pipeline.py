@@ -270,20 +270,22 @@ def weighted_sample_per_group(
     beyond the winners. Measured at 50M rows / 20 groups: 9.6s vs the
     global path's 6.6s — the +45% is the group shuffle.
 
-    Parallelism is capped by the number of groups (20 groups = 20
-    window tasks). With FEW, HUGE groups and a small k, pass ``salt=s``
-    to split each group into s deterministic sub-groups (xxhash64 of
-    the id — any row-pure split preserves the result): stage 1 ranks
-    per (group, salt) with n_groups x s parallel tasks, stage 2
-    re-ranks only the <= n_groups x s x k survivors. EXACT by
-    construction — every global top-k row is top-k within its own
-    sub-group, so stage 1 never drops a winner, and the final rank
-    uses the identical (key desc, id asc) order; the battery gate
-    (``weighted_sample_per_lang``) hash-checks the salted path against
-    the unsalted oracle. Measured at 50M rows / 4 groups, rank stage
-    over staged keys (ABAB min): salt=8 7.2s -> 5.6s vs the
-    group-capped window (BASELINE_NOTES r10; end-to-end the md5 key
-    computation dominates at this scale, so the gap shrinks)."""
+    Few-huge-groups caveat, RESOLVED by Catalyst on Spark 4: a
+    rank-then-``filter(_rn <= k)`` plan gets a map-side
+    ``WindowGroupLimit`` BEFORE the group-key Exchange (asserted in
+    tests/test_plans.py), so every map task sorts its own partition in
+    parallel and ships only its local top-k per group — the exchange
+    carries <= n_map_tasks x n_groups x k rows and the "n_groups
+    window tasks" only merge that bounded set. The group count
+    therefore does NOT cap the heavy sort's parallelism. Measured at
+    50M rows / 4 groups over staged keys (ABAB min, idle host): plain
+    window 3.4s vs explicit salt=8 two-stage 3.8s — salting is
+    REDUNDANT here, kept only as an escape hatch for engines/planners
+    without the rewrite (pass ``salt=s`` to split each group into s
+    deterministic sub-groups; EXACT by construction — every global
+    top-k row is top-k within its own sub-group, and the battery gate
+    ``weighted_sample_per_lang`` hash-checks the salted path against
+    the unsalted oracle)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     keyed = df.withColumn("_aes_key", _aes_key(id_col, weight_col, seed))

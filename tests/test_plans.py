@@ -406,3 +406,26 @@ def test_ivfpq_probe_is_partition_pruning(spark, tmp_path):
     probed = {int(v) for v in re.findall(r"\d+", m.group(1).split("IN")[-1])}
     assert 0 < len(probed) < n_cells_on_disk
     assert out.count() == 15  # 3 queries x k
+
+
+def test_per_group_sample_rank_is_map_side_limited(spark):
+    """weighted_sample_per_group's scale story: the rank-then-filter
+    plan must carry a WindowGroupLimit BELOW the group-key Exchange —
+    every map task sorts ITS OWN partition and ships only its local
+    top-k per group, so the heavy sort parallelism follows input
+    partitions, not group count (measured: explicit salting is
+    redundant against this rewrite, BASELINE_NOTES r10). If an upgrade
+    ever drops the rewrite, few-huge-groups sampling silently becomes
+    group-count-bounded — this test makes that loud."""
+    from implementation_of_an_etl_process_spark.operators.pipeline import (
+        weighted_sample_per_group,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = weighted_sample_per_group(docs, "doc_id", "n_chars", "lang", 10)
+    plan = explain_str(out)
+    tree = plan.split("\n\n")[0]  # the numbered tree section
+    assert tree.count("WindowGroupLimit") >= 2, tree
+    below_exchange = tree[tree.rindex("Exchange"):]
+    assert "WindowGroupLimit" in below_exchange, tree
