@@ -1095,6 +1095,7 @@ def write_ivfpq_index(
     corpus_vec: str,
     residual: bool = True,
     mode: str = "overwrite",
+    batch_id: int | None = None,
 ) -> None:
     """Materialize the IVF-PQ index at ``path``: (cid, codes) parquet
     PARTITIONED BY cell (so :func:`ivfpq_topk`'s probe filter is
@@ -1105,12 +1106,20 @@ def write_ivfpq_index(
     refuses an index built with a different model (codes from
     mismatched codebooks would silently rank garbage). The
     ``_pending_append`` marker turns a crash mid-append into a loud
-    read-time error rather than a silently partial index."""
+    read-time error rather than a silently partial index.
+
+    ``batch_id`` (append mode) makes retries IDEMPOTENT — the
+    foreachBatch contract: committed ids live in a ``_batches.json``
+    ledger, a re-delivered id is a no-op, and the ledger entry lands
+    INSIDE the ``_pending_append`` window (codes first, then ledger,
+    then marker off), so a crash between codes and ledger is a torn
+    append (loud rebuild), never a silent double-append."""
     import json
     import os
 
     meta = _ivfpq_meta(codebooks, centroids, residual, corpus_id)
     pending_path = os.path.join(path, "_pending_append")
+    ledger_path = os.path.join(path, "_batches.json")
     if mode == "append":
         existing = _load_ivfpq_meta(path)
         if existing != meta:
@@ -1126,6 +1135,10 @@ def write_ivfpq_index(
                 "(_pending_append present) — rebuild with "
                 "mode='overwrite'"
             )
+        if batch_id is not None and os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                if int(batch_id) in json.load(f):
+                    return  # re-delivered micro-batch: already ingested
         with open(pending_path, "w") as f:
             f.write("append in progress\n")
     else:
@@ -1155,6 +1168,18 @@ def write_ivfpq_index(
     ).repartition(F.col("cell")).write.mode(mode).partitionBy("cell").parquet(
         os.path.join(path, "codes")
     )
+    if batch_id is not None:
+        committed = []
+        if mode == "append" and os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                committed = json.load(f)
+        committed.append(int(batch_id))
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(committed, f)
+        os.replace(tmp, ledger_path)
+    elif mode != "append" and os.path.exists(ledger_path):
+        os.remove(ledger_path)  # a rebuild resets ingest history
     if mode == "append":
         os.remove(pending_path)
 
@@ -1178,12 +1203,15 @@ def append_ivfpq_index(
     path: str,
     *,
     corpus_vec: str,
+    batch_id: int | None = None,
 ) -> None:
     """Append a new batch using the index's OWN frozen model — the
     ingest-loop entry point (no way to pass mismatched codebooks).
     Id uniqueness across batches is the caller's contract, exactly as
     with the dedup index: re-appending an id yields two index rows for
-    it (both scoring identically)."""
+    it (both scoring identically). Pass the micro-batch's ``batch_id``
+    to make retried deliveries no-ops (see :func:`write_ivfpq_index`'s
+    ledger contract) — :func:`streaming.ivfpq_ingest_sink` does."""
     import numpy as np
 
     meta = _load_ivfpq_meta(path)
@@ -1196,6 +1224,7 @@ def append_ivfpq_index(
         corpus_vec=corpus_vec,
         residual=meta["residual"],
         mode="append",
+        batch_id=batch_id,
     )
 
 

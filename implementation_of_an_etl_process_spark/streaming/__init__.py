@@ -1,5 +1,8 @@
 """Structured Streaming operators."""
 
+from implementation_of_an_etl_process_spark.streaming.ann import (
+    ivfpq_ingest_sink,
+)
 from implementation_of_an_etl_process_spark.streaming.events import (
     read_events_stream,
     tumbling_counts,
@@ -13,6 +16,7 @@ from implementation_of_an_etl_process_spark.streaming.events import (
 )
 
 __all__ = [
+    "ivfpq_ingest_sink",
     "read_events_stream",
     "tumbling_counts",
     "sliding_counts",

@@ -185,3 +185,92 @@ def test_running_user_totals_v2_matches_batch_or_skips(spark, events_dir):
     assert {tuple(r) for r in final.collect()} == {
         tuple(r) for r in expected.collect()
     }
+
+
+def test_ivfpq_ingest_sink_stream_equals_oneshot(spark, tmp_path):
+    """Streaming ANN ingest: a file stream of embedding batches drains
+    into the persisted IVF-PQ index via frozen-model appends; queries
+    over the streamed index must equal the one-shot encode
+    ROW-IDENTICALLY. Also pins the exactly-once ledger: a re-delivered
+    batch_id is a no-op (no duplicate index rows -> no duplicate cids
+    in top-k)."""
+    from implementation_of_an_etl_process_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = sim.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=16, n_train=4096,
+    )
+    books = sim.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=64, dim=64, centroids=cents,
+    )
+    idx = str(tmp_path / "idx")
+    base = emb.filter(F.col("vec_id") < 200)
+    sim.write_ivfpq_index(
+        base, idx, books, cents, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    # two stream files of later vectors
+    src = tmp_path / "src"
+    src.mkdir()
+    emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)).coalesce(
+        1
+    ).write.parquet(str(src / "_stage_a"))
+    emb.filter(F.col("vec_id") >= 350).coalesce(1).write.parquet(
+        str(src / "_stage_b")
+    )
+    i = 0
+    for sub in ["_stage_a", "_stage_b"]:
+        for f in os.listdir(src / sub):
+            if f.endswith(".parquet"):
+                shutil.copy(src / sub / f, src / f"{i}.parquet")
+                i += 1
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = S.ivfpq_ingest_sink(
+        stream, idx, str(tmp_path / "ckpt"), corpus_vec="embedding"
+    ).start()
+    q.awaitTermination(120)
+
+    index, books2, cents2, _ = sim.read_ivfpq_index(spark, idx)
+    assert index.count() == emb.count()
+    kw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, n_probe=12, shortlist=50,
+    )
+    qdf = emb.filter(F.col("vec_id") < 10)
+    got = {
+        tuple(r)
+        for r in sim.ivfpq_query_index(spark, idx, qdf, emb, **kw).collect()
+    }
+    oneshot = sim.encode_ivfpq(
+        emb, books, cents, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    want = {
+        tuple(r)
+        for r in sim.ivfpq_topk(qdf, emb, oneshot, books, cents, **kw).collect()
+    }
+    assert got == want
+
+    # exactly-once: re-delivering an already-committed batch_id no-ops
+    n_before = spark.read.parquet(os.path.join(idx, "codes")).count()
+    sim.append_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 350), idx,
+        corpus_vec="embedding", batch_id=1,
+    )
+    assert spark.read.parquet(os.path.join(idx, "codes")).count() == n_before
+    # ... while a NEW batch_id appends
+    sim.append_ivfpq_index(
+        emb.filter(F.col("vec_id") < 10), idx,
+        corpus_vec="embedding", batch_id=99,
+    )
+    assert (
+        spark.read.parquet(os.path.join(idx, "codes")).count()
+        == n_before + 10
+    )
