@@ -134,7 +134,10 @@ except ImportError:  # pragma: no cover
 # oldest-priority r7 rows.  2 + 6 + 2 + 1 + 27 + 12 = 50.  The r11
 # queue is the remaining 35 r7 rows (all inside the 3-round window
 # until r11, where they MUST rotate in: 35 + 2 flagships leaves 13
-# free slots).
+# free slots) PLUS the one entry registered in round 10 after this
+# gate froze (similarity_ivfpq_incremental — persisted-index
+# lifecycle gate), which rule (a) puts in the r11 gate: 35 + 2 + 1
+# leaves 12 free slots for the oldest r8 rows.
 _DRIVER_PRIORITY = [
     # reference-parity flagships (2): gated every round.
     "hypercube",

@@ -593,6 +593,95 @@ SELECT {_N_QUERY_VECS} AS n_queries,
 """
 
 
+def similarity_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the PERSISTED IVF-PQ index lifecycle
+    (`write_ivfpq_index` / `append_ivfpq_index` / `ivfpq_query_index`):
+    builds the index as base-write + frozen-model append, retries an
+    already-committed batch_id (must no-op via the `_batches.json`
+    ledger — the foreachBatch exactly-once contract), and queries the
+    persisted index. Emits, alongside the recall floor, two invariant
+    bits the oracle pins to 1: the retried append added no rows, and
+    the persisted-index results are row-identical to a one-shot
+    in-memory encode (incrementality can't cost accuracy — encoding is
+    deterministic per vector under a frozen model). Index dir is
+    rebuilt from scratch every call (overwrite) so the entry is
+    self-contained and deterministic."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=16, n_train=4096,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=64, dim=_EMB_DIM, centroids=cents,
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"ivfpq_inc_{tag}")
+    third = F.pmod(F.col("vec_id"), F.lit(3))
+    S.write_ivfpq_index(
+        emb.filter(third != 0), idx, books, cents,
+        corpus_id="vec_id", corpus_vec="embedding",
+    )
+    batch = emb.filter(third == 0)
+    S.append_ivfpq_index(batch, idx, corpus_vec="embedding", batch_id=0)
+    codes_path = os.path.join(idx, "codes")
+    n_after = spark.read.parquet(codes_path).count()
+    S.append_ivfpq_index(batch, idx, corpus_vec="embedding", batch_id=0)
+    retry_noop = int(
+        spark.read.parquet(codes_path).count() == n_after
+        and n_after == emb.count()
+    )
+    kw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, n_probe=12, shortlist=50,
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    inc = S.ivfpq_query_index(spark, idx, q, emb, **kw)
+    oneshot = S.ivfpq_topk(
+        q, emb,
+        S.encode_ivfpq(
+            emb, books, cents, corpus_id="vec_id", corpus_vec="embedding"
+        ),
+        books, cents, **kw,
+    )
+    identical = int(
+        inc.exceptAll(oneshot).count() == 0
+        and oneshot.exceptAll(inc).count() == 0
+    )
+    exact = S.brute_force_topk(
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        query_id="qid", query_vec="qvec",
+        corpus_id="cid", corpus_vec="cvec", k=5,
+    )
+    hits = inc.join(exact, ["qid", "cid"], "left_semi").count()
+    total = exact.count()
+    pct = hits * 100 // max(total, 1)
+    return spark.range(1).select(
+        F.lit(_N_QUERY_VECS).cast("int").alias("n_queries"),
+        F.lit(
+            _IVFPQ_RECALL_FLOOR_PCT
+            if pct >= _IVFPQ_RECALL_FLOOR_PCT
+            else pct
+        ).cast("int").alias("recall_pct_floor"),
+        F.lit(identical).cast("int").alias("oneshot_identical"),
+        F.lit(retry_noop).cast("int").alias("retry_noop"),
+    )
+
+
+IVFPQ_INCREMENTAL_SQL = f"""
+SELECT {_N_QUERY_VECS} AS n_queries,
+       {_IVFPQ_RECALL_FLOOR_PCT} AS recall_pct_floor,
+       1 AS oneshot_identical,
+       1 AS retry_noop
+"""
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding space, computed in the
     exploded (label, dim) plane: posexplode the quantized vector and
@@ -749,6 +838,7 @@ QUERIES = {
     "similarity_ivf_recall": similarity_ivf_recall,
     "similarity_ivf_arrow_recall": similarity_ivf_arrow_recall,
     "similarity_ivfpq_recall": similarity_ivfpq_recall,
+    "similarity_ivfpq_incremental": similarity_ivfpq_incremental,
 }
 
 ORACLES = {
@@ -762,4 +852,5 @@ ORACLES = {
     "similarity_ivf_recall": IVF_RECALL_SQL,
     "similarity_ivf_arrow_recall": IVF_ARROW_RECALL_SQL,
     "similarity_ivfpq_recall": IVFPQ_RECALL_SQL,
+    "similarity_ivfpq_incremental": IVFPQ_INCREMENTAL_SQL,
 }
