@@ -1139,8 +1139,7 @@ def write_ivfpq_index(
             with open(ledger_path) as f:
                 if int(batch_id) in json.load(f):
                     return  # re-delivered micro-batch: already ingested
-        with open(pending_path, "w") as f:
-            f.write("append in progress\n")
+        _acquire_ivfpq_marker(pending_path)
     else:
         os.makedirs(path, exist_ok=True)
         if os.path.exists(pending_path):
@@ -1286,3 +1285,79 @@ def ivfpq_query_index(
         shortlist=shortlist,
         exclude_self=exclude_self,
     )
+
+
+def _acquire_ivfpq_marker(pending_path: str) -> None:
+    """Create the ``_pending_append`` marker with O_EXCL so two
+    concurrent writers (two streaming queries pointed at one index, an
+    append racing a compaction) can't both think they own the window —
+    the loser fails loudly instead of interleaving parquet commits.
+    Single-writer is still the deployment contract; this makes
+    violating it an error, not corruption."""
+    import os
+
+    try:
+        fd = os.open(pending_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ValueError(
+            f"ivfpq index write collision at {pending_path}: another "
+            "append/compaction holds the _pending_append marker — the "
+            "index has one writer at a time"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write("append in progress\n")
+
+
+def compact_ivfpq_index(spark, path: str) -> dict:
+    """Rewrite the codes relation to ONE file per cell partition.
+
+    Every frozen-model append adds a file to each cell partition the
+    batch touches, so a long-lived ingest loop re-creates exactly the
+    small-file layout that inverted the probe win before the round-10
+    fix (2,018 files -> per-file Arrow overhead dwarfing the ADC;
+    BASELINE_NOTES r10). Compaction is the steady-state answer: read,
+    repartition by cell, write aside, atomically swap — readers keep a
+    consistent view (old layout until the swap's single rename), and
+    the exclusive ``_pending_append`` marker serializes it against
+    appends. Returns ``{"files_before": n, "files_after": m}``."""
+    import os
+    import shutil
+
+    _load_ivfpq_meta(path)  # refuses a never-built index
+    codes = os.path.join(path, "codes")
+    pending_path = os.path.join(path, "_pending_append")
+    if os.path.exists(pending_path):
+        raise ValueError(
+            f"ivfpq index at {path} has a torn append (_pending_append "
+            "present) — rebuild with mode='overwrite'"
+        )
+    _acquire_ivfpq_marker(pending_path)
+    try:
+
+        def _nfiles(d: str) -> int:
+            return sum(
+                1
+                for root, _, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        before = _nfiles(codes)
+        tmp = codes + ".compact"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            spark.read.parquet(codes)
+            .repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .parquet(tmp)
+        )
+        aside = codes + ".old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.rename(codes, aside)
+        os.rename(tmp, codes)
+        shutil.rmtree(aside)
+        return {"files_before": before, "files_after": _nfiles(codes)}
+    finally:
+        os.remove(pending_path)

@@ -481,3 +481,77 @@ def test_ivfpq_persisted_index_incremental_equals_oneshot(spark, tmp_path):
     # never-built guard
     with pytest.raises(ValueError, match="no meta.json"):
         S.read_ivfpq_index(spark, str(tmp_path / "nope"))
+
+
+def test_ivfpq_compaction_restores_layout_and_results(spark, tmp_path):
+    """Repeated appends add a file per touched cell per batch — the
+    small-file layout that inverted the probe win pre-fix. Compaction
+    must restore ~one file per cell, leave query results ROW-IDENTICAL,
+    and hold the exclusive marker (a concurrent writer fails loudly,
+    and a racing marker blocks compaction)."""
+    import os
+
+    emb = _emb(spark)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=16, n_train=4096,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=64, dim=64, centroids=cents,
+    )
+    path = str(tmp_path / "idx")
+    S.write_ivfpq_index(
+        emb.filter(F.col("vec_id") < 200), path, books, cents,
+        corpus_id="vec_id", corpus_vec="embedding",
+    )
+    for i, lo in enumerate(range(200, 500, 100)):
+        S.append_ivfpq_index(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)
+            ),
+            path, corpus_vec="embedding", batch_id=i,
+        )
+
+    def nfiles():
+        return sum(
+            1
+            for root, _, files in os.walk(os.path.join(path, "codes"))
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    n_cells_used = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .select("cell").distinct().count()
+    )
+    assert nfiles() > n_cells_used  # appends fragmented the layout
+    kw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, n_probe=12, shortlist=50,
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    before = {
+        tuple(r)
+        for r in S.ivfpq_query_index(spark, path, q, emb, **kw).collect()
+    }
+    stats = S.compact_ivfpq_index(spark, path)
+    assert stats["files_after"] <= n_cells_used
+    assert stats["files_after"] < stats["files_before"]
+    after = {
+        tuple(r)
+        for r in S.ivfpq_query_index(spark, path, q, emb, **kw).collect()
+    }
+    assert after == before
+    # exclusive marker: a held marker blocks compaction...
+    marker = tmp_path / "idx" / "_pending_append"
+    marker.write_text("append in progress\n")
+    with pytest.raises(ValueError, match="torn append"):
+        S.compact_ivfpq_index(spark, path)
+    marker.unlink()
+    # ...and the O_EXCL acquire turns a write race into a loud error
+    S._acquire_ivfpq_marker(str(marker))
+    with pytest.raises(ValueError, match="write collision"):
+        S._acquire_ivfpq_marker(str(marker))
+    marker.unlink()
