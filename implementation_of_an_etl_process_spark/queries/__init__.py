@@ -130,14 +130,16 @@ except ImportError:  # pragma: no cover
 # (similarity_ivfpq_recall — composed residual IVFADC;
 # multimodal_jpeg_decode — de-stubbed baseline JPEG codec),
 # contamination_ngram_overlap (its oracle's series bound was re-derived
-# this round), all 27 entries last gated in r6 (rule b), and the 12
-# oldest-priority r7 rows.  2 + 6 + 2 + 1 + 27 + 12 = 50.  The r11
-# queue is the remaining 35 r7 rows (all inside the 3-round window
-# until r11, where they MUST rotate in: 35 + 2 flagships leaves 13
-# free slots) PLUS the one entry registered in round 10 after this
-# gate froze (similarity_ivfpq_incremental — persisted-index
-# lifecycle gate), which rule (a) puts in the r11 gate: 35 + 2 + 1
-# leaves 12 free slots for the oldest r8 rows.
+# this round), all 27 entries last gated in r6 (rule b), 6 r7 rows,
+# and 6 hard-gate-family representatives (last green r9) so every
+# family keeps an in-cap rep.  2 + 6 + 2 + 1 + 27 + 6 + 6 = 50.  The
+# r11 queue is the remaining 41 r7 rows (rule b makes them MANDATORY
+# in r11: 41 + 2 flagships leaves 7 free slots) PLUS the one entry
+# registered in round 10 after this gate froze
+# (similarity_ivfpq_incremental — persisted-index lifecycle gate),
+# which rule (a) puts in the r11 gate: 41 + 2 + 1 leaves 6 free slots
+# — family coverage in r11 rides on the r7 queue itself (it contains
+# reps of most families) plus those 6.
 _DRIVER_PRIORITY = [
     # reference-parity flagships (2): gated every round.
     "hypercube",
@@ -183,21 +185,25 @@ _DRIVER_PRIORITY = [
     "string_funcs_part",
     "subquery_above_avg_items",
     "unigram_surprisal_docs",
-    # ... and the 12 oldest-priority r7 rows, keeping every hard-gate
-    # family represented (TPC-H joins, layout/bucketing — also the new
-    # bench leg —, ANN arrow path, source formats, selection, merge).
+    # ... 6 r7 rows keeping layout/bucketing (also the new bench leg),
+    # the ANN arrow path, selection, source formats and merge
+    # represented ...
     "bucketed_join_orders",
     "similarity_ivf_arrow_recall",
-    "q7_volume_shipping",
-    "q12_shipmode_priority",
-    "q13_order_distribution",
-    "q18_large_volume",
-    "q21_waiting_orders",
     "dsir_selection_docs",
-    "text_fingerprint",
     "orc_source_roundtrip",
     "xml_source_roundtrip",
     "merge_upsert_orders",
+    # ... and 6 family representatives (all last green r9) for the
+    # hard-gate families the r6/r7 staleness queues left uncovered —
+    # test_driver_first50_covers_every_family enforces one in-cap rep
+    # (or in-cap/recently-green flagship) per family, every round:
+    "streaming_hypercube_native",   # streaming-cube
+    "multimodal_png_decode",        # multimodal-codec
+    "multimodal_binary_stats",      # multimodal-container
+    "pagerank_purchases",           # graph
+    "streaming_incremental_dedup",  # streaming-ingest
+    "multimodal_wav_decode",        # audio
 ]
 
 def _prioritize(entries: dict) -> dict:

@@ -126,20 +126,19 @@ def test_driver_first50_covers_every_family():
     first50 = list(e.queries())[:50]
     from implementation_of_an_etl_process_spark.queries import _DRIVER_PRIORITY
 
-    # Round-9 rotation: the first 50 must be EXACTLY the curated list —
-    # 2 reference-parity flagships + 3 round-9 result-edited entries +
-    # the 8 never-driver-gated r7/r8 entries + all 23 entries last
-    # gated in r5 + 14 oldest-priority r6 rows (see _DRIVER_PRIORITY's
-    # comment). This round retires the gating debt completely.
+    # The first 50 must be EXACTLY the curated list (composition per
+    # round documented at _DRIVER_PRIORITY — r10: 2 flagships + 6
+    # never-gated r9 entries + 2 new r10 entries + 1 oracle-edited +
+    # 27 r6 staleness rows + 6 r7 rows + 6 family representatives).
     assert first50 == _DRIVER_PRIORITY, (
         "driver gate drifted from the curated rotation: "
         f"{set(first50) ^ set(_DRIVER_PRIORITY)}"
     )
     # every hard-gate family keeps a representative inside the cap, OR
-    # its flagship sits out this round on fresh driver-green evidence
-    # (green in one of the two most recent CORRECTNESS files) while
-    # the staleness queue retires — family: (in-cap reps) | (exempt
-    # flagship)
+    # its flagship either holds a cap slot itself or sits out this
+    # round on fresh driver-green evidence (green in one of the two
+    # most recent CORRECTNESS files) while the staleness queue retires
+    # — family: (in-cap reps) | (exempt flagship)
     family_cover = {
         "cube": ({"hypercube", "grouping_sets_orders",
                   "rollup_region_nation", "cube_status_priority"}, None),
@@ -189,7 +188,10 @@ def test_driver_first50_covers_every_family():
 
     cap = set(first50)
     for fam, (reps, exempt) in family_cover.items():
-        assert (reps & cap) or (exempt and exempt in recent), (
+        assert (
+            (reps & cap)
+            or (exempt and (exempt in cap or exempt in recent))
+        ), (
             f"family {fam!r} has neither an in-cap rep ({reps}) nor a "
             f"recently-green exempt flagship ({exempt})"
         )
