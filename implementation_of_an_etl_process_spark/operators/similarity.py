@@ -1131,8 +1131,9 @@ def write_ivfpq_index(
             )
         if os.path.exists(pending_path):
             raise ValueError(
-                f"ivfpq index at {path} has a torn append "
-                "(_pending_append present) — rebuild with "
+                f"ivfpq index at {path}: _pending_append marker present "
+                "— another writer is active, or a previous append "
+                "crashed (torn). If no writer is running, rebuild with "
                 "mode='overwrite'"
             )
         if batch_id is not None and os.path.exists(ledger_path):
@@ -1238,9 +1239,10 @@ def read_ivfpq_index(spark, path: str):
     meta = _load_ivfpq_meta(path)
     if os.path.exists(os.path.join(path, "_pending_append")):
         raise ValueError(
-            f"ivfpq index at {path} has a torn append (_pending_append "
-            "present): the last batch may be partially written — "
-            "rebuild with mode='overwrite'"
+            f"ivfpq index at {path}: _pending_append marker present — "
+            "another writer is active, or a previous append crashed "
+            "(torn: the last batch may be partially written). If no "
+            "writer is running, rebuild with mode='overwrite'"
         )
     index = spark.read.parquet(os.path.join(path, "codes"))
     return (
@@ -1328,8 +1330,10 @@ def compact_ivfpq_index(spark, path: str) -> dict:
     pending_path = os.path.join(path, "_pending_append")
     if os.path.exists(pending_path):
         raise ValueError(
-            f"ivfpq index at {path} has a torn append (_pending_append "
-            "present) — rebuild with mode='overwrite'"
+            f"ivfpq index at {path}: _pending_append marker present — "
+            "another writer is active, or a previous append crashed "
+            "(torn). If no writer is running, rebuild with "
+            "mode='overwrite'"
         )
     _acquire_ivfpq_marker(pending_path)
     try:

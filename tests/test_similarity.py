@@ -470,9 +470,9 @@ def test_ivfpq_persisted_index_incremental_equals_oneshot(spark, tmp_path):
     # torn-append guard: marker present -> read and append both refuse
     marker = tmp_path / "idx" / "_pending_append"
     marker.write_text("append in progress\n")
-    with pytest.raises(ValueError, match="torn append"):
+    with pytest.raises(ValueError, match="marker present"):
         S.read_ivfpq_index(spark, path)
-    with pytest.raises(ValueError, match="torn append"):
+    with pytest.raises(ValueError, match="marker present"):
         S.write_ivfpq_index(
             emb.limit(1), path, books, cents,
             corpus_id="vec_id", corpus_vec="embedding", mode="append",
@@ -547,7 +547,7 @@ def test_ivfpq_compaction_restores_layout_and_results(spark, tmp_path):
     # exclusive marker: a held marker blocks compaction...
     marker = tmp_path / "idx" / "_pending_append"
     marker.write_text("append in progress\n")
-    with pytest.raises(ValueError, match="torn append"):
+    with pytest.raises(ValueError, match="marker present"):
         S.compact_ivfpq_index(spark, path)
     marker.unlink()
     # ...and the O_EXCL acquire turns a write race into a loud error
@@ -555,3 +555,45 @@ def test_ivfpq_compaction_restores_layout_and_results(spark, tmp_path):
     with pytest.raises(ValueError, match="write collision"):
         S._acquire_ivfpq_marker(str(marker))
     marker.unlink()
+
+
+def test_ivfpq_overwrite_repairs_torn_state(spark, tmp_path):
+    """A fresh overwrite is the documented repair path: it must clear a
+    stale _pending_append marker AND the batch ledger (a rebuilt index
+    has no ingest history, so previously-committed batch ids append
+    again rather than silently no-oping)."""
+    import os
+
+    emb = _emb(spark).filter(F.col("vec_id") < 100)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=4, n_train=256,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=16, dim=64, centroids=cents,
+    )
+    path = str(tmp_path / "idx")
+    args = (path, books, cents)
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding")
+    S.write_ivfpq_index(emb.filter(F.col("vec_id") < 50), *args, **kw)
+    S.append_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 50), path,
+        corpus_vec="embedding", batch_id=7,
+    )
+    assert os.path.exists(os.path.join(path, "_batches.json"))
+    (tmp_path / "idx" / "_pending_append").write_text("stale\n")
+    with pytest.raises(ValueError, match="marker present"):
+        S.read_ivfpq_index(spark, path)
+    # repair: overwrite clears marker + ledger, index fully usable
+    S.write_ivfpq_index(emb.filter(F.col("vec_id") < 50), *args, **kw)
+    assert not os.path.exists(os.path.join(path, "_pending_append"))
+    assert not os.path.exists(os.path.join(path, "_batches.json"))
+    index, _, _, _ = S.read_ivfpq_index(spark, path)
+    assert index.count() == 50
+    # batch 7 is appendable again on the rebuilt index
+    S.append_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 50), path,
+        corpus_vec="embedding", batch_id=7,
+    )
+    assert spark.read.parquet(os.path.join(path, "codes")).count() == 100
