@@ -1007,6 +1007,47 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def drop_near_duplicates_keep_best(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    order_cols: list,
+) -> DataFrame:
+    """Keep the BEST member per near-dup cluster — the production
+    survivor policy (keep the longest copy, the highest quality score,
+    the earliest crawl) rather than :func:`drop_near_duplicates`'s
+    arbitrary min-id representative.
+
+    ``order_cols``: ordering Columns ranking cluster members best-first
+    (e.g. ``[F.col("n_chars").desc()]``); ties always break on
+    ascending id so the survivor set is deterministic. Documents in no
+    cluster survive untouched. The per-cluster argmax is a
+    rank-then-filter window, which Catalyst rewrites with a map-side
+    WindowGroupLimit below the exchange (tests/test_plans.py) — at
+    100 TB the shuffle carries one candidate row per (map task,
+    cluster), not the cluster bodies."""
+    clusters = cluster_pairs(pairs)
+    from pyspark.sql import Window
+
+    member = df.join(
+        clusters.withColumnRenamed("_id", id_col), id_col, "inner"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        *order_cols, F.col(id_col).asc()
+    )
+    best = (
+        member.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*df.columns)
+    )
+    unclustered = df.join(
+        clusters.withColumnRenamed("_id", id_col).select(id_col),
+        id_col,
+        "left_anti",
+    )
+    return unclustered.unionByName(best)
+
+
 def _exact_tier(
     new: DataFrame, id_col: str, text_col: str, hist_md5: DataFrame
 ) -> DataFrame:

@@ -134,12 +134,13 @@ except ImportError:  # pragma: no cover
 # and 6 hard-gate-family representatives (last green r9) so every
 # family keeps an in-cap rep.  2 + 6 + 2 + 1 + 27 + 6 + 6 = 50.  The
 # r11 queue is the remaining 41 r7 rows (rule b makes them MANDATORY
-# in r11: 41 + 2 flagships leaves 7 free slots) PLUS the one entry
+# in r11: 41 + 2 flagships leaves 7 free slots) PLUS the two entries
 # registered in round 10 after this gate froze
-# (similarity_ivfpq_incremental — persisted-index lifecycle gate),
-# which rule (a) puts in the r11 gate: 41 + 2 + 1 leaves 6 free slots
-# — family coverage in r11 rides on the r7 queue itself (it contains
-# reps of most families) plus those 6.
+# (similarity_ivfpq_incremental — persisted-index lifecycle gate;
+# dedup_keep_best_docs — keep-best survivor policy), which rule (a)
+# puts in the r11 gate: 41 + 2 + 2 leaves 5 free slots — family
+# coverage in r11 rides on the r7 queue itself (it contains reps of
+# most families) plus those 5.
 _DRIVER_PRIORITY = [
     # reference-parity flagships (2): gated every round.
     "hypercube",

@@ -415,6 +415,53 @@ ORDER BY doc_id
 )
 
 
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal with the PRODUCTION survivor policy: per
+    cluster keep the LONGEST member (max n_chars, ties on min doc_id)
+    instead of the arbitrary min-id representative — "keep the best
+    copy" is what a real curation pipeline ships. Same pairs ->
+    components machinery as ``dedup_survivors``; the oracle recomputes
+    components via the recursive transitive-closure CTE and picks the
+    same argmax per cluster."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    return (
+        D.drop_near_duplicates_keep_best(
+            docs.select("doc_id", "n_chars"),
+            "doc_id",
+            pairs,
+            [F.col("n_chars").desc()],
+        )
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = DEDUP_CLUSTER_SQL.replace(
+    """SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node
+ORDER BY doc_id
+""",
+    """, labels AS (
+  SELECT node, MIN(r) AS cluster FROM reach GROUP BY node
+), best AS (
+  SELECT node FROM (
+    SELECT l.node,
+           ROW_NUMBER() OVER (
+             PARTITION BY l.cluster
+             ORDER BY d.n_chars DESC, l.node ASC
+           ) AS rn
+    FROM labels l JOIN documents d ON d.doc_id = l.node
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM labels)
+   OR d.doc_id IN (SELECT node FROM best)
+ORDER BY d.doc_id
+""",
+)
+
+
 # --- multimodal plumbing (binary column stats) -----------------------------
 
 
@@ -1387,6 +1434,7 @@ QUERIES = {
     "dedup_cluster_docs": dedup_cluster_docs,
     "dedup_cluster_star_docs": dedup_cluster_star_docs,
     "dedup_survivors": dedup_survivors,
+    "dedup_keep_best_docs": dedup_keep_best_docs,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_frame_offsets": multimodal_frame_offsets,
@@ -1416,6 +1464,7 @@ ORACLES = {
     "dedup_hot_bucket_farm": HOT_BUCKET_FARM_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
+    "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
     "dedup_cluster_star_docs": DEDUP_CLUSTER_SQL,
     "dedup_survivors": _DEDUP_SURVIVORS_SQL,
     "multimodal_binary_stats": MULTIMODAL_STATS_SQL,

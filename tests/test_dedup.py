@@ -322,3 +322,39 @@ def test_hamming_banded_pairs_auto_guard(spark):
         farm, "id", "sig", collapse_exact="auto"
     ).count()
     assert n == 300 * 299 // 2
+
+
+def test_keep_best_survivor_policy(spark):
+    """drop_near_duplicates_keep_best: on a transitive chain a~b~c the
+    single survivor is the LONGEST member (not the min id), documents
+    outside any cluster pass through untouched, and ties break on
+    ascending id."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", 10),
+            (2, "alpha beta gamma delta epsilon", 30),  # longest in cluster
+            (3, "alpha beta gamma delta zeta", 20),
+            (9, "totally unrelated content here", 5),   # unclustered
+            (20, "tie one two three", 7),               # tie cluster:
+            (21, "tie one two three", 7),               # same length ->
+        ],                                              # min id 20 wins
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (20, 21)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id
+        for r in D.drop_near_duplicates_keep_best(
+            docs, "doc_id", pairs, [F.col("n_chars").desc()]
+        ).collect()
+    }
+    assert got == {2, 9, 20}
+    # contrast: the min-id policy keeps 1, not the longest
+    min_id = {
+        r.doc_id
+        for r in D.drop_near_duplicates(docs, "doc_id", pairs).collect()
+    }
+    assert min_id == {1, 9, 20}
