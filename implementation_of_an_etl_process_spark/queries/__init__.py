@@ -130,17 +130,16 @@ except ImportError:  # pragma: no cover
 # (similarity_ivfpq_recall — composed residual IVFADC;
 # multimodal_jpeg_decode — de-stubbed baseline JPEG codec),
 # contamination_ngram_overlap (its oracle's series bound was re-derived
-# this round), all 27 entries last gated in r6 (rule b), 6 r7 rows,
-# and 6 hard-gate-family representatives (last green r9) so every
-# family keeps an in-cap rep.  2 + 6 + 2 + 1 + 27 + 6 + 6 = 50.  The
-# r11 queue is the remaining 41 r7 rows (rule b makes them MANDATORY
-# in r11: 41 + 2 flagships leaves 7 free slots) PLUS the two entries
-# registered in round 10 after this gate froze
+# this round), all 27 entries last gated in r6 (rule b), 4 r7 rows,
+# 6 hard-gate-family representatives (last green r9) so every family
+# keeps an in-cap rep, and the 2 entries REGISTERED in round 10
 # (similarity_ivfpq_incremental — persisted-index lifecycle gate;
-# dedup_keep_best_docs — keep-best survivor policy), which rule (a)
-# puts in the r11 gate: 41 + 2 + 2 leaves 5 free slots — family
-# coverage in r11 rides on the r7 queue itself (it contains reps of
-# most families) plus those 5.
+# dedup_keep_best_docs — keep-best survivor policy), gated immediately
+# so no never-gated debt carries into r11.
+# 2 + 6 + 2 + 1 + 27 + 4 + 6 + 2 = 50.  The r11 queue is the
+# remaining 43 r7 rows (rule b makes them MANDATORY in r11: 43 + 2
+# flagships leaves 5 free slots); family coverage in r11 rides on the
+# r7 queue itself (it contains reps of most families) plus those 5.
 _DRIVER_PRIORITY = [
     # reference-parity flagships (2): gated every round.
     "hypercube",
@@ -186,15 +185,17 @@ _DRIVER_PRIORITY = [
     "string_funcs_part",
     "subquery_above_avg_items",
     "unigram_surprisal_docs",
-    # ... 6 r7 rows keeping layout/bucketing (also the new bench leg),
-    # the ANN arrow path, selection, source formats and merge
-    # represented ...
+    # ... 4 r7 rows keeping layout/bucketing (also the new bench leg),
+    # the ANN arrow path, source formats and merge represented ...
     "bucketed_join_orders",
     "similarity_ivf_arrow_recall",
-    "dsir_selection_docs",
-    "orc_source_roundtrip",
     "xml_source_roundtrip",
     "merge_upsert_orders",
+    # ... the 2 entries REGISTERED in round 10 (gate immediately —
+    # round 9's lesson: entries that land after the cap freezes carry
+    # never-gated debt into the next verdict) ...
+    "similarity_ivfpq_incremental",
+    "dedup_keep_best_docs",
     # ... and 6 family representatives (all last green r9) for the
     # hard-gate families the r6/r7 staleness queues left uncovered —
     # test_driver_first50_covers_every_family enforces one in-cap rep
