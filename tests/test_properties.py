@@ -464,3 +464,66 @@ def test_star_cc_matches_union_find(spark, seed):
         for r in connected_components_star(df).collect()
     }
     assert got == want
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_keep_best_matches_union_find_argmax(spark, seed):
+    """drop_near_duplicates_keep_best vs a pure-Python reference on
+    random graphs: survivors = every unclustered doc plus, per
+    connected component (computed by union-find, independent of the
+    distributed min-label propagation), the member with max weight and
+    min id among ties. Random edge sets include self-contained chains,
+    stars, and multi-edges."""
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        drop_near_duplicates_keep_best,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(2, 40)
+    ids = list(range(1, n + 1))
+    weights = {i: rng.randint(0, 5) for i in ids}  # small range -> ties
+    n_edges = rng.randint(0, n)
+    edges = [
+        tuple(rng.sample(ids, 2))
+        for _ in range(n_edges)
+    ]
+    # union-find reference
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    clustered = {v for e in edges for v in e}
+    for i in ids:
+        if i in clustered:
+            comps.setdefault(find(i), []).append(i)
+    expected = {i for i in ids if i not in clustered}
+    for members in comps.values():
+        expected.add(min(members, key=lambda i: (-weights[i], i)))
+
+    docs = spark.createDataFrame(
+        [(i, weights[i]) for i in ids], "doc_id long, w long"
+    )
+    pairs = spark.createDataFrame(
+        edges or [(None, None)], "id_a long, id_b long"
+    ).dropna()
+    got = {
+        r.doc_id
+        for r in drop_near_duplicates_keep_best(
+            docs, "doc_id", pairs, [F.col("w").desc()]
+        ).collect()
+    }
+    assert got == expected
