@@ -118,82 +118,37 @@ def test_battery_oracle_key_consistency():
 def test_driver_first50_covers_every_family():
     """The driver's CORRECTNESS gate checks only the first 50 entries of
     queries() iteration order (CORRECTNESS_r01/r02 are each exactly 50
-    rows).  Guard the curated ordering: one representative of every
-    operator family must sit inside the cap, and everything inside the
-    cap must have a value-hash oracle (hard signal, not rows-only)."""
+    rows).  Since round 11 the prefix is COMPUTED
+    (queries/rotation.py), so this test verifies the derived invariants
+    rather than a hand-maintained list: every hard-gate operator family
+    has fresh evidence (a member in-cap, or a member value-green in the
+    completed round's artifact — forward-stable once this round's
+    artifact drops, because "completed" stays inside the last-two
+    window), and everything inside the cap has a value-hash oracle."""
     import __spark_entry__ as e
 
     first50 = list(e.queries())[:50]
     from implementation_of_an_etl_process_spark.queries import _DRIVER_PRIORITY
+    from implementation_of_an_etl_process_spark.queries.rotation import (
+        FAMILY_COVER,
+        read_driver_history,
+    )
 
-    # The first 50 must be EXACTLY the curated list (composition per
-    # round documented at _DRIVER_PRIORITY — r10: 2 flagships + 6
-    # never-gated r9 entries + 2 new r10 entries + 1 oracle-edited +
-    # 27 r6 staleness rows + 6 r7 rows + 6 family representatives).
     assert first50 == _DRIVER_PRIORITY, (
-        "driver gate drifted from the curated rotation: "
+        "driver gate drifted from the computed rotation: "
         f"{set(first50) ^ set(_DRIVER_PRIORITY)}"
     )
-    # every hard-gate family keeps a representative inside the cap, OR
-    # its flagship either holds a cap slot itself or sits out this
-    # round on fresh driver-green evidence (green in one of the two
-    # most recent CORRECTNESS files) while the staleness queue retires
-    # — family: (in-cap reps) | (exempt flagship)
-    family_cover = {
-        "cube": ({"hypercube", "grouping_sets_orders",
-                  "rollup_region_nation", "cube_status_priority"}, None),
-        "reference-native": ({"reference_native_path"}, None),
-        "streaming-cube": ({"streaming_hypercube_native"}, None),
-        "multimodal-codec": ({"multimodal_png_decode",
-                              "multimodal_ppm_decode"}, None),
-        "multimodal-container": (set(), "multimodal_binary_stats"),
-        "near-dup": ({"audio_energy_hash_dedup", "paragraph_dedup_frac",
-                      "winnow_overlap_pairs"},
-                     "dedup_minhash_lsh"),
-        "ann": ({"similarity_ivf_topk", "similarity_topk_cosine"},
-                "similarity_ivf_arrow_recall"),
-        "graph": ({"pagerank_purchases", "keyword_pagerank_docs"},
-                  "triangle_count_purchases"),
-        "pretraining": ({"pack_sequences_docs", "bigram_lm_docs",
-                         "bigram_lm_pruned_docs"},
-                        "bpe_tokenize_gate"),
-        "structured-streaming": ({"streaming_sliding_15m",
-                                  "streaming_tumbling_1h"},
-                                 "streaming_session_windows"),
-        "streaming-ingest": ({"streaming_incremental_dedup"}, None),
-        "source-formats": ({"parquet_schema_evolution"},
-                           "csv_permissive_ingest"),
-        "udf-surface": ({"arrow_python_udf_reverse"},
-                        "pandas_udf_vowels"),
-        "tpch": ({"q1_pricing_summary", "q3_top_orders",
-                  "q5_local_supplier"},
-                 "q6_forecast_revenue"),
-        "audio": ({"multimodal_wav_decode"}, None),
-    }
-    import glob
-    import json
-    import os
-
-    root = os.path.join(os.path.dirname(__file__), "..")
-    correctness_files = sorted(
-        glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-    )
-    recent: dict[str, dict] = {}
-    for p in correctness_files[-2:]:
-        for k, v in json.load(open(p)).items():
-            if v.get("rows_match") and v.get("schema_match") and (
-                v.get("hash_match") or v.get("values_match")
-            ):
-                recent[k] = v
-
+    registered = set(e.queries())
+    # every family names at least one registered entry (typo guard)
+    for fam, members in FAMILY_COVER.items():
+        assert members & registered, f"family {fam!r} names no registered entry"
+    _, _, value_green = read_driver_history()
     cap = set(first50)
-    for fam, (reps, exempt) in family_cover.items():
-        assert (
-            (reps & cap)
-            or (exempt and (exempt in cap or exempt in recent))
-        ), (
-            f"family {fam!r} has neither an in-cap rep ({reps}) nor a "
-            f"recently-green exempt flagship ({exempt})"
+    for fam, members in FAMILY_COVER.items():
+        members = members & registered
+        assert members & cap or members & value_green, (
+            f"family {fam!r} has neither an in-cap member nor a member "
+            f"value-green in the completed round ({sorted(members)})"
         )
     osql = e.oracle_sql()
     no_oracle = [n for n in first50 if n not in osql]
@@ -262,6 +217,6 @@ def test_driver_gate_freshness_rule():
         if k in latest and latest[k] <= completed - 3 and k not in gate
     }
     assert not too_stale, (
-        f"entries whose latest driver-green round is <= r{newest - 3} "
+        f"entries whose latest driver-green round is <= r{completed - 3} "
         f"must rotate into the gate: {sorted(too_stale)}"
     )
