@@ -1026,25 +1026,28 @@ def drop_near_duplicates_keep_best(
     WindowGroupLimit below the exchange (tests/test_plans.py) — at
     100 TB the shuffle carries one candidate row per (map task,
     cluster), not the cluster bodies."""
-    clusters = cluster_pairs(pairs)
     from pyspark.sql import Window
 
-    member = df.join(
-        clusters.withColumnRenamed("_id", id_col), id_col, "inner"
+    # collision-safe internal names: the caller's frame may legally
+    # carry a 'cluster' or '_rn' column (cluster_pairs output is a
+    # public relation), and an ambiguous-column AnalysisException here
+    # would be this function's fault, not the caller's
+    ccol, rcol = "__kb_cluster", "__kb_rn"
+    while ccol in df.columns or rcol in df.columns:
+        ccol, rcol = ccol + "_", rcol + "_"
+    clusters = (
+        cluster_pairs(pairs)
+        .withColumnRenamed("_id", id_col)
+        .withColumnRenamed("cluster", ccol)
     )
-    w = Window.partitionBy("cluster").orderBy(
-        *order_cols, F.col(id_col).asc()
-    )
+    member = df.join(clusters, id_col, "inner")
+    w = Window.partitionBy(ccol).orderBy(*order_cols, F.col(id_col).asc())
     best = (
-        member.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        member.withColumn(rcol, F.row_number().over(w))
+        .filter(F.col(rcol) == 1)
         .select(*df.columns)
     )
-    unclustered = df.join(
-        clusters.withColumnRenamed("_id", id_col).select(id_col),
-        id_col,
-        "left_anti",
-    )
+    unclustered = df.join(clusters.select(id_col), id_col, "left_anti")
     return unclustered.unionByName(best)
 
 

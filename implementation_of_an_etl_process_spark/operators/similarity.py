@@ -1136,16 +1136,28 @@ def write_ivfpq_index(
                 "crashed (torn). If no writer is running, rebuild with "
                 "mode='overwrite'"
             )
+        _acquire_ivfpq_marker(pending_path)
+        # ledger check UNDER the marker: checking before acquisition
+        # would let writer B read "batch absent" while writer A of the
+        # same batch_id is mid-commit, then acquire after A releases
+        # and double-append — check-then-write must be atomic
         if batch_id is not None and os.path.exists(ledger_path):
             with open(ledger_path) as f:
-                if int(batch_id) in json.load(f):
-                    return  # re-delivered micro-batch: already ingested
-        _acquire_ivfpq_marker(pending_path)
+                committed_ids = json.load(f)
+            if int(batch_id) in committed_ids:
+                os.remove(pending_path)
+                return  # re-delivered micro-batch: already ingested
     else:
         os.makedirs(path, exist_ok=True)
         if os.path.exists(pending_path):
             os.remove(pending_path)  # fresh overwrite repairs torn state
-        # meta FIRST (crash leaves meta-without-data -> loud at read)
+        # the marker is held across the WHOLE rebuild (cleared on
+        # success only): a rebuild over an existing index replaces meta
+        # then codes, and a crash in between would otherwise leave new
+        # meta + old codes — reads silently scoring mismatched codes
+        # against the new model. With the marker held, that crash is a
+        # loud torn-state error at read time instead.
+        _acquire_ivfpq_marker(pending_path)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
     import numpy as np
@@ -1180,8 +1192,7 @@ def write_ivfpq_index(
         os.replace(tmp, ledger_path)
     elif mode != "append" and os.path.exists(ledger_path):
         os.remove(ledger_path)  # a rebuild resets ingest history
-    if mode == "append":
-        os.remove(pending_path)
+    os.remove(pending_path)  # success: append and overwrite both release
 
 
 def _load_ivfpq_meta(path: str) -> dict:
@@ -1318,10 +1329,14 @@ def compact_ivfpq_index(spark, path: str) -> dict:
     small-file layout that inverted the probe win before the round-10
     fix (2,018 files -> per-file Arrow overhead dwarfing the ADC;
     BASELINE_NOTES r10). Compaction is the steady-state answer: read,
-    repartition by cell, write aside, atomically swap — readers keep a
-    consistent view (old layout until the swap's single rename), and
-    the exclusive ``_pending_append`` marker serializes it against
-    appends. Returns ``{"files_before": n, "files_after": m}``."""
+    repartition by cell, write aside, swap (two renames: codes->old
+    then tmp->codes; if the second fails the first is rolled back so
+    the old layout is restored in place), and the exclusive
+    ``_pending_append`` marker serializes it against appends — the
+    marker is released only when the codes directory is intact, so an
+    unrecoverable torn swap stays a loud read-time error instead of a
+    raw path-not-found with the data stranded in codes.old.
+    Returns ``{"files_before": n, "files_after": m}``."""
     import os
     import shutil
 
@@ -1360,8 +1375,16 @@ def compact_ivfpq_index(spark, path: str) -> dict:
         if os.path.exists(aside):
             shutil.rmtree(aside)
         os.rename(codes, aside)
-        os.rename(tmp, codes)
+        try:
+            os.rename(tmp, codes)
+        except BaseException:
+            os.rename(aside, codes)  # roll the first rename back
+            raise
         shutil.rmtree(aside)
         return {"files_before": before, "files_after": _nfiles(codes)}
     finally:
-        os.remove(pending_path)
+        # release the marker only if the codes layout is intact (either
+        # untouched, rolled back, or swapped); if even the rollback
+        # failed, leave it so reads hit the loud torn-state guard
+        if os.path.exists(codes):
+            os.remove(pending_path)

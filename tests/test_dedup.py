@@ -358,3 +358,30 @@ def test_keep_best_survivor_policy(spark):
         for r in D.drop_near_duplicates(docs, "doc_id", pairs).collect()
     }
     assert min_id == {1, 9, 20}
+
+
+def test_keep_best_survives_cluster_and_rn_column_collisions(spark):
+    """The caller's frame may legally carry 'cluster' / '_rn' columns
+    (cluster_pairs output is a public relation); the survivor window
+    must use collision-safe internal names instead of hitting an
+    ambiguous-column AnalysisException (r10 advice)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 10, 99, 99),
+            (2, "b", 30, 99, 99),
+            (3, "c", 20, 99, 99),
+            (9, "d", 5, 42, 7),
+        ],
+        "doc_id long, text string, n_chars long, cluster long, _rn long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = D.drop_near_duplicates_keep_best(
+        docs, "doc_id", pairs, [F.col("n_chars").desc()]
+    )
+    # caller columns preserved verbatim, survivor logic unaffected
+    assert out.columns == docs.columns
+    rows = {r.doc_id: (r.cluster, r._rn) for r in out.collect()}
+    assert set(rows) == {2, 9}
+    assert rows[9] == (42, 7)

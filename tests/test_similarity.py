@@ -597,3 +597,143 @@ def test_ivfpq_overwrite_repairs_torn_state(spark, tmp_path):
         corpus_vec="embedding", batch_id=7,
     )
     assert spark.read.parquet(os.path.join(path, "codes")).count() == 100
+
+
+def test_ivfpq_rebuild_crash_is_loud_not_silent(spark, tmp_path, monkeypatch):
+    """A crash mid-REBUILD over an existing index (new meta written,
+    codes not yet replaced) must leave the _pending_append marker so
+    reads refuse — without it, read_ivfpq_index would silently score
+    the OLD codes against the NEW model (r10 advice, medium)."""
+    import os
+
+    emb = _emb(spark).filter(F.col("vec_id") < 100)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=4, n_train=256,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=16, dim=64, centroids=cents,
+    )
+    path = str(tmp_path / "idx")
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding")
+    S.write_ivfpq_index(emb, path, books, cents, **kw)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-rebuild")
+
+    monkeypatch.setattr(S, "encode_ivfpq", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        S.write_ivfpq_index(emb, path, books + 1e-9, cents, **kw)
+    monkeypatch.undo()
+    # torn rebuild: marker held -> loud at read, never silent garbage
+    assert os.path.exists(os.path.join(path, "_pending_append"))
+    with pytest.raises(ValueError, match="marker present"):
+        S.read_ivfpq_index(spark, path)
+    # the documented repair: a completed overwrite restores service
+    S.write_ivfpq_index(emb, path, books, cents, **kw)
+    index, _, _, _ = S.read_ivfpq_index(spark, path)
+    assert index.count() == 100
+
+
+def test_ivfpq_redelivered_batch_noop_releases_marker(spark, tmp_path):
+    """The append ledger is checked UNDER the O_EXCL marker (r10
+    advice: check-then-write must be atomic) and the no-op path
+    releases the marker — a re-delivered micro-batch leaves the index
+    byte-identical and immediately writable."""
+    import os
+
+    emb = _emb(spark).filter(F.col("vec_id") < 100)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=4, n_train=256,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=16, dim=64, centroids=cents,
+    )
+    path = str(tmp_path / "idx")
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding")
+    S.write_ivfpq_index(emb.filter(F.col("vec_id") < 50), path, books,
+                        cents, **kw)
+    S.append_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 50), path,
+        corpus_vec="embedding", batch_id=3,
+    )
+    n = spark.read.parquet(os.path.join(path, "codes")).count()
+    # re-delivery: no-op, marker released, still appendable
+    S.append_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 50), path,
+        corpus_vec="embedding", batch_id=3,
+    )
+    assert not os.path.exists(os.path.join(path, "_pending_append"))
+    assert spark.read.parquet(os.path.join(path, "codes")).count() == n
+    S.append_ivfpq_index(
+        emb.filter(F.col("vec_id") < 50), path,
+        corpus_vec="embedding", batch_id=4,
+    )
+    assert spark.read.parquet(os.path.join(path, "codes")).count() == n + 50
+
+
+def test_ivfpq_compaction_torn_swap_rolls_back(spark, tmp_path, monkeypatch):
+    """If compaction's second rename (tmp -> codes) fails after the
+    first (codes -> old) succeeded, the old layout must be restored in
+    place and the marker released — never meta-without-codes with the
+    data stranded in codes.old (r10 advice)."""
+    import os
+
+    emb = _emb(spark).filter(F.col("vec_id") < 100)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=4, n_train=256,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=16, dim=64, centroids=cents,
+    )
+    path = str(tmp_path / "idx")
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding")
+    S.write_ivfpq_index(emb.filter(F.col("vec_id") < 50), path, books,
+                        cents, **kw)
+    S.append_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 50), path, corpus_vec="embedding"
+    )
+    codes = os.path.join(path, "codes")
+    qkw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=3, n_probe=4, shortlist=50,
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    before = {
+        tuple(r)
+        for r in S.ivfpq_query_index(spark, path, q, emb, **qkw).collect()
+    }
+    real_rename = os.rename
+    state = {"failed": False}
+
+    def flaky(src, dst):
+        # fail the FIRST rename targeting codes/ (tmp -> codes); the
+        # rollback rename (old -> codes) must then succeed
+        if os.path.abspath(dst) == os.path.abspath(codes) and not state[
+            "failed"
+        ]:
+            state["failed"] = True
+            raise OSError("simulated torn swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky)
+    with pytest.raises(OSError, match="simulated torn swap"):
+        S.compact_ivfpq_index(spark, path)
+    monkeypatch.undo()
+    assert state["failed"]
+    assert os.path.isdir(codes), "old layout must be restored in place"
+    assert not os.path.exists(os.path.join(path, "_pending_append"))
+    after = {
+        tuple(r)
+        for r in S.ivfpq_query_index(spark, path, q, emb, **qkw).collect()
+    }
+    assert after == before
+    # and a clean retry compacts fine
+    stats = S.compact_ivfpq_index(spark, path)
+    assert stats["files_after"] <= stats["files_before"]
