@@ -1039,17 +1039,25 @@ def _ycbcr_to_rgb(ycc):
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(raster, *, luma_quant=None, chroma_quant=None) -> bytes:
+def encode_jpeg(
+    raster, *, luma_quant=None, chroma_quant=None, sampling="4:4:4"
+) -> bytes:
     """Minimal-but-real baseline-sequential JPEG encoder: numpy (h, w)
     grayscale or (h, w, 3) RGB uint8 -> JPEG bytes (SOI, DQT, SOF0,
-    DHT, SOS, entropy-coded 4:4:4 or single-component scan, EOI).
+    DHT, SOS, MCU-interleaved entropy-coded scan, EOI).
     Level shift -> float DCT -> symmetric-round quantization ->
     zigzag -> DC-differential + run-length AC Huffman coding with byte
-    stuffing. Used by tests and the battery entry to manufacture
-    deterministic compressed payloads executor-side; it and
-    ``decode_jpeg`` check each other only through the format (markers,
-    canonical Huffman, quantization algebra) plus the oracle's raster
-    prediction, exactly like the PNG pair."""
+    stuffing. ``sampling`` selects the chroma layout for color input:
+    "4:4:4" (all 1x1), "4:2:2" (luma 2x1, half-width chroma), or
+    "4:2:0" (luma 2x2, quarter chroma) — chroma is box-mean
+    downsampled (half-up rounding) over an edge-padded plane, and the
+    scan interleaves each MCU's data units in T.81 order (luma's
+    vi x hi raster, then Cb, then Cr). Used by tests and the battery
+    entries to manufacture deterministic compressed payloads
+    executor-side; it and ``decode_jpeg`` check each other only
+    through the format (markers, canonical Huffman, quantization
+    algebra) plus the oracle's raster prediction, exactly like the
+    PNG pair."""
     import struct
 
     import numpy as np
@@ -1066,20 +1074,47 @@ def encode_jpeg(raster, *, luma_quant=None, chroma_quant=None) -> bytes:
         chroma_quant if chroma_quant is not None else JPEG_CHROMA_QUANT
     )
     if color:
-        planes = [ _rgb_to_ycbcr(raster)[..., i] for i in range(3) ]
+        ycc = _rgb_to_ycbcr(raster)
+        planes = [ycc[..., i] for i in range(3)]
         quants = [lq, cq, cq]
         qids = [0, 1, 1]
+        samp = {
+            "4:4:4": [(1, 1), (1, 1), (1, 1)],
+            "4:2:2": [(2, 1), (1, 1), (1, 1)],
+            "4:2:0": [(2, 2), (1, 1), (1, 1)],
+        }.get(sampling)
+        if samp is None:
+            raise ValueError(
+                f"unsupported sampling {sampling!r} "
+                "(4:4:4, 4:2:2, 4:2:0)"
+            )
     else:
         planes = [raster]
         quants = [lq]
         qids = [0]
-    # pad to full 8x8 blocks by edge replication
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
-        - 128.0
-        for p in planes
-    ]
+        samp = [(1, 1)]  # single-component scan: factors irrelevant
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    prepped = []
+    for (hi, vi), p in zip(samp, planes):
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        if (hi, vi) != (hmax, vmax):
+            fy, fx = vmax // vi, hmax // hi
+            padded = np.pad(
+                p, ((0, ch * fy - h), (0, cw * fx - w)), mode="edge"
+            ).astype(np.float64)
+            box = padded.reshape(ch, fy, cw, fx).mean(axis=(1, 3))
+            p = np.clip(np.floor(box + 0.5), 0, 255).astype(np.uint8)
+        # pad the component to its MCU block grid by edge replication
+        gh, gw = mcuy * vi * 8, mcux * hi * 8
+        prepped.append(
+            np.pad(
+                p, ((0, gh - p.shape[0]), (0, gw - p.shape[1])), mode="edge"
+            ).astype(np.float64)
+            - 128.0
+        )
     B = _dct_basis()
     dc_tab = {
         s: (c, l) for (l, c), s in _build_huffman(_DC_BITS, _DC_VALUES).items()
@@ -1091,45 +1126,52 @@ def encode_jpeg(raster, *, luma_quant=None, chroma_quant=None) -> bytes:
     zz_c = [c for _, c in _ZIGZAG]
     bw = _BitWriter()
     dc_pred = [0] * len(planes)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci, plane in enumerate(planes):
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                Fq = _quantize(B @ blk @ B.T, quants[ci])
-                zz = Fq[zz_r, zz_c]
-                diff = int(zz[0]) - dc_pred[ci]
-                dc_pred[ci] = int(zz[0])
-                t = _category(diff)
-                code, length = dc_tab[t]
+
+    def emit_block(blk, ci):
+        Fq = _quantize(B @ blk @ B.T, quants[ci])
+        zz = Fq[zz_r, zz_c]
+        diff = int(zz[0]) - dc_pred[ci]
+        dc_pred[ci] = int(zz[0])
+        t = _category(diff)
+        code, length = dc_tab[t]
+        bw.write(code, length)
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_tab[0xF0]  # ZRL
                 bw.write(code, length)
-                if t:
-                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-                run = 0
-                last_nz = max(
-                    (i for i in range(1, 64) if zz[i]), default=0
+                run -= 16
+            s = _category(v)
+            if s > 10:
+                raise ValueError(
+                    f"AC coefficient {v} exceeds the 10-bit "
+                    "baseline range; use a larger quant table"
                 )
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, length = ac_tab[0xF0]  # ZRL
-                        bw.write(code, length)
-                        run -= 16
-                    s = _category(v)
-                    if s > 10:
-                        raise ValueError(
-                            f"AC coefficient {v} exceeds the 10-bit "
-                            "baseline range; use a larger quant table"
+            code, length = ac_tab[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_tab[0x00]  # EOB
+            bw.write(code, length)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samp):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        r0 = (my * vi + byy) * 8
+                        c0 = (mx * hi + bxx) * 8
+                        emit_block(
+                            prepped[ci][r0 : r0 + 8, c0 : c0 + 8], ci
                         )
-                    code, length = ac_tab[(run << 4) | s]
-                    bw.write(code, length)
-                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_tab[0x00]  # EOB
-                    bw.write(code, length)
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1150,7 +1192,8 @@ def encode_jpeg(raster, *, luma_quant=None, chroma_quant=None) -> bytes:
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     sos = bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qids[ci]])  # 1x1 sampling (4:4:4)
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
         sos += bytes([ci + 1, (qids[ci] << 4) | qids[ci]])
     sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (baseline full scan)
     out = struct.pack(">H", 0xFFD8) + dqt(0, lq)
@@ -1175,8 +1218,11 @@ def decode_jpeg(payload: bytes):
     DC-predictor reset), dequantizes, de-zigzags, applies the float
     IDCT with half-up rounding, and converts JFIF YCbCr back to RGB
     for 3-component streams. Supports 8-bit baseline, grayscale or
-    4:4:4 (sampling factors all 1x1) — progressive, 12-bit, arithmetic
-    coding, and subsampled streams raise loudly.
+    color at any integer-ratio sampling (4:4:4, 4:2:2, 4:2:0, 4:4:0,
+    4:1:1 — per-component h x v factors, MCU-interleaved data units in
+    T.81 order, subsampled chroma upsampled by pixel replication) —
+    progressive, 12-bit, arithmetic coding, and fractional sampling
+    ratios raise loudly.
 
     Returns (width, height, n_components, raster) with raster a
     (height, width * n_components) uint8 array, the PNG decoder's
@@ -1235,11 +1281,12 @@ def decode_jpeg(payload: bytes):
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
                     raise ValueError(
-                        "subsampled JPEG unsupported (4:4:4 / gray only)"
+                        f"sampling factors {ch}x{cv} outside T.81's 1-4"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, ch, cv, tq))
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1286,10 +1333,31 @@ def decode_jpeg(payload: bytes):
     B = _dct_basis()
     zz_r = [r for r, _ in _ZIGZAG]
     zz_c = [c for _, c in _ZIGZAG]
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [np.zeros((ph, pw), dtype=np.uint8) for _ in comps]
+    # sampling geometry: a single-component scan is non-interleaved
+    # (T.81 A.2.2 — the MCU is one data unit and the declared factors
+    # don't shape the scan), so force 1x1 there; otherwise the MCU is
+    # the interleaved vi x hi block raster per component
+    samp = (
+        [(1, 1)]
+        if len(comps) == 1
+        else [(ch, cv) for (_, ch, cv, _) in comps]
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    for hi, vi in samp:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                f"fractional sampling ratio unsupported "
+                f"({hi}x{vi} vs max {hmax}x{vmax})"
+            )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
+        for hi, vi in samp
+    ]
     tabs = []
-    for (cid_s, tsel), (cid_f, tq) in zip(scomps, comps):
+    for (cid_s, tsel), (cid_f, _, _, tq) in zip(scomps, comps):
         if cid_s != cid_f:
             raise ValueError("scan component order differs from frame")
         if tq not in quant:
@@ -1298,47 +1366,65 @@ def decode_jpeg(payload: bytes):
         if dc_t is None or ac_t is None:
             raise ValueError("missing Huffman table referenced by SOS")
         tabs.append((dc_t, ac_t, quant[tq]))
-    n_mcu = (ph // 8) * (pw // 8)
     seg_i = 0
     br = _BitReader(segs[0])
     dc_pred = [0] * len(comps)
-    for mcu in range(n_mcu):
+
+    def decode_block(ci, r0, c0):
+        dc_t, ac_t, q = tabs[ci]
+        zz = np.zeros(64, dtype=np.int64)
+        t = br.decode_symbol(dc_t)
+        dc_pred[ci] += _extend(br.read(t), t)
+        zz[0] = dc_pred[ci]
+        k = 1
+        while k < 64:
+            sym = br.decode_symbol(ac_t)
+            r, s = sym >> 4, sym & 15
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(br.read(s), s)
+            k += 1
+        Fq = np.zeros((8, 8), dtype=np.float64)
+        Fq[zz_r, zz_c] = zz
+        blk = B.T @ (Fq * q) @ B + 128.0
+        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = np.clip(
+            np.floor(blk + 0.5), 0, 255
+        ).astype(np.uint8)
+
+    for mcu in range(mcux * mcuy):
         if restart_interval and mcu and mcu % restart_interval == 0:
             seg_i += 1
             if seg_i >= len(segs):
                 raise ValueError("missing restart marker")
             br = _BitReader(segs[seg_i])
             dc_pred = [0] * len(comps)
-        by, bx = divmod(mcu, pw // 8)
-        for ci, (dc_t, ac_t, q) in enumerate(tabs):
-            zz = np.zeros(64, dtype=np.int64)
-            t = br.decode_symbol(dc_t)
-            dc_pred[ci] += _extend(br.read(t), t)
-            zz[0] = dc_pred[ci]
-            k = 1
-            while k < 64:
-                sym = br.decode_symbol(ac_t)
-                r, s = sym >> 4, sym & 15
-                if s == 0:
-                    if r == 15:  # ZRL: sixteen zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.read(s), s)
-                k += 1
-            Fq = np.zeros((8, 8), dtype=np.float64)
-            Fq[zz_r, zz_c] = zz
-            blk = B.T @ (Fq * q) @ B + 128.0
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.floor(blk + 0.5), 0, 255
-            ).astype(np.uint8)
-    cropped = [p[:h, :w] for p in planes]
-    if len(cropped) == 1:
-        return w, h, 1, cropped[0]
-    rgb = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
+        my, mx = divmod(mcu, mcux)
+        for ci, (hi, vi) in enumerate(samp):
+            for byy in range(vi):
+                for bxx in range(hi):
+                    decode_block(
+                        ci, (my * vi + byy) * 8, (mx * hi + bxx) * 8
+                    )
+    # crop each component to its true dims, then upsample subsampled
+    # chroma to full resolution by pixel replication
+    full = []
+    for (hi, vi), p in zip(samp, planes):
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        p = p[:ch, :cw]
+        if (hi, vi) != (hmax, vmax):
+            p = np.repeat(
+                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return w, h, 1, full[0]
+    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     return w, h, 3, rgb.reshape(h, w * 3)
 
 

@@ -824,6 +824,87 @@ FROM agg ORDER BY media_id
 """
 
 
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 SUBSAMPLED color JPEG under the driver gate — the layout
+    virtually every camera/web JPEG uses. Each doc gets an RGB raster
+    with r=g=b=v, v constant per 8x8 block and EVEN
+    (v = 32 + 2 * ((doc_id*7 + bx*13 + by*29) % 48)); encoded
+    executor-side with ``sampling="4:2:0"`` (box-mean chroma
+    downsample, MCU-interleaved scan: four luma data units then Cb,
+    Cr per MCU), then ``extract_jpeg_features`` decodes the
+    interleaved stream, upsamples chroma, and converts back to RGB.
+    The oracle predicts the decoded raster in closed form: gray RGB
+    has Cb = Cr = 128 EXACTLY (the JFIF forward coefficients sum to
+    0.5 / 1.0 exactly), so every chroma coefficient is zero at any
+    subsampling, and even per-block-constant luma is a Q00=16 fixed
+    point — decoded == generated byte-for-byte through a REAL lossy
+    4:2:0 codec. Distinct per-block values mean any defect in the
+    T.81 MCU data-unit order, a per-component DC prediction chain,
+    the replication upsample, or the non-multiple-of-16 crop (w, h
+    run over 8..32) changes pixel_sum or the sha256."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (8 * (1 + F.col("doc_id") % 4)).cast("int").alias("w"),
+        (8 * (1 + (F.col("doc_id") / 4).cast("long") % 4)).cast("int").alias("h"),
+    )
+
+    def make_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                did, w, h = int(did), int(w), int(h)
+                bx = np.arange(w // 8)
+                by = np.arange(h // 8)
+                v = (
+                    32 + 2 * ((did * 7 + bx[None, :] * 13 + by[:, None] * 29) % 48)
+                ).astype(np.uint8)
+                lum = np.kron(v, np.ones((8, 8), np.uint8))
+                rgb = np.repeat(lum[:, :, None], 3, axis=2)
+                ids.append(did)
+                blobs.append(M.encode_jpeg(rgb, sampling="4:2:0"))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    payloads = d.mapInPandas(make_jpeg, "doc_id long, blob binary")
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "image")
+    return M.extract_jpeg_features(media).orderBy("media_id")
+
+
+MULTIMODAL_JPEG420_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         8 * (1 + doc_id % 4) AS w,
+         8 * (1 + (doc_id // 4) % 4) AS h
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id, w, h,
+         unnest(range(0, CAST(w * h * 3 AS BIGINT))) AS i
+  FROM d
+), v AS (
+  SELECT doc_id, w, h, i,
+         32 + 2 * ((doc_id * 7 + (((i % (w * 3)) // 3) // 8) * 13
+                    + ((i // (w * 3)) // 8) * 29) % 48) AS val
+  FROM px
+), agg AS (
+  SELECT doc_id, w, h,
+         SUM(val) AS pixel_sum,
+         string_agg(chr(CAST(val AS INTEGER)), '' ORDER BY i) AS raster
+  FROM v GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       3 AS n_components,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       sha256(raster) AS raster_sha256  -- values <= 126: VARCHAR bytes == raster bytes
+FROM agg ORDER BY media_id
+"""
+
+
 def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decoding under the driver gate: each doc gets a
     deterministic PCM-16 mono waveform (sample[i] = ((i*k + c) % 191)
@@ -1422,6 +1503,7 @@ QUERIES = {
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
+    "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
@@ -1454,6 +1536,7 @@ ORACLES = {
     "winnow_overlap_pairs": WINNOW_PAIRS_SQL,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_jpeg_decode": MULTIMODAL_JPEG_SQL,
+    "multimodal_jpeg420_decode": MULTIMODAL_JPEG420_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,

@@ -607,3 +607,126 @@ def test_jpeg_rejects_corruption():
     sof2[i + 1] = 0xC2
     with pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(bytes(sof2))
+
+
+def test_jpeg_subsampled_fixed_point_roundtrip():
+    """4:2:0 and 4:2:2 MCU-interleaved decode, exact: gray RGB
+    (r=g=b=v) has Cb=Cr=128 EXACTLY (the JFIF coefficients sum to 0.5
+    and 1.0 exactly), so every chroma coefficient is zero at any
+    subsampling — and per-8x8-block-constant EVEN luma is a Q00=16
+    fixed point. Distinct values per block make any mistake in the
+    T.81 MCU data-unit order (Y's vi x hi raster, then Cb, Cr), the
+    per-component DC prediction chains, or the replication upsample
+    change the output."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    v = (32 + 2 * rng.integers(0, 48, (4, 6))).astype(np.uint8)
+    lum = np.kron(v, np.ones((8, 8), np.uint8))  # 32 x 48, varies per block
+    rgb = np.repeat(lum[:, :, None], 3, axis=2)
+    sizes = {}
+    for samp in ("4:4:4", "4:2:2", "4:2:0"):
+        blob = encode_jpeg(rgb, sampling=samp)
+        sizes[samp] = len(blob)
+        w, h, nc, out = decode_jpeg(blob)
+        assert (w, h, nc) == (48, 32, 3)
+        assert np.array_equal(out, rgb.reshape(32, 144)), samp
+    # subsampling must actually shrink the payload (fewer data units)
+    assert sizes["4:2:0"] < sizes["4:2:2"] < sizes["4:4:4"]
+
+
+def test_jpeg_subsampled_crop_and_edge_padding():
+    """Dims that are not multiples of the 16-pixel (4:2:0) MCU grid:
+    edge replication keeps padded blocks constant, decode crops back
+    to the exact requested size."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    v = (32 + 2 * rng.integers(0, 48, (3, 5))).astype(np.uint8)
+    lum = np.kron(v, np.ones((8, 8), np.uint8))  # 24 x 40
+    rgb = np.repeat(lum[:, :, None], 3, axis=2)
+    for samp in ("4:2:0", "4:2:2"):
+        w, h, nc, out = decode_jpeg(encode_jpeg(rgb, sampling=samp))
+        assert (w, h, nc) == (40, 24, 3)
+        assert np.array_equal(out, rgb.reshape(24, 120)), samp
+
+
+def test_jpeg_subsampled_real_chroma_bounded_error():
+    """Actual non-neutral chroma through downsample -> encode ->
+    decode -> upsample: a constant-color image reconstructs within the
+    chroma quantizer's step (Q00=17 -> error <= ~2), and a smooth
+    gradient stays within a small tolerance — codec-grade lossiness,
+    not garbage."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.empty((24, 24, 3), np.uint8)
+    img[:] = (200, 64, 100)
+    for samp in ("4:2:0", "4:2:2"):
+        w, h, nc, out = decode_jpeg(encode_jpeg(img, sampling=samp))
+        err = np.abs(
+            out.reshape(24, 24, 3).astype(int) - img.astype(int)
+        ).max()
+        assert err <= 4, (samp, err)
+    x = np.linspace(0, 200, 48)
+    y = np.linspace(0, 180, 40)
+    grad = np.stack(
+        [
+            np.add.outer(y * 0.5, x * 0.5),
+            np.add.outer(y * 0.3, x * 0.7),
+            np.full((40, 48), 90.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    for samp in ("4:2:0", "4:2:2"):
+        w, h, nc, out = decode_jpeg(encode_jpeg(grad, sampling=samp))
+        err = np.abs(
+            out.reshape(40, 48, 3).astype(int) - grad.astype(int)
+        )
+        assert err.mean() < 4 and err.max() <= 16, (samp, err.max())
+
+
+def test_jpeg_sampling_rejections():
+    """Loud boundaries: unknown sampling string at encode; sampling
+    factors outside T.81's 1-4 and fractional ratios (hi not dividing
+    hmax) at decode — both BEFORE entropy decoding, so corrupt
+    geometry can't produce a silently wrong raster."""
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((16, 16, 3), 100, np.uint8)
+    with pytest.raises(ValueError, match="unsupported sampling"):
+        encode_jpeg(img, sampling="4:2:1")
+    blob = bytearray(encode_jpeg(img, sampling="4:2:0"))
+    i = blob.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1), then cid/hv/tq per comp
+    hv_luma = i + 2 + 2 + 1 + 4 + 1 + 1
+    assert blob[hv_luma] == 0x22
+    bad = bytearray(blob)
+    bad[hv_luma] = 0x52  # h=5: outside 1-4
+    with pytest.raises(ValueError, match="outside T.81"):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(blob)
+    bad[hv_luma] = 0x33  # luma 3x3 with 2x2... no: make chroma 2x2
+    bad[hv_luma + 3] = 0x22  # Cb 2x2 -> hmax 3, 3 % 2 != 0
+    with pytest.raises(ValueError, match="fractional sampling"):
+        decode_jpeg(bytes(bad))
