@@ -952,7 +952,18 @@ def ivfpq_topk(
     0.31 of the corpus (measured at 2M vectors, BASELINE_NOTES r10;
     tools/fullscale_ann.py prints the union fraction per leg). At
     corpus scales where the scan dominates the fixed window/re-rank
-    cost, (b) converges to the union fraction."""
+    cost, (b) converges to the union fraction.
+
+    Sizing ``shortlist``: on adversarial geometry — true neighbors
+    hidden among many ADC-indistinguishable vectors (tight clusters
+    the PQ cells can't resolve) — recall is SHORTLIST-bound, not
+    probe-bound: the 2M-vector leg measured recall@5 0.070 -> 0.376
+    as shortlist went 50 -> 500 at fixed probes (BASELINE_NOTES r10),
+    and recall@k is monotone non-decreasing in shortlist by
+    construction (the exact re-rank sees a superset of candidates;
+    pinned in tests/test_similarity.py). With n_probe = n_cells and
+    shortlist >= corpus size the path degenerates to exact brute
+    force — the recovery knob when ADC resolution is the binder."""
     import numpy as np
 
     m, n_codes, sub = codebooks.shape

@@ -737,3 +737,77 @@ def test_ivfpq_compaction_torn_swap_rolls_back(spark, tmp_path, monkeypatch):
     # and a clean retry compacts fine
     stats = S.compact_ivfpq_index(spark, path)
     assert stats["files_after"] <= stats["files_before"]
+
+
+def test_ivfpq_shortlist_recall_monotone_on_adversarial_geometry(
+    spark, tmp_path
+):
+    """Worst-case geometry for PQ: every corpus vector is the same
+    direction plus a tiny perpendicular perturbation, so exact cosine
+    ranks hinge on differences far below the codebooks' resolution —
+    ADC ordering is ~arbitrary within the cluster and recall@k is
+    SHORTLIST-bound (the 2M-vector leg measured recall@5 0.070->0.376
+    as shortlist went 50->500). Pins the recovery contract: recall is
+    monotone non-decreasing in shortlist, and with n_probe = n_cells
+    plus shortlist >= corpus the path degenerates to exact brute
+    force (recall 1.0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n, dim = 400, 16
+    base = rng.normal(size=dim)
+    base /= np.linalg.norm(base)
+    perp = rng.normal(size=(n, dim)) * 1e-3
+    perp -= np.outer(perp @ base, base)  # exactly perpendicular
+    vecs = base[None, :] + perp
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    n_cells = 4
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=n_cells, n_train=n,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=4, n_codes=4, dim=dim, centroids=cents,
+    )
+    index = S.encode_ivfpq(
+        emb, books, cents, corpus_id="vec_id", corpus_vec="embedding"
+    ).cache()
+    k = 5
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.qid, r.cid)
+        for r in S.brute_force_topk(
+            q.select(F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("qvec")),
+            emb.select(F.col("vec_id").alias("cid"),
+                       F.col("embedding").alias("cvec")),
+            query_id="qid", query_vec="qvec",
+            corpus_id="cid", corpus_vec="cvec", k=k,
+        ).collect()
+    }
+    kw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=k, n_probe=n_cells,
+    )
+    recalls = []
+    for shortlist in (5, 25, 100, n):
+        got = {
+            (r.qid, r.cid)
+            for r in S.ivfpq_topk(
+                q, emb, index, books, cents, shortlist=shortlist, **kw
+            ).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, (
+        f"full shortlist must equal brute force: {recalls}"
+    )
+    # the geometry actually binds: a tiny shortlist misses neighbors
+    assert recalls[0] < 0.9, (
+        f"geometry not adversarial enough to pin the contract: {recalls}"
+    )
