@@ -1040,7 +1040,12 @@ def _ycbcr_to_rgb(ycc):
 
 
 def encode_jpeg(
-    raster, *, luma_quant=None, chroma_quant=None, sampling="4:4:4"
+    raster,
+    *,
+    luma_quant=None,
+    chroma_quant=None,
+    sampling="4:4:4",
+    restart_interval=0,
 ) -> bytes:
     """Minimal-but-real baseline-sequential JPEG encoder: numpy (h, w)
     grayscale or (h, w, 3) RGB uint8 -> JPEG bytes (SOI, DQT, SOF0,
@@ -1049,10 +1054,14 @@ def encode_jpeg(
     zigzag -> DC-differential + run-length AC Huffman coding with byte
     stuffing. ``sampling`` selects the chroma layout for color input:
     "4:4:4" (all 1x1), "4:2:2" (luma 2x1, half-width chroma), or
-    "4:2:0" (luma 2x2, quarter chroma) — chroma is box-mean
-    downsampled (half-up rounding) over an edge-padded plane, and the
-    scan interleaves each MCU's data units in T.81 order (luma's
-    vi x hi raster, then Cb, then Cr). Used by tests and the battery
+    "4:2:0" (luma 2x2, quarter chroma), "4:4:0" (luma 1x2), or
+    "4:1:1" (luma 4x1) — chroma is box-mean downsampled (half-up
+    rounding) over an edge-padded plane, and the scan interleaves each
+    MCU's data units in T.81 order (luma's vi x hi raster, then Cb,
+    then Cr). ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that-many MCUs (byte-aligned, DC predictors reset) —
+    the resync points a parallel or fault-tolerant decoder keys on.
+    Used by tests and the battery
     entries to manufacture deterministic compressed payloads
     executor-side; it and ``decode_jpeg`` check each other only
     through the format (markers, canonical Huffman, quantization
@@ -1082,11 +1091,13 @@ def encode_jpeg(
             "4:4:4": [(1, 1), (1, 1), (1, 1)],
             "4:2:2": [(2, 1), (1, 1), (1, 1)],
             "4:2:0": [(2, 2), (1, 1), (1, 1)],
+            "4:4:0": [(1, 2), (1, 1), (1, 1)],
+            "4:1:1": [(4, 1), (1, 1), (1, 1)],
         }.get(sampling)
         if samp is None:
             raise ValueError(
                 f"unsupported sampling {sampling!r} "
-                "(4:4:4, 4:2:2, 4:2:0)"
+                "(4:4:4, 4:2:2, 4:2:0, 4:4:0, 4:1:1)"
             )
     else:
         planes = [raster]
@@ -1162,8 +1173,16 @@ def encode_jpeg(
             code, length = ac_tab[0x00]  # EOB
             bw.write(code, length)
 
+    n_rst = 0
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()  # RSTn is byte-aligned, never stuffed
+                bw.buf += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                dc_pred[:] = [0] * len(planes)
+            mcu_i += 1
             for ci, (hi, vi) in enumerate(samp):
                 for byy in range(vi):
                     for bxx in range(hi):
@@ -1205,6 +1224,8 @@ def encode_jpeg(
         out += dht(0, 1, _DC_BITS, _DC_VALUES) + dht(
             1, 1, _AC_BITS, _AC_VALUES
         )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, sos) + bytes(bw.buf) + struct.pack(">H", 0xFFD9)
     return out
 

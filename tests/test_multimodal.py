@@ -730,3 +730,43 @@ def test_jpeg_sampling_rejections():
     bad[hv_luma + 3] = 0x22  # Cb 2x2 -> hmax 3, 3 % 2 != 0
     with pytest.raises(ValueError, match="fractional sampling"):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_restart_markers_and_exotic_samplings_roundtrip():
+    """DRI/RSTn through the full pipeline (the encoder now emits what
+    the decoder always handled): byte-aligned restart markers every N
+    MCUs with DC-predictor resets, at several samplings including the
+    decoder's generalized integer-ratio layouts 4:4:0 (1x2 luma) and
+    4:1:1 (4x1 luma). The gray-RGB even-block fixed point makes every
+    roundtrip EXACT, so a wrong restart split, a missed predictor
+    reset, or a bad MCU geometry shows as changed bytes."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    v = (32 + 2 * rng.integers(0, 48, (4, 8))).astype(np.uint8)
+    lum = np.kron(v, np.ones((8, 8), np.uint8))  # 32 x 64
+    rgb = np.repeat(lum[:, :, None], 3, axis=2)
+    for samp in ("4:4:4", "4:2:0", "4:2:2", "4:4:0", "4:1:1"):
+        for ri in (0, 1, 3):
+            blob = encode_jpeg(rgb, sampling=samp, restart_interval=ri)
+            if ri:
+                assert b"\xff\xdd" in blob  # DRI present
+                assert any(
+                    bytes([0xFF, 0xD0 + i]) in blob for i in range(8)
+                )
+            w, h, nc, out = decode_jpeg(blob)
+            assert (w, h, nc) == (64, 32, 3)
+            assert np.array_equal(out, rgb.reshape(32, 192)), (samp, ri)
+    # grayscale with restarts too (single-component scan)
+    g = encode_jpeg(lum, restart_interval=2)
+    w, h, nc, out = decode_jpeg(g)
+    assert (w, h, nc) == (64, 32, 1) and np.array_equal(out, lum)
+    # >8 restarts wraps the RSTn modulo-8 counter
+    many = encode_jpeg(lum, restart_interval=1)
+    w, h, nc, out = decode_jpeg(many)
+    assert np.array_equal(out, lum)
