@@ -1039,36 +1039,12 @@ def _ycbcr_to_rgb(ycc):
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(
-    raster,
-    *,
-    luma_quant=None,
-    chroma_quant=None,
-    sampling="4:4:4",
-    restart_interval=0,
-) -> bytes:
-    """Minimal-but-real baseline-sequential JPEG encoder: numpy (h, w)
-    grayscale or (h, w, 3) RGB uint8 -> JPEG bytes (SOI, DQT, SOF0,
-    DHT, SOS, MCU-interleaved entropy-coded scan, EOI).
-    Level shift -> float DCT -> symmetric-round quantization ->
-    zigzag -> DC-differential + run-length AC Huffman coding with byte
-    stuffing. ``sampling`` selects the chroma layout for color input:
-    "4:4:4" (all 1x1), "4:2:2" (luma 2x1, half-width chroma), or
-    "4:2:0" (luma 2x2, quarter chroma), "4:4:0" (luma 1x2), or
-    "4:1:1" (luma 4x1) — chroma is box-mean downsampled (half-up
-    rounding) over an edge-padded plane, and the scan interleaves each
-    MCU's data units in T.81 order (luma's vi x hi raster, then Cb,
-    then Cr). ``restart_interval`` > 0 emits a DRI segment and RSTn
-    markers every that-many MCUs (byte-aligned, DC predictors reset) —
-    the resync points a parallel or fault-tolerant decoder keys on.
-    Used by tests and the battery
-    entries to manufacture deterministic compressed payloads
-    executor-side; it and ``decode_jpeg`` check each other only
-    through the format (markers, canonical Huffman, quantization
-    algebra) plus the oracle's raster prediction, exactly like the
-    PNG pair."""
-    import struct
-
+def _jpeg_prep(raster, luma_quant, chroma_quant, sampling):
+    """Shared encoder front end (baseline + progressive): color
+    transform, chroma box-mean downsample per the sampling layout,
+    edge-pad each component to its MCU block grid, level-shift.
+    Returns (prepped_float_planes, samp, quants, qids, h, w, mcux,
+    mcuy)."""
     import numpy as np
 
     raster = np.asarray(raster, dtype=np.uint8)
@@ -1126,6 +1102,71 @@ def encode_jpeg(
             ).astype(np.float64)
             - 128.0
         )
+    return prepped, samp, quants, qids, h, w, mcux, mcuy
+
+
+def _jpeg_coef_arrays(prepped, quants):
+    """Quantized zigzag-order coefficient arrays per component:
+    (n_block_rows, n_block_cols, 64) int32 — the shared currency of
+    the baseline and progressive entropy coders."""
+    import numpy as np
+
+    B = _dct_basis()
+    zz_r = [r for r, _ in _ZIGZAG]
+    zz_c = [c for _, c in _ZIGZAG]
+    out = []
+    for p, q in zip(prepped, quants):
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        qf = np.asarray(q, dtype=np.float64)
+        arr = np.empty((nby, nbx, 64), dtype=np.int32)
+        # per-block 2D matmuls, NOT a batched einsum: the float
+        # summation order must match the baseline encoder's B@blk@B.T
+        # exactly, or coefficients sitting on the quantizer's .5
+        # boundary diverge between the two entropy coders
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                Fq = _quantize(B @ blk @ B.T, qf)
+                arr[by, bx] = Fq[zz_r, zz_c]
+        out.append(arr)
+    return out
+
+
+def encode_jpeg(
+    raster,
+    *,
+    luma_quant=None,
+    chroma_quant=None,
+    sampling="4:4:4",
+    restart_interval=0,
+) -> bytes:
+    """Minimal-but-real baseline-sequential JPEG encoder: numpy (h, w)
+    grayscale or (h, w, 3) RGB uint8 -> JPEG bytes (SOI, DQT, SOF0,
+    DHT, SOS, MCU-interleaved entropy-coded scan, EOI).
+    Level shift -> float DCT -> symmetric-round quantization ->
+    zigzag -> DC-differential + run-length AC Huffman coding with byte
+    stuffing. ``sampling`` selects the chroma layout for color input:
+    "4:4:4" (all 1x1), "4:2:2" (luma 2x1, half-width chroma), or
+    "4:2:0" (luma 2x2, quarter chroma), "4:4:0" (luma 1x2), or
+    "4:1:1" (luma 4x1) — chroma is box-mean downsampled (half-up
+    rounding) over an edge-padded plane, and the scan interleaves each
+    MCU's data units in T.81 order (luma's vi x hi raster, then Cb,
+    then Cr). ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that-many MCUs (byte-aligned, DC predictors reset) —
+    the resync points a parallel or fault-tolerant decoder keys on.
+    Used by tests and the battery
+    entries to manufacture deterministic compressed payloads
+    executor-side; it and ``decode_jpeg`` check each other only
+    through the format (markers, canonical Huffman, quantization
+    algebra) plus the oracle's raster prediction, exactly like the
+    PNG pair."""
+    import struct
+
+    import numpy as np
+
+    prepped, samp, quants, qids, h, w, mcux, mcuy = _jpeg_prep(
+        raster, luma_quant, chroma_quant, sampling
+    )
     B = _dct_basis()
     dc_tab = {
         s: (c, l) for (l, c), s in _build_huffman(_DC_BITS, _DC_VALUES).items()
@@ -1136,7 +1177,7 @@ def encode_jpeg(
     zz_r = [r for r, _ in _ZIGZAG]
     zz_c = [c for _, c in _ZIGZAG]
     bw = _BitWriter()
-    dc_pred = [0] * len(planes)
+    dc_pred = [0] * len(prepped)
 
     def emit_block(blk, ci):
         Fq = _quantize(B @ blk @ B.T, quants[ci])
@@ -1181,7 +1222,7 @@ def encode_jpeg(
                 bw.flush()  # RSTn is byte-aligned, never stuffed
                 bw.buf += bytes([0xFF, 0xD0 + (n_rst % 8)])
                 n_rst += 1
-                dc_pred[:] = [0] * len(planes)
+                dc_pred[:] = [0] * len(prepped)
             mcu_i += 1
             for ci, (hi, vi) in enumerate(samp):
                 for byy in range(vi):
@@ -1207,7 +1248,7 @@ def encode_jpeg(
             0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
         )
 
-    ncomp = len(planes)
+    ncomp = len(prepped)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -1215,9 +1256,9 @@ def encode_jpeg(
         sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
         sos += bytes([ci + 1, (qids[ci] << 4) | qids[ci]])
     sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (baseline full scan)
-    out = struct.pack(">H", 0xFFD8) + dqt(0, lq)
+    out = struct.pack(">H", 0xFFD8) + dqt(0, quants[0])
     if ncomp == 3:
-        out += dqt(1, cq)
+        out += dqt(1, quants[1])
     out += seg(0xFFC0, sof)
     out += dht(0, 0, _DC_BITS, _DC_VALUES) + dht(1, 0, _AC_BITS, _AC_VALUES)
     if ncomp == 3:
@@ -1238,12 +1279,14 @@ def decode_jpeg(payload: bytes):
     interleaved scan (0xFF00 unstuffing, DRI/RSTn restart handling with
     DC-predictor reset), dequantizes, de-zigzags, applies the float
     IDCT with half-up rounding, and converts JFIF YCbCr back to RGB
-    for 3-component streams. Supports 8-bit baseline, grayscale or
-    color at any integer-ratio sampling (4:4:4, 4:2:2, 4:2:0, 4:4:0,
-    4:1:1 — per-component h x v factors, MCU-interleaved data units in
-    T.81 order, subsampled chroma upsampled by pixel replication) —
-    progressive, 12-bit, arithmetic coding, and fractional sampling
-    ratios raise loudly.
+    for 3-component streams. Supports 8-bit baseline AND progressive
+    (SOF2 dispatches to the multi-scan decoder: spectral selection,
+    successive approximation, EOB-run coding), grayscale or color at
+    any integer-ratio sampling (4:4:4, 4:2:2, 4:2:0, 4:4:0, 4:1:1 —
+    per-component h x v factors, MCU-interleaved data units in T.81
+    order, subsampled chroma upsampled by pixel replication) —
+    12-bit, lossless/hierarchical, arithmetic coding, and fractional
+    sampling ratios raise loudly.
 
     Returns (width, height, n_components, raster) with raster a
     (height, width * n_components) uint8 array, the PNG decoder's
@@ -1254,6 +1297,8 @@ def decode_jpeg(payload: bytes):
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (bad SOI)")
+    if _jpeg_sof_marker(payload) == 0xC2:
+        return _decode_jpeg_progressive(payload)
     pos = 2
     quant: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}
@@ -1332,25 +1377,7 @@ def decode_jpeg(payload: bytes):
         raise ValueError("SOS/SOF component mismatch")
     if len(comps) not in (1, 3):
         raise ValueError(f"{len(comps)} components unsupported (1 or 3)")
-    # split the entropy stream at restart markers, unstuffing 0xFF00
-    segs, cur = [], bytearray()
-    while pos < len(payload):
-        b = payload[pos]
-        if b == 0xFF:
-            m = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
-            if m == 0x00:
-                cur.append(0xFF)
-                pos += 2
-                continue
-            if 0xD0 <= m <= 0xD7:
-                segs.append(bytes(cur))
-                cur = bytearray()
-                pos += 2
-                continue
-            break  # next real marker (EOI)
-        cur.append(b)
-        pos += 1
-    segs.append(bytes(cur))
+    segs, pos = _jpeg_entropy_segments(payload, pos)
     B = _dct_basis()
     zz_r = [r for r, _ in _ZIGZAG]
     zz_c = [c for _, c in _ZIGZAG]
@@ -1432,8 +1459,38 @@ def decode_jpeg(payload: bytes):
                     decode_block(
                         ci, (my * vi + byy) * 8, (mx * hi + bxx) * 8
                     )
-    # crop each component to its true dims, then upsample subsampled
-    # chroma to full resolution by pixel replication
+    return _jpeg_assemble(planes, samp, hmax, vmax, w, h)
+
+
+def _jpeg_entropy_segments(payload: bytes, pos: int):
+    """Split one scan's entropy stream at restart markers, unstuffing
+    0xFF00; returns (segments, position of the next real marker)."""
+    segs, cur = [], bytearray()
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0xFF:
+            m = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break  # next real marker
+        cur.append(b)
+        pos += 1
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def _jpeg_assemble(planes, samp, hmax, vmax, w, h):
+    """Shared decoder back end: crop each component plane to its true
+    dims, replication-upsample subsampled chroma, color-convert."""
+    import numpy as np
+
     full = []
     for (hi, vi), p in zip(samp, planes):
         cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
@@ -1447,6 +1504,589 @@ def decode_jpeg(payload: bytes):
         return w, h, 1, full[0]
     rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     return w, h, 3, rgb.reshape(h, w * 3)
+
+
+# --- Progressive JPEG (SOF2): spectral selection + successive
+# approximation, ITU-T T.81 Annex G ---------------------------------------
+
+# Progressive AC scans need the EOBn symbols (run-of-end-of-band codes,
+# (r << 4) with size 0 for r = 0..14) that baseline never emits; this
+# canonical fixed-length table carries all 16 plus the full (run, size)
+# matrix — 176 of 256 codes at length 8.
+_AC_PROG_VALUES = [r << 4 for r in range(16)] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_PROG_BITS = [0] * 7 + [len(_AC_PROG_VALUES)] + [0] * 8
+
+# libjpeg's default progression script: DC first at Al=1 (all comps,
+# interleaved), luma AC bands at Al=2, chroma AC at Al=1, then the
+# successive-approximation refinements down to Al=0. Entries are
+# (component indices, Ss, Se, Ah, Al).
+_JPEG_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_JPEG_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _jpeg_sof_marker(payload: bytes):
+    """Walk the marker stream far enough to find the SOFn marker byte
+    (None if absent) — the baseline/progressive dispatch key."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        m = payload[pos + 1]
+        if m == 0xD9 or m == 0xDA:
+            return None
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return m
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        pos += 2 + length
+    return None
+
+
+def _comp_used_grid(w, h, hi, vi, hmax, vmax):
+    """Block-grid dims a NON-interleaved scan covers for a component:
+    ceil(comp dims / 8), NOT the MCU-padded grid (T.81 A.2.2)."""
+    cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def encode_jpeg_progressive(
+    raster,
+    *,
+    luma_quant=None,
+    chroma_quant=None,
+    sampling="4:4:4",
+    scans=None,
+) -> bytes:
+    """Progressive JPEG encoder (SOF2, T.81 Annex G): the SAME
+    quantized coefficients as :func:`encode_jpeg` (shared
+    ``_jpeg_prep`` / ``_jpeg_coef_arrays`` front end — bitwise
+    identical), entropy-coded across multiple scans with spectral
+    selection and successive approximation: DC-first with point
+    transform, DC refinement bits, AC band scans with EOB-run coding,
+    and the AC refinement correction-bit algorithm (G.1.2.3).
+    ``scans`` overrides the default libjpeg-style progression script
+    (entries (comp_indices, Ss, Se, Ah, Al)); a custom script must
+    still cover every coefficient down to Al=0 or the decode is a
+    coarser approximation. Because the coefficient front end is
+    shared, a progressive stream must DECODE to the byte-identical
+    raster as the baseline stream of the same input — the test
+    contract."""
+    import struct
+
+    prepped, samp, quants, qids, h, w, mcux, mcuy = _jpeg_prep(
+        raster, luma_quant, chroma_quant, sampling
+    )
+    coefs = _jpeg_coef_arrays(prepped, quants)
+    ncomp = len(coefs)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if scans is None:
+        scans = (
+            _JPEG_PROG_SCRIPT_COLOR if ncomp == 3 else _JPEG_PROG_SCRIPT_GRAY
+        )
+    dc_tab = {
+        s: (c, l) for (l, c), s in _build_huffman(_DC_BITS, _DC_VALUES).items()
+    }
+    ac_tab = {
+        s: (c, l)
+        for (l, c), s in _build_huffman(
+            _AC_PROG_BITS, _AC_PROG_VALUES
+        ).items()
+    }
+
+    def dc_blocks(comps):
+        """Block traversal of a DC scan: MCU-interleaved when the scan
+        has several components, the component's own used grid when
+        one."""
+        if len(comps) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for c in comps:
+                        hi, vi = samp[c]
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                yield c, my * vi + byy, mx * hi + bxx
+        else:
+            c = comps[0]
+            uby, ubx = _comp_used_grid(w, h, *samp[c], hmax, vmax)
+            for by in range(uby):
+                for bx in range(ubx):
+                    yield c, by, bx
+
+    scan_chunks = []
+    for comps, Ss, Se, Ah, Al in scans:
+        if Ss == 0 and Se != 0:
+            raise ValueError("DC scan must have Se == 0")
+        if Ss > 0 and len(comps) != 1:
+            raise ValueError("progressive AC scans are single-component")
+        bw = _BitWriter()
+        if Ss == 0 and Ah == 0:  # DC first
+            pred = {c: 0 for c in comps}
+            for c, by, bx in dc_blocks(comps):
+                val = int(coefs[c][by, bx, 0]) >> Al  # arithmetic shift
+                diff = val - pred[c]
+                pred[c] = val
+                t = _category(diff)
+                code, length = dc_tab[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        elif Ss == 0:  # DC refine: one raw bit per block
+            for c, by, bx in dc_blocks(comps):
+                bw.write((int(coefs[c][by, bx, 0]) >> Al) & 1, 1)
+        elif Ah == 0:  # AC first (band Ss..Se, EOB-run coded)
+            c = comps[0]
+            uby, ubx = _comp_used_grid(w, h, *samp[c], hmax, vmax)
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    code, length = ac_tab[nbits << 4]
+                    bw.write(code, length)
+                    if nbits:
+                        bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                    eobrun = 0
+
+            for by in range(uby):
+                for bx in range(ubx):
+                    zz = coefs[c][by, bx]
+                    r = 0
+                    for k in range(Ss, Se + 1):
+                        v = int(zz[k])
+                        t = (v if v >= 0 else -v) >> Al  # magnitude shift
+                        if t == 0:
+                            r += 1
+                            continue
+                        flush_eob()
+                        while r > 15:
+                            code, length = ac_tab[0xF0]
+                            bw.write(code, length)
+                            r -= 16
+                        s = t.bit_length()
+                        if s > 10:
+                            raise ValueError(
+                                f"AC coefficient {v} exceeds the 10-bit "
+                                "range; use a larger quant table"
+                            )
+                        sv = t if v >= 0 else -t
+                        code, length = ac_tab[(r << 4) | s]
+                        bw.write(code, length)
+                        bw.write(sv if sv > 0 else sv + (1 << s) - 1, s)
+                        r = 0
+                    if r > 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+        else:  # AC refine: correction-bit algorithm, T.81 G.1.2.3
+            c = comps[0]
+            uby, ubx = _comp_used_grid(w, h, *samp[c], hmax, vmax)
+            eobrun = 0
+            pending: list[int] = []  # correction bits behind the EOB run
+
+            def flush_eob2():
+                nonlocal eobrun, pending
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    code, length = ac_tab[nbits << 4]
+                    bw.write(code, length)
+                    if nbits:
+                        bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                    eobrun = 0
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+
+            for by in range(uby):
+                for bx in range(ubx):
+                    zz = coefs[c][by, bx]
+                    absv = [
+                        (abs(int(zz[k])) >> Al) for k in range(Ss, Se + 1)
+                    ]
+                    eob_pos = Ss - 1  # last newly-nonzero position
+                    for k in range(Ss, Se + 1):
+                        if absv[k - Ss] == 1:
+                            eob_pos = k
+                    r = 0
+                    br_bits: list[int] = []
+                    for k in range(Ss, Se + 1):
+                        t = absv[k - Ss]
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob_pos:
+                            flush_eob2()
+                            code, length = ac_tab[0xF0]
+                            bw.write(code, length)
+                            r -= 16
+                            for b in br_bits:
+                                bw.write(b, 1)
+                            br_bits = []
+                        if t > 1:
+                            # previously-nonzero coef: one correction bit
+                            br_bits.append(t & 1)
+                            continue
+                        flush_eob2()
+                        code, length = ac_tab[(r << 4) | 1]
+                        bw.write(code, length)
+                        bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits = []
+                        r = 0
+                    if r > 0 or br_bits:
+                        eobrun += 1
+                        pending.extend(br_bits)
+                        if eobrun == 0x7FFF or len(pending) > 900:
+                            flush_eob2()
+            flush_eob2()
+        bw.flush()
+        sos = bytes([len(comps)])
+        for c in comps:
+            sos += bytes([c + 1, (qids[c] << 4) | qids[c]])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        scan_chunks.append((sos, bytes(bw.buf)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, q) -> bytes:
+        import numpy as np
+
+        q = np.asarray(q)
+        return seg(
+            0xFFDB, bytes([tid]) + bytes(int(q[r, c]) for r, c in _ZIGZAG)
+        )
+
+    def dht(tc: int, th: int, bits, values) -> bytes:
+        return seg(
+            0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        )
+
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
+    out = struct.pack(">H", 0xFFD8) + dqt(0, quants[0])
+    if ncomp == 3:
+        out += dqt(1, quants[1])
+    out += seg(0xFFC2, sof)
+    out += dht(0, 0, _DC_BITS, _DC_VALUES) + dht(
+        1, 0, _AC_PROG_BITS, _AC_PROG_VALUES
+    )
+    if ncomp == 3:
+        out += dht(0, 1, _DC_BITS, _DC_VALUES) + dht(
+            1, 1, _AC_PROG_BITS, _AC_PROG_VALUES
+        )
+    for sos, data in scan_chunks:
+        out += seg(0xFFDA, sos) + data
+    out += struct.pack(">H", 0xFFD9)
+    return out
+
+
+def _decode_jpeg_progressive(payload: bytes):
+    """Progressive JPEG decoder (T.81 Annex G): walks the full marker
+    stream (tables may be redefined between scans), accumulates
+    quantized coefficients across DC/AC first and refinement scans
+    (spectral selection bands, EOB-run decoding, the G.2 AC
+    correction-bit algorithm, restart-interval resync with DC and
+    EOB-run state reset), then dequantizes and runs the shared IDCT /
+    upsample / color back end once. Same return convention as
+    :func:`decode_jpeg`."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    quant: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    coefs = None
+    samp = None
+    geom = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError(f"truncated segment 0xFF{marker:02X}")
+        pos += 2 + length
+        if marker == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 15
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                q = np.zeros((8, 8), dtype=np.int32)
+                for (r, c), v in zip(_ZIGZAG, body[bp + 1 : bp + 65]):
+                    q[r, c] = v
+                if not q.all():
+                    raise ValueError("zero entry in quantization table")
+                quant[tq] = q
+                bp += 65
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 15
+                bits = list(body[bp + 1 : bp + 17])
+                n = sum(bits)
+                values = list(body[bp + 17 : bp + 17 + n])
+                if len(values) != n:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _build_huffman(bits, values)
+                bp += 17 + n
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG unsupported (8 only)")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc} components unsupported (1 or 3)")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"sampling factors {ch}x{cv} outside T.81's 1-4"
+                    )
+                comps.append((cid, ch, cv, tq))
+            samp = (
+                [(1, 1)] if nc == 1 else [(ch, cv) for _, ch, cv, _ in comps]
+            )
+            hmax = max(s[0] for s in samp)
+            vmax = max(s[1] for s in samp)
+            for hi, vi in samp:
+                if hmax % hi or vmax % vi:
+                    raise ValueError(
+                        f"fractional sampling ratio unsupported "
+                        f"({hi}x{vi} vs max {hmax}x{vmax})"
+                    )
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coefs = [
+                np.zeros((mcuy * vi * 8 // 8, mcux * hi * 8 // 8, 64),
+                         dtype=np.int64)
+                for hi, vi in samp
+            ]
+            sof = comps
+            geom = (h, w, hmax, vmax, mcux, mcuy)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS: decode this scan now
+            if sof is None:
+                raise ValueError("SOS before SOF2")
+            h, w, hmax, vmax, mcux, mcuy = geom
+            nc_s = body[0]
+            scomps = []
+            for i in range(nc_s):
+                cid, tsel = body[1 + i * 2], body[2 + i * 2]
+                ci = next(
+                    (j for j, c in enumerate(sof) if c[0] == cid), None
+                )
+                if ci is None:
+                    raise ValueError("SOS names a component not in SOF2")
+                scomps.append((ci, tsel))
+            Ss, Se, AhAl = body[1 + nc_s * 2 : 4 + nc_s * 2]
+            Ah, Al = AhAl >> 4, AhAl & 15
+            segs, pos = _jpeg_entropy_segments(payload, pos)
+            _decode_prog_scan(
+                coefs, sof, samp, quant, huff, scomps, Ss, Se, Ah, Al,
+                segs, restart_interval, w, h, hmax, vmax, mcux, mcuy,
+            )
+        # APPn / COM: skipped
+    if sof is None or coefs is None:
+        raise ValueError("missing SOF2/SOS")
+    h, w, hmax, vmax, mcux, mcuy = geom
+    B = _dct_basis()
+    zz_r = [r for r, _ in _ZIGZAG]
+    zz_c = [c for _, c in _ZIGZAG]
+    planes = []
+    for ci, (hi, vi) in enumerate(samp):
+        tq = sof[ci][3]
+        if tq not in quant:
+            raise ValueError(f"missing quant table {tq}")
+        q = quant[tq]
+        nby, nbx = coefs[ci].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+        for by in range(nby):
+            for bx in range(nbx):
+                Fq = np.zeros((8, 8), dtype=np.float64)
+                Fq[zz_r, zz_c] = coefs[ci][by, bx]
+                blk = B.T @ (Fq * q) @ B + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.floor(blk + 0.5), 0, 255
+                ).astype(np.uint8)
+        planes.append(plane)
+    return _jpeg_assemble(planes, samp, hmax, vmax, w, h)
+
+
+def _decode_prog_scan(
+    coefs, sof, samp, quant, huff, scomps, Ss, Se, Ah, Al,
+    segs, restart_interval, w, h, hmax, vmax, mcux, mcuy,
+):
+    """Apply one progressive scan to the coefficient accumulators."""
+    state = {"seg": 0, "count": 0}
+    br_holder = [_BitReader(segs[0])]
+    dc_pred = [0] * len(sof)
+    eob_holder = [0]
+
+    def maybe_restart():
+        if (
+            restart_interval
+            and state["count"]
+            and state["count"] % restart_interval == 0
+        ):
+            state["seg"] += 1
+            if state["seg"] >= len(segs):
+                raise ValueError("missing restart marker")
+            br_holder[0] = _BitReader(segs[state["seg"]])
+            dc_pred[:] = [0] * len(sof)
+            eob_holder[0] = 0
+        state["count"] += 1
+
+    if Ss == 0:  # DC scan (Se must be 0 per T.81)
+        if Se != 0:
+            raise ValueError("DC scan with Se != 0")
+        units = []  # restart units: one MCU (interleaved) or one block
+        if len(scomps) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blocks = []
+                    for ci, tsel in scomps:
+                        hi, vi = samp[ci]
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                blocks.append(
+                                    (ci, tsel, my * vi + byy, mx * hi + bxx)
+                                )
+                    units.append(blocks)
+        else:
+            ci, tsel = scomps[0]
+            uby, ubx = _comp_used_grid(w, h, *samp[ci], hmax, vmax)
+            for by in range(uby):
+                for bx in range(ubx):
+                    units.append([(ci, tsel, by, bx)])
+        for blocks in units:
+            maybe_restart()
+            br = br_holder[0]
+            for ci, tsel, by, bx in blocks:
+                if Ah == 0:
+                    dc_t = huff.get((0, tsel >> 4))
+                    if dc_t is None:
+                        raise ValueError("missing DC Huffman table")
+                    t = br.decode_symbol(dc_t)
+                    dc_pred[ci] += _extend(br.read(t), t)
+                    coefs[ci][by, bx, 0] = dc_pred[ci] << Al
+                else:
+                    if br.read(1):
+                        coefs[ci][by, bx, 0] |= 1 << Al
+        return
+
+    # AC scan: single component over its used grid
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    ci, tsel = scomps[0]
+    ac_t = huff.get((1, tsel & 15))
+    if ac_t is None:
+        raise ValueError("missing AC Huffman table")
+    uby, ubx = _comp_used_grid(w, h, *samp[ci], hmax, vmax)
+    p1 = 1 << Al
+    m1 = -p1
+    for by in range(uby):
+        for bx in range(ubx):
+            maybe_restart()
+            br = br_holder[0]
+            zz = coefs[ci][by, bx]
+            if Ah == 0:  # AC first
+                if eob_holder[0] > 0:
+                    eob_holder[0] -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    sym = br.decode_symbol(ac_t)
+                    r, s = sym >> 4, sym & 15
+                    if s:
+                        k += r
+                        if k > Se:
+                            raise ValueError("AC run past band end")
+                        zz[k] = _extend(br.read(s), s) << Al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eob_holder[0] = (1 << r) - 1
+                            if r:
+                                eob_holder[0] += br.read(r)
+                            break
+                        k += 16  # ZRL
+            else:  # AC refine (T.81 G.2 correction-bit algorithm)
+                k = Ss
+                if eob_holder[0] == 0:
+                    while k <= Se:
+                        sym = br.decode_symbol(ac_t)
+                        r, s = sym >> 4, sym & 15
+                        val = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "AC refinement size must be 1"
+                                )
+                            val = p1 if br.read(1) else m1
+                        elif r != 15:
+                            eob_holder[0] = 1 << r
+                            if r:
+                                eob_holder[0] += br.read(r)
+                            break
+                        while k <= Se:
+                            v = int(zz[k])
+                            if v != 0:
+                                if br.read(1) and (abs(v) >> Al) & 1 == 0:
+                                    zz[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= Se:
+                            zz[k] = val
+                        k += 1
+                if eob_holder[0] > 0:
+                    while k <= Se:
+                        v = int(zz[k])
+                        if v != 0:
+                            if br.read(1) and (abs(v) >> Al) & 1 == 0:
+                                zz[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eob_holder[0] -= 1
 
 
 JPEG_FEATURES_SCHEMA = T.StructType(

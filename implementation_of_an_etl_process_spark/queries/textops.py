@@ -905,6 +905,85 @@ FROM agg ORDER BY media_id
 """
 
 
+def multimodal_jpeg_prog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) under the driver gate — the multi-scan
+    layout web-optimized JPEGs use. Same fixed-point construction as
+    `multimodal_jpeg420_decode` (gray RGB, even per-8x8-block-constant
+    luma, distinct rule constants) but encoded with
+    ``encode_jpeg_progressive`` at 4:2:0: the default libjpeg-style
+    progression script (DC successive approximation Al=1->0, luma AC
+    bands at Al=2 refined down, chroma at Al=1, EOB-run coding, the
+    T.81 G.1.2.3 AC correction-bit algorithm) and decoded by the
+    SOF2 multi-scan path in ``decode_jpeg``. All scans together
+    reconstruct the exact quantized coefficients, so decoded ==
+    generated byte-for-byte; the oracle predicts the raster in closed
+    form. Any defect in scan ordering, a refinement bit, EOB-run
+    state, or the band bookkeeping changes pixel_sum or the sha256."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (8 * (1 + F.col("doc_id") % 4)).cast("int").alias("w"),
+        (8 * (1 + (F.col("doc_id") / 5).cast("long") % 4)).cast("int").alias("h"),
+    )
+
+    def make_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                did, w, h = int(did), int(w), int(h)
+                bx = np.arange(w // 8)
+                by = np.arange(h // 8)
+                v = (
+                    34 + 2 * ((did * 11 + bx[None, :] * 17 + by[:, None] * 23) % 47)
+                ).astype(np.uint8)
+                lum = np.kron(v, np.ones((8, 8), np.uint8))
+                rgb = np.repeat(lum[:, :, None], 3, axis=2)
+                ids.append(did)
+                blobs.append(
+                    M.encode_jpeg_progressive(rgb, sampling="4:2:0")
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    payloads = d.mapInPandas(make_jpeg, "doc_id long, blob binary")
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "image")
+    return M.extract_jpeg_features(media).orderBy("media_id")
+
+
+MULTIMODAL_JPEG_PROG_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         8 * (1 + doc_id % 4) AS w,
+         8 * (1 + (doc_id // 5) % 4) AS h
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id, w, h,
+         unnest(range(0, CAST(w * h * 3 AS BIGINT))) AS i
+  FROM d
+), v AS (
+  SELECT doc_id, w, h, i,
+         34 + 2 * ((doc_id * 11 + (((i % (w * 3)) // 3) // 8) * 17
+                    + ((i // (w * 3)) // 8) * 23) % 47) AS val
+  FROM px
+), agg AS (
+  SELECT doc_id, w, h,
+         SUM(val) AS pixel_sum,
+         string_agg(chr(CAST(val AS INTEGER)), '' ORDER BY i) AS raster
+  FROM v GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       3 AS n_components,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       sha256(raster) AS raster_sha256  -- values <= 126: VARCHAR bytes == raster bytes
+FROM agg ORDER BY media_id
+"""
+
+
 def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decoding under the driver gate: each doc gets a
     deterministic PCM-16 mono waveform (sample[i] = ((i*k + c) % 191)
@@ -1504,6 +1583,7 @@ QUERIES = {
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
+    "multimodal_jpeg_prog_decode": multimodal_jpeg_prog_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
@@ -1537,6 +1617,7 @@ ORACLES = {
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_jpeg_decode": MULTIMODAL_JPEG_SQL,
     "multimodal_jpeg420_decode": MULTIMODAL_JPEG420_SQL,
+    "multimodal_jpeg_prog_decode": MULTIMODAL_JPEG_PROG_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,

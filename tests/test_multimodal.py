@@ -601,11 +601,17 @@ def test_jpeg_rejects_corruption():
         assert out.shape == (8, 16)  # decoded something block-shaped
     except ValueError:
         pass
-    # progressive SOF must be rejected loudly
-    sof2 = bytearray(jpg)
-    i = sof2.find(b"\xff\xc0")
-    sof2[i + 1] = 0xC2
+    # lossless SOF must be rejected loudly
+    sof3 = bytearray(jpg)
+    i = sof3.find(b"\xff\xc0")
+    sof3[i + 1] = 0xC3
     with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(sof3))
+    # flipping SOF0 -> SOF2 dispatches to the progressive decoder,
+    # where a baseline full-band scan header is malformed: still loud
+    sof2 = bytearray(jpg)
+    sof2[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se != 0"):
         decode_jpeg(bytes(sof2))
 
 
@@ -770,3 +776,109 @@ def test_jpeg_restart_markers_and_exotic_samplings_roundtrip():
     many = encode_jpeg(lum, restart_interval=1)
     w, h, nc, out = decode_jpeg(many)
     assert np.array_equal(out, lum)
+
+
+def test_jpeg_progressive_equals_baseline_byte_for_byte():
+    """The STRONG progressive contract: both entropy coders share the
+    quantized-coefficient front end, so a progressive stream (DC
+    successive approximation, AC spectral-selection bands, EOB-run
+    coding, the G.1.2.3 AC correction-bit refinement) must decode to
+    the BYTE-IDENTICAL raster as the baseline stream of the same
+    input — on arbitrary images, every sampling layout, and odd
+    dims. Any defect anywhere in the multi-scan machinery shows as a
+    byte diff."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    b = decode_jpeg(encode_jpeg(gray))
+    p = decode_jpeg(encode_jpeg_progressive(gray))
+    assert b[:3] == p[:3] == (40, 24, 1)
+    assert np.array_equal(b[3], p[3])
+    color = rng.integers(0, 256, (33, 41, 3)).astype(np.uint8)
+    for samp in ("4:4:4", "4:2:0", "4:2:2", "4:4:0", "4:1:1"):
+        b = decode_jpeg(encode_jpeg(color, sampling=samp))
+        p = decode_jpeg(encode_jpeg_progressive(color, sampling=samp))
+        assert np.array_equal(b[3], p[3]), samp
+    odd = rng.integers(0, 256, (19, 27, 3)).astype(np.uint8)
+    b = decode_jpeg(encode_jpeg(odd, sampling="4:2:0"))
+    p = decode_jpeg(encode_jpeg_progressive(odd, sampling="4:2:0"))
+    assert b[:3] == p[:3] == (27, 19, 3)
+    assert np.array_equal(b[3], p[3])
+
+
+def test_jpeg_progressive_eob_runs_and_custom_scripts():
+    """EOB-run paths: a constant image accumulates one long EOB run
+    across every block of every AC scan (multi-bit EOBRUN length
+    codes); a spectral-selection-only custom script (Al=0 throughout)
+    skips the refinement machinery entirely; both must still match
+    baseline exactly."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((64, 96), 100, np.uint8)
+    b = decode_jpeg(encode_jpeg(img))
+    p = decode_jpeg(encode_jpeg_progressive(img))
+    assert np.array_equal(b[3], p[3])
+    x = np.linspace(0, 255, 80)
+    y = np.linspace(0, 200, 64)
+    img3 = np.stack(
+        [
+            np.add.outer(y * 0.6, x * 0.4),
+            np.add.outer(y * 0.2, x * 0.8),
+            np.full((64, 80), 77.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    b = decode_jpeg(encode_jpeg(img3, sampling="4:2:2"))
+    p = decode_jpeg(
+        encode_jpeg_progressive(img3, sampling="4:2:2", scans=scans)
+    )
+    assert np.array_equal(b[3], p[3])
+
+
+def test_jpeg_progressive_fixed_point_and_rejections():
+    """The battery-oracle fixed point holds through the default
+    progressive script (gray RGB -> zero chroma coefficients; even
+    per-block-constant luma survives the full SA ladder exactly), and
+    malformed progressive streams fail loudly."""
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(9)
+    v = (32 + 2 * rng.integers(0, 48, (4, 5))).astype(np.uint8)
+    lum = np.kron(v, np.ones((8, 8), np.uint8))
+    rgb = np.repeat(lum[:, :, None], 3, axis=2)
+    w, h, nc, out = decode_jpeg(encode_jpeg_progressive(rgb, sampling="4:2:0"))
+    assert (w, h, nc) == (40, 32, 3)
+    assert np.array_equal(out, rgb.reshape(32, 120))
+    blob = encode_jpeg_progressive(rgb, sampling="4:2:0")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(blob[:60])
+    # multi-component AC scan is illegal in progressive
+    with pytest.raises(ValueError, match="single-component"):
+        encode_jpeg_progressive(rgb, scans=[([0, 1], 1, 5, 0, 0)])
+    with pytest.raises(ValueError, match="Se == 0"):
+        encode_jpeg_progressive(rgb, scans=[([0], 0, 5, 0, 0)])
