@@ -551,6 +551,108 @@ def extract_ppm_features(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_nearest(raster, out_w: int, out_h: int):
+    """Nearest-neighbor resize (up- OR down-scaling) with the exact
+    half-pixel integer mapping src = ((2*i + 1) * src_dim) //
+    (2 * dst_dim) — pure integer arithmetic end to end, so a SQL
+    oracle can predict every output pixel."""
+    import numpy as np
+
+    raster = np.asarray(raster)
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize target must be at least 1x1")
+    h, w = raster.shape[:2]
+    rows = ((2 * np.arange(out_h) + 1) * h) // (2 * out_h)
+    cols = ((2 * np.arange(out_w) + 1) * w) // (2 * out_w)
+    return raster[rows][:, cols]
+
+
+def resize_box(raster, fx: int, fy: int):
+    """Integer-factor box-mean downscale with half-up rounding in
+    EXACT integers ((2*sum + n) // (2*n)) — the anti-aliased
+    downsample (same convention as the JPEG chroma front end), oracle-
+    portable because no float ever appears. Dims must divide by the
+    factors; pad or crop upstream when they don't."""
+    import numpy as np
+
+    raster = np.asarray(raster)
+    h, w = raster.shape[:2]
+    if fx < 1 or fy < 1:
+        raise ValueError("box factors must be >= 1")
+    if h % fy or w % fx:
+        raise ValueError(
+            f"dims {w}x{h} not divisible by box factors {fx}x{fy}"
+        )
+    oh, ow = h // fy, w // fx
+    arr = raster.astype(np.int64)
+    if arr.ndim == 2:
+        s = arr.reshape(oh, fy, ow, fx).sum(axis=(1, 3))
+    else:
+        s = arr.reshape(oh, fy, ow, fx, -1).sum(axis=(1, 3))
+    n = fx * fy
+    return ((2 * s + n) // (2 * n)).astype(np.uint8)
+
+
+def resize_ppm_media(
+    df: DataFrame,
+    *,
+    out_w: int | None = None,
+    out_h: int | None = None,
+    method: str = "nearest",
+    factors: tuple[int, int] | None = None,
+) -> DataFrame:
+    """media rows with P6 payloads -> media rows with RESIZED P6
+    payloads — the resize stage of an image pipeline, composing with
+    ``extract_ppm_features`` / ``ahash_ppm`` downstream exactly like
+    any other media relation. ``method="nearest"`` resizes to a fixed
+    (out_w, out_h) with the exact half-pixel integer mapping (both
+    directions); ``method="box"`` downscales by integer ``factors``
+    (fx, fy) with half-up box averaging. Arrow-batched mapInPandas;
+    payloads never leave the executors, and per-batch memory is
+    bounded by arrow.maxRecordsPerBatch as with every media stage."""
+    import numpy as _np  # noqa: F401 (executor-side import below)
+
+    if method == "nearest":
+        if not out_w or not out_h:
+            raise ValueError("nearest resize needs out_w and out_h")
+    elif method == "box":
+        if not factors:
+            raise ValueError("box resize needs factors=(fx, fy)")
+    else:
+        raise ValueError(f"unknown resize method {method!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            ids, blobs = [], []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None:
+                    ids.append(mid)
+                    blobs.append(None)
+                    continue
+                w, h, raster = parse_p6(bytes(p))
+                img = np.frombuffer(
+                    raster, dtype=np.uint8, count=w * h * 3
+                ).reshape(h, w, 3)
+                if method == "nearest":
+                    out = resize_nearest(img, out_w, out_h)
+                else:
+                    out = resize_box(img, *factors)
+                oh, ow = out.shape[:2]
+                ids.append(mid)
+                blobs.append(
+                    b"P6\n%d %d\n255\n" % (ow, oh) + out.tobytes()
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": blobs})
+
+    resized = df.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+    return attach_media_meta(resized, "media_id", "payload", "image")
+
+
 def extract_image_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
     """media rows -> (media_id, width, height, n_bytes, checksum).
 

@@ -824,6 +824,182 @@ FROM agg ORDER BY media_id
 """
 
 
+def _ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic P6 payloads for the resize entries: gray RGB
+    (r=g=b), v = 32 + (x*7 + y*13 + doc_id % 95) % 95 — the PNG
+    entry's rule over a PPM container, every byte printable ASCII so
+    DuckDB's string sha256 equals the raw-byte sha256."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (8 + F.col("doc_id") % 16).cast("int").alias("w"),
+        (8 + (F.col("doc_id") / 16).cast("long") % 12).cast("int").alias("h"),
+        (F.col("doc_id") % 95).cast("int").alias("c"),
+    )
+
+    def make_ppm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, w, h, c in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["c"]
+            ):
+                w, h = int(w), int(h)
+                x = np.arange(w)
+                y = np.arange(h)
+                v = (32 + (x[None, :] * 7 + y[:, None] * 13 + int(c)) % 95
+                     ).astype(np.uint8)
+                raster = np.repeat(v[:, :, None], 3, axis=2)
+                ids.append(did)
+                blobs.append(
+                    b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return d.mapInPandas(make_ppm, "doc_id long, blob binary")
+
+
+def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE as a pipeline stage under the driver gate:
+    deterministic P6 payloads -> ``resize_ppm_media`` (nearest-neighbor
+    with the exact half-pixel integer mapping src = ((2*i+1)*src_dim)
+    // (2*dst_dim), mixing up- AND down-scaling across docs) -> the
+    SAME ``extract_ppm_features`` stage any media relation feeds —
+    proving resize composes as a real media->media operator. The
+    oracle recomputes every output pixel from the generation rule plus
+    the identical integer mapping (no floats anywhere), then the full
+    resized P6 payload bytes for the sha256."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    payloads = _ppm_payloads(spark, sf_dir)
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "image")
+    # per-entry fixed target: 13 x 9 (smaller than some sources, larger
+    # than others -> both directions of the mapping exercised)
+    resized = M.resize_ppm_media(media, out_w=13, out_h=9, method="nearest")
+    return M.extract_ppm_features(resized).orderBy("media_id")
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         8 + doc_id % 16 AS w,
+         8 + (doc_id // 16) % 12 AS h,
+         doc_id % 95 AS c
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id, w, h, c,
+         unnest(range(0, CAST(13 * 9 * 3 AS BIGINT))) AS i
+  FROM d
+), v AS (
+  SELECT doc_id, i,
+         32 + ((((2 * ((i % 39) // 3) + 1) * w) // 26) * 7
+               + (((2 * (i // 39) + 1) * h) // 18) * 13 + c) % 95 AS val
+  FROM px
+), agg AS (
+  SELECT doc_id,
+         SUM(val) AS pixel_sum,
+         string_agg(chr(CAST(val AS INTEGER)), '' ORDER BY i) AS raster
+  FROM v GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       13 AS width,
+       9 AS height,
+       CAST(pixel_sum AS DOUBLE) / (13 * 9 * 3) AS mean_pixel,
+       CAST(12 + length(raster) AS BIGINT) AS n_bytes,  -- 'P6\\n13 9\\n255\\n'
+       sha256('P6' || chr(10) || '13 9' || chr(10) || '255' || chr(10)
+              || raster) AS checksum
+FROM agg ORDER BY media_id
+"""
+
+
+def multimodal_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-mean (anti-aliased) 2x2 downscale under the driver gate:
+    the same P6 payloads but EVEN dims, ``resize_ppm_media`` with
+    method="box" — output pixel = half-up integer mean of its 2x2
+    source block, (2*sum + 4) // 8 in exact integers — then the
+    shared feature stage. The oracle replays the identical integer
+    averaging per output pixel."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (8 + 2 * (F.col("doc_id") % 8)).cast("int").alias("w"),
+        (8 + 2 * ((F.col("doc_id") / 8).cast("long") % 6)).cast("int").alias("h"),
+        (F.col("doc_id") % 95).cast("int").alias("c"),
+    )
+
+    def make_ppm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, w, h, c in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["c"]
+            ):
+                w, h = int(w), int(h)
+                x = np.arange(w)
+                y = np.arange(h)
+                v = (32 + (x[None, :] * 7 + y[:, None] * 13 + int(c)) % 95
+                     ).astype(np.uint8)
+                raster = np.repeat(v[:, :, None], 3, axis=2)
+                ids.append(did)
+                blobs.append(
+                    b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    payloads = d.mapInPandas(make_ppm, "doc_id long, blob binary")
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "image")
+    resized = M.resize_ppm_media(media, method="box", factors=(2, 2))
+    return M.extract_ppm_features(resized).orderBy("media_id")
+
+
+MULTIMODAL_RESIZE_BOX_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         8 + 2 * (doc_id % 8) AS w,
+         8 + 2 * ((doc_id // 8) % 6) AS h,
+         doc_id % 95 AS c
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id, w, h, c,
+         unnest(range(0, CAST((w // 2) * (h // 2) * 3 AS BIGINT))) AS i
+  FROM d
+), v AS (
+  SELECT doc_id, w, h, i,
+         -- output (ox, oy) averages source (2ox..2ox+1, 2oy..2oy+1):
+         -- val(sx, sy) = 32 + (sx*7 + sy*13 + c) % 95
+         (2 * (
+            (32 + ((2 * ((i % ((w // 2) * 3)) // 3) + 0) * 7
+                   + (2 * (i // ((w // 2) * 3)) + 0) * 13 + c) % 95)
+          + (32 + ((2 * ((i % ((w // 2) * 3)) // 3) + 1) * 7
+                   + (2 * (i // ((w // 2) * 3)) + 0) * 13 + c) % 95)
+          + (32 + ((2 * ((i % ((w // 2) * 3)) // 3) + 0) * 7
+                   + (2 * (i // ((w // 2) * 3)) + 1) * 13 + c) % 95)
+          + (32 + ((2 * ((i % ((w // 2) * 3)) // 3) + 1) * 7
+                   + (2 * (i // ((w // 2) * 3)) + 1) * 13 + c) % 95)
+         ) + 4) // 8 AS val
+  FROM px
+), agg AS (
+  SELECT doc_id, w // 2 AS ow, h // 2 AS oh,
+         SUM(val) AS pixel_sum,
+         string_agg(chr(CAST(val AS INTEGER)), '' ORDER BY i) AS raster
+  FROM v GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id,
+       CAST(ow AS INTEGER) AS width,
+       CAST(oh AS INTEGER) AS height,
+       CAST(pixel_sum AS DOUBLE) / (ow * oh * 3) AS mean_pixel,
+       CAST(length('P6' || chr(10) || ow || ' ' || oh || chr(10) || '255'
+                   || chr(10)) + length(raster) AS BIGINT) AS n_bytes,
+       sha256('P6' || chr(10) || ow || ' ' || oh || chr(10) || '255'
+              || chr(10) || raster) AS checksum
+FROM agg ORDER BY media_id
+"""
+
+
 def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:0 SUBSAMPLED color JPEG under the driver gate — the layout
     virtually every camera/web JPEG uses. Each doc gets an RGB raster
@@ -1584,6 +1760,8 @@ QUERIES = {
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
     "multimodal_jpeg_prog_decode": multimodal_jpeg_prog_decode,
+    "multimodal_resize_ppm": multimodal_resize_ppm,
+    "multimodal_resize_box": multimodal_resize_box,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
@@ -1618,6 +1796,8 @@ ORACLES = {
     "multimodal_jpeg_decode": MULTIMODAL_JPEG_SQL,
     "multimodal_jpeg420_decode": MULTIMODAL_JPEG420_SQL,
     "multimodal_jpeg_prog_decode": MULTIMODAL_JPEG_PROG_SQL,
+    "multimodal_resize_ppm": MULTIMODAL_RESIZE_SQL,
+    "multimodal_resize_box": MULTIMODAL_RESIZE_BOX_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,

@@ -882,3 +882,87 @@ def test_jpeg_progressive_fixed_point_and_rejections():
         encode_jpeg_progressive(rgb, scans=[([0, 1], 1, 5, 0, 0)])
     with pytest.raises(ValueError, match="Se == 0"):
         encode_jpeg_progressive(rgb, scans=[([0], 0, 5, 0, 0)])
+
+
+def test_resize_nearest_integer_mapping_and_identity():
+    """resize_nearest uses the exact half-pixel integer mapping
+    src = ((2*i + 1) * src_dim) // (2 * dst_dim) in both directions;
+    same-dims resize is the identity."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_nearest(img, 13, 3)
+    assert out.shape == (3, 13, 3)
+    for oy in range(3):
+        for ox in range(13):
+            sy = ((2 * oy + 1) * 4) // (2 * 3)
+            sx = ((2 * ox + 1) * 6) // (2 * 13)
+            assert (out[oy, ox] == img[sy, sx]).all()
+    assert np.array_equal(resize_nearest(img, 6, 4), img)
+    import pytest
+
+    with pytest.raises(ValueError, match="at least 1x1"):
+        resize_nearest(img, 0, 4)
+
+
+def test_resize_box_half_up_exact_integers():
+    """resize_box averages fx x fy blocks with half-up rounding in
+    exact integers ((2*sum + n) // (2*n)) and refuses non-dividing
+    dims loudly."""
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        resize_box,
+    )
+
+    img = np.array([[1, 2], [3, 5]], dtype=np.uint8)
+    assert resize_box(img, 2, 2)[0, 0] == 3  # mean 2.75 -> 3
+    img2 = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    assert resize_box(img2, 2, 2)[0, 0] == 3  # mean 2.5 -> half-up 3
+    rng = np.random.default_rng(19)
+    big = rng.integers(0, 256, (12, 16, 3)).astype(np.uint8)
+    out = resize_box(big, 4, 2)
+    assert out.shape == (6, 4, 3)
+    blk = big[:2, :4].astype(int)
+    want = (2 * blk.sum(axis=(0, 1)) + 8) // 16
+    assert (out[0, 0] == want).all()
+    with pytest.raises(ValueError, match="not divisible"):
+        resize_box(big, 5, 2)
+
+
+def test_resize_ppm_media_composes_with_feature_stage(spark):
+    """resize_ppm_media is a media->media operator: its output P6
+    payloads feed extract_ppm_features unchanged, dims/mean/sha all
+    reflecting the resized raster; None payloads pass through."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators import (
+        multimodal as M,
+    )
+
+    img = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3) % 96 + 32
+    payload = b"P6\n8 6\n255\n" + img.astype(np.uint8).tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, None)], "media_id long, payload binary"
+    )
+    media = M.attach_media_meta(df, "media_id", "payload", "image")
+    out = M.extract_ppm_features(
+        M.resize_ppm_media(media, out_w=4, out_h=3, method="nearest")
+    ).collect()
+    rows = {r.media_id: r for r in out}
+    want = M.resize_nearest(img.astype(np.uint8), 4, 3)
+    assert (rows[1].width, rows[1].height) == (4, 3)
+    assert abs(rows[1].mean_pixel - want.mean()) < 1e-12
+    assert rows[2].width is None
+    boxed = M.extract_ppm_features(
+        M.resize_ppm_media(media, method="box", factors=(2, 2))
+    ).collect()
+    rows = {r.media_id: r for r in boxed}
+    wantb = M.resize_box(img.astype(np.uint8), 2, 2)
+    assert (rows[1].width, rows[1].height) == (4, 3)
+    assert abs(rows[1].mean_pixel - wantb.mean()) < 1e-12
