@@ -1241,6 +1241,7 @@ def encode_jpeg(
     chroma_quant=None,
     sampling="4:4:4",
     restart_interval=0,
+    exif_orientation=None,
 ) -> bytes:
     """Minimal-but-real baseline-sequential JPEG encoder: numpy (h, w)
     grayscale or (h, w, 3) RGB uint8 -> JPEG bytes (SOI, DQT, SOF0,
@@ -1358,7 +1359,17 @@ def encode_jpeg(
         sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
         sos += bytes([ci + 1, (qids[ci] << 4) | qids[ci]])
     sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (baseline full scan)
-    out = struct.pack(">H", 0xFFD8) + dqt(0, quants[0])
+    out = struct.pack(">H", 0xFFD8)
+    if exif_orientation is not None:
+        # APP1 Exif right after SOI, where real writers put it —
+        # alternating byte order so both parser paths stay exercised
+        out += seg(
+            0xFFE1,
+            make_exif_app1(
+                exif_orientation, little_endian=exif_orientation % 2 == 1
+            ),
+        )
+    out += dqt(0, quants[0])
     if ncomp == 3:
         out += dqt(1, quants[1])
     out += seg(0xFFC0, sof)
@@ -1606,6 +1617,169 @@ def _jpeg_assemble(planes, samp, hmax, vmax, w, h):
         return w, h, 1, full[0]
     rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     return w, h, 3, rgb.reshape(h, w * 3)
+
+
+# --- EXIF orientation: APP1 metadata + the 8 display transforms ----------
+
+
+def make_exif_app1(orientation: int, *, little_endian: bool = True) -> bytes:
+    """Minimal valid Exif APP1 body: "Exif\\0\\0" + TIFF header + IFD0
+    with the single Orientation (0x0112, SHORT) entry. Either byte
+    order, so the parser's II/MM handling is testable."""
+    import struct
+
+    if not 1 <= orientation <= 8:
+        raise ValueError("EXIF orientation is 1..8")
+    bo = "<" if little_endian else ">"
+    tiff = (b"II" if little_endian else b"MM") + struct.pack(
+        bo + "HI", 42, 8
+    )
+    ifd = struct.pack(bo + "H", 1) + struct.pack(
+        bo + "HHIHH", 0x0112, 3, 1, orientation, 0
+    ) + struct.pack(bo + "I", 0)
+    return b"Exif\x00\x00" + tiff + ifd
+
+
+def jpeg_exif_orientation(payload: bytes):
+    """Walk the marker stream for an Exif APP1 segment and return the
+    IFD0 Orientation value (1..8), or None when absent — both TIFF
+    byte orders handled, unknown tags skipped by the 12-byte entry
+    stride. Pure stdlib; never touches entropy data."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker in (0xD9, 0xDA):
+            return None
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker != 0xE1 or body[:6] != b"Exif\x00\x00":
+            continue
+        tiff = body[6:]
+        if tiff[:2] == b"II":
+            bo = "<"
+        elif tiff[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError("malformed Exif TIFF header")
+        (magic, ifd_off) = struct.unpack(bo + "HI", tiff[2:8])
+        if magic != 42:
+            raise ValueError("malformed Exif TIFF magic")
+        if ifd_off + 2 > len(tiff):
+            raise ValueError("Exif IFD0 offset out of range")
+        (n,) = struct.unpack(bo + "H", tiff[ifd_off : ifd_off + 2])
+        for i in range(n):
+            e = tiff[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+            if len(e) < 12:
+                raise ValueError("truncated Exif IFD entry")
+            tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+            if tag == 0x0112 and typ == 3 and cnt == 1:
+                (val,) = struct.unpack(bo + "H", e[8:10])
+                return val
+        return None
+    return None
+
+
+def apply_exif_orientation(raster, orientation: int):
+    """Apply the EXIF display transform: map a stored raster to its
+    upright rendering. Output pixel (ox, oy) reads source
+    (sx, sy) per the standard table — 1 identity, 2 mirror-H,
+    3 rotate 180, 4 mirror-V, 5 transpose, 6 rotate 90 CW,
+    7 transverse, 8 rotate 270 CW; orientations 5-8 swap dims.
+    Pinned against numpy's rot90/flips in tests; the battery oracle
+    replays the same (ox, oy) -> (sx, sy) index arithmetic."""
+    import numpy as np
+
+    a = np.asarray(raster)
+    if orientation == 1:
+        return a
+    if orientation == 2:
+        return a[:, ::-1]
+    if orientation == 3:
+        return a[::-1, ::-1]
+    if orientation == 4:
+        return a[::-1]
+    t = a.transpose(1, 0, *range(2, a.ndim))
+    if orientation == 5:
+        return t
+    if orientation == 6:
+        return t[:, ::-1]
+    if orientation == 7:
+        return t[::-1, ::-1]
+    if orientation == 8:
+        return t[::-1]
+    raise ValueError("EXIF orientation is 1..8")
+
+
+JPEG_ORIENTED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_components", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("raster_sha256", T.StringType(), True),
+    ]
+)
+
+
+def extract_jpeg_oriented_features(df: DataFrame) -> DataFrame:
+    """Orientation-corrected JPEG decode: parse the Exif APP1
+    Orientation tag, decode the stream, apply the display transform,
+    and emit features of the UPRIGHT raster (post-transform dims +
+    sha256) plus the tag itself — what an ingestion pipeline feeds a
+    vision model, since cameras store rotated pixels + a tag rather
+    than rotating. Missing EXIF means orientation 1 (identity), per
+    convention. Arrow-batched mapInPandas; payloads never leave the
+    executors."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                p = bytes(p)
+                o = jpeg_exif_orientation(p) or 1
+                w, h, nc, raster = decode_jpeg(p)
+                arr = raster.reshape(h, w, nc) if nc > 1 else raster
+                up = np.ascontiguousarray(apply_exif_orientation(arr, o))
+                uh, uw = up.shape[:2]
+                rows.append(
+                    (
+                        mid,
+                        o,
+                        uw,
+                        uh,
+                        nc,
+                        int(up.astype(np.int64).sum()),
+                        hashlib.sha256(up.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "orientation", "width", "height",
+                    "n_components", "pixel_sum", "raster_sha256",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=JPEG_ORIENTED_SCHEMA
+    )
 
 
 # --- Progressive JPEG (SOF2): spectral selection + successive

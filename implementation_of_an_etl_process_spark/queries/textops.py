@@ -1160,6 +1160,115 @@ FROM agg ORDER BY media_id
 """
 
 
+def multimodal_exif_orient_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orientation-corrected decode under the driver gate — cameras
+    store rotated pixels plus an Exif Orientation tag, so ingestion
+    must parse APP1 and apply the display transform. Each doc gets the
+    gray-RGB even-block fixed-point raster, 4:2:0-encoded with
+    ``exif_orientation = 1 + doc_id % 8`` (alternating TIFF byte
+    orders), then ``extract_jpeg_oriented_features`` parses the tag,
+    decodes (exact fixed point), applies the transform, and emits the
+    UPRIGHT raster's features. The oracle replays the standard
+    (ox, oy) -> (sx, sy) index table for all 8 orientations (dims swap
+    for 5-8) over the generation rule — the sha256 catches any wrong
+    flip/transpose, while pixel_sum is transform-invariant by design
+    (a deliberate negative control: it pins decode, sha pins
+    orientation)."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (8 * (1 + F.col("doc_id") % 3)).cast("int").alias("w"),
+        (8 * (1 + (F.col("doc_id") / 3).cast("long") % 3)).cast("int").alias("h"),
+    )
+
+    def make_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                did, w, h = int(did), int(w), int(h)
+                bx = np.arange(w // 8)
+                by = np.arange(h // 8)
+                v = (
+                    32 + 2 * ((did * 5 + bx[None, :] * 19 + by[:, None] * 31) % 48)
+                ).astype(np.uint8)
+                lum = np.kron(v, np.ones((8, 8), np.uint8))
+                rgb = np.repeat(lum[:, :, None], 3, axis=2)
+                ids.append(did)
+                blobs.append(
+                    M.encode_jpeg(
+                        rgb,
+                        sampling="4:2:0",
+                        exif_orientation=1 + did % 8,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    payloads = d.mapInPandas(make_jpeg, "doc_id long, blob binary")
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "image")
+    return M.extract_jpeg_oriented_features(media).orderBy("media_id")
+
+
+MULTIMODAL_EXIF_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         8 * (1 + doc_id % 3) AS w,
+         8 * (1 + (doc_id // 3) % 3) AS h,
+         1 + doc_id % 8 AS o
+  FROM documents WHERE doc_id < 200
+), dims AS (
+  SELECT doc_id, w, h, o,
+         CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+         CASE WHEN o >= 5 THEN w ELSE h END AS oh
+  FROM d
+), px AS (
+  SELECT doc_id, w, h, o, ow, oh,
+         unnest(range(0, CAST(ow * oh * 3 AS BIGINT))) AS i
+  FROM dims
+), src AS (
+  SELECT doc_id, w, h, o, ow, oh, i,
+         (i % (ow * 3)) // 3 AS ox,
+         i // (ow * 3) AS oy
+  FROM px
+), mapped AS (
+  SELECT doc_id, o, ow, oh, i,
+         CASE o
+           WHEN 1 THEN ox WHEN 2 THEN w - 1 - ox
+           WHEN 3 THEN w - 1 - ox WHEN 4 THEN ox
+           WHEN 5 THEN oy WHEN 6 THEN oy
+           WHEN 7 THEN w - 1 - oy WHEN 8 THEN w - 1 - oy
+         END AS sx,
+         CASE o
+           WHEN 1 THEN oy WHEN 2 THEN oy
+           WHEN 3 THEN h - 1 - oy WHEN 4 THEN h - 1 - oy
+           WHEN 5 THEN ox WHEN 6 THEN h - 1 - ox
+           WHEN 7 THEN h - 1 - ox WHEN 8 THEN ox
+         END AS sy
+  FROM src
+), v AS (
+  SELECT doc_id, o, ow, oh, i,
+         32 + 2 * ((doc_id * 5 + (sx // 8) * 19 + (sy // 8) * 31) % 48) AS val
+  FROM mapped
+), agg AS (
+  SELECT doc_id, o, ow, oh,
+         SUM(val) AS pixel_sum,
+         string_agg(chr(CAST(val AS INTEGER)), '' ORDER BY i) AS raster
+  FROM v GROUP BY doc_id, o, ow, oh
+)
+SELECT doc_id AS media_id,
+       CAST(o AS INTEGER) AS orientation,
+       CAST(ow AS INTEGER) AS width,
+       CAST(oh AS INTEGER) AS height,
+       3 AS n_components,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       sha256(raster) AS raster_sha256  -- values <= 126: VARCHAR bytes == raster bytes
+FROM agg ORDER BY media_id
+"""
+
+
 def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decoding under the driver gate: each doc gets a
     deterministic PCM-16 mono waveform (sample[i] = ((i*k + c) % 191)
@@ -1762,6 +1871,7 @@ QUERIES = {
     "multimodal_jpeg_prog_decode": multimodal_jpeg_prog_decode,
     "multimodal_resize_ppm": multimodal_resize_ppm,
     "multimodal_resize_box": multimodal_resize_box,
+    "multimodal_exif_orient_decode": multimodal_exif_orient_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
@@ -1798,6 +1908,7 @@ ORACLES = {
     "multimodal_jpeg_prog_decode": MULTIMODAL_JPEG_PROG_SQL,
     "multimodal_resize_ppm": MULTIMODAL_RESIZE_SQL,
     "multimodal_resize_box": MULTIMODAL_RESIZE_BOX_SQL,
+    "multimodal_exif_orient_decode": MULTIMODAL_EXIF_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,

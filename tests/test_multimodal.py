@@ -966,3 +966,76 @@ def test_resize_ppm_media_composes_with_feature_stage(spark):
     wantb = M.resize_box(img.astype(np.uint8), 2, 2)
     assert (rows[1].width, rows[1].height) == (4, 3)
     assert abs(rows[1].mean_pixel - wantb.mean()) < 1e-12
+
+
+def test_exif_orientation_roundtrip_and_transforms():
+    """encode_jpeg(exif_orientation=o) writes a valid APP1 Exif
+    segment (either TIFF byte order); jpeg_exif_orientation parses it
+    back; apply_exif_orientation matches numpy's rot90/flip ground
+    truth for all 8 values; the entropy stream is untouched (decode
+    still exact on the fixed point)."""
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators import (
+        multimodal as M,
+    )
+
+    rng = np.random.default_rng(31)
+    v = (32 + 2 * rng.integers(0, 48, (3, 4))).astype(np.uint8)
+    lum = np.kron(v, np.ones((8, 8), np.uint8))
+    rgb = np.repeat(lum[:, :, None], 3, axis=2)
+    for o in range(1, 9):
+        blob = M.encode_jpeg(rgb, sampling="4:2:0", exif_orientation=o)
+        assert M.jpeg_exif_orientation(blob) == o
+        w, h, nc, out = M.decode_jpeg(blob)
+        assert np.array_equal(out, rgb.reshape(24, 96))
+    a = rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
+    assert np.array_equal(M.apply_exif_orientation(a, 1), a)
+    assert np.array_equal(M.apply_exif_orientation(a, 2), a[:, ::-1])
+    assert np.array_equal(M.apply_exif_orientation(a, 3), np.rot90(a, 2))
+    assert np.array_equal(M.apply_exif_orientation(a, 4), np.flipud(a))
+    assert np.array_equal(
+        M.apply_exif_orientation(a, 5), a.transpose(1, 0, 2)
+    )
+    assert np.array_equal(M.apply_exif_orientation(a, 6), np.rot90(a, -1))
+    assert np.array_equal(
+        M.apply_exif_orientation(a, 7), np.rot90(a.transpose(1, 0, 2), 2)
+    )
+    assert np.array_equal(M.apply_exif_orientation(a, 8), np.rot90(a, 1))
+    # gray 2-D rasters orient too
+    g = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+    assert np.array_equal(M.apply_exif_orientation(g, 6), np.rot90(g, -1))
+    # absent EXIF -> None; bounds enforced both ways
+    assert M.jpeg_exif_orientation(M.encode_jpeg(lum)) is None
+    with pytest.raises(ValueError, match="1..8"):
+        M.make_exif_app1(9)
+    with pytest.raises(ValueError, match="1..8"):
+        M.apply_exif_orientation(a, 0)
+
+
+def test_exif_parser_rejects_malformed_app1():
+    """A present-but-corrupt Exif APP1 fails loudly (bad TIFF magic,
+    truncated IFD) rather than silently returning orientation 1."""
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators import (
+        multimodal as M,
+    )
+
+    img = np.full((8, 8), 100, np.uint8)
+    blob = M.encode_jpeg(img, exif_orientation=6)
+    i = blob.find(b"Exif\x00\x00")
+    bad = bytearray(blob)
+    bad[i + 6 : i + 8] = b"XX"  # not II/MM
+    with pytest.raises(ValueError, match="TIFF header"):
+        M.jpeg_exif_orientation(bytes(bad))
+    bad = bytearray(blob)
+    bad[i + 8] = 41  # wrong magic
+    with pytest.raises(ValueError, match="magic"):
+        M.jpeg_exif_orientation(bytes(bad))
+    # an APP1 that is not Exif (e.g. XMP) is skipped, not an error
+    xmp = bytearray(blob)
+    xmp[i : i + 4] = b"XMP\x00"
+    assert M.jpeg_exif_orientation(bytes(xmp)) is None
