@@ -447,6 +447,83 @@ def decode_wav(payload: bytes):
     return ch, rate, samples
 
 
+def resample_pcm(samples, src_rate: int, dst_rate: int, *, method="linear"):
+    """Sample-rate conversion on int16 PCM in EXACT integer arithmetic
+    (oracle-portable: no float ever appears). n_out = n_src * dst_rate
+    // src_rate. ``nearest`` picks src = ((2i+1) * src_rate) //
+    (2 * dst_rate); ``linear`` interpolates at the exact rational
+    position i * src_rate / dst_rate with half-up rounding, computed
+    on +32768-biased values so the division is over NON-NEGATIVE
+    integers — Python's floor `//` and DuckDB's truncating `//` agree
+    there and nowhere else (the k-means portability trap,
+    BASELINE_NOTES r9). Boundary samples clamp (last sample repeats).
+    Accepts (n,) mono or (n, ch); resamples each channel."""
+    import numpy as np
+
+    if src_rate < 1 or dst_rate < 1:
+        raise ValueError("rates must be positive")
+    s = np.asarray(samples, dtype=np.int64)
+    mono = s.ndim == 1
+    if mono:
+        s = s[:, None]
+    n = s.shape[0]
+    n_out = n * dst_rate // src_rate
+    if n == 0 or n_out == 0:
+        out = np.zeros((0, s.shape[1]), dtype=np.int16)
+        return out[:, 0] if mono else out
+    i = np.arange(n_out, dtype=np.int64)
+    if method == "nearest":
+        src = np.minimum(((2 * i + 1) * src_rate) // (2 * dst_rate), n - 1)
+        out = s[src]
+    elif method == "linear":
+        num = i * src_rate
+        s0 = num // dst_rate
+        r = num % dst_rate
+        s1 = np.minimum(s0 + 1, n - 1)
+        x0 = s[s0] + 32768
+        x1 = s[s1] + 32768
+        out = (
+            x0 * (dst_rate - r)[:, None]
+            + x1 * r[:, None]
+            + dst_rate // 2
+        ) // dst_rate - 32768
+    else:
+        raise ValueError(f"unknown resample method {method!r}")
+    out = out.astype(np.int16)
+    return out[:, 0] if mono else out
+
+
+def resample_wav_media(
+    df: DataFrame, dst_rate: int, *, method: str = "linear"
+) -> DataFrame:
+    """media rows with PCM WAV payloads -> media rows re-encoded at
+    ``dst_rate`` — the audio twin of :func:`resize_ppm_media`,
+    composing with ``extract_wav_features`` / ``energy_hash_wav``
+    downstream. Arrow-batched mapInPandas; payloads never leave the
+    executors."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            ids, blobs = [], []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None:
+                    ids.append(mid)
+                    blobs.append(None)
+                    continue
+                ch, rate, s = decode_wav(bytes(p))
+                out = resample_pcm(s, rate, dst_rate, method=method)
+                ids.append(mid)
+                blobs.append(encode_wav(out, sample_rate=dst_rate))
+            yield pd.DataFrame({"media_id": ids, "payload": blobs})
+
+    resampled = df.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+    return attach_media_meta(resampled, "media_id", "payload", "audio")
+
+
 WAV_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -1308,6 +1308,83 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_wav_features(media).orderBy("media_id")
 
 
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sample-rate conversion under the driver gate — the audio
+    twin of the resize entries. The wav entry's deterministic PCM-16
+    mono waveforms (8 kHz) run through ``resample_wav_media`` to 3 kHz
+    (a non-divisible 8:3 ratio, so every output sample interpolates)
+    with exact-integer linear interpolation on +32768-biased values
+    (floor and truncating division agree on non-negative operands —
+    the cross-engine portability rule), then the SAME
+    ``extract_wav_features`` stage. The oracle replays the identical
+    position/interpolation arithmetic per output sample."""
+    from implementation_of_an_etl_process_spark.operators import multimodal as M
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (400 + F.col("doc_id") % 200).cast("int").alias("n"),
+        (3 + F.col("doc_id") % 7).cast("int").alias("k"),
+        (F.col("doc_id") % 97).cast("int").alias("c"),
+    )
+
+    def make_wav(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, n, k, c in zip(
+                pdf["doc_id"], pdf["n"], pdf["k"], pdf["c"]
+            ):
+                i = np.arange(int(n), dtype=np.int64)
+                s = ((i * int(k) + int(c)) % 191 - 95).astype(np.int16)
+                ids.append(did)
+                blobs.append(M.encode_wav(s, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    payloads = d.mapInPandas(make_wav, "doc_id long, blob binary")
+    media = M.attach_media_meta(payloads, "doc_id", "blob", "audio")
+    resampled = M.resample_wav_media(media, 3000, method="linear")
+    return M.extract_wav_features(resampled).orderBy("media_id")
+
+
+MULTIMODAL_WAV_RESAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         400 + doc_id % 200 AS n,
+         3 + doc_id % 7 AS k,
+         doc_id % 97 AS c
+  FROM documents WHERE doc_id < 200
+), o AS (
+  SELECT doc_id, n, k, c,
+         unnest(range(0, CAST(n * 3000 // 8000 AS BIGINT))) AS i
+  FROM d
+), pos AS (
+  SELECT doc_id, n, k, c, i,
+         (i * 8000) // 3000 AS s0,
+         (i * 8000) % 3000 AS r
+  FROM o
+), v AS (
+  SELECT doc_id, n, i,
+         -- x(j) = ((j*k + c) % 191) - 95, biased +32768 so the
+         -- half-up division is over non-negative integers
+         (((((s0 * k + c) % 191) - 95 + 32768) * (3000 - r)
+           + ((((CASE WHEN s0 + 1 > n - 1 THEN n - 1 ELSE s0 + 1 END)
+                * k + c) % 191) - 95 + 32768) * r
+           + 1500) // 3000) - 32768 AS val
+  FROM pos
+)
+SELECT doc_id AS media_id,
+       1 AS n_channels,
+       3000 AS sample_rate,
+       CAST(n * 3000 // 8000 AS BIGINT) AS n_samples,
+       CAST((n * 3000 // 8000) * 1000 // 3000 AS BIGINT) AS duration_ms,
+       CAST(SUM(val) AS BIGINT) AS sample_sum,
+       CAST(MAX(ABS(val)) AS INTEGER) AS peak_abs
+FROM v GROUP BY doc_id, n ORDER BY media_id
+"""
+
+
 MULTIMODAL_WAV_SQL = """
 WITH d AS (
   SELECT doc_id,
@@ -1873,6 +1950,7 @@ QUERIES = {
     "multimodal_resize_box": multimodal_resize_box,
     "multimodal_exif_orient_decode": multimodal_exif_orient_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
+    "multimodal_wav_resample": multimodal_wav_resample,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
@@ -1910,6 +1988,7 @@ ORACLES = {
     "multimodal_resize_box": MULTIMODAL_RESIZE_BOX_SQL,
     "multimodal_exif_orient_decode": MULTIMODAL_EXIF_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_SQL,
+    "multimodal_wav_resample": MULTIMODAL_WAV_RESAMPLE_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_quality": TEXT_QUALITY_SQL,

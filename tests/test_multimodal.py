@@ -1039,3 +1039,73 @@ def test_exif_parser_rejects_malformed_app1():
     xmp = bytearray(blob)
     xmp[i : i + 4] = b"XMP\x00"
     assert M.jpeg_exif_orientation(bytes(xmp)) is None
+
+
+def test_resample_pcm_exact_integer_arithmetic():
+    """resample_pcm linear interpolation matches an independent
+    float reference within the half-up convention, handles negative
+    samples via the +32768 bias (floor/truncate-division portability),
+    clamps the final segment, and supports nearest + multi-channel."""
+    import numpy as np
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        resample_pcm,
+    )
+
+    rng = np.random.default_rng(41)
+    s = rng.integers(-32768, 32768, 400).astype(np.int16)
+    out = resample_pcm(s, 8000, 3000, method="linear")
+    assert len(out) == 400 * 3000 // 8000
+    # independent float reference with the same half-up convention
+    for i in [0, 1, 7, 50, len(out) - 1]:
+        pos = i * 8000 / 3000
+        s0 = int(pos)
+        frac = pos - s0
+        s1 = min(s0 + 1, len(s) - 1)
+        want = np.floor(
+            (s[s0] + 32768) * (1 - frac) + (s[s1] + 32768) * frac + 0.5
+        ) - 32768
+        assert out[i] == want, i
+    # identity at equal rates; nearest picks the half-pixel mapping
+    assert np.array_equal(resample_pcm(s, 8000, 8000), s)
+    near = resample_pcm(s, 8000, 2000, method="nearest")
+    assert near[3] == s[((2 * 3 + 1) * 8000) // (2 * 2000)]
+    # stereo: channels resample independently
+    st = np.stack([s, -s], axis=1)
+    out2 = resample_pcm(st, 8000, 3000)
+    assert out2.shape == (150, 2)
+    with pytest.raises(ValueError, match="unknown resample"):
+        resample_pcm(s, 8000, 3000, method="cubic")
+    with pytest.raises(ValueError, match="positive"):
+        resample_pcm(s, 0, 3000)
+
+
+def test_resample_wav_media_composes_with_feature_stage(spark):
+    """resample_wav_media output feeds extract_wav_features unchanged:
+    rate, counts and exact sums reflect the resampled PCM."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators import (
+        multimodal as M,
+    )
+
+    i = np.arange(400, dtype=np.int64)
+    s = ((i * 5 + 11) % 191 - 95).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(M.encode_wav(s, sample_rate=8000))), (2, None)],
+        "media_id long, payload binary",
+    )
+    media = M.attach_media_meta(df, "media_id", "payload", "audio")
+    out = {
+        r.media_id: r
+        for r in M.extract_wav_features(
+            M.resample_wav_media(media, 3000)
+        ).collect()
+    }
+    want = M.resample_pcm(s, 8000, 3000)
+    assert out[1].sample_rate == 3000
+    assert out[1].n_samples == len(want) == 150
+    assert out[1].sample_sum == int(want.astype(np.int64).sum())
+    assert out[1].peak_abs == int(np.abs(want.astype(np.int32)).max())
+    assert out[2].sample_rate is None
