@@ -1,0 +1,337 @@
+"""Persisted full-text (BM25) index: the retrieval member of the
+engine's persisted-index family (dedup md5/band index, IVF-PQ ANN
+index, and this) — build once, append micro-batches, query forever.
+
+Layout at ``path``::
+
+    postings/bucket=<b>/*.parquet   (term, doc_id, tf, dlen)
+    meta.json                       n_buckets, id_col, n_docs, total_len
+    _batches.json                   committed append batch ids (ledger)
+    _pending_append                 exclusive writer marker (O_EXCL)
+
+The postings relation is the full inverted index, hash-partitioned by
+``bucket = pmod(hash(term), n_buckets)`` so a query's terms prune to
+their buckets at scan time (PartitionFilters — the same directory-
+pruning shape as the ANN index's cell partitioning). Document length
+is denormalized onto each posting row, so scoring needs no second
+corpus pass. Corpus-level stats (n_docs, total_len — BM25's N and
+avgdl) live in ``meta.json`` and are UPDATED on append; per-term df
+is computed at query time from the pruned postings themselves, so
+idf is always append-fresh — there is no frozen model to go stale.
+
+Lifecycle discipline is identical to the IVF-PQ index (round-11
+crash-safety rules): the ``_pending_append`` marker is held across
+every write INCLUDING rebuilds and released only on success, the
+append ledger is checked UNDER the marker (check-then-write atomic),
+and a crash anywhere in the window is a loud torn-state error at
+read time, never a silently inconsistent meta/postings pair.
+
+At 100 TB: the postings build is one tokenize + groupBy(doc, term)
+shuffle; appends cost the BATCH, not the corpus; queries scan
+|query terms| buckets out of n_buckets and broadcast a query-sized
+idf table. Scoring reuses :func:`~.tfidf.bm25_topk`'s integer-exact
+formula, so the two paths are row-identical and share one oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators.tfidf import IDF_SCALE
+
+_VERSION = 1
+
+
+def _acquire_marker(pending_path: str) -> None:
+    """O_EXCL writer marker — same contract as the ANN index: two
+    concurrent writers can't both own the window; the loser fails
+    loudly instead of interleaving parquet commits."""
+    try:
+        fd = os.open(pending_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ValueError(
+            f"text index write collision at {pending_path}: another "
+            "append/compaction holds the _pending_append marker — the "
+            "index has one writer at a time"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write("append in progress\n")
+
+
+def _tokens(text_col: str):
+    """The corpus tokenizer — IDENTICAL to bm25_topk's (lower, trim,
+    whitespace split, drop empties) so index and inline paths score
+    the same terms."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str, n_buckets: int):
+    toks = _tokens(text_col)
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dlen"),
+        F.explode(toks).alias("term"),
+    )
+    tf = occ.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dlen").alias("dlen")
+    )
+    return tf.withColumn(
+        "bucket", F.pmod(F.hash(F.col("term")), F.lit(n_buckets))
+    )
+
+
+def _load_meta(path: str) -> dict:
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no meta.json at {path}: text index incomplete or never "
+            "built — build with write_text_index(mode='overwrite')"
+        )
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def _check_marker(path: str) -> None:
+    if os.path.exists(os.path.join(path, "_pending_append")):
+        raise ValueError(
+            f"text index at {path}: _pending_append marker present — "
+            "another writer is active, or a previous write crashed "
+            "(torn). If no writer is running, rebuild with "
+            "mode='overwrite'"
+        )
+
+
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+    batch_id: int | None = None,
+) -> None:
+    """Materialize (or append to) the inverted index at ``path``.
+
+    ``mode="overwrite"`` rebuilds from scratch (resets the ledger);
+    ``mode="append"`` adds a batch's postings to their bucket
+    partitions and bumps the meta stats — id uniqueness across batches
+    is the caller's contract, exactly as with the dedup and ANN
+    indexes. ``batch_id`` makes append retries idempotent via the
+    ``_batches.json`` ledger, checked UNDER the O_EXCL marker."""
+    pending = os.path.join(path, "_pending_append")
+    ledger_path = os.path.join(path, "_batches.json")
+    if mode == "append":
+        meta = _load_meta(path)
+        if meta["n_buckets"] != n_buckets or meta["id_col"] != id_col:
+            raise ValueError(
+                f"text index at {path} was built with n_buckets="
+                f"{meta['n_buckets']}, id_col={meta['id_col']!r} — "
+                "append must match, or rebuild with mode='overwrite'"
+            )
+        _check_marker(path)
+        _acquire_marker(pending)
+        if batch_id is not None and os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                if int(batch_id) in json.load(f):
+                    os.remove(pending)
+                    return  # re-delivered micro-batch: already ingested
+    else:
+        os.makedirs(path, exist_ok=True)
+        if os.path.exists(pending):
+            os.remove(pending)  # fresh overwrite repairs torn state
+        _acquire_marker(pending)
+        meta = {
+            "version": _VERSION,
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+            "n_docs": 0,
+            "total_len": 0,
+        }
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size(_tokens(text_col))), F.lit(0))
+        .cast("long")
+        .alias("tl"),
+    ).first()
+    (
+        _postings(docs, id_col, text_col, n_buckets)
+        .repartition(F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    meta["n_docs"] = int(meta["n_docs"]) + int(stats["n"])
+    meta["total_len"] = int(meta["total_len"]) + int(stats["tl"])
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    if batch_id is not None:
+        committed = []
+        if mode == "append" and os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                committed = json.load(f)
+        committed.append(int(batch_id))
+        with open(ledger_path + ".tmp", "w") as f:
+            json.dump(committed, f)
+        os.replace(ledger_path + ".tmp", ledger_path)
+    elif mode != "append" and os.path.exists(ledger_path):
+        os.remove(ledger_path)  # a rebuild resets ingest history
+    os.remove(pending)  # success: both modes release
+
+
+def append_text_index(
+    batch: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> None:
+    """Append a micro-batch using the index's OWN stored parameters —
+    the ingest-loop entry point (no way to pass a mismatched layout)."""
+    meta = _load_meta(path)
+    write_text_index(
+        batch,
+        path,
+        id_col=meta["id_col"],
+        text_col=text_col,
+        n_buckets=meta["n_buckets"],
+        mode="append",
+        batch_id=batch_id,
+    )
+
+
+def bm25_query_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    *,
+    k: int = 50,
+    k1_x10: int = 12,
+    b_x100: int = 75,
+) -> DataFrame:
+    """Query the persisted index: scan ONLY the query terms' bucket
+    partitions (directory pruning), compute append-fresh df/idf from
+    the pruned postings, score with :func:`~.tfidf.bm25_topk`'s exact
+    integer formula (N/avgdl from meta), and return the identical
+    (doc_id, n_terms_matched, score_q) top-k — row-identical to the
+    inline scorer on the same corpus."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    meta = _load_meta(path)
+    _check_marker(path)
+    terms = sorted({t.lower() for t in query_terms})
+    n_buckets = meta["n_buckets"]
+    # bucket ids via the SAME engine hash the build used (Murmur3 via
+    # F.hash) — computed on a terms-sized local relation, never in
+    # Python
+    buckets = sorted(
+        {
+            r.b
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b"))
+            .collect()
+        }
+    )
+    tf = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))  # partition pruning
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "tf", F.col("dlen").alias("_len"))
+    )
+    n_docs, total_len = int(meta["n_docs"]), int(meta["total_len"])
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = dfreq.select(
+        "term",
+        F.lit(n_docs).alias("_n_docs"),
+        F.lit(total_len).alias("_total_len"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+            )
+            * IDF_SCALE
+        )
+        .cast("long")
+        .alias("_idf_q"),
+    )
+    a, c = k1_x10, b_x100
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "_score_term_q",
+        F.expr(
+            f"CAST(_idf_q AS DECIMAL(38,0)) * (100 * {10 + a} * tf) "
+            "* _total_len div "
+            f"(CAST(1000 AS DECIMAL(38,0)) * tf * _total_len "
+            f"+ {a * (100 - c)} * _total_len "
+            f"+ {a * c} * _len * _n_docs)"
+        ),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("_score_term_q").alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def compact_text_index(spark, path: str) -> dict:
+    """Rewrite postings to ~one file per bucket — every append adds a
+    file per touched bucket, and a long ingest loop re-creates the
+    small-file layout that taxes every query (the ANN index's measured
+    regime). Two renames with rollback, marker released only with the
+    postings directory intact — the round-11 swap discipline."""
+    import shutil
+
+    _load_meta(path)
+    postings = os.path.join(path, "postings")
+    pending = os.path.join(path, "_pending_append")
+    _check_marker(path)
+    _acquire_marker(pending)
+    try:
+
+        def _nfiles(d: str) -> int:
+            return sum(
+                1
+                for root, _, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        before = _nfiles(postings)
+        tmp = postings + ".compact"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            spark.read.parquet(postings)
+            .repartition(F.col("bucket"))
+            .write.partitionBy("bucket")
+            .parquet(tmp)
+        )
+        aside = postings + ".old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.rename(postings, aside)
+        try:
+            os.rename(tmp, postings)
+        except BaseException:
+            os.rename(aside, postings)  # roll the first rename back
+            raise
+        shutil.rmtree(aside)
+        return {"files_before": before, "files_after": _nfiles(postings)}
+    finally:
+        if os.path.exists(postings):
+            os.remove(pending)

@@ -165,6 +165,132 @@ LIMIT {_BM25_K}
 """
 
 
+_BM25_IDX_QUERY = ("sort", "filter", "join", "batch")
+assert all(t and "'" not in t for t in _BM25_IDX_QUERY)
+_BM25_IDX_IN = ", ".join(f"'{t}'" for t in _BM25_IDX_QUERY)
+_BM25_IDX_K = 40
+
+
+def _bm25_index_oracle(extra_cols: str = "") -> str:
+    """The inline-BM25 closed form re-targeted at the index entries'
+    terms/k — the persisted-index path must be row-identical to the
+    inline scorer, so ONE oracle covers both (plus optional pinned
+    invariant columns for the incremental entry)."""
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), lens AS (
+  SELECT doc_id, COUNT(*) AS len FROM tok2 GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM(len) FROM lens) AS total_len
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok2
+  WHERE term IN ({_BM25_IDX_IN})
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term, n_docs, total_len,
+         CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                    * {IDF_SCALE}) AS BIGINT) AS idf_q
+  FROM dfq, stats
+), sc AS (
+  SELECT tf.doc_id,
+         CAST(CAST(idf_q AS HUGEINT) * (2200 * tf.tf) * total_len
+              // (CAST(1000 AS HUGEINT) * tf.tf * total_len
+                  + 300 * total_len + 900 * l.len * n_docs)
+              AS BIGINT) AS s
+  FROM tf JOIN idf USING (term) JOIN lens l ON l.doc_id = tf.doc_id
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       CAST(SUM(s) AS BIGINT) AS score_q{extra_cols}
+FROM sc GROUP BY doc_id
+ORDER BY score_q DESC, doc_id
+LIMIT {_BM25_IDX_K}
+"""
+
+
+def bm25_index_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED full-text index under the driver gate
+    (`operators/textindex.py`): build the bucket-partitioned inverted
+    index (postings denormalize doc length; meta carries N/total_len),
+    then answer the fixed 4-term query from the index — the query's
+    terms prune to their bucket partitions (PartitionFilters, pinned
+    in tests/test_textindex.py) and scoring reuses the inline BM25's
+    integer-exact formula, so the oracle is the SAME closed form as
+    `bm25_topk_docs` (re-targeted terms/k). Index dir rebuilt every
+    call (overwrite) so the entry is self-contained."""
+    import hashlib
+    import os
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"txtidx_{tag}")
+    TI.write_text_index(docs, idx, n_buckets=32)
+    return TI.bm25_query_index(
+        spark, idx, list(_BM25_IDX_QUERY), k=_BM25_IDX_K
+    )
+
+
+BM25_INDEX_SQL = _bm25_index_oracle()
+
+
+def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted text-index INGEST-LOOP gate: base write + append +
+    a RETRIED append of the same batch_id (must no-op via the
+    `_batches.json` ledger, checked under the O_EXCL marker), then the
+    query — which must be row-identical to the one-shot index of the
+    full corpus, because df/idf are computed append-fresh from the
+    postings and N/avgdl accumulate exactly in meta. The oracle is the
+    same closed form with two pinned invariant bits: the retry added
+    no postings, and meta's n_docs equals the corpus count."""
+    import hashlib
+    import os
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"txtidx_inc_{tag}")
+    third = F.pmod(F.col("doc_id"), F.lit(3))
+    TI.write_text_index(docs.filter(third != 0), idx, n_buckets=32)
+    batch = docs.filter(third == 0)
+    TI.append_text_index(batch, idx, batch_id=0)
+    postings = os.path.join(idx, "postings")
+    n_after = spark.read.parquet(postings).count()
+    TI.append_text_index(batch, idx, batch_id=0)  # re-delivery: no-op
+    retry_noop = int(spark.read.parquet(postings).count() == n_after)
+    meta_ok = int(
+        TI._load_meta(idx)["n_docs"] == docs.count()
+    )
+    return TI.bm25_query_index(
+        spark, idx, list(_BM25_IDX_QUERY), k=_BM25_IDX_K
+    ).select(
+        "*",
+        F.lit(retry_noop).alias("retry_noop"),
+        F.lit(meta_ok).alias("meta_ok"),
+    )
+
+
+BM25_INDEX_INC_SQL = _bm25_index_oracle(
+    ",\n       1 AS retry_noop,\n       1 AS meta_ok"
+)
+
+
 _CURATION_K = 200
 
 
@@ -672,6 +798,8 @@ QUERIES = {
     "dsir_selection_docs": dsir_selection_docs,
     "mixture_materialize_docs": mixture_materialize_docs,
     "bm25_topk_docs": bm25_topk_docs,
+    "bm25_index_topk_docs": bm25_index_topk_docs,
+    "bm25_index_incremental": bm25_index_incremental,
     "curation_pipeline_stats": curation_pipeline_stats,
 }
 
@@ -684,5 +812,7 @@ ORACLES = {
     "dsir_selection_docs": DSIR_SELECTION_SQL,
     "mixture_materialize_docs": MIXTURE_MATERIALIZE_SQL,
     "bm25_topk_docs": BM25_TOPK_SQL,
+    "bm25_index_topk_docs": BM25_INDEX_SQL,
+    "bm25_index_incremental": BM25_INDEX_INC_SQL,
     "curation_pipeline_stats": CURATION_PIPELINE_SQL,
 }

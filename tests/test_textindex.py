@@ -1,0 +1,178 @@
+"""Persisted full-text (BM25) index lifecycle (operators/textindex.py):
+query parity with the inline scorer, incremental equivalence, ledger
+idempotence, crash-safety guards, compaction, and partition pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators import textindex as TI
+from implementation_of_an_etl_process_spark.operators import tfidf as TF
+from tests.conftest import SF_SMOKE
+
+TERMS = ["data", "model", "the", "learning"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _topk(spark, path, k=20):
+    return [
+        tuple(r)
+        for r in TI.bm25_query_index(spark, path, TERMS, k=k).collect()
+    ]
+
+
+def test_index_query_identical_to_inline_scorer(spark, docs, tmp_path):
+    """The persisted-index path and the inline bm25_topk share one
+    integer-exact formula and one tokenizer — results must be
+    ROW-IDENTICAL, including a query term that matches nothing and a
+    single-term query."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16)
+    got = _topk(spark, path)
+    want = [
+        tuple(r)
+        for r in TF.bm25_topk(docs, TERMS, k=20, persist_tf=False).collect()
+    ]
+    assert got == want
+    mixed = ["data", "zz-not-a-term-zz"]
+    got2 = [
+        tuple(r)
+        for r in TI.bm25_query_index(spark, path, mixed, k=10).collect()
+    ]
+    want2 = [
+        tuple(r)
+        for r in TF.bm25_topk(docs, mixed, k=10, persist_tf=False).collect()
+    ]
+    assert got2 == want2
+
+
+def test_incremental_equals_oneshot_and_retry_noops(spark, docs, tmp_path):
+    """base + append == one-shot (df/idf are append-fresh from the
+    postings; N/avgdl accumulate exactly in meta); a re-delivered
+    batch_id is a no-op that releases the marker."""
+    path = str(tmp_path / "idx")
+    third = F.pmod(F.col("doc_id"), F.lit(3))
+    TI.write_text_index(docs.filter(third != 0), path, n_buckets=16)
+    batch = docs.filter(third == 0)
+    TI.append_text_index(batch, path, batch_id=7)
+    postings = os.path.join(path, "postings")
+    n = spark.read.parquet(postings).count()
+    TI.append_text_index(batch, path, batch_id=7)  # retry
+    assert spark.read.parquet(postings).count() == n
+    assert not os.path.exists(os.path.join(path, "_pending_append"))
+    oneshot = str(tmp_path / "idx1")
+    TI.write_text_index(docs, oneshot, n_buckets=16)
+    assert _topk(spark, path) == _topk(spark, oneshot)
+    meta = TI._load_meta(path)
+    assert meta["n_docs"] == docs.count()
+
+
+def test_lifecycle_guards(spark, docs, tmp_path):
+    """Marker blocks queries and appends; never-built refuses;
+    parameter mismatch refuses; overwrite repairs torn state and
+    resets the ledger (a committed batch id appends again)."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16)
+    TI.append_text_index(docs.limit(0), path, batch_id=3)
+    marker = tmp_path / "idx" / "_pending_append"
+    marker.write_text("stale\n")
+    with pytest.raises(ValueError, match="marker present"):
+        TI.bm25_query_index(spark, path, TERMS)
+    with pytest.raises(ValueError, match="marker present"):
+        TI.append_text_index(docs.limit(1), path)
+    with pytest.raises(ValueError, match="no meta.json"):
+        TI.bm25_query_index(spark, str(tmp_path / "nope"), TERMS)
+    # repair: overwrite clears marker + ledger
+    TI.write_text_index(docs, path, n_buckets=16)
+    assert not marker.exists()
+    assert not os.path.exists(os.path.join(path, "_batches.json"))
+    n = spark.read.parquet(os.path.join(path, "postings")).count()
+    TI.append_text_index(docs.limit(5), path, batch_id=3)
+    assert spark.read.parquet(os.path.join(path, "postings")).count() > n
+    with pytest.raises(ValueError, match="n_buckets"):
+        TI.write_text_index(docs, path, n_buckets=8, mode="append")
+    with pytest.raises(ValueError, match="non-empty"):
+        TI.bm25_query_index(spark, path, [])
+
+
+def test_rebuild_crash_is_loud(spark, docs, tmp_path, monkeypatch):
+    """A crash mid-rebuild leaves the marker held, so reads refuse
+    instead of scoring a torn meta/postings pair (the round-11
+    crash-safety rule, shared with the ANN index)."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-rebuild")
+
+    monkeypatch.setattr(TI, "_postings", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        TI.write_text_index(docs, path, n_buckets=16)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(path, "_pending_append"))
+    with pytest.raises(ValueError, match="marker present"):
+        TI.bm25_query_index(spark, path, TERMS)
+    TI.write_text_index(docs, path, n_buckets=16)  # repair
+    assert _topk(spark, path)
+
+
+def test_compaction_and_torn_swap_rollback(spark, docs, tmp_path, monkeypatch):
+    """Appends fragment bucket partitions; compaction restores ~one
+    file per bucket with identical results, and a failed second rename
+    rolls the first back (marker released only with postings intact)."""
+    path = str(tmp_path / "idx")
+    fifth = F.pmod(F.col("doc_id"), F.lit(5))
+    TI.write_text_index(docs.filter(fifth == 0), path, n_buckets=8)
+    for i in range(1, 5):
+        TI.append_text_index(docs.filter(fifth == i), path, batch_id=i)
+    before = _topk(spark, path)
+    postings = os.path.join(path, "postings")
+    real_rename = os.rename
+    state = {"failed": False}
+
+    def flaky(src, dst):
+        if os.path.abspath(dst) == os.path.abspath(postings) and not state[
+            "failed"
+        ]:
+            state["failed"] = True
+            raise OSError("simulated torn swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky)
+    with pytest.raises(OSError, match="simulated torn swap"):
+        TI.compact_text_index(spark, path)
+    monkeypatch.undo()
+    assert os.path.isdir(postings)
+    assert not os.path.exists(os.path.join(path, "_pending_append"))
+    assert _topk(spark, path) == before
+    stats = TI.compact_text_index(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    assert _topk(spark, path) == before
+
+
+def test_query_scan_prunes_to_term_buckets(spark, docs, tmp_path):
+    """The query's bucket filter must reach the scan as a
+    PartitionFilter — directory pruning, so a query touches
+    |query-term buckets| / n_buckets of the index regardless of
+    corpus size."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16)
+    plan = (
+        TI.bm25_query_index(spark, path, ["data"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
