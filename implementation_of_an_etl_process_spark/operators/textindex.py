@@ -247,14 +247,22 @@ def bm25_query_index(
         spark.read.parquet(os.path.join(path, "postings"))
         .filter(F.col("bucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin(terms))
-        .select("doc_id", "term", "tf", F.col("dlen").alias("_len"))
+        .select(
+            "doc_id", "term", "tf",
+            F.col("dlen").cast("long").alias("_len"),
+        )
     )
     n_docs, total_len = int(meta["n_docs"]), int(meta["total_len"])
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    # explicit long literals: F.lit() of a Python int that fits in 32
+    # bits makes an IntegerType literal, and `300 * _total_len` then
+    # runs int32 math — overflowed at the 2M-doc full-scale leg while
+    # every small-SF gate passed (the inline scorer's stats columns
+    # are longs by construction, so only this path was exposed)
     idf = dfreq.select(
         "term",
-        F.lit(n_docs).alias("_n_docs"),
-        F.lit(total_len).alias("_total_len"),
+        F.lit(n_docs).cast("long").alias("_n_docs"),
+        F.lit(total_len).cast("long").alias("_total_len"),
         F.round(
             F.log(
                 F.lit(1.0)

@@ -3,6 +3,9 @@
 from implementation_of_an_etl_process_spark.streaming.ann import (
     ivfpq_ingest_sink,
 )
+from implementation_of_an_etl_process_spark.streaming.textingest import (
+    text_index_ingest_sink,
+)
 from implementation_of_an_etl_process_spark.streaming.events import (
     read_events_stream,
     tumbling_counts,
@@ -17,6 +20,7 @@ from implementation_of_an_etl_process_spark.streaming.events import (
 
 __all__ = [
     "ivfpq_ingest_sink",
+    "text_index_ingest_sink",
     "read_events_stream",
     "tumbling_counts",
     "sliding_counts",

@@ -274,3 +274,60 @@ def test_ivfpq_ingest_sink_stream_equals_oneshot(spark, tmp_path):
         spark.read.parquet(os.path.join(idx, "codes")).count()
         == n_before + 10
     )
+
+
+def test_text_index_ingest_sink_stream_equals_oneshot(spark, tmp_path):
+    """Streaming retrieval-index ingest: a file stream of document
+    batches drains into the persisted BM25 index; queries over the
+    streamed index must equal a one-shot index of the full corpus
+    ROW-IDENTICALLY (df/idf are append-fresh; N/avgdl accumulate
+    exactly), and the ledger makes re-delivered batches no-ops."""
+    import json
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    base = docs.filter(F.col("doc_id") < 200)
+    TI.write_text_index(base, idx, n_buckets=16)
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 700)
+    ).coalesce(1).write.parquet(str(src / "_stage_a"))
+    docs.filter(F.col("doc_id") >= 700).coalesce(1).write.parquet(
+        str(src / "_stage_b")
+    )
+    i = 0
+    for sub in ["_stage_a", "_stage_b"]:
+        for f in os.listdir(src / sub):
+            if f.endswith(".parquet"):
+                shutil.copy(src / sub / f, src / f"{i}.parquet")
+                i += 1
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = S.text_index_ingest_sink(stream, idx, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+
+    with open(os.path.join(idx, "_batches.json")) as f:
+        assert sorted(json.load(f)) == [0, 1]  # both micro-batches landed
+    assert TI._load_meta(idx)["n_docs"] == docs.count()
+    oneshot = str(tmp_path / "one")
+    TI.write_text_index(docs, oneshot, n_buckets=16)
+    terms = ["data", "model", "learning"]
+    got = [
+        tuple(r)
+        for r in TI.bm25_query_index(spark, idx, terms, k=15).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in TI.bm25_query_index(spark, oneshot, terms, k=15).collect()
+    ]
+    assert got == want

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Full-scale leg for the persisted BM25 text index
+(`operators/textindex.py`) on the Zipfian synthetic corpus
+(tools/fullscale_docs.py):
+
+- base build (tokenize + (doc, term) aggregate + bucket-partitioned
+  write) at N docs;
+- frozen-layout appends: cost tracks the BATCH, not the corpus;
+- query path A/B: persisted-index probe (bucket-pruned scan,
+  append-fresh df/idf) vs the inline `bm25_topk` full corpus scan —
+  results must be ROW-IDENTICAL, and the index probe must win by
+  roughly the pruning ratio once the corpus dwarfs fixed overheads;
+- fragmentation + compaction: appends add a file per touched bucket
+  per batch; compaction restores ~one file per bucket and the probe
+  time after it.
+
+Usage: python tools/fullscale_textindex.py [n_docs] [workdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+WORKDIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fullscale_docs"
+N_BUCKETS = 64
+TERMS = ["w12", "w47", "w203", "w1776"]  # mixed-frequency Zipf ranks
+K = 50
+
+
+def main() -> None:
+    from implementation_of_an_etl_process_spark import get_spark
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        bm25_topk,
+    )
+    from tools.fullscale_docs import synth_corpus
+
+    spark = get_spark("fullscale-textindex")
+
+    path = os.path.join(WORKDIR, f"docs_{N_DOCS}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(WORKDIR, exist_ok=True)
+        synth_corpus(spark, N_DOCS).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    docs = spark.read.parquet(path).select("doc_id", "text")
+
+    idx = os.path.join(WORKDIR, f"txtidx_{N_DOCS}")
+    tenth = F.pmod(F.col("doc_id"), F.lit(10))
+
+    t0 = time.monotonic()
+    TI.write_text_index(docs.filter(tenth != 0), idx, n_buckets=N_BUCKETS)
+    t_build = time.monotonic() - t0
+    print(f"base build ({int(N_DOCS * 0.9)} docs): {t_build:.1f}s")
+
+    t0 = time.monotonic()
+    TI.append_text_index(docs.filter(tenth == 0), idx, batch_id=0)
+    t_app = time.monotonic() - t0
+    print(f"append ({int(N_DOCS * 0.1)} docs): {t_app:.1f}s "
+          f"({t_build / max(t_app, 1e-9):.1f}x cheaper than a rebuild "
+          "would scale to)")
+
+    def probe():
+        t0 = time.monotonic()
+        rows = [
+            tuple(r)
+            for r in TI.bm25_query_index(spark, idx, TERMS, k=K).collect()
+        ]
+        return rows, time.monotonic() - t0
+
+    got, t_idx = probe()
+    t0 = time.monotonic()
+    want = [
+        tuple(r)
+        for r in bm25_topk(docs, TERMS, k=K, persist_tf=False).collect()
+    ]
+    t_inline = time.monotonic() - t0
+    print(f"query: index {t_idx:.1f}s vs inline {t_inline:.1f}s "
+          f"({t_inline / max(t_idx, 1e-9):.1f}x); identical="
+          f"{got == want}")
+
+    def nfiles():
+        return sum(
+            1
+            for root, _, files in os.walk(os.path.join(idx, "postings"))
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    # fragmentation regime: 8 small appends
+    twentieth = F.pmod(F.col("doc_id") + 7, F.lit(160))
+    for i in range(1, 9):
+        TI.append_text_index(
+            docs.filter(twentieth == i), idx, batch_id=i
+        )
+    frag_files = nfiles()
+    _, t_frag = probe()
+    t0 = time.monotonic()
+    stats = TI.compact_text_index(spark, idx)
+    t_comp = time.monotonic() - t0
+    got2, t_post = probe()
+    print(
+        f"fragmentation: {frag_files} files -> probe {t_frag:.1f}s; "
+        f"compaction {stats['files_before']}->{stats['files_after']} "
+        f"files in {t_comp:.1f}s -> probe {t_post:.1f}s"
+    )
+    n_docs_meta = TI._load_meta(idx)["n_docs"]
+    print(f"meta n_docs={n_docs_meta} (corpus rows + append slices)")
+
+
+if __name__ == "__main__":
+    main()
