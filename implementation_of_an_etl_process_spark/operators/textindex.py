@@ -147,6 +147,15 @@ def write_text_index(
         os.makedirs(path, exist_ok=True)
         if os.path.exists(pending):
             os.remove(pending)  # fresh overwrite repairs torn state
+        dels = os.path.join(path, "_deletes")
+        if os.path.exists(dels):
+            # a rebuild has no tombstones: leaving them would filter
+            # freshly-written postings AND desync the meta stats (the
+            # delete path skips already-tombstoned ids, so it would
+            # never re-adjust them)
+            import shutil
+
+            shutil.rmtree(dels)
         _acquire_marker(pending)
         meta = {
             "version": _VERSION,
@@ -252,6 +261,7 @@ def bm25_query_index(
             F.col("dlen").cast("long").alias("_len"),
         )
     )
+    tf = _apply_tombstones(spark, path, tf)  # merge-on-read deletes
     n_docs, total_len = int(meta["n_docs"]), int(meta["total_len"])
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     # explicit long literals: F.lit() of a Python int that fits in 32
@@ -296,17 +306,87 @@ def bm25_query_index(
     )
 
 
+def delete_from_text_index(spark, path: str, doc_ids) -> dict:
+    """Merge-on-read DELETE (takedown/GDPR lifecycle): append the ids
+    to a ``_deletes`` tombstone relation and adjust the meta stats
+    (N, total_len) by the deleted docs' exact contributions, under the
+    writer marker. Queries anti-join the tombstones, so results are
+    immediately EXACT — identical to an index rebuilt without those
+    docs (df is computed from the anti-joined postings; N/avgdl come
+    from the adjusted meta). Compaction later drops tombstoned
+    postings physically and clears the relation. Unknown ids are
+    no-ops. Returns {"deleted_docs": n, "deleted_tokens": t}."""
+    meta = _load_meta(path)
+    _check_marker(path)
+    pending = os.path.join(path, "_pending_append")
+    _acquire_marker(pending)
+    try:
+        ids_df = (
+            doc_ids
+            if isinstance(doc_ids, DataFrame)
+            else spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id long"
+            )
+        ).select(F.col("doc_id").cast("long")).distinct()
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        dels = os.path.join(path, "_deletes")
+        if os.path.exists(dels):
+            # ignore ids already tombstoned (stats were adjusted then)
+            ids_df = ids_df.join(
+                spark.read.parquet(dels), "doc_id", "left_anti"
+            )
+        # exact contributions of the docs being removed: one row per
+        # (doc, term) carries dlen, so per-doc length = first(dlen)
+        hit = (
+            postings.join(F.broadcast(ids_df), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.first("dlen").alias("dlen"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dlen"), F.lit(0)).alias("tl"),
+            )
+            .first()
+        )
+        n_del, tl_del = int(hit["n"]), int(hit["tl"])
+        if n_del:
+            ids_df.join(
+                postings.select("doc_id").distinct(), "doc_id", "left_semi"
+            ).write.mode("append").parquet(dels)
+            meta["n_docs"] = int(meta["n_docs"]) - n_del
+            meta["total_len"] = int(meta["total_len"]) - tl_del
+            tmp = os.path.join(path, "meta.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(path, "meta.json"))
+        return {"deleted_docs": n_del, "deleted_tokens": tl_del}
+    finally:
+        os.remove(pending)
+
+
+def _apply_tombstones(spark, path: str, tf: DataFrame) -> DataFrame:
+    dels = os.path.join(path, "_deletes")
+    if os.path.exists(dels):
+        tf = tf.join(
+            F.broadcast(spark.read.parquet(dels)), "doc_id", "left_anti"
+        )
+    return tf
+
+
 def compact_text_index(spark, path: str) -> dict:
     """Rewrite postings to ~one file per bucket — every append adds a
     file per touched bucket, and a long ingest loop re-creates the
     small-file layout that taxes every query (the ANN index's measured
-    regime). Two renames with rollback, marker released only with the
-    postings directory intact — the round-11 swap discipline."""
+    regime). Tombstoned postings (merge-on-read deletes) are dropped
+    PHYSICALLY here and the ``_deletes`` relation cleared — query
+    results are identical before and after by construction. Two
+    renames with rollback, marker released only with the postings
+    directory intact — the round-11 swap discipline."""
     import shutil
 
     _load_meta(path)
     postings = os.path.join(path, "postings")
     pending = os.path.join(path, "_pending_append")
+    dels = os.path.join(path, "_deletes")
     _check_marker(path)
     _acquire_marker(pending)
     try:
@@ -320,12 +400,17 @@ def compact_text_index(spark, path: str) -> dict:
             )
 
         before = _nfiles(postings)
+        rel = spark.read.parquet(postings)
+        had_deletes = os.path.exists(dels)
+        if had_deletes:
+            rel = rel.join(
+                F.broadcast(spark.read.parquet(dels)), "doc_id", "left_anti"
+            )
         tmp = postings + ".compact"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         (
-            spark.read.parquet(postings)
-            .repartition(F.col("bucket"))
+            rel.repartition(F.col("bucket"))
             .write.partitionBy("bucket")
             .parquet(tmp)
         )
@@ -339,6 +424,8 @@ def compact_text_index(spark, path: str) -> dict:
             os.rename(aside, postings)  # roll the first rename back
             raise
         shutil.rmtree(aside)
+        if had_deletes:
+            shutil.rmtree(dels)  # physically applied — clear tombstones
         return {"files_before": before, "files_after": _nfiles(postings)}
     finally:
         if os.path.exists(postings):

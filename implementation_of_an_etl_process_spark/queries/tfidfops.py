@@ -291,6 +291,46 @@ BM25_INDEX_INC_SQL = _bm25_index_oracle(
 )
 
 
+def bm25_index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE under the driver gate (takedown/GDPR
+    lifecycle): build the index on the full corpus, tombstone every
+    doc_id % 7 == 0 (`delete_from_text_index` — ids to `_deletes`,
+    meta N/total_len adjusted by the victims' exact contributions),
+    then query. Results must be IDENTICAL to an index that never held
+    those docs — the oracle scores the closed BM25 form over
+    `documents WHERE doc_id % 7 <> 0`. A second delete of the same ids
+    plus an unknown id must be a no-op (pinned as an invariant bit)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"txtidx_del_{tag}")
+    TI.write_text_index(docs, idx, n_buckets=32)
+    victims = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        "doc_id"
+    )
+    TI.delete_from_text_index(spark, idx, victims)
+    again = TI.delete_from_text_index(spark, idx, victims)
+    redelete_noop = int(again["deleted_docs"] == 0)
+    return TI.bm25_query_index(
+        spark, idx, list(_BM25_IDX_QUERY), k=_BM25_IDX_K
+    ).select("*", F.lit(redelete_noop).alias("redelete_noop"))
+
+
+# the replace rewrites BOTH corpus references (the tok CTE and the
+# stats subquery) — the oracle is the closed form over the surviving
+# documents only, which is exactly the delete contract
+BM25_INDEX_DEL_SQL = _bm25_index_oracle(
+    ",\n       1 AS redelete_noop"
+).replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0")
+
+
 _CURATION_K = 200
 
 
@@ -800,6 +840,7 @@ QUERIES = {
     "bm25_topk_docs": bm25_topk_docs,
     "bm25_index_topk_docs": bm25_index_topk_docs,
     "bm25_index_incremental": bm25_index_incremental,
+    "bm25_index_delete_docs": bm25_index_delete_docs,
     "curation_pipeline_stats": curation_pipeline_stats,
 }
 
@@ -814,5 +855,6 @@ ORACLES = {
     "bm25_topk_docs": BM25_TOPK_SQL,
     "bm25_index_topk_docs": BM25_INDEX_SQL,
     "bm25_index_incremental": BM25_INDEX_INC_SQL,
+    "bm25_index_delete_docs": BM25_INDEX_DEL_SQL,
     "curation_pipeline_stats": CURATION_PIPELINE_SQL,
 }

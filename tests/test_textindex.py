@@ -176,3 +176,73 @@ def test_query_scan_prunes_to_term_buckets(spark, docs, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
     assert m and "bucket" in m.group(1), plan[:2000]
+
+
+def test_merge_on_read_deletes_exact_and_compaction_applies(
+    spark, docs, tmp_path
+):
+    """delete_from_text_index: queries after a tombstone append are
+    IDENTICAL to an index rebuilt without the deleted docs (df from
+    anti-joined postings, N/avgdl adjusted exactly in meta); repeated
+    and unknown ids are no-ops; compaction drops the rows physically,
+    clears the tombstones, and leaves results unchanged."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16)
+    victims = [r.doc_id for r in docs.filter(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0
+    ).select("doc_id").collect()]
+    stats = TI.delete_from_text_index(spark, path, victims)
+    assert stats["deleted_docs"] == len(victims)
+    # rebuilt-without reference
+    ref = str(tmp_path / "ref")
+    TI.write_text_index(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0),
+        ref,
+        n_buckets=16,
+    )
+    assert TI._load_meta(path)["n_docs"] == TI._load_meta(ref)["n_docs"]
+    assert TI._load_meta(path)["total_len"] == TI._load_meta(ref)["total_len"]
+    got = _topk(spark, path)
+    assert got == _topk(spark, ref)
+    assert not any(r[0] % 7 == 0 for r in got)
+    # idempotence: re-deleting and deleting unknown ids change nothing
+    again = TI.delete_from_text_index(spark, path, victims + [10 ** 12])
+    assert again["deleted_docs"] == 0
+    assert TI._load_meta(path)["n_docs"] == TI._load_meta(ref)["n_docs"]
+    # compaction applies tombstones physically
+    stats = TI.compact_text_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "_deletes"))
+    survivors = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(path, "postings"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert not any(d % 7 == 0 for d in survivors)
+    assert _topk(spark, path) == got
+    # deletes respect the writer marker
+    (tmp_path / "idx" / "_pending_append").write_text("stale\n")
+    with pytest.raises(ValueError, match="marker present"):
+        TI.delete_from_text_index(spark, path, [1])
+
+
+def test_overwrite_rebuild_clears_stale_tombstones(spark, docs, tmp_path):
+    """A rebuilt index has no tombstones: stale `_deletes` surviving an
+    overwrite would filter freshly-written postings while the delete
+    path (which skips already-tombstoned ids) never re-adjusts the
+    meta stats — scores silently desync (caught by rerunning the
+    battery entry against its oracle)."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16)
+    TI.delete_from_text_index(
+        spark, path, [r.doc_id for r in docs.limit(50).collect()]
+    )
+    assert os.path.exists(os.path.join(path, "_deletes"))
+    TI.write_text_index(docs, path, n_buckets=16)  # rebuild
+    assert not os.path.exists(os.path.join(path, "_deletes"))
+    assert TI._load_meta(path)["n_docs"] == docs.count()
+    got = _topk(spark, path)
+    fresh = str(tmp_path / "fresh")
+    TI.write_text_index(docs, fresh, n_buckets=16)
+    assert got == _topk(spark, fresh)
