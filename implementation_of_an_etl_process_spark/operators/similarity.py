@@ -1162,6 +1162,13 @@ def write_ivfpq_index(
         os.makedirs(path, exist_ok=True)
         if os.path.exists(pending_path):
             os.remove(pending_path)  # fresh overwrite repairs torn state
+        dels = os.path.join(path, "_deletes")
+        if os.path.exists(dels):
+            # a rebuild has no tombstones (stale ones would filter
+            # freshly-encoded rows — the text index's caught bug class)
+            import shutil
+
+            shutil.rmtree(dels)
         # the marker is held across the WHOLE rebuild (cleared on
         # success only): a rebuild over an existing index replaces meta
         # then codes, and a crash in between would otherwise leave new
@@ -1275,6 +1282,62 @@ def read_ivfpq_index(spark, path: str):
     )
 
 
+def delete_from_ivfpq_index(spark, path: str, cids) -> dict:
+    """Merge-on-read DELETE for the ANN index (takedown/GDPR
+    lifecycle, the text index's twin): append the corpus ids to a
+    ``_deletes`` tombstone relation under the writer marker. Queries
+    through :func:`ivfpq_query_index` anti-join the tombstones before
+    the ADC, so deleted vectors stop appearing in top-k immediately
+    and EXACTLY (the index has no corpus-level stats to adjust);
+    compaction drops the rows physically and clears the relation.
+    Unknown/already-deleted ids are no-ops.
+    Returns {"deleted": n}."""
+    import os
+
+    _load_ivfpq_meta(path)
+    pending = os.path.join(path, "_pending_append")
+    if os.path.exists(pending):
+        raise ValueError(
+            f"ivfpq index at {path}: _pending_append marker present — "
+            "another writer is active, or a previous write crashed"
+        )
+    _acquire_ivfpq_marker(pending)
+    try:
+        ids_df = (
+            cids
+            if isinstance(cids, DataFrame)
+            else spark.createDataFrame([(int(i),) for i in cids], "cid long")
+        ).select(F.col("cid").cast("long")).distinct()
+        dels = os.path.join(path, "_deletes")
+        if os.path.exists(dels):
+            ids_df = ids_df.join(
+                spark.read.parquet(dels), "cid", "left_anti"
+            )
+        # tombstone only ids the index actually holds (no-op unknowns)
+        present = ids_df.join(
+            spark.read.parquet(os.path.join(path, "codes")).select("cid"),
+            "cid",
+            "left_semi",
+        )
+        n = present.count()
+        if n:
+            present.write.mode("append").parquet(dels)
+        return {"deleted": n}
+    finally:
+        os.remove(pending)
+
+
+def _apply_ivfpq_tombstones(spark, path: str, index: DataFrame) -> DataFrame:
+    import os
+
+    dels = os.path.join(path, "_deletes")
+    if os.path.exists(dels):
+        index = index.join(
+            F.broadcast(spark.read.parquet(dels)), "cid", "left_anti"
+        )
+    return index
+
+
 def ivfpq_query_index(
     spark,
     path: str,
@@ -1292,8 +1355,10 @@ def ivfpq_query_index(
 ) -> DataFrame:
     """Query a persisted index end to end: load model + codes, probe,
     ADC, exact re-rank against ``corpus`` (the true vectors — the index
-    never stores them)."""
+    never stores them). Tombstoned ids (merge-on-read deletes) are
+    filtered before the ADC."""
     index, books, cents, residual = read_ivfpq_index(spark, path)
+    index = _apply_ivfpq_tombstones(spark, path, index)
     return ivfpq_topk(
         queries,
         corpus,
@@ -1373,12 +1438,19 @@ def compact_ivfpq_index(spark, path: str) -> dict:
             )
 
         before = _nfiles(codes)
+        rel = spark.read.parquet(codes)
+        dels = os.path.join(path, "_deletes")
+        had_deletes = os.path.exists(dels)
+        if had_deletes:
+            # apply merge-on-read tombstones physically
+            rel = rel.join(
+                F.broadcast(spark.read.parquet(dels)), "cid", "left_anti"
+            )
         tmp = codes + ".compact"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         (
-            spark.read.parquet(codes)
-            .repartition(F.col("cell"))
+            rel.repartition(F.col("cell"))
             .write.partitionBy("cell")
             .parquet(tmp)
         )
@@ -1392,6 +1464,8 @@ def compact_ivfpq_index(spark, path: str) -> dict:
             os.rename(aside, codes)  # roll the first rename back
             raise
         shutil.rmtree(aside)
+        if had_deletes:
+            shutil.rmtree(dels)  # physically applied — clear tombstones
         return {"files_before": before, "files_after": _nfiles(codes)}
     finally:
         # release the marker only if the codes layout is intact (either

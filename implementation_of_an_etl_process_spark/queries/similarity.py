@@ -682,6 +682,85 @@ SELECT {_N_QUERY_VECS} AS n_queries,
 """
 
 
+def similarity_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE gate for the persisted ANN index
+    (`delete_from_ivfpq_index` — the takedown/GDPR lifecycle): build
+    the index on the full corpus, tombstone every vec_id % 4 == 0,
+    and pin four invariants the oracle fixes to constants: (a) no
+    deleted id appears in any top-k; (b) the tombstoned index answers
+    ROW-IDENTICALLY to an index that never held the victims (deletes
+    are exact, not approximate); (c) re-deleting the same ids plus an
+    unknown id is a no-op; (d) after compaction the tombstones are
+    applied physically (rows gone, `_deletes` cleared) with results
+    unchanged. Index dir rebuilt every call so the entry is
+    self-contained."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=16, n_train=4096,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=64, dim=_EMB_DIM, centroids=cents,
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"ivfpq_del_{tag}")
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding")
+    S.write_ivfpq_index(emb, idx, books, cents, **kw)
+    victims = emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 0).select(
+        F.col("vec_id").alias("cid")
+    )
+    n_victims = victims.count()
+    stats = S.delete_from_ivfpq_index(spark, idx, victims)
+    again = S.delete_from_ivfpq_index(spark, idx, victims)
+    redelete_noop = int(
+        stats["deleted"] == n_victims and again["deleted"] == 0
+    )
+    qkw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, n_probe=12, shortlist=50,
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    got = S.ivfpq_query_index(spark, idx, q, emb, **qkw)
+    no_deleted = int(
+        got.filter(F.pmod(F.col("cid"), F.lit(4)) == 0).count() == 0
+    )
+    ref = os.path.join(tempfile.gettempdir(), f"ivfpq_delref_{tag}")
+    survivors = emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) != 0)
+    S.write_ivfpq_index(survivors, ref, books, cents, **kw)
+    want = S.ivfpq_query_index(spark, ref, q, emb, **qkw)
+    rebuilt_identical = int(
+        got.exceptAll(want).count() == 0
+        and want.exceptAll(got).count() == 0
+    )
+    S.compact_ivfpq_index(spark, idx)
+    post = S.ivfpq_query_index(spark, idx, q, emb, **qkw)
+    compact_applied = int(
+        not os.path.exists(os.path.join(idx, "_deletes"))
+        and post.exceptAll(want).count() == 0
+        and want.exceptAll(post).count() == 0
+    )
+    return spark.range(1).select(
+        F.lit(no_deleted).cast("int").alias("no_deleted_in_topk"),
+        F.lit(rebuilt_identical).cast("int").alias("rebuilt_identical"),
+        F.lit(redelete_noop).cast("int").alias("redelete_noop"),
+        F.lit(compact_applied).cast("int").alias("compact_applied"),
+    )
+
+
+IVFPQ_DELETE_SQL = """
+SELECT 1 AS no_deleted_in_topk,
+       1 AS rebuilt_identical,
+       1 AS redelete_noop,
+       1 AS compact_applied
+"""
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding space, computed in the
     exploded (label, dim) plane: posexplode the quantized vector and
@@ -839,6 +918,7 @@ QUERIES = {
     "similarity_ivf_arrow_recall": similarity_ivf_arrow_recall,
     "similarity_ivfpq_recall": similarity_ivfpq_recall,
     "similarity_ivfpq_incremental": similarity_ivfpq_incremental,
+    "similarity_ivfpq_delete": similarity_ivfpq_delete,
 }
 
 ORACLES = {
@@ -853,4 +933,5 @@ ORACLES = {
     "similarity_ivf_arrow_recall": IVF_ARROW_RECALL_SQL,
     "similarity_ivfpq_recall": IVFPQ_RECALL_SQL,
     "similarity_ivfpq_incremental": IVFPQ_INCREMENTAL_SQL,
+    "similarity_ivfpq_delete": IVFPQ_DELETE_SQL,
 }

@@ -811,3 +811,74 @@ def test_ivfpq_shortlist_recall_monotone_on_adversarial_geometry(
     assert recalls[0] < 0.9, (
         f"geometry not adversarial enough to pin the contract: {recalls}"
     )
+
+
+def test_ivfpq_merge_on_read_deletes(spark, tmp_path):
+    """delete_from_ivfpq_index: tombstoned vectors vanish from top-k
+    immediately and results equal an index that never held them;
+    unknown/repeated ids are no-ops; compaction drops the rows
+    physically and clears the tombstones; overwrite rebuilds clear
+    stale tombstones (the text index's caught bug class)."""
+    import os
+
+    emb = _emb(spark).filter(F.col("vec_id") < 300)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=8, n_train=512,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=16, n_codes=16, dim=64, centroids=cents,
+    )
+    path = str(tmp_path / "idx")
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding")
+    qkw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, n_probe=8, shortlist=300,
+    )
+    S.write_ivfpq_index(emb, path, books, cents, **kw)
+    victims = [int(r.vec_id) for r in emb.filter(
+        F.pmod(F.col("vec_id"), F.lit(4)) == 0
+    ).select("vec_id").collect()]
+    stats = S.delete_from_ivfpq_index(spark, path, victims)
+    assert stats["deleted"] == len(victims)
+    q = emb.filter(F.col("vec_id") < 6)
+    survivors = emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) != 0)
+    got = {
+        (r.qid, r.cid)
+        for r in S.ivfpq_query_index(spark, path, q, emb, **qkw).collect()
+    }
+    assert not any(c % 4 == 0 for _, c in got)
+    ref = str(tmp_path / "ref")
+    S.write_ivfpq_index(survivors, ref, books, cents, **kw)
+    want = {
+        (r.qid, r.cid)
+        for r in S.ivfpq_query_index(spark, ref, q, emb, **qkw).collect()
+    }
+    assert got == want
+    # no-ops: repeat + unknown
+    again = S.delete_from_ivfpq_index(spark, path, victims + [10 ** 12])
+    assert again["deleted"] == 0
+    # compaction applies physically and clears tombstones
+    S.compact_ivfpq_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "_deletes"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    assert codes.filter(F.pmod(F.col("cid"), F.lit(4)) == 0).count() == 0
+    got2 = {
+        (r.qid, r.cid)
+        for r in S.ivfpq_query_index(spark, path, q, emb, **qkw).collect()
+    }
+    assert got2 == got
+    # rebuild clears stale tombstones
+    S.write_ivfpq_index(emb, path, books, cents, **kw)
+    assert not os.path.exists(os.path.join(path, "_deletes"))
+    full = {
+        (r.qid, r.cid)
+        for r in S.ivfpq_query_index(spark, path, q, emb, **qkw).collect()
+    }
+    assert any(c % 4 == 0 for _, c in full)  # deleted ids back after rebuild
+    # marker blocks deletes
+    (tmp_path / "idx" / "_pending_append").write_text("stale\n")
+    with pytest.raises(ValueError, match="marker present"):
+        S.delete_from_ivfpq_index(spark, path, [1])
