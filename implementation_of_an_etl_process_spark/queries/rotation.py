@@ -10,26 +10,49 @@ invariants hold by construction, every round, with no hand edits:
 
 1. **Flagships** — the two reference-parity entries (``hypercube``,
    ``reference_native_path``) hold slots every round.
-2. **Rule (a), never-gated debt** — any registered entry that has never
-   held a driver slot AND already landed in the last completed round's
-   local verify must be gated now.
-3. **Rule (b), staleness** — any entry whose latest driver-green round
-   lags more than 3 rounds behind the newest CORRECTNESS artifact must
-   rotate back in.
-4. **Family coverage** — every hard-gate operator family keeps fresh
-   independent evidence: a member in-cap this round, or a member that
-   was driver-green in the newest (completed) artifact.  The second arm
-   is forward-stable: after THIS round's artifact drops, the "last two
-   artifacts" window still contains the completed round, so the family
-   test stays green at judge time too.
+2. **Rule (b), staleness (HARD)** — any entry whose latest driver-green
+   round lags more than 3 rounds behind the newest CORRECTNESS artifact
+   must rotate back in.  Lag 3 means every entry re-gates at most every
+   4 rounds: 4 x 50 = 200 slots of capacity against the registry size —
+   the binding budget; this rule never yields.
+3. **Rule (a), never-gated debt (capacity-aware)** — entries that have
+   never held a driver slot are gated as capacity permits after rule
+   (b), oldest-landed first (landed round = first VERIFY_LOCAL artifact
+   naming them).  HARD bound: an entry landed two or more completed
+   rounds ago must be in the gate — if even that does not fit, the
+   function raises (the registry has outgrown the cap).  A registration
+   burst therefore drains over at most two gates instead of crashing
+   the import the round after it lands.
+4. **Family coverage** — every hard-gate operator family keeps
+   independent evidence no older than the rule-(b) cycle: a member
+   in-cap this round, or a member value-green within the last THREE
+   completed rounds.  With that window the rule is automatically
+   satisfied in steady state (any member older than the window is
+   rule-(b) mandatory and therefore in-cap), so it costs no extra
+   capacity — it exists to catch pathologies (an entire family going
+   red, a family of entries the staleness queue never reaches), not to
+   schedule routine refreshes.  Budget note: a tighter window would
+   structurally oversubscribe the gate — 191 entries / 4-round cycle
+   ~ 48 slots/round is the whole non-flagship budget already.
 5. **Fill** — remaining slots go to the oldest-evidence entries
-   (never-gated newcomers first, then the oldest green cohort),
-   tiebroken by name, so cohorts age into the gate gradually instead of
-   all becoming rule-(b)-mandatory in the same round.
+   (remaining never-gated newcomers first, then the oldest green
+   cohort), tiebroken by name, so cohorts age into the gate gradually
+   instead of all becoming rule-(b)-mandatory in the same round.
 
-If the mandatory set alone exceeds ``cap`` the function raises — an
-authoring-time signal that the queue is over budget and the round must
-drain it across two gates deliberately, never a silent drop.
+If the HARD obligations alone (flagships + rule-b + overdue rule-a)
+exceed ``cap`` the function raises — an authoring-time signal that the
+registry has outgrown the gate's re-verification capacity, never a
+silent drop.
+
+CAPACITY LEDGER (update when registering entries): lag 3 = a 4-round
+re-gate cycle = 4 x (cap - flagships) = 192 non-flagship slots per
+cycle.  At 191 registered entries the budget is at the knife edge —
+round 12 closes at exactly 50/50 (47 r8-stale + 2 flagships + 1
+leftover newcomer) and later rounds inherit ~0 spare.  The documented
+remedy when the registry grows past 192: bump ``_STALE_LAG`` to 4
+(5-round cycle = 240 slots) here AND in
+tests/test_sql41.py::test_driver_gate_freshness_rule — a deliberate,
+recorded relaxation, not a silent one.
 """
 
 from __future__ import annotations
@@ -83,16 +106,20 @@ def _repo_root() -> str:
     )
 
 
+_FAMILY_WINDOW = 3  # family evidence may be this many completed rounds old
+
+
 def read_driver_history(root: str | None = None):
     """Parse CORRECTNESS_r*.json into (latest_green_round_per_entry,
-    completed_round, entries_value_green_in_completed_round).
+    completed_round, entries_value_green_within_the_family_window).
 
     "Green" for staleness purposes is rows+schema match (matching
     test_driver_gate_freshness_rule); "value-green" for family evidence
-    additionally requires the hash/values match (hard signal)."""
+    additionally requires the hash/values match (hard signal) and must
+    fall within the last ``_FAMILY_WINDOW`` completed rounds."""
     root = root or _repo_root()
     latest: dict[str, int] = {}
-    value_green_completed: set[str] = set()
+    value_green_recent: set[str] = set()
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     completed = 0
     for p in files:
@@ -101,37 +128,43 @@ def read_driver_history(root: str | None = None):
         for k, v in json.load(open(p)).items():
             if v.get("rows_match") and v.get("schema_match"):
                 latest[k] = max(latest.get(k, 0), rnd)
-    if files:
-        newest = max(
-            files,
-            key=lambda p: int(os.path.basename(p).split("_r")[1].split(".")[0]),
-        )
-        for k, v in json.load(open(newest)).items():
+    for p in files:
+        rnd = int(os.path.basename(p).split("_r")[1].split(".")[0])
+        if rnd <= completed - _FAMILY_WINDOW:
+            continue
+        for k, v in json.load(open(p)).items():
             if (
                 v.get("rows_match")
                 and v.get("schema_match")
                 and (v.get("hash_match") or v.get("values_match"))
             ):
-                value_green_completed.add(k)
-    return latest, completed, value_green_completed
+                value_green_recent.add(k)
+    return latest, completed, value_green_recent
 
 
 def read_landed_before(completed: int, root: str | None = None) -> set[str]:
     """Entries present in the newest VERIFY_LOCAL artifact of a COMPLETED
     round — i.e. code that existed a full round ago.  Entries landing
     mid-round (current round's verify) must not count as overdue."""
+    return {
+        k
+        for k, r in read_landed_rounds(root).items()
+        if r <= completed
+    }
+
+
+def read_landed_rounds(root: str | None = None) -> dict[str, int]:
+    """First VERIFY_LOCAL round naming each entry — when its code
+    landed.  Drives rule (a)'s oldest-first ordering and its hard
+    two-completed-rounds bound."""
     root = root or _repo_root()
-    vl = [
-        p
-        for p in sorted(glob.glob(os.path.join(root, "VERIFY_LOCAL_r*.txt")))
-        if int(os.path.basename(p).split("_r")[1].split(".")[0]) <= completed
-    ]
-    landed: set[str] = set()
-    if vl:
-        for line in open(vl[-1]):
+    landed: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(root, "VERIFY_LOCAL_r*.txt"))):
+        rnd = int(os.path.basename(p).split("_r")[1].split(".")[0])
+        for line in open(p):
             parts = line.split()
             if len(parts) >= 2 and parts[0] in ("OK", "FAIL", "WEAK"):
-                landed.add(parts[1])
+                landed.setdefault(parts[1], rnd)
     return landed
 
 
@@ -145,19 +178,14 @@ def compute_rotation(
     reg = list(dict.fromkeys(registered))
     reg_set = set(reg)
     latest, completed, value_green = read_driver_history(root)
-    landed_before = read_landed_before(completed, root)
+    landed_rounds = read_landed_rounds(root)
 
     gate: list[str] = [f for f in FLAGSHIPS if f in reg_set]
     in_gate = set(gate)
 
-    # rule (a): never-gated entries that landed a full round ago.
-    never_gated = sorted((reg_set - set(latest)) & landed_before)
-    for k in never_gated:
-        if k not in in_gate:
-            gate.append(k)
-            in_gate.add(k)
-
-    # rule (b): staleness queue, oldest evidence first.
+    # rule (b) is the HARD budget: staleness queue, oldest evidence
+    # first — an entry skipped here would exceed the 4-round re-gate
+    # cycle, which nothing is allowed to do.
     stale = sorted(
         (
             k
@@ -171,15 +199,32 @@ def compute_rotation(
             gate.append(k)
             in_gate.add(k)
 
+    # rule (a), HARD arm: never-gated entries landed >= 2 completed
+    # rounds back cannot wait any longer.
+    never_gated = sorted(
+        (
+            k
+            for k in reg_set - set(latest)
+            if landed_rounds.get(k, completed + 1) <= completed
+        ),
+        key=lambda k: (landed_rounds[k], k),
+    )
+    for k in never_gated:
+        if k not in in_gate and landed_rounds[k] <= completed - 1:
+            gate.append(k)
+            in_gate.add(k)
+
     if len(gate) > cap:
         raise RuntimeError(
-            f"driver-gate mandatory set ({len(gate)}) exceeds cap ({cap}): "
-            "the staleness queue is over budget — split it deliberately "
-            f"across rounds. Mandatory: {gate}"
+            f"driver-gate HARD set ({len(gate)}) exceeds cap ({cap}): "
+            "flagships + rule-(b) staleness + overdue never-gated no "
+            "longer fit — the registry has outgrown the gate's "
+            f"re-verification capacity. Mandatory: {gate}"
         )
 
-    # family coverage: in-cap member, or value-green in the completed
-    # round (forward-stable across this round's artifact drop).
+    # family coverage: in-cap member, or value-green within the last
+    # _FAMILY_WINDOW completed rounds (auto-satisfied in steady state —
+    # see module docstring).
     for fam in sorted(FAMILY_COVER):
         members = FAMILY_COVER[fam] & reg_set
         if not members:
@@ -194,8 +239,19 @@ def compute_rotation(
         gate.append(pick)
         in_gate.add(pick)
 
-    # fill: oldest evidence first (never-gated newcomers sort oldest),
-    # so cohorts age into the gate gradually.
+    # rule (a), capacity arm: remaining never-gated newcomers,
+    # oldest-landed first — a registration burst drains over at most
+    # two gates (the leftover becomes HARD next round).
+    for k in never_gated:
+        if len(gate) >= cap:
+            break
+        if k not in in_gate:
+            gate.append(k)
+            in_gate.add(k)
+
+    # fill: oldest evidence first (still-ungated newcomers sort
+    # oldest), so upcoming rule-(b) cohorts are pre-drained gradually
+    # instead of all coming due in the same round.
     for k in sorted(reg_set - in_gate, key=lambda k: (latest.get(k, -1), k)):
         if len(gate) >= cap:
             break

@@ -43,33 +43,92 @@ def test_stale_entries_mandatory(tmp_path):
     assert stale <= set(gate), "rule (b): r1-green entries must rotate in at r4"
 
 
-def test_never_gated_landed_entries_mandatory(tmp_path):
+def test_never_gated_landed_entries_gated_with_capacity(tmp_path):
     reg = FLAGSHIPS + [f"e{i}" for i in range(60)]
     _write_round(tmp_path, 4, {k: GREEN for k in reg if k != "e0"})
     # e0 landed a round ago (in the completed round's verify) but was
-    # never driver-gated -> rule (a)
+    # never driver-gated -> rule (a) capacity arm (plenty of room here)
     (tmp_path / "VERIFY_LOCAL_r04.txt").write_text("OK e0 value-exact\n")
     gate = compute_rotation(reg, root=str(tmp_path))
     assert "e0" in gate
 
 
+def test_never_gated_overdue_is_hard_and_burst_drains_over_two_gates(
+    tmp_path,
+):
+    """A registration burst bigger than the spare capacity drains over
+    two gates: newcomers beyond capacity wait one round, then become
+    HARD; if even the hard arm cannot fit, the rotation raises."""
+    reg = FLAGSHIPS + [f"e{i}" for i in range(60)] + [
+        f"new{i:02d}" for i in range(20)
+    ]
+    # 45 stale entries (green r1) + fresh others; 20 newcomers landed r4
+    _write_round(tmp_path, 1, {f"e{i}": GREEN for i in range(45)})
+    _write_round(
+        tmp_path, 4,
+        {k: GREEN for k in reg if not k.startswith("new")
+         and not (k.startswith("e") and int(k[1:]) < 45)},
+    )
+    (tmp_path / "VERIFY_LOCAL_r04.txt").write_text(
+        "".join(f"OK new{i:02d} x\n" for i in range(20))
+    )
+    gate = compute_rotation(reg, root=str(tmp_path))
+    newcomers_in = [k for k in gate if k.startswith("new")]
+    assert 0 < len(newcomers_in) < 20  # partial drain, capacity-bound
+    assert len(gate) == 50
+    # next round: the leftovers are overdue (landed r4 <= 5 - 1) and
+    # HARD; with room they all enter
+    _write_round(tmp_path, 5, {k: GREEN for k in gate})
+    gate2 = compute_rotation(reg, root=str(tmp_path))
+    leftovers = {f"new{i:02d}" for i in range(20)} - set(newcomers_in)
+    assert leftovers <= set(gate2)
+
+
 def test_family_coverage_adds_oldest_member(tmp_path):
     fam = sorted(FAMILY_COVER["near-dup"])
     reg = FLAGSHIPS + fam + [f"e{i}" for i in range(60)]
-    # all family members last green at r2, fillers fresh at r4 -> family
-    # is neither in the mandatory queue (lag 2 < 3) nor completed-green,
-    # so coverage must pull in the oldest member
+    # family members ROWS-ONLY green at r4 (keeps them off the
+    # staleness queue but gives no value evidence), fillers fresh ->
+    # coverage must pull in the oldest member
     _write_round(tmp_path, 2, {k: GREEN for k in fam})
-    _write_round(tmp_path, 4, {k: GREEN for k in reg if k not in fam})
+    ent = {k: GREEN for k in reg if k not in fam}
+    ent.update({k: ROWS_ONLY for k in fam})
+    _write_round(tmp_path, 6, ent)
     gate = compute_rotation(reg, root=str(tmp_path))
     assert set(fam) & set(gate)
+
+
+def test_family_window_spans_three_completed_rounds(tmp_path):
+    """A member value-green two rounds back still covers its family
+    (the window equals the rule-(b) cycle, so the rule costs no extra
+    capacity in steady state)."""
+    fam = sorted(FAMILY_COVER["survivor-policy"])
+    # fillers share the family's age and sort BEFORE it by name, so
+    # fill alone would never reach the family member — only the family
+    # pass could seat it, and it must not (r4 is inside the window)
+    reg = FLAGSHIPS + fam + [f"a{i:02d}" for i in range(60)]
+    _write_round(tmp_path, 4, {k: GREEN for k in reg if k not in FLAGSHIPS})
+    _write_round(tmp_path, 6, {k: GREEN for k in FLAGSHIPS})
+    gate = compute_rotation(reg, root=str(tmp_path))
+    assert not set(fam) & set(gate)
+    # ...but green at r3 is BOTH outside the window AND stale ->
+    # rule-b pulls it in (the steady-state interplay)
+    import os
+
+    os.makedirs(tmp_path / "b", exist_ok=True)
+    _write_round(tmp_path / "b", 3, {k: GREEN for k in fam})
+    _write_round(
+        tmp_path / "b", 6, {k: GREEN for k in reg if k not in fam}
+    )
+    gate2 = compute_rotation(reg, root=str(tmp_path / "b"))
+    assert set(fam) <= set(gate2)
 
 
 def test_family_green_in_completed_round_needs_no_slot(tmp_path):
     fam = sorted(FAMILY_COVER["near-dup"])
     reg = FLAGSHIPS + fam + [f"e{i}" for i in range(200)]
-    # family value-green in the completed round, 200 never-gated
-    # landed fillers competing for slots
+    # family value-green in the completed round, 200 fresh fillers
+    # competing for slots
     _write_round(tmp_path, 4, {k: GREEN for k in reg})
     gate = compute_rotation(reg, root=str(tmp_path))
     assert len(gate) == 50
@@ -113,21 +172,34 @@ def test_empty_history_is_sane(tmp_path):
 
 
 def test_repo_rotation_respects_all_rules():
-    """The live rotation (real artifacts) upholds rules (a)+(b) and cap."""
+    """The live rotation (real artifacts) upholds the hard rules and
+    the cap: rule (b) for every stale entry, rule (a)'s hard arm for
+    overdue never-gated entries, and no never-gated entry waits while
+    a slot went to mere fill."""
     import __spark_entry__ as e
     from implementation_of_an_etl_process_spark.queries.rotation import (
         read_driver_history,
-        read_landed_before,
+        read_landed_rounds,
     )
 
     gate = list(e.queries())[:50]
     latest, completed, _ = read_driver_history()
     if not completed:
         return
-    landed = read_landed_before(completed)
+    landed = read_landed_rounds()
     reg = set(e.queries())
-    for k in (reg - set(latest)) & landed:
-        assert k in gate, f"rule (a) violated: {k}"
+    for k in reg - set(latest):
+        if landed.get(k, completed + 1) <= completed - 1:
+            assert k in gate, f"rule (a) hard arm violated: {k}"
     for k in reg:
         if k in latest and latest[k] <= completed - 3:
             assert k in gate, f"rule (b) violated: {k}"
+    waiting = {
+        k
+        for k in reg - set(latest)
+        if landed.get(k, completed + 1) <= completed and k not in gate
+    }
+    if waiting:
+        assert len(gate) == 50, (
+            f"newcomers wait while the gate has room: {sorted(waiting)}"
+        )

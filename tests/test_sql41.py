@@ -121,10 +121,10 @@ def test_driver_first50_covers_every_family():
     rows).  Since round 11 the prefix is COMPUTED
     (queries/rotation.py), so this test verifies the derived invariants
     rather than a hand-maintained list: every hard-gate operator family
-    has fresh evidence (a member in-cap, or a member value-green in the
-    completed round's artifact — forward-stable once this round's
-    artifact drops, because "completed" stays inside the last-two
-    window), and everything inside the cap has a value-hash oracle."""
+    has evidence no older than the rule-(b) cycle (a member in-cap, or
+    a member value-green within the last three completed rounds — the
+    window that makes the rule capacity-free in steady state), and
+    everything inside the cap has a value-hash oracle."""
     import __spark_entry__ as e
 
     first50 = list(e.queries())[:50]
@@ -195,22 +195,32 @@ def test_driver_gate_freshness_rule():
         int(os.path.basename(p).split("_r")[1].split(".")[0])
         for p in files
     )
-    landed_before: set[str] = set()
-    vl = [
-        p
-        for p in sorted(glob.glob(os.path.join(root, "VERIFY_LOCAL_r*.txt")))
-        if int(os.path.basename(p).split("_r")[1].split(".")[0]) <= completed
-    ]
-    if vl:
-        for line in open(vl[-1]):
-            parts = line.split()
-            if len(parts) >= 2 and parts[0] in ("OK", "FAIL", "WEAK"):
-                landed_before.add(parts[1])
-    overdue = (never_gated & landed_before) - gate
-    assert not overdue, (
-        "entries registered a round ago and never driver-gated must "
-        f"hold a slot in the next gate: {sorted(overdue)}"
+    from implementation_of_an_etl_process_spark.queries.rotation import (
+        read_landed_rounds,
     )
+
+    landed = read_landed_rounds(root)
+    # rule (a) hard arm: never-gated entries landed >= 2 completed
+    # rounds back hold a slot unconditionally; fresher ones may wait
+    # one round ONLY when the gate is full (capacity arm)
+    overdue = {
+        k
+        for k in never_gated
+        if landed.get(k, completed + 1) <= completed - 1
+    } - gate
+    assert not overdue, (
+        "never-gated entries landed two completed rounds back must "
+        f"hold a slot: {sorted(overdue)}"
+    )
+    waiting = {
+        k
+        for k in never_gated
+        if landed.get(k, completed + 1) == completed
+    } - gate
+    if waiting:
+        assert len(_DRIVER_PRIORITY) >= 50, (
+            f"newcomers wait while the gate has room: {sorted(waiting)}"
+        )
     too_stale = {
         k
         for k in registered
