@@ -1281,7 +1281,13 @@ def write_dedup_index(
     sh = _shingle_table(docs, id_col, text_col, k, None)
     sig = minhash_signature(sh, n_hashes=n_hashes, include_size=True)
     banded = _banded(sig, bands, rows)
-    meta = {"k": k, "n_hashes": n_hashes, "bands": bands, "id_col": id_col}
+    meta = {
+        "v": 2,  # v2: md5 relation is ID-KEYED (enables MoR deletes)
+        "k": k,
+        "n_hashes": n_hashes,
+        "bands": bands,
+        "id_col": id_col,
+    }
     if mode == "append":
         pending_path = _begin_index_append(path, meta)
     else:
@@ -1295,12 +1301,22 @@ def write_dedup_index(
         # a fresh overwrite repairs any earlier torn append
         if os.path.exists(pending_path):
             os.remove(pending_path)
+        dels = os.path.join(path, "_deletes")
+        if os.path.exists(dels):
+            # a rebuild has no tombstones (stale ones would filter
+            # freshly-written rows — the text index's caught bug class)
+            import shutil
+
+            shutil.rmtree(dels)
         with open(meta_path, "w") as f:
             json.dump(meta, f)
         pending_path = None
-    docs.select(fingerprint_md5(docs, text_col).alias("m")).distinct().write.mode(
-        mode
-    ).parquet(os.path.join(path, "md5"))
+    # md5 relation keyed by id (v2): a doc's exact-tier evidence is
+    # individually removable; the probe's semi-join on m makes the
+    # per-doc (vs distinct) layout semantically identical
+    docs.select(
+        F.col(id_col), fingerprint_md5(docs, text_col).alias("m")
+    ).write.mode(mode).parquet(os.path.join(path, "md5"))
     banded.withColumnRenamed("_id", id_col).withColumnRenamed(
         "_n", "n_shingles"
     ).write.mode(mode).partitionBy("band").parquet(os.path.join(path, "bands"))
@@ -1325,7 +1341,14 @@ def _load_meta(index_path: str) -> dict:
             "built — rebuild with mode='overwrite' before appending"
         )
     with open(meta_path) as f:
-        return json.load(f)
+        meta = json.load(f)
+    if meta.get("v") != 2:
+        raise ValueError(
+            f"dedup index at {index_path} uses the v1 layout (distinct "
+            "md5, not id-keyed) — rebuild with mode='overwrite' to "
+            "enable per-document deletes"
+        )
+    return meta
 
 
 def _begin_index_append(path: str, meta: dict) -> str:
@@ -1346,6 +1369,164 @@ def _begin_index_append(path: str, meta: dict) -> str:
     with open(pending_path, "w") as f:
         f.write("append in progress\n")
     return pending_path
+
+
+def _dedup_tombstones(spark, index_path: str, meta: dict):
+    """The `_deletes` relation (ids removed by merge-on-read delete),
+    or None. Probes anti-join it out of BOTH index relations."""
+    import os
+
+    dels = os.path.join(index_path, "_deletes")
+    if not os.path.exists(dels):
+        return None
+    return spark.read.parquet(dels).select(meta["id_col"])
+
+
+def _index_md5(spark, index_path: str, meta: dict) -> DataFrame:
+    """The exact-tier fingerprint relation as the probes consume it:
+    id-keyed rows, tombstones dropped, projected to the one-column 'm'
+    shape `_exact_tier` expects (the semi-join makes per-doc vs
+    distinct layouts equivalent)."""
+    import os
+
+    rel = spark.read.parquet(os.path.join(index_path, "md5"))
+    dead = _dedup_tombstones(spark, index_path, meta)
+    if dead is not None:
+        rel = rel.join(F.broadcast(dead), meta["id_col"], "left_anti")
+    return rel.select("m")
+
+
+def _index_bands(spark, index_path: str, meta: dict) -> DataFrame:
+    """The near-tier banding relation, tombstones dropped."""
+    import os
+
+    rel = spark.read.parquet(os.path.join(index_path, "bands"))
+    dead = _dedup_tombstones(spark, index_path, meta)
+    if dead is not None:
+        rel = rel.join(F.broadcast(dead), meta["id_col"], "left_anti")
+    return rel
+
+
+def delete_from_dedup_index(spark, index_path: str, doc_ids) -> dict:
+    """Merge-on-read DELETE for the dedup history index (takedown/GDPR
+    lifecycle, completing the persisted-index trilogy): append the ids
+    to a ``_deletes`` tombstone relation under the writer marker.
+    Classification immediately behaves as if the docs were never
+    indexed — their fingerprints stop matching the exact tier and
+    their banding rows stop generating candidates; compaction later
+    drops the rows physically. Unknown/already-deleted ids are no-ops.
+
+    Semantics note for :func:`ingest_batch` histories: that path
+    indexes one REPRESENTATIVE per distinct batch text, so deleting a
+    representative removes the whole text group's evidence — per-copy
+    takedown granularity requires per-copy index rows
+    (:func:`write_dedup_index` appends write one md5 row per doc).
+    Returns {"deleted": n}."""
+    import os
+
+    meta = _load_meta(index_path)
+    _check_no_pending_append(index_path)
+    id_col = meta["id_col"]
+    pending = os.path.join(index_path, "_pending_append")
+    with open(pending, "w") as f:
+        f.write("append in progress\n")
+    try:
+        ids_df = (
+            doc_ids
+            if isinstance(doc_ids, DataFrame)
+            else spark.createDataFrame(
+                [(int(i),) for i in doc_ids], f"{id_col} long"
+            )
+        ).select(F.col(id_col).cast("long")).distinct()
+        dels = os.path.join(index_path, "_deletes")
+        if os.path.exists(dels):
+            ids_df = ids_df.join(
+                spark.read.parquet(dels), id_col, "left_anti"
+            )
+        present = ids_df.join(
+            spark.read.parquet(os.path.join(index_path, "md5")).select(
+                id_col
+            ),
+            id_col,
+            "left_semi",
+        )
+        n = present.count()
+        if n:
+            present.write.mode("append").parquet(dels)
+        return {"deleted": n}
+    finally:
+        os.remove(pending)
+
+
+def compact_dedup_index(spark, index_path: str) -> dict:
+    """Apply tombstones physically and restore ~one file per band
+    partition (appends fragment both relations). Each relation swaps
+    via two renames with rollback; the marker is released only when
+    both directories are intact — the round-11 swap discipline."""
+    import os
+    import shutil
+
+    meta = _load_meta(index_path)
+    _check_no_pending_append(index_path)
+    id_col = meta["id_col"]
+    pending = os.path.join(index_path, "_pending_append")
+    with open(pending, "w") as f:
+        f.write("append in progress\n")
+    md5_dir = os.path.join(index_path, "md5")
+    bands_dir = os.path.join(index_path, "bands")
+    dels = os.path.join(index_path, "_deletes")
+    try:
+
+        def nfiles(d):
+            return sum(
+                1
+                for root, _, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        before = nfiles(md5_dir) + nfiles(bands_dir)
+        dead = (
+            spark.read.parquet(dels).select(id_col)
+            if os.path.exists(dels)
+            else None
+        )
+
+        def rewrite(src, writer):
+            rel = spark.read.parquet(src)
+            if dead is not None:
+                rel = rel.join(F.broadcast(dead), id_col, "left_anti")
+            tmp = src + ".compact"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            writer(rel, tmp)
+            aside = src + ".old"
+            if os.path.exists(aside):
+                shutil.rmtree(aside)
+            os.rename(src, aside)
+            try:
+                os.rename(tmp, src)
+            except BaseException:
+                os.rename(aside, src)  # roll the first rename back
+                raise
+            shutil.rmtree(aside)
+
+        rewrite(md5_dir, lambda rel, tmp: rel.coalesce(8).write.parquet(tmp))
+        rewrite(
+            bands_dir,
+            lambda rel, tmp: rel.repartition(F.col("band"))
+            .write.partitionBy("band")
+            .parquet(tmp),
+        )
+        if dead is not None:
+            shutil.rmtree(dels)
+        return {
+            "files_before": before,
+            "files_after": nfiles(md5_dir) + nfiles(bands_dir),
+        }
+    finally:
+        if os.path.isdir(md5_dir) and os.path.isdir(bands_dir):
+            os.remove(pending)
 
 
 def _check_no_pending_append(index_path: str) -> None:
@@ -1395,7 +1576,7 @@ def incremental_dedup_indexed(
         # batch text (see incremental_dedup's docstring)
         new, dup_members = _collapse_new_side(new, id_col, text_col)
     # exact tier against the stored fingerprints
-    hist_md5 = spark.read.parquet(os.path.join(index_path, "md5"))
+    hist_md5 = _index_md5(spark, index_path, meta)
     exact_ids = _exact_tier(new, id_col, text_col, hist_md5)
     # near tier: batch banding vs stored banding — both sides namespaced
     # (same discipline as the inline path) so an id value present in
@@ -1407,7 +1588,7 @@ def incremental_dedup_indexed(
         bands,
         rows,
     )
-    stored = spark.read.parquet(os.path.join(index_path, "bands"))
+    stored = _index_bands(spark, index_path, meta)
     left = banded_new.select(
         F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
     )
@@ -1511,13 +1692,13 @@ def ingest_batch(
         rows,
     ).localCheckpoint(eager=True)
     # --- probe (same joins as incremental_dedup_indexed) --------------
-    hist_md5 = spark.read.parquet(os.path.join(index_path, "md5"))
+    hist_md5 = _index_md5(spark, index_path, meta)
     exact_ids = (
         new_md5.join(hist_md5, "m", "left_semi")
         .select("_id")
         .withColumn("_ex", F.lit(1))
     )
-    stored = spark.read.parquet(os.path.join(index_path, "bands"))
+    stored = _index_bands(spark, index_path, meta)
     left = banded_new.select(
         F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bucket"
     )
@@ -1546,9 +1727,11 @@ def ingest_batch(
         verdict_writer(out)
     # --- append the SAME derived relations -----------------------------
     pending_path = _begin_index_append(index_path, meta)
-    new_md5.select("m").distinct().write.mode("append").parquet(
-        os.path.join(index_path, "md5")
-    )
+    # v2 layout: id-keyed fingerprints (one row per indexed
+    # representative) so merge-on-read deletes can target them
+    new_md5.select(
+        F.col("_id").alias(id_col), "m"
+    ).write.mode("append").parquet(os.path.join(index_path, "md5"))
     banded_new.select(
         F.col("_id._oid").alias(id_col),
         F.col("_n").alias("n_shingles"),

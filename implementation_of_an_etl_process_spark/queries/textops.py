@@ -1458,6 +1458,51 @@ def incremental_dedup_indexed_docs(spark: SparkSession, sf_dir: str) -> DataFram
     return out.orderBy("doc_id")
 
 
+def incremental_dedup_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE for the persisted dedup index under the
+    driver gate (takedown/GDPR — completing the trilogy with the text
+    and ANN indexes): index the history, tombstone every history doc
+    with doc_id % 5 == 0 (`delete_from_dedup_index`), then classify
+    the batch. Verdicts must equal a history that never contained the
+    deleted docs — their exact copies and near-dups in the batch
+    re-classify as novel (unless other surviving history matches).
+    The oracle recomputes both tiers over the SURVIVING history only;
+    a second delete of the same ids plus an unknown id is pinned as a
+    no-op bit."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    cut = int(docs.count() * 0.8)
+    hist = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+    victims = hist.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        "doc_id"
+    )
+    idx = tempfile.mkdtemp(prefix="dedupidx_del_")
+    try:
+        D.write_dedup_index(hist, idx, "doc_id", "text")
+        n_victims = victims.count()
+        stats = D.delete_from_dedup_index(spark, idx, victims)
+        again = D.delete_from_dedup_index(
+            spark, idx, victims.withColumn("doc_id", F.col("doc_id"))
+        )
+        redelete_noop = int(
+            stats["deleted"] == n_victims and again["deleted"] == 0
+        )
+        out = (
+            D.incremental_dedup_indexed(
+                spark, idx, hist, new, "doc_id", "text"
+            )
+            .withColumn("redelete_noop", F.lit(redelete_noop).cast("int"))
+            .orderBy("doc_id")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out.orderBy("doc_id")
+
+
 INCREMENTAL_DEDUP_SQL = r"""
 WITH split AS (
   SELECT CAST(floor(0.8 * COUNT(*)) AS BIGINT) AS cut FROM documents
@@ -1501,6 +1546,25 @@ LEFT JOIN ex ON n.doc_id = ex.doc_id
 LEFT JOIN near nr ON n.doc_id = nr.doc_id
 ORDER BY n.doc_id
 """
+
+
+# the delete-entry oracle: the SAME two-tier recomputation over the
+# SURVIVING history only (doc_id % 5 <> 0), plus the pinned no-op bit
+INCREMENTAL_DEDUP_DELETE_SQL = (
+    INCREMENTAL_DEDUP_SQL.replace(
+        "SELECT d.* FROM documents d, split WHERE d.doc_id < cut",
+        "SELECT d.* FROM documents d, split "
+        "WHERE d.doc_id < cut AND d.doc_id % 5 <> 0",
+    )
+    .replace(
+        "WHERE a.doc_id >= cut AND b.doc_id < cut",
+        "WHERE a.doc_id >= cut AND b.doc_id < cut AND b.doc_id % 5 <> 0",
+    )
+    .replace(
+        "ELSE 'novel' END AS verdict",
+        "ELSE 'novel' END AS verdict,\n       1 AS redelete_noop",
+    )
+)
 
 
 def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1934,6 +1998,7 @@ QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "incremental_dedup_docs": incremental_dedup_docs,
     "incremental_dedup_indexed_docs": incremental_dedup_indexed_docs,
+    "incremental_dedup_delete_docs": incremental_dedup_delete_docs,
     "multimodal_video_frames": multimodal_video_frames,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "image_ahash_dedup": image_ahash_dedup,
@@ -1972,6 +2037,7 @@ ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "incremental_dedup_indexed_docs": INCREMENTAL_DEDUP_SQL,
+    "incremental_dedup_delete_docs": INCREMENTAL_DEDUP_DELETE_SQL,
     "multimodal_video_frames": MULTIMODAL_VIDEO_SQL,
     "multimodal_ppm_decode": MULTIMODAL_PPM_SQL,
     "image_ahash_dedup": IMAGE_AHASH_SQL,

@@ -466,3 +466,80 @@ def test_verdict_sink_read_dedups_replayed_rows(spark, tmp_path):
     assert [(r.doc_id, r.verdict) for r in got] == [
         (2, "exact"), (3, "novel"),
     ]
+
+
+def test_index_merge_on_read_deletes(spark, tmp_path):
+    """delete_from_dedup_index: tombstoned history docs stop matching
+    BOTH tiers immediately (verdicts equal an index rebuilt without
+    them), re-deletes and unknown ids no-op, compaction drops the rows
+    physically and clears tombstones, and overwrite rebuilds clear
+    stale tombstones."""
+    import os
+
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        compact_dedup_index,
+        delete_from_dedup_index,
+        incremental_dedup_indexed,
+        write_dedup_index,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (0, BASE),
+            (1, "totally different words one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    near_text = BASE.rsplit(" ", 1)[0] + " CHANGED"
+    new = spark.createDataFrame(
+        [
+            (10, BASE),        # exact copy of doc 0
+            (11, near_text),   # near-dup of doc 0
+            (12, "completely novel content nine eight seven six five"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    write_dedup_index(hist, idx, "doc_id", "text")
+
+    def verdicts():
+        return {
+            r["doc_id"]: r["verdict"]
+            for r in incremental_dedup_indexed(
+                spark, idx, hist, new, "doc_id", "text"
+            ).collect()
+        }
+
+    before = verdicts()
+    assert before[10] == "exact" and before[11] == "near"
+    # take down doc 0: its copies/near-dups must now classify as novel
+    stats = delete_from_dedup_index(spark, idx, [0])
+    assert stats["deleted"] == 1
+    after = verdicts()
+    assert after == {10: "novel", 11: "novel", 12: "novel"}
+    # equals an index that never held doc 0
+    ref = str(tmp_path / "ref")
+    write_dedup_index(hist.filter(F.col("doc_id") != 0), ref, "doc_id", "text")
+    ref_v = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_indexed(
+            spark, ref, hist, new, "doc_id", "text"
+        ).collect()
+    }
+    assert after == ref_v
+    # no-ops
+    assert delete_from_dedup_index(spark, idx, [0, 999])["deleted"] == 0
+    # compaction applies physically and clears tombstones
+    compact_dedup_index(spark, idx)
+    assert not os.path.exists(os.path.join(idx, "_deletes"))
+    assert (
+        spark.read.parquet(os.path.join(idx, "md5"))
+        .filter(F.col("doc_id") == 0)
+        .count()
+        == 0
+    )
+    assert verdicts() == after
+    # rebuild clears stale tombstones: doc 0's evidence returns
+    write_dedup_index(hist, idx, "doc_id", "text")
+    assert not os.path.exists(os.path.join(idx, "_deletes"))
+    assert verdicts() == before
