@@ -11,9 +11,10 @@ invariants hold by construction, every round, with no hand edits:
 1. **Flagships** — the two reference-parity entries (``hypercube``,
    ``reference_native_path``) hold slots every round.
 2. **Rule (b), staleness (HARD)** — any entry whose latest driver-green
-   round lags more than 3 rounds behind the newest CORRECTNESS artifact
-   must rotate back in.  Lag 3 means every entry re-gates at most every
-   4 rounds: 4 x 50 = 200 slots of capacity against the registry size —
+   round lags more than :func:`stale_lag` rounds behind the newest
+   CORRECTNESS artifact must rotate back in.  The lag is computed from
+   the registry size (floor 3), so every entry re-gates at most every
+   lag+1 rounds and the cycle's slot budget always covers the registry —
    the binding budget; this rule never yields.
 3. **Rule (a), never-gated debt (capacity-aware)** — entries that have
    never held a driver slot are gated as capacity permits after rule
@@ -32,8 +33,8 @@ invariants hold by construction, every round, with no hand edits:
    capacity — it exists to catch pathologies (an entire family going
    red, a family of entries the staleness queue never reaches), not to
    schedule routine refreshes.  Budget note: a tighter window would
-   structurally oversubscribe the gate — 191 entries / 4-round cycle
-   ~ 48 slots/round is the whole non-flagship budget already.
+   structurally oversubscribe the gate — the registry / its re-gate
+   cycle consumes ~all 48 non-flagship slots per round already.
 5. **Fill** — remaining slots go to the oldest-evidence entries
    (remaining never-gated newcomers first, then the oldest green
    cohort), tiebroken by name, so cohorts age into the gate gradually
@@ -44,15 +45,19 @@ exceed ``cap`` the function raises — an authoring-time signal that the
 registry has outgrown the gate's re-verification capacity, never a
 silent drop.
 
-CAPACITY LEDGER (update when registering entries): lag 3 = a 4-round
-re-gate cycle = 4 x (cap - flagships) = 192 non-flagship slots per
-cycle.  At 191 registered entries the budget is at the knife edge —
-round 12 closes at exactly 50/50 (47 r8-stale + 2 flagships + 1
-leftover newcomer) and later rounds inherit ~0 spare.  The documented
-remedy when the registry grows past 192: bump ``_STALE_LAG`` to 4
-(5-round cycle = 240 slots) here AND in
-tests/test_sql41.py::test_driver_gate_freshness_rule — a deliberate,
-recorded relaxation, not a silent one.
+CAPACITY LEDGER (now COMPUTED, round-12): lag L = an (L+1)-round
+re-gate cycle = (L+1) x (cap - flagships) non-flagship slots per
+cycle.  The lag is derived from the registry size by
+:func:`stale_lag` — ``max(3, ceil(n / (cap - flagships)) - 1)`` —
+so the cycle always has capacity >= the registry and a registration
+can never make ``compute_rotation`` raise at import just because the
+registry crossed a multiple of 48.  At 192 entries the formula gives
+lag 3 (the historical constant; 4 x 48 = 192, knife edge); the 193rd
+registration automatically widens it to lag 4 (5-round cycle = 240
+slots).  Widening is still a recorded relaxation — it is visible in
+``tools/rotate_gate.py`` output and asserted by
+tests/test_sql41.py::test_driver_gate_freshness_rule, which mirrors
+the same formula instead of a hand-bumped constant.
 """
 
 from __future__ import annotations
@@ -95,9 +100,31 @@ FAMILY_COVER: dict[str, set[str]] = {
     "tpch": {"q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
              "q6_forecast_revenue"},
     "audio": {"multimodal_wav_decode"},
+    # round-11 surface (r11 verdict item 5): the computed rotation must
+    # never starve the newest differentiated families of evidence
+    "text-index": {"bm25_index_topk_docs", "bm25_index_incremental",
+                   "bm25_index_delete_docs"},
+    "mor-delete": {"similarity_ivfpq_delete", "incremental_dedup_delete_docs",
+                   "bm25_index_delete_docs"},
+    "media-resample": {"multimodal_resize_ppm", "multimodal_resize_box",
+                       "multimodal_wav_resample"},
+    "jpeg-advanced": {"multimodal_jpeg420_decode", "multimodal_jpeg_prog_decode",
+                      "multimodal_exif_orient_decode"},
 }
 
-_STALE_LAG = 3  # rule (b): latest green may lag at most this many rounds
+_MIN_STALE_LAG = 3  # rule (b) floor: lag never tightens below 3 rounds
+
+
+def stale_lag(n_registered: int, cap: int = 50) -> int:
+    """Rule-(b) staleness lag, derived from the registry size (r11
+    verdict item 1 — previously a hand-bumped constant that made the
+    193rd registration raise at import).  Lag L gives an (L+1)-round
+    re-gate cycle with (L+1) x (cap - flagships) slots; the formula
+    picks the smallest L >= the historical floor whose cycle capacity
+    covers the registry: ``ceil(n / per_round) - 1`` satisfies
+    ``(L+1) * per_round >= n`` by construction."""
+    per_round = cap - len(FLAGSHIPS)
+    return max(_MIN_STALE_LAG, -(-n_registered // per_round) - 1)
 
 
 def _repo_root() -> str:
@@ -184,13 +211,15 @@ def compute_rotation(
     in_gate = set(gate)
 
     # rule (b) is the HARD budget: staleness queue, oldest evidence
-    # first — an entry skipped here would exceed the 4-round re-gate
-    # cycle, which nothing is allowed to do.
+    # first — an entry skipped here would exceed the re-gate cycle,
+    # which nothing is allowed to do.  The lag is computed from the
+    # registry size so growth widens the cycle instead of raising.
+    lag = stale_lag(len(reg_set), cap)
     stale = sorted(
         (
             k
             for k in reg_set
-            if k in latest and latest[k] <= completed - _STALE_LAG
+            if k in latest and latest[k] <= completed - lag
         ),
         key=lambda k: (latest[k], k),
     )

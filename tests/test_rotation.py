@@ -203,3 +203,53 @@ def test_repo_rotation_respects_all_rules():
         assert len(gate) == 50, (
             f"newcomers wait while the gate has room: {sorted(waiting)}"
         )
+
+
+def test_stale_lag_computed_from_registry_size():
+    """r11 verdict item 1: the rule-(b) lag is derived from the
+    registry size — never a hand-bumped constant.  Floor 3; widens
+    exactly when the (lag+1)-round cycle would no longer cover the
+    registry."""
+    from implementation_of_an_etl_process_spark.queries.rotation import (
+        stale_lag,
+    )
+
+    assert stale_lag(1) == 3
+    assert stale_lag(192) == 3   # 4 x 48 = 192: knife edge, still lag 3
+    assert stale_lag(193) == 4   # 193rd registration widens, not raises
+    assert stale_lag(240) == 4   # 5 x 48 = 240
+    assert stale_lag(241) == 5
+    per_round = 48
+    for n in range(1, 600):
+        lag = stale_lag(n)
+        assert lag >= 3
+        assert (lag + 1) * per_round >= n, (
+            f"cycle capacity must cover the registry at n={n}"
+        )
+
+
+def test_193_entry_history_composes_five_round_cycle(tmp_path):
+    """r11 verdict item 1 done-criterion: a 193-entry synthetic history
+    composes a valid 5-round cycle without raising (the constant-lag
+    design raised at import on the 193rd registration), and no entry's
+    evidence ever exceeds the computed cycle."""
+    from implementation_of_an_etl_process_spark.queries.rotation import (
+        read_driver_history,
+        stale_lag,
+    )
+
+    reg = FLAGSHIPS + [f"e{i:03d}" for i in range(191)]
+    assert len(reg) == 193 and stale_lag(len(reg)) == 4
+    _write_round(tmp_path, 1, {k: GREEN for k in reg})
+    for rnd in range(2, 8):  # six successive gates, one full cycle+
+        gate = compute_rotation(reg, root=str(tmp_path))  # must not raise
+        assert len(gate) == 50 and gate[:2] == FLAGSHIPS
+        assert len(set(gate)) == len(gate)
+        _write_round(tmp_path, rnd, {k: GREEN for k in gate})
+    latest, completed, _ = read_driver_history(str(tmp_path))
+    lag = stale_lag(len(reg))
+    overdue = {k for k in reg if latest[k] < completed - lag}
+    assert not overdue, (
+        f"entries exceeded the computed {lag + 1}-round re-gate "
+        f"cycle: {sorted(overdue)}"
+    )

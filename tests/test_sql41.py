@@ -160,10 +160,10 @@ def test_driver_gate_freshness_rule():
     comment convention): (a) every registered entry that has NEVER
     held a driver slot must be in the NEXT gate's 50 — new operators
     can't merge gated only by local verify for more than one round;
-    (b) no entry's latest driver-green evidence may lag more than 3
-    rounds behind the newest CORRECTNESS file unless it holds a slot
-    this round. Fails at authoring time (this repo's CI), not at
-    judge time."""
+    (b) no entry's latest driver-green evidence may lag more than
+    ``stale_lag(len(registry))`` rounds (computed, floor 3) behind the
+    newest CORRECTNESS file unless it holds a slot this round. Fails
+    at authoring time (this repo's CI), not at judge time."""
     import glob
     import json
     import os
@@ -221,12 +221,17 @@ def test_driver_gate_freshness_rule():
         assert len(_DRIVER_PRIORITY) >= 50, (
             f"newcomers wait while the gate has room: {sorted(waiting)}"
         )
+    from implementation_of_an_etl_process_spark.queries.rotation import (
+        stale_lag,
+    )
+
+    lag = stale_lag(len(registered))
     too_stale = {
         k
         for k in registered
-        if k in latest and latest[k] <= completed - 3 and k not in gate
+        if k in latest and latest[k] <= completed - lag and k not in gate
     }
     assert not too_stale, (
-        f"entries whose latest driver-green round is <= r{completed - 3} "
+        f"entries whose latest driver-green round is <= r{completed - lag} "
         f"must rotate into the gate: {sorted(too_stale)}"
     )

@@ -22,6 +22,7 @@ def main() -> None:
         FLAGSHIPS,
         read_driver_history,
         read_landed_before,
+        stale_lag,
     )
 
     gate = list(e.queries())[:50]
@@ -29,13 +30,15 @@ def main() -> None:
     landed = read_landed_before(completed)
     reg = set(e.queries())
     never = (reg - set(latest)) & landed
+    lag = stale_lag(len(reg))
     stale = {
-        k for k in reg if k in latest and latest[k] <= completed - 3
+        k for k in reg if k in latest and latest[k] <= completed - lag
     }
     fam_members = set().union(*FAMILY_COVER.values())
 
     print(f"completed round: r{completed}; registered: {len(reg)}; "
-          f"gate: {len(gate)}")
+          f"gate: {len(gate)}; stale lag: {lag} "
+          f"({lag + 1}-round cycle)")
     for k in gate:
         tags = []
         if k in FLAGSHIPS:
