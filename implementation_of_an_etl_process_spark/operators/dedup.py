@@ -1273,6 +1273,17 @@ def write_dedup_index(
     later appends and classification reads refuse an index whose marker
     is still present (repair path: rebuild with ``mode="overwrite"``,
     which clears the marker).
+
+    Layout versioning (BREAKING, deliberate): round-11 moved the md5
+    relation from distinct fingerprints (v1) to id-keyed rows (v2) so
+    merge-on-read deletes can resolve per-document takedowns. Readers
+    hard-reject v1 indexes with an instructive error — there is no
+    silent dual-layout read path, because a v1 index cannot honor a
+    delete (no ids to tombstone) and probing it while pretending
+    deletes work would be a correctness lie. Migration is a one-shot
+    rebuild: ``write_dedup_index(corpus, path, ..., mode="overwrite")``
+    over the same corpus (one tokenize+minhash pass — the same cost as
+    the original v1 build; no state beyond the corpus is needed).
     """
     import json
     import os
@@ -1365,10 +1376,30 @@ def _begin_index_append(path: str, meta: dict) -> str:
         raise ValueError(
             f"index at {path} was built with {existing}, got {meta}"
         )
-    pending_path = os.path.join(path, "_pending_append")
-    with open(pending_path, "w") as f:
+    return _acquire_dedup_marker(path)
+
+
+def _acquire_dedup_marker(index_path: str) -> str:
+    """O_EXCL writer-marker acquisition — the same contract as
+    textindex._acquire_marker and the IVF-PQ marker (advice r11: the
+    check-then-open here was non-atomic, so two concurrent writers
+    could both pass ``_check_no_pending_append`` and interleave
+    commits). The loser fails loudly; returns the marker path."""
+    import os
+
+    pending = os.path.join(index_path, "_pending_append")
+    try:
+        fd = os.open(pending, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ValueError(
+            f"dedup index write collision at {index_path}: another "
+            "writer holds the _pending_append marker (or a previous "
+            "write crashed torn) — the index has one writer at a time; "
+            "if no writer is running, rebuild with mode='overwrite'"
+        ) from None
+    with os.fdopen(fd, "w") as f:
         f.write("append in progress\n")
-    return pending_path
+    return pending
 
 
 def _dedup_tombstones(spark, index_path: str, meta: dict):
@@ -1427,9 +1458,7 @@ def delete_from_dedup_index(spark, index_path: str, doc_ids) -> dict:
     meta = _load_meta(index_path)
     _check_no_pending_append(index_path)
     id_col = meta["id_col"]
-    pending = os.path.join(index_path, "_pending_append")
-    with open(pending, "w") as f:
-        f.write("append in progress\n")
+    pending = _acquire_dedup_marker(index_path)
     try:
         ids_df = (
             doc_ids
@@ -1469,9 +1498,7 @@ def compact_dedup_index(spark, index_path: str) -> dict:
     meta = _load_meta(index_path)
     _check_no_pending_append(index_path)
     id_col = meta["id_col"]
-    pending = os.path.join(index_path, "_pending_append")
-    with open(pending, "w") as f:
-        f.write("append in progress\n")
+    pending = _acquire_dedup_marker(index_path)
     md5_dir = os.path.join(index_path, "md5")
     bands_dir = os.path.join(index_path, "bands")
     dels = os.path.join(index_path, "_deletes")

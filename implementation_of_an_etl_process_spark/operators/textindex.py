@@ -8,6 +8,11 @@ Layout at ``path``::
     meta.json                       n_buckets, id_col, n_docs, total_len
     _batches.json                   committed append batch ids (ledger)
     _pending_append                 exclusive writer marker (O_EXCL)
+    _emptydocs/*.parquet            zero-token doc ids (membership only;
+                                    present only when such docs exist —
+                                    they count toward N but have no
+                                    postings, so deletes need them)
+    _deletes/*.parquet              merge-on-read tombstones (doc_id)
 
 The postings relation is the full inverted index, hash-partitioned by
 ``bucket = pmod(hash(term), n_buckets)`` so a query's terms prune to
@@ -156,6 +161,11 @@ def write_text_index(
             import shutil
 
             shutil.rmtree(dels)
+        empties = os.path.join(path, "_emptydocs")
+        if os.path.exists(empties):
+            import shutil
+
+            shutil.rmtree(empties)  # rebuild resets empty-doc membership
         _acquire_marker(pending)
         meta = {
             "version": _VERSION,
@@ -169,7 +179,22 @@ def write_text_index(
         F.coalesce(F.sum(F.size(_tokens(text_col))), F.lit(0))
         .cast("long")
         .alias("tl"),
+        F.coalesce(
+            F.sum(F.when(F.size(_tokens(text_col)) == 0, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_empty"),
     ).first()
+    if int(stats["n_empty"]):
+        # zero-token docs count toward N (BM25's idf denominator) but
+        # leave no postings rows — record their membership so deletes
+        # can decrement N for them (advice r11: posting-less ids were
+        # invisible to the delete path's contribution aggregate)
+        (
+            docs.filter(F.size(_tokens(text_col)) == 0)
+            .select(F.col(id_col).alias("doc_id"))
+            .write.mode("append")
+            .parquet(os.path.join(path, "_emptydocs"))
+        )
     (
         _postings(docs, id_col, text_col, n_buckets)
         .repartition(F.col("bucket"))
@@ -315,52 +340,98 @@ def delete_from_text_index(spark, path: str, doc_ids) -> dict:
     docs (df is computed from the anti-joined postings; N/avgdl come
     from the adjusted meta). Compaction later drops tombstoned
     postings physically and clears the relation. Unknown ids are
-    no-ops. Returns {"deleted_docs": n, "deleted_tokens": t}."""
+    no-ops. Returns {"deleted_docs": n, "deleted_tokens": t}.
+
+    Crash discipline matches write_text_index: the marker is released
+    ONLY on success — a failure between the tombstone append and the
+    meta adjustment leaves the marker in place so every subsequent
+    read/write hits the loud torn-state guard instead of scoring
+    against tombstone-filtered postings with stale N/avgdl."""
     meta = _load_meta(path)
     _check_marker(path)
     pending = os.path.join(path, "_pending_append")
     _acquire_marker(pending)
-    try:
-        ids_df = (
-            doc_ids
-            if isinstance(doc_ids, DataFrame)
-            else spark.createDataFrame(
-                [(int(i),) for i in doc_ids], "doc_id long"
-            )
-        ).select(F.col("doc_id").cast("long")).distinct()
-        postings = spark.read.parquet(os.path.join(path, "postings"))
-        dels = os.path.join(path, "_deletes")
-        if os.path.exists(dels):
-            # ignore ids already tombstoned (stats were adjusted then)
-            ids_df = ids_df.join(
-                spark.read.parquet(dels), "doc_id", "left_anti"
-            )
-        # exact contributions of the docs being removed: one row per
-        # (doc, term) carries dlen, so per-doc length = first(dlen)
-        hit = (
-            postings.join(F.broadcast(ids_df), "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.first("dlen").alias("dlen"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("dlen"), F.lit(0)).alias("tl"),
-            )
-            .first()
+    ids_df = (
+        doc_ids
+        if isinstance(doc_ids, DataFrame)
+        else spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
         )
-        n_del, tl_del = int(hit["n"]), int(hit["tl"])
-        if n_del:
-            ids_df.join(
-                postings.select("doc_id").distinct(), "doc_id", "left_semi"
-            ).write.mode("append").parquet(dels)
-            meta["n_docs"] = int(meta["n_docs"]) - n_del
-            meta["total_len"] = int(meta["total_len"]) - tl_del
-            tmp = os.path.join(path, "meta.json.tmp")
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, os.path.join(path, "meta.json"))
-        return {"deleted_docs": n_del, "deleted_tokens": tl_del}
-    finally:
-        os.remove(pending)
+    ).select(F.col("doc_id").cast("long")).distinct()
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    dels = os.path.join(path, "_deletes")
+    if os.path.exists(dels):
+        # ignore ids already tombstoned (stats were adjusted then)
+        ids_df = ids_df.join(
+            spark.read.parquet(dels), "doc_id", "left_anti"
+        )
+    # exact contributions of the docs being removed: one row per
+    # (doc, term) carries dlen, so per-doc length = first(dlen)
+    hit = (
+        postings.join(F.broadcast(ids_df), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.first("dlen").alias("dlen"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dlen"), F.lit(0)).alias("tl"),
+        )
+        .first()
+    )
+    n_del, tl_del = int(hit["n"]), int(hit["tl"])
+    # posting-less members (zero-token docs) still count toward N:
+    # they were added to n_docs at build/append time via the
+    # _emptydocs relation, so deleting one must decrement N too —
+    # otherwise post-delete scores diverge from a rebuilt index
+    n_empty_del = _drop_empty_docs(spark, path, ids_df)
+    if n_del:
+        ids_df.join(
+            postings.select("doc_id").distinct(), "doc_id", "left_semi"
+        ).write.mode("append").parquet(dels)
+    if n_del or n_empty_del:
+        meta["n_docs"] = int(meta["n_docs"]) - n_del - n_empty_del
+        meta["total_len"] = int(meta["total_len"]) - tl_del
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
+    os.remove(pending)  # success only — a crash above leaves the guard
+    return {"deleted_docs": n_del + n_empty_del, "deleted_tokens": tl_del}
+
+
+def _drop_empty_docs(spark, path: str, ids_df: DataFrame) -> int:
+    """Remove deleted ids from the ``_emptydocs`` membership relation
+    (tiny: zero-token docs only) and return how many were dropped.
+    Survivors are swapped in with the two-rename discipline; a fully
+    emptied relation removes the directory (an empty parquet dir is
+    unreadable)."""
+    import shutil
+
+    empties = os.path.join(path, "_emptydocs")
+    if not os.path.exists(empties):
+        return 0
+    rel = spark.read.parquet(empties)
+    hit = rel.join(F.broadcast(ids_df), "doc_id", "left_semi").count()
+    if not hit:
+        return 0
+    survivors = rel.join(F.broadcast(ids_df), "doc_id", "left_anti")
+    if survivors.isEmpty():
+        shutil.rmtree(empties)
+        return int(hit)
+    tmp = empties + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    survivors.write.parquet(tmp)
+    aside = empties + ".old"
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+    os.rename(empties, aside)
+    try:
+        os.rename(tmp, empties)
+    except BaseException:
+        os.rename(aside, empties)
+        raise
+    shutil.rmtree(aside)
+    return int(hit)
 
 
 def _apply_tombstones(spark, path: str, tf: DataFrame) -> DataFrame:

@@ -246,3 +246,70 @@ def test_overwrite_rebuild_clears_stale_tombstones(spark, docs, tmp_path):
     fresh = str(tmp_path / "fresh")
     TI.write_text_index(docs, fresh, n_buckets=16)
     assert got == _topk(spark, fresh)
+
+
+def test_delete_empty_doc_decrements_n_docs(spark, docs, tmp_path):
+    """Advice r11: a zero-token doc leaves no postings rows, so the
+    delete path's contribution aggregate never saw it — n_docs stayed
+    inflated and post-delete scores diverged from a rebuilt index.
+    The _emptydocs membership relation closes the hole: post-delete
+    results must be identical to an index rebuilt without the doc."""
+    with_empty = docs.unionByName(
+        spark.createDataFrame(
+            [(990001, "   "), (990002, "")], "doc_id long, text string"
+        )
+    )
+    path = str(tmp_path / "idx")
+    TI.write_text_index(with_empty, path, n_buckets=16)
+    meta = TI._load_meta(path)
+    assert meta["n_docs"] == docs.count() + 2
+    out = TI.delete_from_text_index(spark, path, [990001, 990002])
+    assert out == {"deleted_docs": 2, "deleted_tokens": 0}
+    meta = TI._load_meta(path)
+    assert meta["n_docs"] == docs.count()
+    rebuilt = str(tmp_path / "idx_rebuilt")
+    TI.write_text_index(docs, rebuilt, n_buckets=16)
+    assert _topk(spark, path) == _topk(spark, rebuilt)
+    assert TI._load_meta(path)["total_len"] == TI._load_meta(rebuilt)[
+        "total_len"
+    ]
+    # idempotence: re-deleting the same ids is a no-op (membership rows
+    # were dropped on the first delete)
+    out2 = TI.delete_from_text_index(spark, path, [990001, 990002])
+    assert out2 == {"deleted_docs": 0, "deleted_tokens": 0}
+    assert TI._load_meta(path)["n_docs"] == docs.count()
+    # mixed delete: one posting-backed + one empty, in one call
+    path2 = str(tmp_path / "idx2")
+    TI.write_text_index(with_empty, path2, n_buckets=16)
+    first_id = int(docs.agg(F.min("doc_id")).first()[0])
+    out3 = TI.delete_from_text_index(spark, path2, [first_id, 990001])
+    assert out3["deleted_docs"] == 2
+    rebuilt2 = str(tmp_path / "idx2_rebuilt")
+    TI.write_text_index(
+        with_empty.filter(~F.col("doc_id").isin([first_id, 990001])),
+        rebuilt2,
+        n_buckets=16,
+    )
+    assert TI._load_meta(path2)["n_docs"] == TI._load_meta(rebuilt2)["n_docs"]
+    assert _topk(spark, path2) == _topk(spark, rebuilt2)
+
+
+def test_delete_crash_leaves_torn_state_guard(spark, docs, tmp_path):
+    """Advice r11 (medium): the delete marker used to be released
+    unconditionally in `finally` — a failure between the tombstone
+    append and the meta adjustment silently skewed BM25 stats. Now a
+    mid-delete failure leaves the marker, so every subsequent read
+    and write hits the loud torn-state error."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16)
+    bad_ids = spark.createDataFrame([(1,)], "not_doc_id long")
+    with pytest.raises(Exception):
+        TI.delete_from_text_index(spark, path, bad_ids)
+    assert os.path.exists(os.path.join(path, "_pending_append"))
+    with pytest.raises(ValueError, match="_pending_append"):
+        TI.bm25_query_index(spark, path, TERMS, k=5)
+    with pytest.raises(ValueError, match="marker"):
+        TI.delete_from_text_index(spark, path, [1])
+    # repair path: rebuild clears the marker and the index works again
+    TI.write_text_index(docs, path, n_buckets=16)
+    assert _topk(spark, path)

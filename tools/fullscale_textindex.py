@@ -55,17 +55,25 @@ def main() -> None:
     docs = spark.read.parquet(path).select("doc_id", "text")
 
     idx = os.path.join(WORKDIR, f"txtidx_{N_DOCS}")
-    tenth = F.pmod(F.col("doc_id"), F.lit(10))
+    # DISJOINT slices (advice r11: the fragmentation appends used to
+    # overlap the base+first-append corpus, double-counting tf/df and
+    # meta stats — the timed fragmented probe then ran against a
+    # semantically corrupted index). One slicing key partitions the
+    # corpus: base = slices 16..159 (90%), first append = 9..15
+    # (~4.4%), fragmentation appends = slices 1..8, slice 0 held out.
+    part = F.pmod(F.col("doc_id") + 7, F.lit(160))
 
     t0 = time.monotonic()
-    TI.write_text_index(docs.filter(tenth != 0), idx, n_buckets=N_BUCKETS)
+    TI.write_text_index(docs.filter(part >= 16), idx, n_buckets=N_BUCKETS)
     t_build = time.monotonic() - t0
-    print(f"base build ({int(N_DOCS * 0.9)} docs): {t_build:.1f}s")
+    print(f"base build (~{int(N_DOCS * 144 / 160)} docs): {t_build:.1f}s")
 
     t0 = time.monotonic()
-    TI.append_text_index(docs.filter(tenth == 0), idx, batch_id=0)
+    TI.append_text_index(
+        docs.filter((part >= 9) & (part < 16)), idx, batch_id=0
+    )
     t_app = time.monotonic() - t0
-    print(f"append ({int(N_DOCS * 0.1)} docs): {t_app:.1f}s "
+    print(f"append (~{int(N_DOCS * 7 / 160)} docs): {t_app:.1f}s "
           f"({t_build / max(t_app, 1e-9):.1f}x cheaper than a rebuild "
           "would scale to)")
 
@@ -77,13 +85,18 @@ def main() -> None:
         ]
         return rows, time.monotonic() - t0
 
+    def inline(pred):
+        t0 = time.monotonic()
+        rows = [
+            tuple(r)
+            for r in bm25_topk(
+                docs.filter(pred), TERMS, k=K, persist_tf=False
+            ).collect()
+        ]
+        return rows, time.monotonic() - t0
+
     got, t_idx = probe()
-    t0 = time.monotonic()
-    want = [
-        tuple(r)
-        for r in bm25_topk(docs, TERMS, k=K, persist_tf=False).collect()
-    ]
-    t_inline = time.monotonic() - t0
+    want, t_inline = inline(part >= 9)  # the exact indexed subset
     print(f"query: index {t_idx:.1f}s vs inline {t_inline:.1f}s "
           f"({t_inline / max(t_idx, 1e-9):.1f}x); identical="
           f"{got == want}")
@@ -96,25 +109,25 @@ def main() -> None:
             if f.endswith(".parquet")
         )
 
-    # fragmentation regime: 8 small appends
-    twentieth = F.pmod(F.col("doc_id") + 7, F.lit(160))
+    # fragmentation regime: 8 small DISJOINT appends (slices 1..8)
     for i in range(1, 9):
-        TI.append_text_index(
-            docs.filter(twentieth == i), idx, batch_id=i
-        )
+        TI.append_text_index(docs.filter(part == i), idx, batch_id=i)
     frag_files = nfiles()
     _, t_frag = probe()
     t0 = time.monotonic()
     stats = TI.compact_text_index(spark, idx)
     t_comp = time.monotonic() - t0
     got2, t_post = probe()
+    want2, _ = inline(part >= 1)  # indexed subset after the 8 appends
     print(
         f"fragmentation: {frag_files} files -> probe {t_frag:.1f}s; "
         f"compaction {stats['files_before']}->{stats['files_after']} "
-        f"files in {t_comp:.1f}s -> probe {t_post:.1f}s"
+        f"files in {t_comp:.1f}s -> probe {t_post:.1f}s; "
+        f"post-compaction identical={got2 == want2}"
     )
     n_docs_meta = TI._load_meta(idx)["n_docs"]
-    print(f"meta n_docs={n_docs_meta} (corpus rows + append slices)")
+    print(f"meta n_docs={n_docs_meta} "
+          f"(expect ~{int(N_DOCS * 159 / 160)}: slices 1..159)")
 
 
 if __name__ == "__main__":
