@@ -1109,3 +1109,60 @@ def test_resample_wav_media_composes_with_feature_stage(spark):
     assert out[1].sample_sum == int(want.astype(np.int64).sum())
     assert out[1].peak_abs == int(np.abs(want.astype(np.int32)).max())
     assert out[2].sample_rate is None
+
+
+def test_jpeg_auto_dispatch_falls_back_without_native_lib():
+    """decode_jpeg_auto is the production swap point (r11 verdict item
+    6): without Pillow (this container) and with prefer_native=False
+    it must be the pure decoder, bit for bit, on gray and color."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_jpeg_auto,
+        encode_jpeg,
+    )
+
+    gray = np.kron(
+        np.array([[32, 64], [90, 126]], dtype=np.uint8),
+        np.ones((8, 8), np.uint8),
+    )
+    rgb = np.kron(
+        np.array([[32, 64, 126]], dtype=np.uint8),
+        np.ones((8, 8), np.uint8),
+    )
+    rgb = np.dstack([rgb, rgb, rgb]).reshape(8, 24 * 3)
+    for img in (gray, rgb):
+        payload = encode_jpeg(img)
+        pure = decode_jpeg(payload)
+        for auto in (
+            decode_jpeg_auto(payload),  # env default, Pillow absent here
+            decode_jpeg_auto(payload, prefer_native=False),  # forced pure
+        ):
+            assert auto[:3] == pure[:3]
+            assert (auto[3] == pure[3]).all()
+
+
+def test_jpeg_auto_native_equals_pure_on_fixed_point_images():
+    """When Pillow IS present, the native path must agree with the
+    pure codec on the engine's fixed-point images (8x8-block-constant
+    even values: every AC quantizes to zero, the DC roundtrip is the
+    identity, so ANY correct T.81 decoder lands on the same bytes)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_jpeg_auto,
+        encode_jpeg,
+    )
+
+    blocks = np.array([[32, 64, 126], [90, 126, 40]], dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), np.uint8))
+    payload = encode_jpeg(img)
+    pure = decode_jpeg(payload)
+    native = decode_jpeg_auto(payload, prefer_native=True)
+    assert native[:3] == pure[:3]
+    assert (native[3] == pure[3]).all()
