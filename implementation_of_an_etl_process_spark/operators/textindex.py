@@ -5,7 +5,13 @@ index, and this) — build once, append micro-batches, query forever.
 Layout at ``path``::
 
     postings/bucket=<b>/*.parquet   (term, doc_id, tf, dlen)
-    meta.json                       n_buckets, id_col, n_docs, total_len
+    positions/bucket=<b>/*.parquet  (term, doc_id, positions array<int>)
+                                    — only when built with
+                                    store_positions=True; backs
+                                    phrase_query_index (kept parallel
+                                    so BM25 postings stay narrow)
+    meta.json                       n_buckets, id_col, n_docs,
+                                    total_len, positions
     _batches.json                   committed append batch ids (ledger)
     _pending_append                 exclusive writer marker (O_EXCL)
     _emptydocs/*.parquet            zero-token doc ids (membership only;
@@ -92,6 +98,25 @@ def _postings(docs: DataFrame, id_col: str, text_col: str, n_buckets: int):
     )
 
 
+def _positions(docs: DataFrame, id_col: str, text_col: str, n_buckets: int):
+    """Positional postings: one row per (doc, term) carrying the
+    sorted array of 0-based token positions. Kept as a PARALLEL
+    relation (``positions/``) rather than widening the BM25 postings —
+    the 2M-doc fragmentation leg showed narrow postings rows are why
+    the index tolerates long append histories, and bag-of-words
+    queries never pay for arrays they don't read."""
+    toks = _tokens(text_col)
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term")
+    )
+    per_term = occ.groupBy("doc_id", "term").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    return per_term.withColumn(
+        "bucket", F.pmod(F.hash(F.col("term")), F.lit(n_buckets))
+    )
+
+
 def _load_meta(path: str) -> dict:
     meta_path = os.path.join(path, "meta.json")
     if not os.path.exists(meta_path):
@@ -122,6 +147,7 @@ def write_text_index(
     n_buckets: int = 64,
     mode: str = "overwrite",
     batch_id: int | None = None,
+    store_positions: bool = False,
 ) -> None:
     """Materialize (or append to) the inverted index at ``path``.
 
@@ -130,7 +156,14 @@ def write_text_index(
     partitions and bumps the meta stats — id uniqueness across batches
     is the caller's contract, exactly as with the dedup and ANN
     indexes. ``batch_id`` makes append retries idempotent via the
-    ``_batches.json`` ledger, checked UNDER the O_EXCL marker."""
+    ``_batches.json`` ledger, checked UNDER the O_EXCL marker.
+
+    ``store_positions=True`` additionally materializes the parallel
+    ``positions/`` relation (per-(doc,term) position arrays, same
+    bucket partitioning) that :func:`phrase_query_index` needs; the
+    flag is pinned in meta and appends must match it — appending
+    position-less batches to a positional index would silently make
+    phrase results corpus-dependent."""
     pending = os.path.join(path, "_pending_append")
     ledger_path = os.path.join(path, "_batches.json")
     if mode == "append":
@@ -140,6 +173,12 @@ def write_text_index(
                 f"text index at {path} was built with n_buckets="
                 f"{meta['n_buckets']}, id_col={meta['id_col']!r} — "
                 "append must match, or rebuild with mode='overwrite'"
+            )
+        if bool(meta.get("positions", False)) != bool(store_positions):
+            raise ValueError(
+                f"text index at {path} was built with positions="
+                f"{meta.get('positions', False)} — append must match, "
+                "or rebuild with mode='overwrite'"
             )
         _check_marker(path)
         _acquire_marker(pending)
@@ -166,6 +205,14 @@ def write_text_index(
             import shutil
 
             shutil.rmtree(empties)  # rebuild resets empty-doc membership
+        pos_dir = os.path.join(path, "positions")
+        if not store_positions and os.path.exists(pos_dir):
+            import shutil
+
+            # rebuilding WITHOUT positions over a positional index:
+            # a stale positions relation would answer phrase queries
+            # against the previous corpus
+            shutil.rmtree(pos_dir)
         _acquire_marker(pending)
         meta = {
             "version": _VERSION,
@@ -173,6 +220,7 @@ def write_text_index(
             "id_col": id_col,
             "n_docs": 0,
             "total_len": 0,
+            "positions": bool(store_positions),
         }
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
@@ -202,6 +250,14 @@ def write_text_index(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "postings"))
     )
+    if store_positions:
+        (
+            _positions(docs, id_col, text_col, n_buckets)
+            .repartition(F.col("bucket"))
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "positions"))
+        )
     meta["n_docs"] = int(meta["n_docs"]) + int(stats["n"])
     meta["total_len"] = int(meta["total_len"]) + int(stats["tl"])
     tmp = os.path.join(path, "meta.json.tmp")
@@ -240,6 +296,7 @@ def append_text_index(
         n_buckets=meta["n_buckets"],
         mode="append",
         batch_id=batch_id,
+        store_positions=bool(meta.get("positions", False)),
     )
 
 
@@ -264,19 +321,7 @@ def bm25_query_index(
     _check_marker(path)
     terms = sorted({t.lower() for t in query_terms})
     n_buckets = meta["n_buckets"]
-    # bucket ids via the SAME engine hash the build used (Murmur3 via
-    # F.hash) — computed on a terms-sized local relation, never in
-    # Python
-    buckets = sorted(
-        {
-            r.b
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
-            .select(F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b"))
-            .collect()
-        }
-    )
+    buckets = _term_buckets(spark, terms, n_buckets)
     tf = (
         spark.read.parquet(os.path.join(path, "postings"))
         .filter(F.col("bucket").isin(buckets))  # partition pruning
@@ -327,6 +372,117 @@ def bm25_query_index(
             F.sum("_score_term_q").alias("score_q"),
         )
         .orderBy(F.desc("score_q"), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def _term_buckets(spark, terms, n_buckets: int) -> list[int]:
+    """Bucket ids for a term list via the SAME engine hash the build
+    used (Murmur3 via F.hash) — computed on a terms-sized local
+    relation, never in Python."""
+    return sorted(
+        {
+            r.b
+            for r in spark.createDataFrame(
+                [(t,) for t in sorted(set(terms))], "term string"
+            )
+            .select(F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b"))
+            .collect()
+        }
+    )
+
+
+def phrase_query_index(
+    spark,
+    path: str,
+    phrase: str,
+    *,
+    k: int = 50,
+    within: int | None = None,
+) -> DataFrame:
+    """Exact-phrase (and bounded-proximity) search against the
+    positional index — the retrieval/contamination ask the bag-of-words
+    index couldn't answer (r11 verdict item 3): until now phrase checks
+    paid a full corpus re-tokenize per query; this scans only the
+    phrase terms' bucket partitions.
+
+    The phrase is tokenized with the index's own tokenizer (lower,
+    whitespace split). A match at ``start`` means token ``start + i``
+    equals phrase slot ``i`` for every slot — computed as a
+    position-adjacency intersection: explode each slot term's position
+    array (scoped to the terms' buckets via PartitionFilters), map
+    positions to candidate starts (``pos - slot``), and keep starts
+    covered by ALL slots. Repeated phrase terms are handled per-slot
+    (``count(distinct slot)``), overlapping matches all count.
+
+    ``within=W`` relaxes adjacency to bounded proximity: slot ``i``
+    may sit anywhere in ``(start + i) .. (start + i + W)`` — slop-W
+    ordered matching with starts deduplicated, W=0 being the exact
+    phrase. Returns (doc_id, n_occurrences) — occurrences of the
+    phrase per doc — ordered by count desc, doc_id asc, top-k.
+
+    At 100 TB: the scan prunes to |phrase terms| buckets, the slots
+    relation is broadcast (phrase-sized), and the one shuffle is the
+    (doc_id, start) aggregate over the phrase terms' postings only —
+    never the corpus."""
+    meta = _load_meta(path)
+    _check_marker(path)
+    if not meta.get("positions", False):
+        raise ValueError(
+            f"text index at {path} was built without positions — "
+            "phrase queries need store_positions=True; rebuild with "
+            "write_text_index(..., store_positions=True)"
+        )
+    slots = [t for t in phrase.lower().strip().split() if t]
+    if not slots:
+        raise ValueError("phrase must contain at least one token")
+    n_buckets = meta["n_buckets"]
+    terms = sorted(set(slots))
+    buckets = _term_buckets(spark, terms, n_buckets)
+    slots_df = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(slots)), "slot int, term string"
+        )
+    )
+    rel = (
+        spark.read.parquet(os.path.join(path, "positions"))
+        .filter(F.col("bucket").isin(buckets))  # partition pruning
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "positions")
+    )
+    rel = _apply_tombstones(spark, path, rel)  # merge-on-read deletes
+    ex = rel.select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    ).join(slots_df, "term")
+    if within:
+        # slop-W ordered proximity: slot i matches any position in
+        # (start + i) .. (start + i + W); one exploded position can
+        # cover up to W+1 starts, so expand then dedup per (start,
+        # slot) before the coverage count
+        w = int(within)
+        starts = ex.select(
+            "doc_id",
+            "slot",
+            F.explode(
+                F.sequence(
+                    F.col("pos") - F.col("slot") - F.lit(w),
+                    F.col("pos") - F.col("slot"),
+                )
+            ).alias("start"),
+        ).filter(F.col("start") >= 0)
+    else:
+        starts = ex.select(
+            "doc_id", "slot", (F.col("pos") - F.col("slot")).alias("start")
+        ).filter(F.col("start") >= 0)
+    occ = (
+        starts.groupBy("doc_id", "start")
+        .agg(F.count_distinct("slot").alias("_ns"))
+        .filter(F.col("_ns") == len(slots))
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.col("doc_id").asc())
         .limit(k)
     )
 
@@ -456,6 +612,7 @@ def compact_text_index(spark, path: str) -> dict:
 
     _load_meta(path)
     postings = os.path.join(path, "postings")
+    pos_dir = os.path.join(path, "positions")
     pending = os.path.join(path, "_pending_append")
     dels = os.path.join(path, "_deletes")
     _check_marker(path)
@@ -470,34 +627,45 @@ def compact_text_index(spark, path: str) -> dict:
                 if f.endswith(".parquet")
             )
 
-        before = _nfiles(postings)
-        rel = spark.read.parquet(postings)
         had_deletes = os.path.exists(dels)
-        if had_deletes:
-            rel = rel.join(
-                F.broadcast(spark.read.parquet(dels)), "doc_id", "left_anti"
+        dirs = [postings] + ([pos_dir] if os.path.exists(pos_dir) else [])
+        before = sum(_nfiles(d) for d in dirs)
+
+        def _rewrite(src: str) -> None:
+            rel = spark.read.parquet(src)
+            if had_deletes:
+                rel = rel.join(
+                    F.broadcast(spark.read.parquet(dels)),
+                    "doc_id",
+                    "left_anti",
+                )
+            tmp = src + ".compact"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            (
+                rel.repartition(F.col("bucket"))
+                .write.partitionBy("bucket")
+                .parquet(tmp)
             )
-        tmp = postings + ".compact"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        (
-            rel.repartition(F.col("bucket"))
-            .write.partitionBy("bucket")
-            .parquet(tmp)
-        )
-        aside = postings + ".old"
-        if os.path.exists(aside):
+            aside = src + ".old"
+            if os.path.exists(aside):
+                shutil.rmtree(aside)
+            os.rename(src, aside)
+            try:
+                os.rename(tmp, src)
+            except BaseException:
+                os.rename(aside, src)  # roll the first rename back
+                raise
             shutil.rmtree(aside)
-        os.rename(postings, aside)
-        try:
-            os.rename(tmp, postings)
-        except BaseException:
-            os.rename(aside, postings)  # roll the first rename back
-            raise
-        shutil.rmtree(aside)
+
+        for d in dirs:
+            _rewrite(d)
         if had_deletes:
             shutil.rmtree(dels)  # physically applied — clear tombstones
-        return {"files_before": before, "files_after": _nfiles(postings)}
+        return {
+            "files_before": before,
+            "files_after": sum(_nfiles(d) for d in dirs),
+        }
     finally:
         if os.path.exists(postings):
             os.remove(pending)

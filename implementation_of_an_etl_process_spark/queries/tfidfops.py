@@ -331,6 +331,92 @@ BM25_INDEX_DEL_SQL = _bm25_index_oracle(
 ).replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0")
 
 
+# two phrases: a plain bigram, and a repeated-term bigram ("table
+# table") — the latter pins per-slot matching (count(distinct slot),
+# not term-level dedup) and overlap counting ("table table table" is
+# TWO occurrences)
+_PHRASES = ["value table", "table table"]
+_PHRASE_K = 100
+
+
+def bm25_index_phrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE search against the positional text index (r11 verdict
+    item 3 — the first thing a retrieval/contamination user asks of a
+    full-text index that bag-of-words postings can't answer): build
+    the index with ``store_positions=True`` (parallel ``positions/``
+    relation, same bucket partitioning, so BM25 postings stay narrow),
+    then answer two exact phrases by position-adjacency intersection
+    scoped to the phrase terms' bucket partitions (PartitionFilters,
+    pinned in tests/test_textindex.py). Occurrence counts include
+    overlapping matches; repeated phrase terms match per-slot. The
+    oracle replays the adjacency intersection in SQL over a zipped
+    token/position unnest."""
+    import hashlib
+    import os
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"txtidx_phr_{tag}")
+    TI.write_text_index(docs, idx, n_buckets=32, store_positions=True)
+    parts = [
+        TI.phrase_query_index(spark, idx, p, k=_PHRASE_K).select(
+            F.lit(p).alias("phrase"), "doc_id", "n_occurrences"
+        )
+        for p in _PHRASES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        "phrase", F.desc("n_occurrences"), F.col("doc_id").asc()
+    )
+
+
+_PHRASE_SLOT_ROWS = ",\n         ".join(
+    f"('{p}', {i}, '{t}')"
+    for p in _PHRASES
+    for i, t in enumerate(p.split())
+)
+
+BM25_INDEX_PHRASE_SQL = rf"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM l
+), slots(phrase, slot, term) AS (
+  VALUES {_PHRASE_SLOT_ROWS}
+), nslots AS (
+  SELECT phrase, COUNT(*) AS n FROM slots GROUP BY phrase
+), starts AS (
+  SELECT s.phrase, t.doc_id, t.pos - s.slot AS start
+  FROM tok t JOIN slots s ON t.term = s.term
+  GROUP BY s.phrase, t.doc_id, t.pos - s.slot
+  HAVING COUNT(DISTINCT s.slot)
+         = (SELECT n FROM nslots WHERE nslots.phrase = s.phrase)
+)
+SELECT phrase, doc_id, n_occurrences FROM (
+  SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         row_number() OVER (
+           PARTITION BY phrase ORDER BY COUNT(*) DESC, doc_id
+         ) AS rn
+  FROM starts
+  GROUP BY phrase, doc_id
+)
+WHERE rn <= {_PHRASE_K}
+ORDER BY phrase, n_occurrences DESC, doc_id
+"""
+
+
 _CURATION_K = 200
 
 
@@ -841,6 +927,7 @@ QUERIES = {
     "bm25_index_topk_docs": bm25_index_topk_docs,
     "bm25_index_incremental": bm25_index_incremental,
     "bm25_index_delete_docs": bm25_index_delete_docs,
+    "bm25_index_phrase_docs": bm25_index_phrase_docs,
     "curation_pipeline_stats": curation_pipeline_stats,
 }
 
@@ -856,5 +943,6 @@ ORACLES = {
     "bm25_index_topk_docs": BM25_INDEX_SQL,
     "bm25_index_incremental": BM25_INDEX_INC_SQL,
     "bm25_index_delete_docs": BM25_INDEX_DEL_SQL,
+    "bm25_index_phrase_docs": BM25_INDEX_PHRASE_SQL,
     "curation_pipeline_stats": CURATION_PIPELINE_SQL,
 }

@@ -180,6 +180,7 @@ def test_repo_rotation_respects_all_rules():
     from implementation_of_an_etl_process_spark.queries.rotation import (
         read_driver_history,
         read_landed_rounds,
+        stale_lag,
     )
 
     gate = list(e.queries())[:50]
@@ -188,11 +189,12 @@ def test_repo_rotation_respects_all_rules():
         return
     landed = read_landed_rounds()
     reg = set(e.queries())
+    lag = stale_lag(len(reg))
     for k in reg - set(latest):
         if landed.get(k, completed + 1) <= completed - 1:
             assert k in gate, f"rule (a) hard arm violated: {k}"
     for k in reg:
-        if k in latest and latest[k] <= completed - 3:
+        if k in latest and latest[k] <= completed - lag:
             assert k in gate, f"rule (b) violated: {k}"
     waiting = {
         k

@@ -313,3 +313,142 @@ def test_delete_crash_leaves_torn_state_guard(spark, docs, tmp_path):
     # repair path: rebuild clears the marker and the index works again
     TI.write_text_index(docs, path, n_buckets=16)
     assert _topk(spark, path)
+
+
+def _brute_phrase(docs_df, phrase, within=0):
+    """Independent driver-side phrase counter: pure-Python tokenize +
+    position scan over the collected corpus (test-sized only)."""
+    slots = phrase.lower().strip().split()
+    counts = {}
+    for r in docs_df.select("doc_id", "text").collect():
+        toks = [t for t in (r.text or "").lower().strip().split() if t]
+        n = 0
+        for s in range(len(toks)):
+            ok = True
+            for i, term in enumerate(slots):
+                lo, hi = s + i, s + i + within
+                if not any(
+                    0 <= p < len(toks) and toks[p] == term
+                    for p in range(lo, hi + 1)
+                ):
+                    ok = False
+                    break
+            if ok:
+                n += 1
+        if n:
+            counts[r.doc_id] = n
+    return counts
+
+
+def _phrase_topk(spark, path, phrase, k=30, within=None):
+    return [
+        tuple(r)
+        for r in TI.phrase_query_index(
+            spark, path, phrase, k=k, within=within
+        ).collect()
+    ]
+
+
+def test_phrase_query_matches_brute_force(spark, docs, tmp_path):
+    """Exact-phrase results from the positional index must equal an
+    independent pure-Python position scan of the corpus — bigram,
+    trigram, repeated-term phrase, and single-term phrase."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16, store_positions=True)
+    # pick a REAL bigram from the corpus so the test can't pass vacuously
+    sample = docs.limit(5).collect()
+    toks = [t for t in sample[0].text.lower().split() if t]
+    assert len(toks) >= 2
+    bigram = f"{toks[0]} {toks[1]}"
+    for phrase in (bigram, " ".join(toks[:3]), "data data", toks[0]):
+        want = _brute_phrase(docs, phrase)
+        got = dict(_phrase_topk(spark, path, phrase, k=10**6))
+        assert got == want, phrase
+    assert _brute_phrase(docs, bigram), "picked bigram never matches"
+
+
+def test_phrase_query_proximity_window(spark, docs, tmp_path):
+    """within=W (slop-W ordered proximity) must match the brute-force
+    windowed scan; W=0 equals the exact phrase."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16, store_positions=True)
+    toks = [t for t in docs.limit(1).collect()[0].text.lower().split() if t]
+    phrase = f"{toks[0]} {toks[2]}" if len(toks) > 2 else toks[0]
+    for w in (1, 3):
+        want = _brute_phrase(docs, phrase, within=w)
+        got = dict(_phrase_topk(spark, path, phrase, k=10**6, within=w))
+        assert got == want, (phrase, w)
+    assert dict(_phrase_topk(spark, path, phrase, k=10**6, within=0)) == \
+        _brute_phrase(docs, phrase)
+
+
+def test_phrase_lifecycle_append_delete_compact(spark, docs, tmp_path):
+    """The positional relation follows the full index lifecycle:
+    base+append == one-shot, merge-on-read deletes drop docs from
+    phrase results immediately, compaction (which must rewrite BOTH
+    relations) preserves results, and a position-less append into a
+    positional index is refused."""
+    path = str(tmp_path / "idx")
+    third = F.pmod(F.col("doc_id"), F.lit(3))
+    TI.write_text_index(
+        docs.filter(third != 0), path, n_buckets=16, store_positions=True
+    )
+    TI.append_text_index(docs.filter(third == 0), path, batch_id=1)
+    oneshot = str(tmp_path / "one")
+    TI.write_text_index(docs, oneshot, n_buckets=16, store_positions=True)
+    toks = [t for t in docs.limit(1).collect()[0].text.lower().split() if t]
+    phrase = f"{toks[0]} {toks[1]}"
+    assert _phrase_topk(spark, path, phrase) == _phrase_topk(
+        spark, oneshot, phrase
+    )
+    victims = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        "doc_id"
+    )
+    TI.delete_from_text_index(spark, path, victims)
+    survivors_idx = str(tmp_path / "surv")
+    TI.write_text_index(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0),
+        survivors_idx,
+        n_buckets=16,
+        store_positions=True,
+    )
+    assert _phrase_topk(spark, path, phrase) == _phrase_topk(
+        spark, survivors_idx, phrase
+    )
+    before = _phrase_topk(spark, path, phrase)
+    stats = TI.compact_text_index(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    assert _phrase_topk(spark, path, phrase) == before
+    assert not os.path.exists(os.path.join(path, "_deletes"))
+    # BM25 results also survive compaction of the dual-relation index
+    assert _topk(spark, path) == _topk(spark, survivors_idx)
+    # guard: position-less append into a positional index is refused
+    with pytest.raises(ValueError, match="positions"):
+        TI.write_text_index(
+            docs.limit(1), path, n_buckets=16, mode="append"
+        )
+    assert not os.path.exists(os.path.join(path, "_pending_append"))
+
+
+def test_phrase_query_guards_and_pruning(spark, docs, tmp_path):
+    """A bag-of-words index refuses phrase queries with an instructive
+    error; the positional scan prunes to the phrase terms' bucket
+    partitions (PartitionFilters), same as the BM25 path."""
+    bag = str(tmp_path / "bag")
+    TI.write_text_index(docs, bag, n_buckets=16)
+    with pytest.raises(ValueError, match="store_positions"):
+        TI.phrase_query_index(spark, bag, "data model")
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16, store_positions=True)
+    with pytest.raises(ValueError, match="at least one token"):
+        TI.phrase_query_index(spark, path, "   ")
+    plan = (
+        TI.phrase_query_index(spark, path, "data model", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
