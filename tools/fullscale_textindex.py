@@ -129,6 +129,71 @@ def main() -> None:
     print(f"meta n_docs={n_docs_meta} "
           f"(expect ~{int(N_DOCS * 159 / 160)}: slices 1..159)")
 
+    # ---- positional index + phrase leg (r12): phrase-query cost must
+    # stay bucket-pruned — it scales with the PHRASE TERMS' postings,
+    # not the corpus, while the inline comparator re-tokenizes all
+    # N docs per query ----
+    pidx = os.path.join(WORKDIR, f"txtidx_pos_{N_DOCS}")
+    t0 = time.monotonic()
+    TI.write_text_index(
+        docs, pidx, n_buckets=N_BUCKETS, store_positions=True
+    )
+    t_pb = time.monotonic() - t0
+    print(f"positional build ({N_DOCS} docs, postings+positions): "
+          f"{t_pb:.1f}s ({t_pb / max(t_build, 1e-9):.2f}x the "
+          "postings-only build)")
+
+    phrase = "w12 w47"
+    slots = list(enumerate(phrase.split()))
+
+    def inline_phrase():
+        """Full-corpus comparator: tokenize every doc, same adjacency
+        intersection — what every phrase check cost before the index."""
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+        slots_df = F.broadcast(
+            spark.createDataFrame(slots, "slot int, term string")
+        )
+        ex = (
+            docs.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+            .join(slots_df, "term")
+            .select(
+                "doc_id", "slot",
+                (F.col("pos") - F.col("slot")).alias("start"),
+            )
+            .filter(F.col("start") >= 0)
+        )
+        occ = (
+            ex.groupBy("doc_id", "start")
+            .agg(F.count_distinct("slot").alias("ns"))
+            .filter(F.col("ns") == len(slots))
+        )
+        t0 = time.monotonic()
+        rows = [
+            tuple(r)
+            for r in occ.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.col("doc_id").asc())
+            .limit(K)
+            .collect()
+        ]
+        return rows, time.monotonic() - t0
+
+    t0 = time.monotonic()
+    pgot = [
+        tuple(r)
+        for r in TI.phrase_query_index(spark, pidx, phrase, k=K).collect()
+    ]
+    t_pq = time.monotonic() - t0
+    pwant, t_pin = inline_phrase()
+    print(f"phrase '{phrase}': index {t_pq:.1f}s vs inline full-scan "
+          f"{t_pin:.1f}s ({t_pin / max(t_pq, 1e-9):.1f}x); "
+          f"identical={pgot == pwant}; "
+          f"scanned {len(TI._term_buckets(spark, phrase.split(), N_BUCKETS))}"
+          f"/{N_BUCKETS} buckets")
+
 
 if __name__ == "__main__":
     main()
