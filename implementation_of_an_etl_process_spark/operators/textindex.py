@@ -392,6 +392,117 @@ def _term_buckets(spark, terms, n_buckets: int) -> list[int]:
     )
 
 
+def multi_phrase_query_index(
+    spark,
+    path: str,
+    phrases: list[str],
+    *,
+    k: int | None = None,
+    within: int | None = None,
+) -> DataFrame:
+    """Bulk phrase matching in ONE index scan — the benchmark-
+    contamination shape: thousands of probe phrases against the corpus
+    without re-tokenizing it, and without one scan per phrase.
+
+    All phrases' slot tables union into a single broadcast (phrase_id,
+    slot, term) relation; the positions relation is scanned ONCE,
+    pruned to the union of every phrase's term buckets, and the
+    adjacency intersection groups by (phrase, doc_id, start) — so the
+    cost scales with the probe phrases' postings, not with the number
+    of phrases times the corpus. Returns (phrase, doc_id,
+    n_occurrences); ``k`` (optional) keeps the top-k docs PER PHRASE
+    (count desc, doc_id asc). ``within`` applies the same slop-W
+    ordered-proximity window to every phrase. Phrases are tokenized
+    with the index's own tokenizer; duplicates are dropped; empty
+    phrases raise."""
+    from pyspark.sql import Window
+
+    meta = _load_meta(path)
+    _check_marker(path)
+    if not meta.get("positions", False):
+        raise ValueError(
+            f"text index at {path} was built without positions — "
+            "phrase queries need store_positions=True; rebuild with "
+            "write_text_index(..., store_positions=True)"
+        )
+    uniq = list(dict.fromkeys(phrases))
+    if not uniq:
+        raise ValueError("phrases must be non-empty")
+    slot_rows = []
+    n_slots = {}
+    for p in uniq:
+        slots = [t for t in p.lower().strip().split() if t]
+        if not slots:
+            raise ValueError(
+                f"phrase {p!r} must contain at least one token"
+            )
+        n_slots[p] = len(slots)
+        slot_rows += [(p, i, t) for i, t in enumerate(slots)]
+    terms = sorted({t for _, _, t in slot_rows})
+    buckets = _term_buckets(spark, terms, meta["n_buckets"])
+    slots_df = F.broadcast(
+        spark.createDataFrame(
+            slot_rows, "phrase string, slot int, term string"
+        )
+    )
+    counts_df = F.broadcast(
+        spark.createDataFrame(
+            list(n_slots.items()), "phrase string, _n_slots int"
+        )
+    )
+    rel = (
+        spark.read.parquet(os.path.join(path, "positions"))
+        .filter(F.col("bucket").isin(buckets))  # partition pruning
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "positions")
+    )
+    rel = _apply_tombstones(spark, path, rel)  # merge-on-read deletes
+    ex = rel.select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    ).join(slots_df, "term")
+    if within:
+        w = int(within)
+        starts = ex.select(
+            "phrase",
+            "doc_id",
+            "slot",
+            F.explode(
+                F.sequence(
+                    F.col("pos") - F.col("slot") - F.lit(w),
+                    F.col("pos") - F.col("slot"),
+                )
+            ).alias("start"),
+        ).filter(F.col("start") >= 0)
+    else:
+        starts = ex.select(
+            "phrase",
+            "doc_id",
+            "slot",
+            (F.col("pos") - F.col("slot")).alias("start"),
+        ).filter(F.col("start") >= 0)
+    occ = (
+        starts.groupBy("phrase", "doc_id", "start")
+        .agg(F.count_distinct("slot").alias("_ns"))
+        .join(counts_df, "phrase")
+        .filter(F.col("_ns") == F.col("_n_slots"))
+    )
+    out = occ.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    if k is not None:
+        # per-phrase top-k without a per-phrase query: rank inside the
+        # one aggregate's output (WindowGroupLimit keeps this map-side)
+        rn = F.row_number().over(
+            Window.partitionBy("phrase").orderBy(
+                F.desc("n_occurrences"), F.col("doc_id").asc()
+            )
+        )
+        out = out.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+    return out.orderBy(
+        "phrase", F.desc("n_occurrences"), F.col("doc_id").asc()
+    )
+
+
 def phrase_query_index(
     spark,
     path: str,
@@ -408,80 +519,19 @@ def phrase_query_index(
 
     The phrase is tokenized with the index's own tokenizer (lower,
     whitespace split). A match at ``start`` means token ``start + i``
-    equals phrase slot ``i`` for every slot — computed as a
-    position-adjacency intersection: explode each slot term's position
-    array (scoped to the terms' buckets via PartitionFilters), map
-    positions to candidate starts (``pos - slot``), and keep starts
-    covered by ALL slots. Repeated phrase terms are handled per-slot
-    (``count(distinct slot)``), overlapping matches all count.
-
-    ``within=W`` relaxes adjacency to bounded proximity: slot ``i``
-    may sit anywhere in ``(start + i) .. (start + i + W)`` — slop-W
-    ordered matching with starts deduplicated, W=0 being the exact
-    phrase. Returns (doc_id, n_occurrences) — occurrences of the
-    phrase per doc — ordered by count desc, doc_id asc, top-k.
-
-    At 100 TB: the scan prunes to |phrase terms| buckets, the slots
-    relation is broadcast (phrase-sized), and the one shuffle is the
-    (doc_id, start) aggregate over the phrase terms' postings only —
-    never the corpus."""
-    meta = _load_meta(path)
-    _check_marker(path)
-    if not meta.get("positions", False):
-        raise ValueError(
-            f"text index at {path} was built without positions — "
-            "phrase queries need store_positions=True; rebuild with "
-            "write_text_index(..., store_positions=True)"
-        )
-    slots = [t for t in phrase.lower().strip().split() if t]
-    if not slots:
-        raise ValueError("phrase must contain at least one token")
-    n_buckets = meta["n_buckets"]
-    terms = sorted(set(slots))
-    buckets = _term_buckets(spark, terms, n_buckets)
-    slots_df = F.broadcast(
-        spark.createDataFrame(
-            list(enumerate(slots)), "slot int, term string"
-        )
-    )
-    rel = (
-        spark.read.parquet(os.path.join(path, "positions"))
-        .filter(F.col("bucket").isin(buckets))  # partition pruning
-        .filter(F.col("term").isin(terms))
-        .select("doc_id", "term", "positions")
-    )
-    rel = _apply_tombstones(spark, path, rel)  # merge-on-read deletes
-    ex = rel.select(
-        "doc_id", "term", F.explode("positions").alias("pos")
-    ).join(slots_df, "term")
-    if within:
-        # slop-W ordered proximity: slot i matches any position in
-        # (start + i) .. (start + i + W); one exploded position can
-        # cover up to W+1 starts, so expand then dedup per (start,
-        # slot) before the coverage count
-        w = int(within)
-        starts = ex.select(
-            "doc_id",
-            "slot",
-            F.explode(
-                F.sequence(
-                    F.col("pos") - F.col("slot") - F.lit(w),
-                    F.col("pos") - F.col("slot"),
-                )
-            ).alias("start"),
-        ).filter(F.col("start") >= 0)
-    else:
-        starts = ex.select(
-            "doc_id", "slot", (F.col("pos") - F.col("slot")).alias("start")
-        ).filter(F.col("start") >= 0)
-    occ = (
-        starts.groupBy("doc_id", "start")
-        .agg(F.count_distinct("slot").alias("_ns"))
-        .filter(F.col("_ns") == len(slots))
-    )
+    equals phrase slot ``i`` for every slot — computed by the
+    position-adjacency intersection in
+    :func:`multi_phrase_query_index` (this is its single-phrase
+    projection: same plan, minus the constant phrase column). Repeated
+    phrase terms are handled per-slot, overlapping matches all count,
+    and ``within=W`` relaxes adjacency to slop-W ordered proximity.
+    Returns (doc_id, n_occurrences) ordered by count desc, doc_id asc,
+    top-k."""
     return (
-        occ.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        multi_phrase_query_index(
+            spark, path, [phrase], k=k, within=within
+        )
+        .drop("phrase")
         .orderBy(F.desc("n_occurrences"), F.col("doc_id").asc())
         .limit(k)
     )

@@ -363,17 +363,11 @@ def bm25_index_phrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     idx = os.path.join(tempfile.gettempdir(), f"txtidx_phr_{tag}")
     TI.write_text_index(docs, idx, n_buckets=32, store_positions=True)
-    parts = [
-        TI.phrase_query_index(spark, idx, p, k=_PHRASE_K).select(
-            F.lit(p).alias("phrase"), "doc_id", "n_occurrences"
-        )
-        for p in _PHRASES
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy(
-        "phrase", F.desc("n_occurrences"), F.col("doc_id").asc()
+    # ONE scan for both phrases (multi_phrase_query_index unions the
+    # slot tables and prunes to the union of the terms' buckets) — the
+    # benchmark-contamination shape, not one query per phrase
+    return TI.multi_phrase_query_index(
+        spark, idx, list(_PHRASES), k=_PHRASE_K
     )
 
 

@@ -452,3 +452,49 @@ def test_phrase_query_guards_and_pruning(spark, docs, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
     assert m and "bucket" in m.group(1), plan[:2000]
+
+
+def test_multi_phrase_single_scan_matches_per_phrase(spark, docs, tmp_path):
+    """multi_phrase_query_index (ONE positions scan for all phrases —
+    the benchmark-contamination shape) must agree with the per-phrase
+    brute force for every phrase, honor per-phrase top-k, share the
+    within window, and reject empty input."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16, store_positions=True)
+    toks = [t for t in docs.limit(1).collect()[0].text.lower().split() if t]
+    phrases = [
+        f"{toks[0]} {toks[1]}",
+        " ".join(toks[:3]),
+        "data data",
+        "zz-never-matches zz-never-matches",
+    ]
+    got = {}
+    for r in TI.multi_phrase_query_index(spark, path, phrases).collect():
+        got.setdefault(r.phrase, {})[r.doc_id] = r.n_occurrences
+    for p in phrases:
+        assert got.get(p, {}) == _brute_phrase(docs, p), p
+    # per-phrase top-k: each phrase independently truncated to its
+    # best doc (count desc, doc_id asc)
+    topped = TI.multi_phrase_query_index(spark, path, phrases, k=1).collect()
+    by_phrase = {}
+    for r in topped:
+        by_phrase.setdefault(r.phrase, []).append((r.doc_id, r.n_occurrences))
+    for p in phrases:
+        want = _brute_phrase(docs, p)
+        if not want:
+            assert p not in by_phrase
+            continue
+        best = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert by_phrase[p] == [best], p
+    # within window applies to every phrase
+    w_got = {}
+    for r in TI.multi_phrase_query_index(
+        spark, path, phrases[:2], within=2
+    ).collect():
+        w_got.setdefault(r.phrase, {})[r.doc_id] = r.n_occurrences
+    for p in phrases[:2]:
+        assert w_got.get(p, {}) == _brute_phrase(docs, p, within=2), p
+    with pytest.raises(ValueError, match="non-empty"):
+        TI.multi_phrase_query_index(spark, path, [])
+    with pytest.raises(ValueError, match="at least one token"):
+        TI.multi_phrase_query_index(spark, path, ["ok ok", "   "])
