@@ -429,3 +429,38 @@ def test_per_group_sample_rank_is_map_side_limited(spark):
     assert tree.count("WindowGroupLimit") >= 2, tree
     below_exchange = tree[tree.rindex("Exchange"):]
     assert "WindowGroupLimit" in below_exchange, tree
+
+
+def test_multi_phrase_plan_pruned_no_expand_map_side_topk(spark, tmp_path):
+    """The 100 TB mechanisms behind multi_phrase_query_index, pinned in
+    the physical plan: (a) ONE positions scan for all phrases with the
+    union of the phrases' term buckets as a PartitionFilter (directory
+    pruning); (b) the count(distinct slot) coverage check plans as a
+    two-level aggregate with NO Expand; (c) the per-phrase top-k plans
+    as a WindowGroupLimit below the final exchange (map-side rank
+    pruning, not a full sort of the matches)."""
+    import re
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16, store_positions=True)
+    out = TI.multi_phrase_query_index(
+        spark, path, ["value table", "table table"], k=10
+    )
+    plan = explain_str(out)
+    m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+    assert m, f"no bucket PartitionFilters in plan:\n{plan[:2000]}"
+    assert "Expand" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    # exactly one scan of the positions relation despite two phrases
+    assert plan.count("positions]") + plan.count("positions,") >= 1
+    assert len(re.findall(r"Location: InMemoryFileIndex \[[^\]]*positions",
+                          plan)) == 1, "positions relation scanned twice"
