@@ -411,6 +411,84 @@ ORDER BY phrase, n_occurrences DESC, doc_id
 """
 
 
+_PROX_PHRASES = ["fast table", "scan query"]
+_PROX_W = 1  # slop window: slot i may sit at start+i .. start+i+W
+
+
+def bm25_index_proximity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slop-W ordered PROXIMITY search on the positional index (the
+    phrase entry's relaxation): slot ``i`` of each probe phrase may
+    match any position in ``start+i .. start+i+W``, W=1 here — the
+    'terms near each other, in order' retrieval ask. Same single-scan
+    multi-phrase kernel as `bm25_index_phrase_docs` (the window only
+    widens each exploded position into W+1 candidate starts before the
+    per-(phrase,doc,start) slot-coverage count); the oracle replays
+    the windowed expansion in SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"txtidx_prox_{tag}")
+    TI.write_text_index(docs, idx, n_buckets=32, store_positions=True)
+    return TI.multi_phrase_query_index(
+        spark, idx, list(_PROX_PHRASES), k=_PHRASE_K, within=_PROX_W
+    )
+
+
+_PROX_SLOT_ROWS = ",\n         ".join(
+    f"('{p}', {i}, '{t}')"
+    for p in _PROX_PHRASES
+    for i, t in enumerate(p.split())
+)
+
+BM25_INDEX_PROX_SQL = rf"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM l
+), slots(phrase, slot, term) AS (
+  VALUES {_PROX_SLOT_ROWS}
+), nslots AS (
+  SELECT phrase, COUNT(*) AS n FROM slots GROUP BY phrase
+), expanded AS (
+  SELECT s.phrase, t.doc_id, s.slot,
+         unnest(generate_series(t.pos - s.slot - {_PROX_W},
+                                t.pos - s.slot)) AS start
+  FROM tok t JOIN slots s ON t.term = s.term
+), cov AS (
+  SELECT phrase, doc_id, start, COUNT(DISTINCT slot) AS ns
+  FROM expanded
+  WHERE start >= 1
+  GROUP BY phrase, doc_id, start
+), starts AS (
+  SELECT c.phrase, c.doc_id
+  FROM cov c JOIN nslots n USING (phrase)
+  WHERE c.ns = n.n
+)
+SELECT phrase, doc_id, n_occurrences FROM (
+  SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         row_number() OVER (
+           PARTITION BY phrase ORDER BY COUNT(*) DESC, doc_id
+         ) AS rn
+  FROM starts
+  GROUP BY phrase, doc_id
+)
+WHERE rn <= {_PHRASE_K}
+ORDER BY phrase, n_occurrences DESC, doc_id
+"""
+
+
 _CURATION_K = 200
 
 
@@ -922,6 +1000,7 @@ QUERIES = {
     "bm25_index_incremental": bm25_index_incremental,
     "bm25_index_delete_docs": bm25_index_delete_docs,
     "bm25_index_phrase_docs": bm25_index_phrase_docs,
+    "bm25_index_proximity_docs": bm25_index_proximity_docs,
     "curation_pipeline_stats": curation_pipeline_stats,
 }
 
@@ -938,5 +1017,6 @@ ORACLES = {
     "bm25_index_incremental": BM25_INDEX_INC_SQL,
     "bm25_index_delete_docs": BM25_INDEX_DEL_SQL,
     "bm25_index_phrase_docs": BM25_INDEX_PHRASE_SQL,
+    "bm25_index_proximity_docs": BM25_INDEX_PROX_SQL,
     "curation_pipeline_stats": CURATION_PIPELINE_SQL,
 }

@@ -331,3 +331,55 @@ def test_text_index_ingest_sink_stream_equals_oneshot(spark, tmp_path):
         for r in TI.bm25_query_index(spark, oneshot, terms, k=15).collect()
     ]
     assert got == want
+
+
+def test_text_index_ingest_preserves_positional_tier(spark, tmp_path):
+    """Streaming ingest into a POSITIONAL index: append_text_index
+    follows the meta's positions flag, so the streamed index must
+    answer phrase queries identically to a one-shot positional index
+    of the full corpus — the positions relation grows batch-by-batch
+    with the postings."""
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    TI.write_text_index(
+        docs.filter(F.col("doc_id") < 200), idx,
+        n_buckets=16, store_positions=True,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter(F.col("doc_id") >= 200).coalesce(1).write.parquet(
+        str(src / "_stage")
+    )
+    i = 0
+    for f in os.listdir(src / "_stage"):
+        if f.endswith(".parquet"):
+            shutil.copy(src / "_stage" / f, src / f"{i}.parquet")
+            i += 1
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = S.text_index_ingest_sink(stream, idx, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+    oneshot = str(tmp_path / "one")
+    TI.write_text_index(docs, oneshot, n_buckets=16, store_positions=True)
+    toks = [t for t in docs.limit(1).collect()[0].text.lower().split() if t]
+    phrase = f"{toks[0]} {toks[1]}"
+    got = [
+        tuple(r)
+        for r in TI.phrase_query_index(spark, idx, phrase, k=50).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in TI.phrase_query_index(
+            spark, oneshot, phrase, k=50
+        ).collect()
+    ]
+    assert got == want and got
