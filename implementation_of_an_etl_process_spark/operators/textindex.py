@@ -503,6 +503,114 @@ def multi_phrase_query_index(
     )
 
 
+def multi_phrase_query_index_df(
+    spark,
+    path: str,
+    phrases_df: DataFrame,
+    *,
+    phrase_col: str = "phrase",
+    k: int | None = None,
+    within: int | None = None,
+) -> DataFrame:
+    """:func:`multi_phrase_query_index` with the probe phrases as a
+    DataFRAME — the benchmark-contamination shape at ITS OWN scale:
+    millions of probe n-grams (every benchmark shingle) never touch
+    the driver. Phrases are tokenized distributively with the index's
+    tokenizer; empty phrases are dropped (not an error — shingle
+    extraction legitimately produces blank rows).
+
+    Bucket pruning stays STATIC even with an unbounded phrase
+    relation: the only thing collected is the DISTINCT BUCKET set of
+    the phrases' terms — at most ``n_buckets`` integers by
+    construction, regardless of phrase count — which becomes the same
+    ``isin`` PartitionFilter as the list-based path. The slot relation
+    is NOT broadcast here (it scales with the phrases), so the
+    term-level join shuffles phrase slots against the pruned postings
+    — both sides bounded by the probe terms' postings, never the
+    corpus. Returns (phrase, doc_id, n_occurrences), optionally
+    per-phrase top-k."""
+    from pyspark.sql import Window
+
+    meta = _load_meta(path)
+    _check_marker(path)
+    if not meta.get("positions", False):
+        raise ValueError(
+            f"text index at {path} was built without positions — "
+            "phrase queries need store_positions=True; rebuild with "
+            "write_text_index(..., store_positions=True)"
+        )
+    base = phrases_df.select(
+        F.col(phrase_col).alias("phrase")
+    ).distinct()
+    slots = base.select(
+        "phrase", F.posexplode(_tokens("phrase")).alias("slot", "term")
+    )
+    counts = slots.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("_n_slots")
+    )
+    n_buckets = meta["n_buckets"]
+    # bounded by construction: <= n_buckets distinct ints, however
+    # many phrases probe
+    buckets = sorted(
+        r.b
+        for r in slots.select(
+            F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not buckets:
+        raise ValueError("phrases_df contains no tokenizable phrases")
+    rel = (
+        spark.read.parquet(os.path.join(path, "positions"))
+        .filter(F.col("bucket").isin(buckets))  # partition pruning
+        .select("doc_id", "term", "positions")
+    )
+    rel = _apply_tombstones(spark, path, rel)
+    ex = rel.select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    ).join(slots, "term")
+    if within:
+        w = int(within)
+        starts = ex.select(
+            "phrase",
+            "doc_id",
+            "slot",
+            F.explode(
+                F.sequence(
+                    F.col("pos") - F.col("slot") - F.lit(w),
+                    F.col("pos") - F.col("slot"),
+                )
+            ).alias("start"),
+        ).filter(F.col("start") >= 0)
+    else:
+        starts = ex.select(
+            "phrase",
+            "doc_id",
+            "slot",
+            (F.col("pos") - F.col("slot")).alias("start"),
+        ).filter(F.col("start") >= 0)
+    occ = (
+        starts.groupBy("phrase", "doc_id", "start")
+        .agg(F.count_distinct("slot").alias("_ns"))
+        .join(counts, "phrase")
+        .filter(F.col("_ns") == F.col("_n_slots"))
+    )
+    out = occ.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    if k is not None:
+        rn = F.row_number().over(
+            Window.partitionBy("phrase").orderBy(
+                F.desc("n_occurrences"), F.col("doc_id").asc()
+            )
+        )
+        out = out.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+    return out.orderBy(
+        "phrase", F.desc("n_occurrences"), F.col("doc_id").asc()
+    )
+
+
 def phrase_query_index(
     spark,
     path: str,

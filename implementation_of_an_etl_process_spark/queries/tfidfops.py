@@ -489,6 +489,107 @@ ORDER BY phrase, n_occurrences DESC, doc_id
 """
 
 
+_CONTAM_MOD = 97  # "benchmark" = docs with doc_id % 97 == 0
+
+
+def contamination_phrase_index_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-backed benchmark contamination (the r11 verdict's stated
+    gap: the inline n-gram ops re-tokenize the corpus per check): the
+    'benchmark' is every consecutive BIGRAM of the docs with
+    ``doc_id % 97 == 0``, extracted DISTRIBUTIVELY (no phrase list
+    ever reaches the driver — `multi_phrase_query_index_df` collects
+    only the <= n_buckets distinct bucket ints), then matched against
+    the whole corpus in ONE pruned positions scan. Output is one row
+    per probe bigram: how many corpus docs contain it and the total
+    occurrence count — every probe hits at least its source doc, so
+    the row set is exactly the benchmark shingles."""
+    import hashlib
+    import os
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"txtidx_cont_{tag}")
+    TI.write_text_index(docs, idx, n_buckets=32, store_positions=True)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    bench = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(_CONTAM_MOD)) == 0)
+        .select(toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("_t")[i],
+                        F.col("_t")[i + F.lit(1)],
+                    ),
+                )
+            ).alias("phrase")
+        )
+    )
+    hits = TI.multi_phrase_query_index_df(spark, idx, bench)
+    return (
+        hits.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_hit"),
+            F.sum("n_occurrences").alias("total_occurrences"),
+        )
+        .orderBy("phrase")
+    )
+
+
+CONTAM_PHRASE_SQL = rf"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), bench AS (
+  SELECT DISTINCT toks[i] || ' ' || toks[i + 1] AS phrase
+  FROM l, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE doc_id % {_CONTAM_MOD} = 0
+), slots AS (
+  SELECT phrase,
+         unnest(string_split(phrase, ' ')) AS term,
+         unnest(generate_series(1, len(string_split(phrase, ' ')))) AS slot
+  FROM bench
+), nslots AS (
+  SELECT phrase, COUNT(*) AS n FROM slots GROUP BY phrase
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM l
+), cov AS (
+  SELECT s.phrase, t.doc_id, t.pos - (s.slot - 1) AS start,
+         COUNT(DISTINCT s.slot) AS ns
+  FROM tok t JOIN slots s ON t.term = s.term
+  WHERE t.pos - (s.slot - 1) >= 1
+  GROUP BY s.phrase, t.doc_id, t.pos - (s.slot - 1)
+), per_doc AS (
+  SELECT c.phrase, c.doc_id, COUNT(*) AS cnt
+  FROM cov c JOIN nslots n USING (phrase)
+  WHERE c.ns = n.n
+  GROUP BY c.phrase, c.doc_id
+)
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_docs_hit,
+       CAST(SUM(cnt) AS BIGINT) AS total_occurrences
+FROM per_doc
+GROUP BY phrase
+ORDER BY phrase
+"""
+
+
 _CURATION_K = 200
 
 
@@ -1001,6 +1102,7 @@ QUERIES = {
     "bm25_index_delete_docs": bm25_index_delete_docs,
     "bm25_index_phrase_docs": bm25_index_phrase_docs,
     "bm25_index_proximity_docs": bm25_index_proximity_docs,
+    "contamination_phrase_index_docs": contamination_phrase_index_docs,
     "curation_pipeline_stats": curation_pipeline_stats,
 }
 
@@ -1018,5 +1120,6 @@ ORACLES = {
     "bm25_index_delete_docs": BM25_INDEX_DEL_SQL,
     "bm25_index_phrase_docs": BM25_INDEX_PHRASE_SQL,
     "bm25_index_proximity_docs": BM25_INDEX_PROX_SQL,
+    "contamination_phrase_index_docs": CONTAM_PHRASE_SQL,
     "curation_pipeline_stats": CURATION_PIPELINE_SQL,
 }

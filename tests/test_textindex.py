@@ -498,3 +498,49 @@ def test_multi_phrase_single_scan_matches_per_phrase(spark, docs, tmp_path):
         TI.multi_phrase_query_index(spark, path, [])
     with pytest.raises(ValueError, match="at least one token"):
         TI.multi_phrase_query_index(spark, path, ["ok ok", "   "])
+
+
+def test_multi_phrase_df_matches_list_path(spark, docs, tmp_path):
+    """The DataFrame-driven phrase path (no driver collect of the
+    phrases — only the <= n_buckets distinct bucket ints) must agree
+    with the list path phrase-for-phrase, drop blank probe rows,
+    handle within, and refuse an all-blank relation."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=16, store_positions=True)
+    toks = [t for t in docs.limit(1).collect()[0].text.lower().split() if t]
+    phrases = [f"{toks[0]} {toks[1]}", " ".join(toks[:3]), "data data"]
+    pdf = spark.createDataFrame(
+        [(p,) for p in phrases] + [("   ",), ("",)], "phrase string"
+    )
+    for w in (None, 2):
+        got = [
+            tuple(r)
+            for r in TI.multi_phrase_query_index_df(
+                spark, path, pdf, within=w
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in TI.multi_phrase_query_index(
+                spark, path, phrases, within=w
+            ).collect()
+        ]
+        assert got == want and got, w
+    # per-phrase top-k agrees too
+    got_k = [
+        tuple(r)
+        for r in TI.multi_phrase_query_index_df(
+            spark, path, pdf, k=2
+        ).collect()
+    ]
+    want_k = [
+        tuple(r)
+        for r in TI.multi_phrase_query_index(
+            spark, path, phrases, k=2
+        ).collect()
+    ]
+    assert got_k == want_k
+    with pytest.raises(ValueError, match="no tokenizable"):
+        TI.multi_phrase_query_index_df(
+            spark, path, spark.createDataFrame([(" ",)], "phrase string")
+        )
