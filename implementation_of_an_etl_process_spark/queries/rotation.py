@@ -110,6 +110,9 @@ FAMILY_COVER: dict[str, set[str]] = {
                        "multimodal_wav_resample"},
     "jpeg-advanced": {"multimodal_jpeg420_decode", "multimodal_jpeg_prog_decode",
                       "multimodal_exif_orient_decode"},
+    # round-12 surface: positional tier of the text index
+    "phrase-index": {"bm25_index_phrase_docs", "bm25_index_proximity_docs",
+                     "contamination_phrase_index_docs"},
 }
 
 _MIN_STALE_LAG = 3  # rule (b) floor: lag never tightens below 3 rounds

@@ -544,3 +544,46 @@ def test_multi_phrase_df_matches_list_path(spark, docs, tmp_path):
         TI.multi_phrase_query_index_df(
             spark, path, spark.createDataFrame([(" ",)], "phrase string")
         )
+
+
+def test_marker_acquisition_is_atomic_across_threads(tmp_path):
+    """The O_EXCL marker contract, exercised with a real race: many
+    threads try to acquire the same index's writer marker
+    simultaneously; EXACTLY one must win per round, the losers must
+    get the loud collision error, and release hands the marker to a
+    later acquirer. Covers the text-index marker and the dedup
+    index's (advice r11: its check-then-open was racy)."""
+    import threading
+
+    from implementation_of_an_etl_process_spark.operators.dedup import (
+        _acquire_dedup_marker,
+    )
+
+    for acquire, release_path in (
+        (
+            lambda d: TI._acquire_marker(os.path.join(d, "_pending_append")),
+            "_pending_append",
+        ),
+        (_acquire_dedup_marker, "_pending_append"),
+    ):
+        d = str(tmp_path / f"idx{acquire.__name__ if hasattr(acquire, '__name__') else 'x'}")
+        os.makedirs(d, exist_ok=True)
+        for _round in range(3):
+            wins, errors = [], []
+            barrier = threading.Barrier(8)
+
+            def attempt():
+                barrier.wait()
+                try:
+                    acquire(d)
+                    wins.append(1)
+                except ValueError:
+                    errors.append(1)
+
+            threads = [threading.Thread(target=attempt) for _ in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert len(wins) == 1 and len(errors) == 7
+            os.remove(os.path.join(d, release_path))
