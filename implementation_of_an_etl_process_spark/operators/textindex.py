@@ -827,3 +827,67 @@ def compact_text_index(spark, path: str) -> dict:
     finally:
         if os.path.exists(postings):
             os.remove(pending)
+
+
+def text_index_stats(path: str) -> dict:
+    """Read-only operational snapshot of the index — what an ingest
+    loop's monitoring and compaction policy consume. Pure filesystem
+    metadata (meta.json + directory walks): no Spark session, no data
+    read, safe to poll at any frequency. Reports the torn-state marker
+    instead of raising so an operator dashboard can SEE a wedged
+    index."""
+    meta = _load_meta(path)
+
+    def _nfiles(d: str) -> int:
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    postings = os.path.join(path, "postings")
+    pos_dir = os.path.join(path, "positions")
+    dels = os.path.join(path, "_deletes")
+    ledger_path = os.path.join(path, "_batches.json")
+    batches: list[int] = []
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            batches = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    files_postings = _nfiles(postings)
+    return {
+        "n_docs": int(meta["n_docs"]),
+        "total_len": int(meta["total_len"]),
+        "n_buckets": n_buckets,
+        "positions": bool(meta.get("positions", False)),
+        "files_postings": files_postings,
+        "files_positions": _nfiles(pos_dir) if os.path.exists(pos_dir) else 0,
+        "files_per_bucket": files_postings / max(n_buckets, 1),
+        "has_tombstones": os.path.exists(dels),
+        "files_tombstones": _nfiles(dels) if os.path.exists(dels) else 0,
+        "committed_batches": len(batches),
+        "pending_append": os.path.exists(
+            os.path.join(path, "_pending_append")
+        ),
+    }
+
+
+def maybe_compact_text_index(
+    spark, path: str, *, max_files_per_bucket: float = 4.0
+) -> dict | None:
+    """Threshold-driven compaction for the steady-state ingest loop:
+    every append adds ~one file per touched bucket, and the 2M-doc leg
+    measured the small-file tax on probes — but compacting after every
+    batch would pay a corpus rewrite per batch. This policy compacts
+    only when the mean postings-file count per bucket exceeds
+    ``max_files_per_bucket`` (appends since last compaction ~
+    threshold - 1). Returns compact_text_index's stats when it ran,
+    None when the index is still healthy — callers just invoke it
+    after each append."""
+    stats = text_index_stats(path)
+    if stats["files_per_bucket"] <= max_files_per_bucket and not stats[
+        "has_tombstones"
+    ]:
+        return None
+    return compact_text_index(spark, path)

@@ -587,3 +587,41 @@ def test_marker_acquisition_is_atomic_across_threads(tmp_path):
                 t.join()
             assert len(wins) == 1 and len(errors) == 7
             os.remove(os.path.join(d, release_path))
+
+
+def test_stats_and_threshold_compaction_policy(spark, docs, tmp_path):
+    """text_index_stats reports the operational state without Spark;
+    maybe_compact_text_index is a no-op on a healthy index, fires past
+    the files-per-bucket threshold OR when tombstones exist, and
+    leaves query results identical."""
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=8, store_positions=True)
+    st = TI.text_index_stats(path)
+    assert st["n_docs"] == docs.count() and st["positions"]
+    assert not st["has_tombstones"] and not st["pending_append"]
+    assert st["files_per_bucket"] >= 1
+    assert TI.maybe_compact_text_index(spark, path) is None  # healthy
+    tenth = F.pmod(F.col("doc_id"), F.lit(10))
+    extra = docs.withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    for i in range(5):
+        TI.append_text_index(
+            extra.filter(tenth == i), path, batch_id=i
+        )
+    st2 = TI.text_index_stats(path)
+    assert st2["committed_batches"] == 5
+    assert st2["files_per_bucket"] > 4
+    before = _topk(spark, path)
+    out = TI.maybe_compact_text_index(spark, path)
+    assert out is not None and out["files_after"] < out["files_before"]
+    assert _topk(spark, path) == before
+    assert TI.text_index_stats(path)["files_per_bucket"] <= 4
+    # tombstones force a compaction regardless of file counts
+    TI.delete_from_text_index(spark, path, [10000])
+    assert TI.text_index_stats(path)["has_tombstones"]
+    assert TI.maybe_compact_text_index(spark, path) is not None
+    assert not TI.text_index_stats(path)["has_tombstones"]
+    # a torn index is VISIBLE in stats (no raise)
+    open(os.path.join(path, "_pending_append"), "w").write("x\n")
+    assert TI.text_index_stats(path)["pending_append"]
