@@ -1769,3 +1769,55 @@ def ingest_batch(
     )
     os.remove(pending_path)
     return out
+
+
+def dedup_index_stats(index_path: str) -> dict:
+    """Read-only operational snapshot of the persisted dedup index
+    (completing the stats trilogy with `text_index_stats` and
+    `ivfpq_index_stats`): pure filesystem metadata, no Spark session.
+    The torn-state marker is reported, not raised."""
+    import os
+
+    meta = _load_meta(index_path)
+
+    def _nparquet(d: str) -> int:
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    md5_dir = os.path.join(index_path, "md5")
+    bands_dir = os.path.join(index_path, "bands")
+    dels = os.path.join(index_path, "_deletes")
+    n_bands = int(meta["bands"])
+    files_bands = _nparquet(bands_dir) if os.path.exists(bands_dir) else 0
+    return {
+        "k": int(meta["k"]),
+        "n_hashes": int(meta["n_hashes"]),
+        "bands": n_bands,
+        "files_md5": _nparquet(md5_dir) if os.path.exists(md5_dir) else 0,
+        "files_bands": files_bands,
+        "files_per_band": files_bands / max(n_bands, 1),
+        "has_tombstones": os.path.exists(dels),
+        "files_tombstones": _nparquet(dels) if os.path.exists(dels) else 0,
+        "pending_append": os.path.exists(
+            os.path.join(index_path, "_pending_append")
+        ),
+    }
+
+
+def maybe_compact_dedup_index(
+    spark, index_path: str, *, max_files_per_band: float = 4.0
+) -> dict | None:
+    """Threshold-driven compaction for the dedup ingest loop (the
+    trilogy's third `maybe_compact_*`): compact when the mean banding
+    files per band partition exceed the threshold or tombstones exist;
+    otherwise a cheap filesystem no-op."""
+    stats = dedup_index_stats(index_path)
+    if stats["files_per_band"] <= max_files_per_band and not stats[
+        "has_tombstones"
+    ]:
+        return None
+    return compact_dedup_index(spark, index_path)

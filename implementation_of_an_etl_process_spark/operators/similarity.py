@@ -1473,3 +1473,64 @@ def compact_ivfpq_index(spark, path: str) -> dict:
         # failed, leave it so reads hit the loud torn-state guard
         if os.path.exists(codes):
             os.remove(pending_path)
+
+
+def _nparquet(d: str) -> int:
+    import os
+
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(d)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def ivfpq_index_stats(path: str) -> dict:
+    """Read-only operational snapshot of the persisted IVF-PQ index
+    (the text index's `text_index_stats` twin): pure filesystem
+    metadata, no Spark session, safe to poll. The torn-state marker is
+    REPORTED, not raised, so monitoring can see a wedged index."""
+    import json
+    import os
+
+    meta = _load_ivfpq_meta(path)
+    codes = os.path.join(path, "codes")
+    dels = os.path.join(path, "_deletes")
+    ledger_path = os.path.join(path, "_batches.json")
+    batches: list[int] = []
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            batches = json.load(f)
+    n_cells = len(meta["centroids"])
+    files_codes = _nparquet(codes) if os.path.exists(codes) else 0
+    return {
+        "n_cells": n_cells,
+        "m": int(meta["m"]),
+        "n_codes": int(meta["n_codes"]),
+        "residual": bool(meta["residual"]),
+        "files_codes": files_codes,
+        "files_per_cell": files_codes / max(n_cells, 1),
+        "has_tombstones": os.path.exists(dels),
+        "files_tombstones": _nparquet(dels) if os.path.exists(dels) else 0,
+        "committed_batches": len(batches),
+        "pending_append": os.path.exists(
+            os.path.join(path, "_pending_append")
+        ),
+    }
+
+
+def maybe_compact_ivfpq_index(
+    spark, path: str, *, max_files_per_cell: float = 4.0
+) -> dict | None:
+    """Threshold-driven compaction for the ANN ingest loop (the text
+    index's `maybe_compact_text_index` twin): compact when the mean
+    codes-file count per cell exceeds the threshold or tombstones
+    exist; otherwise a cheap filesystem no-op. Returns the compaction
+    stats when it ran, None when the index is healthy."""
+    stats = ivfpq_index_stats(path)
+    if stats["files_per_cell"] <= max_files_per_cell and not stats[
+        "has_tombstones"
+    ]:
+        return None
+    return compact_ivfpq_index(spark, path)

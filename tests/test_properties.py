@@ -663,3 +663,79 @@ def test_compaction_equals_rebuild_all_three_indexes(
 
     for p in (base / "txt", base / "dd", base / "pq"):
         assert not os.path.exists(str(p / "_deletes"))
+
+
+def test_stats_and_auto_compaction_uniform_across_trilogy(
+    spark, tmp_path_factory
+):
+    """The stats + maybe_compact_* surface behaves uniformly across
+    the persisted-index trilogy: healthy index -> no-op, fragmented or
+    tombstoned index -> compaction fires and the health metric drops
+    back under the threshold."""
+    from implementation_of_an_etl_process_spark.operators import (
+        dedup as D,
+        similarity as S,
+        textindex as TI,
+    )
+
+    base = tmp_path_factory.mktemp("trilogy_stats")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 100)
+    )
+
+    # text
+    t = str(base / "txt")
+    TI.write_text_index(docs.filter(F.col("doc_id") < 50), t, n_buckets=4)
+    assert TI.maybe_compact_text_index(spark, t) is None
+    for i in range(5):
+        TI.append_text_index(
+            docs.filter(F.col("doc_id") == 50 + i), t, batch_id=i
+        )
+    assert TI.text_index_stats(t)["files_per_bucket"] > 4
+    assert TI.maybe_compact_text_index(spark, t) is not None
+    assert TI.text_index_stats(t)["files_per_bucket"] <= 4
+
+    # dedup
+    d = str(base / "dd")
+    kw = dict(k=3, n_hashes=16, bands=4)
+    D.write_dedup_index(
+        docs.filter(F.col("doc_id") < 50), d, "doc_id", "text", **kw
+    )
+    assert D.maybe_compact_dedup_index(spark, d) is None
+    for i in range(5):
+        D.write_dedup_index(
+            docs.filter(F.col("doc_id") == 50 + i), d, "doc_id", "text",
+            mode="append", **kw,
+        )
+    assert D.dedup_index_stats(d)["files_per_band"] > 4
+    assert D.maybe_compact_dedup_index(spark, d) is not None
+    assert D.dedup_index_stats(d)["files_per_band"] <= 4
+
+    # ivfpq: tombstones force compaction even when file counts are low
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=4, n_train=128,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=8, n_codes=16, dim=64, centroids=cents,
+    )
+    p = str(base / "pq")
+    S.write_ivfpq_index(
+        emb, p, books, cents, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    st = S.ivfpq_index_stats(p)
+    assert st["n_cells"] == 4 and not st["pending_append"]
+    if st["files_per_cell"] <= 4:
+        assert S.maybe_compact_ivfpq_index(spark, p) is None
+    S.delete_from_ivfpq_index(spark, p, [0, 1])
+    assert S.ivfpq_index_stats(p)["has_tombstones"]
+    assert S.maybe_compact_ivfpq_index(spark, p) is not None
+    assert not S.ivfpq_index_stats(p)["has_tombstones"]
