@@ -590,6 +590,126 @@ ORDER BY phrase
 """
 
 
+def curation_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION as a composed curation stage: the
+    training corpus is screened against the 'benchmark' (every bigram
+    of the ``doc_id % 97 == 0`` docs) THROUGH the positional index —
+    one pruned positions scan finds every contaminated doc (any doc
+    containing any benchmark bigram, which includes the benchmark
+    docs themselves), an anti-join drops them, and the output is the
+    per-source keep/drop ledger a curation run reports (docs kept,
+    docs dropped, tokens surviving). The probe phrases never reach
+    the driver (`multi_phrase_query_index_df`); the oracle recomposes
+    shingle extraction, adjacency matching, and the per-source
+    aggregate in SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"txtidx_dect_{tag}")
+    TI.write_text_index(docs, idx, n_buckets=32, store_positions=True)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    bench = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(_CONTAM_MOD)) == 0)
+        .select(toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("_t")[i],
+                        F.col("_t")[i + F.lit(1)],
+                    ),
+                )
+            ).alias("phrase")
+        )
+    )
+    hits = (
+        TI.multi_phrase_query_index_df(spark, idx, bench)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ledger = docs.select(
+        "doc_id", "source", F.size(toks).alias("_n_toks")
+    ).join(hits, "doc_id", "left")
+    return (
+        ledger.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("_hit").isNull(), 1)).alias("n_docs_kept"),
+            F.count(F.when(F.col("_hit").isNotNull(), 1)).alias(
+                "n_docs_dropped"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("_hit").isNull(), F.col("_n_toks"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_DECONTAM_SQL = rf"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), bench AS (
+  SELECT DISTINCT toks[i] || ' ' || toks[i + 1] AS phrase
+  FROM l, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE doc_id % {_CONTAM_MOD} = 0
+), slots AS (
+  SELECT phrase,
+         unnest(string_split(phrase, ' ')) AS term,
+         unnest(generate_series(1, len(string_split(phrase, ' ')))) AS slot
+  FROM bench
+), nslots AS (
+  SELECT phrase, COUNT(*) AS n FROM slots GROUP BY phrase
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM l
+), cov AS (
+  SELECT s.phrase, t.doc_id, t.pos - (s.slot - 1) AS start,
+         COUNT(DISTINCT s.slot) AS ns
+  FROM tok t JOIN slots s ON t.term = s.term
+  WHERE t.pos - (s.slot - 1) >= 1
+  GROUP BY s.phrase, t.doc_id, t.pos - (s.slot - 1)
+), hits AS (
+  SELECT DISTINCT c.doc_id
+  FROM cov c JOIN nslots n USING (phrase)
+  WHERE c.ns = n.n
+)
+SELECT d.source,
+       CAST(COUNT(*) FILTER (WHERE h.doc_id IS NULL) AS BIGINT)
+         AS n_docs_kept,
+       CAST(COUNT(*) FILTER (WHERE h.doc_id IS NOT NULL) AS BIGINT)
+         AS n_docs_dropped,
+       CAST(COALESCE(
+         SUM(len(l.toks)) FILTER (WHERE h.doc_id IS NULL), 0
+       ) AS BIGINT) AS tokens_kept
+FROM l
+JOIN documents d USING (doc_id)
+LEFT JOIN hits h ON h.doc_id = l.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 _CURATION_K = 200
 
 
@@ -1103,6 +1223,7 @@ QUERIES = {
     "bm25_index_phrase_docs": bm25_index_phrase_docs,
     "bm25_index_proximity_docs": bm25_index_proximity_docs,
     "contamination_phrase_index_docs": contamination_phrase_index_docs,
+    "curation_decontam_stats": curation_decontam_stats,
     "curation_pipeline_stats": curation_pipeline_stats,
 }
 
@@ -1121,5 +1242,6 @@ ORACLES = {
     "bm25_index_phrase_docs": BM25_INDEX_PHRASE_SQL,
     "bm25_index_proximity_docs": BM25_INDEX_PROX_SQL,
     "contamination_phrase_index_docs": CONTAM_PHRASE_SQL,
+    "curation_decontam_stats": CURATION_DECONTAM_SQL,
     "curation_pipeline_stats": CURATION_PIPELINE_SQL,
 }
