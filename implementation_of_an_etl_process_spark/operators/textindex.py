@@ -415,8 +415,6 @@ def multi_phrase_query_index(
     ordered-proximity window to every phrase. Phrases are tokenized
     with the index's own tokenizer; duplicates are dropped; empty
     phrases raise."""
-    from pyspark.sql import Window
-
     meta = _load_meta(path)
     _check_marker(path)
     if not meta.get("positions", False):
@@ -450,56 +448,8 @@ def multi_phrase_query_index(
             list(n_slots.items()), "phrase string, _n_slots int"
         )
     )
-    rel = (
-        spark.read.parquet(os.path.join(path, "positions"))
-        .filter(F.col("bucket").isin(buckets))  # partition pruning
-        .filter(F.col("term").isin(terms))
-        .select("doc_id", "term", "positions")
-    )
-    rel = _apply_tombstones(spark, path, rel)  # merge-on-read deletes
-    ex = rel.select(
-        "doc_id", "term", F.explode("positions").alias("pos")
-    ).join(slots_df, "term")
-    if within:
-        w = int(within)
-        starts = ex.select(
-            "phrase",
-            "doc_id",
-            "slot",
-            F.explode(
-                F.sequence(
-                    F.col("pos") - F.col("slot") - F.lit(w),
-                    F.col("pos") - F.col("slot"),
-                )
-            ).alias("start"),
-        ).filter(F.col("start") >= 0)
-    else:
-        starts = ex.select(
-            "phrase",
-            "doc_id",
-            "slot",
-            (F.col("pos") - F.col("slot")).alias("start"),
-        ).filter(F.col("start") >= 0)
-    occ = (
-        starts.groupBy("phrase", "doc_id", "start")
-        .agg(F.count_distinct("slot").alias("_ns"))
-        .join(counts_df, "phrase")
-        .filter(F.col("_ns") == F.col("_n_slots"))
-    )
-    out = occ.groupBy("phrase", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_occurrences")
-    )
-    if k is not None:
-        # per-phrase top-k without a per-phrase query: rank inside the
-        # one aggregate's output (WindowGroupLimit keeps this map-side)
-        rn = F.row_number().over(
-            Window.partitionBy("phrase").orderBy(
-                F.desc("n_occurrences"), F.col("doc_id").asc()
-            )
-        )
-        out = out.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
-    return out.orderBy(
-        "phrase", F.desc("n_occurrences"), F.col("doc_id").asc()
+    return _phrase_match_kernel(
+        spark, path, slots_df, counts_df, buckets, k=k, within=within
     )
 
 
@@ -529,8 +479,6 @@ def multi_phrase_query_index_df(
     — both sides bounded by the probe terms' postings, never the
     corpus. Returns (phrase, doc_id, n_occurrences), optionally
     per-phrase top-k."""
-    from pyspark.sql import Window
-
     meta = _load_meta(path)
     _check_marker(path)
     if not meta.get("positions", False):
@@ -561,15 +509,65 @@ def multi_phrase_query_index_df(
     )
     if not buckets:
         raise ValueError("phrases_df contains no tokenizable phrases")
+    return _phrase_match_kernel(
+        spark, path, slots, counts, buckets, k=k, within=within
+    )
+
+
+def _phrase_match_kernel(
+    spark,
+    path: str,
+    slots: DataFrame,
+    counts: DataFrame,
+    buckets: list[int],
+    *,
+    k: int | None,
+    within: int | None,
+) -> DataFrame:
+    """Shared phrase-matching plan behind both multi-phrase entry
+    points. ``slots`` is (phrase, slot, term), ``counts`` is (phrase,
+    _n_slots); the list path passes them broadcast, the DataFrame path
+    passes them as-is (they scale with the probe set).
+
+    Intersect-before-positions (the classic phrase-query optimization):
+    position arrays are exploded ONLY for (phrase, doc) pairs whose doc
+    contains EVERY distinct term of the phrase — containment is decided
+    on the narrow (doc, term) projection first, so a phrase with one
+    rare term collapses the exploded volume from the sum of its terms'
+    postings to the rare term's candidate docs. A stopword-heavy
+    phrase ("of the") degrades gracefully to the old cost, never
+    worse asymptotically (the candidate filter is one extra narrow
+    aggregate over the already-pruned postings)."""
+    from pyspark.sql import Window
+
     rel = (
         spark.read.parquet(os.path.join(path, "positions"))
         .filter(F.col("bucket").isin(buckets))  # partition pruning
         .select("doc_id", "term", "positions")
     )
-    rel = _apply_tombstones(spark, path, rel)
-    ex = rel.select(
-        "doc_id", "term", F.explode("positions").alias("pos")
-    ).join(slots, "term")
+    rel = _apply_tombstones(spark, path, rel)  # merge-on-read deletes
+    term_req = slots.select("phrase", "term").distinct()
+    n_req = term_req.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("_n_req")
+    )
+    cand = (
+        rel.select("doc_id", "term")
+        .join(term_req, "term")
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_have"))
+        .join(n_req, "phrase")
+        .filter(F.col("_n_have") == F.col("_n_req"))
+        .select("phrase", "doc_id")
+    )
+    ex = (
+        rel.join(term_req, "term")
+        .join(cand, ["phrase", "doc_id"], "left_semi")
+        .select(
+            "phrase", "doc_id", "term",
+            F.explode("positions").alias("pos"),
+        )
+        .join(slots, ["phrase", "term"])
+    )
     if within:
         w = int(within)
         starts = ex.select(
@@ -600,6 +598,8 @@ def multi_phrase_query_index_df(
         F.count(F.lit(1)).alias("n_occurrences")
     )
     if k is not None:
+        # per-phrase top-k without a per-phrase query: rank inside the
+        # one aggregate's output (WindowGroupLimit keeps this map-side)
         rn = F.row_number().over(
             Window.partitionBy("phrase").orderBy(
                 F.desc("n_occurrences"), F.col("doc_id").asc()

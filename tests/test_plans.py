@@ -460,7 +460,20 @@ def test_multi_phrase_plan_pruned_no_expand_map_side_topk(spark, tmp_path):
     assert "Expand" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan, plan[:2000]
-    # exactly one scan of the positions relation despite two phrases
-    assert plan.count("positions]") + plan.count("positions,") >= 1
-    assert len(re.findall(r"Location: InMemoryFileIndex \[[^\]]*positions",
-                          plan)) == 1, "positions relation scanned twice"
+    # intersect-before-positions: EXACTLY two scans of the positions
+    # relation — the narrow candidate pass (doc_id+term only, the
+    # array column pruned away) and the explode pass for candidate
+    # docs — and EVERY scan is bucket-pruned
+    scans = re.findall(
+        r"Location: InMemoryFileIndex \[[^\]]*positions", plan
+    )
+    assert len(scans) == 2, f"expected 2 positions scans: {len(scans)}"
+    schemas = [
+        s
+        for s in re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+        if "doc_id" in s
+    ]
+    assert any("positions" not in s for s in schemas), (
+        f"candidate pass must not read the array column: {schemas}"
+    )
+    assert plan.count("PartitionFilters: [bucket") >= 2, plan[:2000]
