@@ -1352,13 +1352,33 @@ def ivfpq_query_index(
     n_probe: int = 8,
     shortlist: int = 100,
     exclude_self: bool = True,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query a persisted index end to end: load model + codes, probe,
     ADC, exact re-rank against ``corpus`` (the true vectors — the index
     never stores them). Tombstoned ids (merge-on-read deletes) are
-    filtered before the ADC."""
+    filtered before the ADC.
+
+    ``allowed_ids`` (one column named ``corpus_id``) is FILTERED
+    vector search — "top-k among docs WHERE <metadata predicate>" —
+    applied as a semi-join on the codes relation BEFORE the ADC
+    shortlist, the same placement as the tombstone anti-join. Filtering
+    before the shortlist is the correct filtered-ANN shape: filtering
+    AFTER would silently return fewer than k (or lose recall) whenever
+    the predicate is selective, because the shortlist would be spent on
+    disqualified ids. With ``n_probe = n_cells`` and ``shortlist`` >=
+    the qualifying count, results are EXACT among qualifying docs (the
+    re-rank uses true vectors)."""
     index, books, cents, residual = read_ivfpq_index(spark, path)
     index = _apply_ivfpq_tombstones(spark, path, index)
+    if allowed_ids is not None:
+        # no broadcast hint: the allowed set ranges from a handful of
+        # ids to most of the corpus — AQE picks the strategy
+        index = index.join(
+            allowed_ids.select(F.col(corpus_id).alias("cid")).distinct(),
+            "cid",
+            "left_semi",
+        )
     return ivfpq_topk(
         queries,
         corpus,

@@ -906,8 +906,98 @@ FROM af ORDER BY vec_id
 KMEANS_SQL = _kmeans_oracle()
 
 
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — "top-k among vectors WHERE <metadata
+    predicate>" (here ``label % 3 == 0``), the retrieval shape every
+    vector store is asked for. The hashed baseline is exact brute-force
+    cosine over the qualifying corpus only; the same filter is ALSO
+    pushed into the persisted IVF-PQ index as an ``allowed_ids``
+    semi-join BEFORE the ADC shortlist (filtering after the shortlist
+    would starve k on selective predicates), probed exhaustively so the
+    exact re-rank must return the identical (query, neighbor) top-k
+    SET — pinned as an invariant bit."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    allowed = emb.filter(F.pmod(F.col("label"), F.lit(3)) == 0)
+    brute = S.brute_force_topk(
+        emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select("vec_id", "embedding")
+        .withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("embedding", "qvec"),
+        allowed.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        ),
+        query_id="qid",
+        query_vec="qvec",
+        corpus_id="cid",
+        corpus_vec="cvec",
+        k=5,
+    )
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=8, n_train=1024,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=8, n_codes=32, dim=_EMB_DIM, centroids=cents,
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"ivfpq_filt_{tag}")
+    S.write_ivfpq_index(
+        emb, idx, books, cents, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    via_index = S.ivfpq_query_index(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") < _N_QUERY_VECS),
+        emb,
+        query_id="vec_id",
+        query_vec="embedding",
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        k=5,
+        n_probe=8,  # = n_cells: exhaustive probe -> exact among allowed
+        shortlist=10**6,
+        allowed_ids=allowed.select("vec_id"),
+    )
+    pairs_brute = {(r["qid"], r["cid"]) for r in brute.collect()}
+    pairs_index = {(r["qid"], r["cid"]) for r in via_index.collect()}
+    same = int(pairs_brute == pairs_index)
+    return brute.orderBy("qid", "rank").select(
+        "*", F.lit(same).alias("index_path_identical")
+    )
+
+
+SIMILARITY_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, {_QUANT} AS qv FROM embeddings
+  WHERE vec_id < {_N_QUERY_VECS}
+), c AS (
+  SELECT vec_id AS cid, {_QUANT} AS cv FROM embeddings WHERE label % 3 = 0
+), scored AS (
+  SELECT qid, cid,
+         ROUND(
+           CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)]) AS DOUBLE)
+           / (sqrt(CAST(list_sum([x * x FOR x IN qv]) AS DOUBLE))
+              * sqrt(CAST(list_sum([x * x FOR x IN cv]) AS DOUBLE))), 6) AS score
+  FROM q, c WHERE qid <> cid
+), ranked AS (
+  SELECT qid, cid, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC)
+              AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, cid, score, rank, 1 AS index_path_identical
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
+    "similarity_filtered_topk": similarity_filtered_topk,
     "embedding_label_centroids": embedding_label_centroids,
     "similarity_pq_recall": similarity_pq_recall,
     "similarity_topk_cosine": similarity_topk_cosine,
@@ -923,6 +1013,7 @@ QUERIES = {
 
 ORACLES = {
     "kmeans_embeddings": KMEANS_SQL,
+    "similarity_filtered_topk": SIMILARITY_FILTERED_SQL,
     "embedding_label_centroids": LABEL_CENTROIDS_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,
     "similarity_topk_cosine": SIMILARITY_TOPK_SQL,

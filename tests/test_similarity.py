@@ -882,3 +882,74 @@ def test_ivfpq_merge_on_read_deletes(spark, tmp_path):
     (tmp_path / "idx" / "_pending_append").write_text("stale\n")
     with pytest.raises(ValueError, match="marker present"):
         S.delete_from_ivfpq_index(spark, path, [1])
+
+
+def test_ivfpq_filtered_query_allowed_ids(spark, tmp_path):
+    """Filtered vector search through the persisted index: the
+    allowed_ids semi-join applies BEFORE the ADC shortlist, so (a) an
+    exhaustive probe returns exactly the brute-force top-k among the
+    qualifying vectors, (b) a predicate with fewer than k qualifying
+    ids returns only those ids — never a disqualified filler — and
+    (c) the filter composes with merge-on-read deletes (a tombstoned
+    id stays gone even when allowed)."""
+    emb = _emb(spark).filter(F.col("vec_id") < 200)
+    cents = S.train_ivf_centroids(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        n_cells=4, n_train=256,
+    )
+    books = S.train_pq_codebooks_distributed(
+        emb, corpus_vec="embedding", corpus_id="vec_id",
+        m=8, n_codes=16, dim=64, centroids=cents,
+    )
+    path = str(tmp_path / "idx")
+    S.write_ivfpq_index(
+        emb, path, books, cents, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, n_probe=4, shortlist=10**6,
+    )
+    allowed = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0).select(
+        "vec_id"
+    )
+    got = {
+        (r["qid"], r["cid"])
+        for r in S.ivfpq_query_index(
+            spark, path, queries, emb, allowed_ids=allowed, **kw
+        ).collect()
+    }
+    want = {
+        (r["qid"], r["cid"])
+        for r in S.brute_force_topk(
+            queries.select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"),
+            ),
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0).select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cvec"),
+            ),
+            query_id="qid", query_vec="qvec",
+            corpus_id="cid", corpus_vec="cvec", k=5,
+        ).collect()
+    }
+    assert got == want and got
+    assert all(cid % 3 == 0 for _, cid in got)
+    # fewer qualifying than k: returns exactly the qualifying set
+    tiny = spark.createDataFrame([(9,), (18,), (27,)], "vec_id long")
+    rows = S.ivfpq_query_index(
+        spark, path, queries, emb, allowed_ids=tiny, **kw
+    ).collect()
+    assert {r["cid"] for r in rows} <= {9, 18, 27}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], set()).add(r["cid"])
+    assert all(v == {9, 18, 27} for v in per_q.values())
+    # composes with MoR deletes: a tombstoned allowed id stays gone
+    S.delete_from_ivfpq_index(spark, path, [18])
+    rows2 = S.ivfpq_query_index(
+        spark, path, queries, emb, allowed_ids=tiny, **kw
+    ).collect()
+    assert {r["cid"] for r in rows2} == {9, 27}
