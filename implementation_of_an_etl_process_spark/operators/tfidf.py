@@ -384,3 +384,44 @@ class Bm25Session:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    *,
+    rank_col: str = "rank",
+    k: int = 60,
+    scale: int = 1_000_000,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al.): combine rankings from
+    heterogeneous retrieval systems — BM25's integer scores and a
+    vector search's cosines are not comparable, but their RANKS are.
+    ``fused(d) = sum_i scale div (k + rank_i(d))``, ids missing from a
+    ranking contributing 0. Integer division on integer ranks makes
+    the fused score summation-order independent and engine-exact (the
+    repo's oracle convention — no float ever reaches the output).
+
+    Returns (id_col, rrf_q, n_systems) ordered by rrf_q desc, id asc
+    (top-``topk`` if given). At scale each ranking is already a
+    top-k-sized relation, so fusion is a union + one tiny aggregate —
+    never a corpus-level operation."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    contrib = F.expr(
+        f"CAST({int(scale)} AS BIGINT) div "
+        f"(CAST({int(k)} AS BIGINT) + {rank_col})"
+    )
+    parts = [
+        r.select(F.col(id_col), contrib.alias("_rrf")) for r in rankings
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    out = un.groupBy(id_col).agg(
+        F.sum("_rrf").alias("rrf_q"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    out = out.orderBy(F.desc("rrf_q"), F.col(id_col).asc())
+    return out.limit(topk) if topk is not None else out

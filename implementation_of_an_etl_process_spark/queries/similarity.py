@@ -7,11 +7,12 @@ doubles — float-path cosine would differ in summation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.operators import dedup as D
 from implementation_of_an_etl_process_spark.operators import similarity as S
+from implementation_of_an_etl_process_spark.operators.tfidf import IDF_SCALE
 
 _N_QUERY_VECS = 20
 
@@ -995,9 +996,127 @@ FROM ranked WHERE rank <= 5 ORDER BY qid, rank
 """
 
 
+_HYBRID_TERMS = ("vector", "stream", "merge", "hash")
+_HYBRID_POOL = 50  # per-system candidate pool fed into the fusion
+_HYBRID_K = 20
+
+
+def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the standard two-tower retrieval stack: a
+    lexical ranking (integer-exact BM25 over the documents table) and
+    a semantic ranking (exact cosine against doc 0's embedding; the
+    embeddings table is id-aligned with documents) fused by Reciprocal
+    Rank Fusion (`operators/tfidf.py::rrf_fuse` — integer `scale div
+    (60 + rank)`, so the fused score is engine-exact). Scores from the
+    two systems are incomparable; their RANKS fuse. Output: top-20
+    fused docs with the per-doc system count."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from implementation_of_an_etl_process_spark.plans import spread
+
+    docs = spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "text")
+    emb = _emb(spark, sf_dir)
+    bm25 = bm25_topk(docs, list(_HYBRID_TERMS), k=_HYBRID_POOL)
+    w = Window.orderBy(F.desc("score_q"), F.col("doc_id").asc())
+    bm25_ranked = bm25.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("rank")
+    )
+    cos_ranked = S.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        ),
+        query_id="qid",
+        query_vec="qvec",
+        corpus_id="cid",
+        corpus_vec="cvec",
+        k=_HYBRID_POOL,
+    ).select(F.col("cid").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [bm25_ranked, cos_ranked], "doc_id", topk=_HYBRID_K
+    )
+
+
+_HYBRID_IN = ", ".join(f"'{t}'" for t in _HYBRID_TERMS)
+
+HYBRID_RETRIEVAL_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), lens AS (
+  SELECT doc_id, COUNT(*) AS len FROM tok2 GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM(len) FROM lens) AS total_len
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok2 WHERE term IN ({_HYBRID_IN})
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term, n_docs, total_len,
+         CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * {IDF_SCALE})
+              AS BIGINT) AS idf_q
+  FROM dfq, stats
+), sc AS (
+  SELECT tf.doc_id,
+         CAST(CAST(idf_q AS HUGEINT) * (2200 * tf.tf) * total_len
+              // (CAST(1000 AS HUGEINT) * tf.tf * total_len
+                  + 300 * total_len + 900 * l.len * n_docs)
+              AS BIGINT) AS s
+  FROM tf JOIN idf USING (term) JOIN lens l ON l.doc_id = tf.doc_id
+), bm25 AS (
+  SELECT doc_id, SUM(s) AS score_q FROM sc GROUP BY doc_id
+  ORDER BY score_q DESC, doc_id LIMIT {_HYBRID_POOL}
+), bm25r AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id ASC)
+              AS INTEGER) AS rank
+  FROM bm25
+), q AS (
+  SELECT vec_id AS qid, {_QUANT} AS qv FROM embeddings WHERE vec_id = 0
+), c AS (
+  SELECT vec_id AS cid, {_QUANT} AS cv FROM embeddings
+), scored AS (
+  SELECT qid, cid,
+         ROUND(
+           CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)]) AS DOUBLE)
+           / (sqrt(CAST(list_sum([x * x FOR x IN qv]) AS DOUBLE))
+              * sqrt(CAST(list_sum([x * x FOR x IN cv]) AS DOUBLE))), 6) AS score
+  FROM q, c WHERE qid <> cid
+), cosr AS (
+  SELECT cid AS doc_id, rank FROM (
+    SELECT cid, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, cid ASC)
+                     AS INTEGER) AS rank
+    FROM scored
+  ) WHERE rank <= {_HYBRID_POOL}
+), fused AS (
+  SELECT doc_id,
+         CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_q,
+         CAST(COUNT(*) AS BIGINT) AS n_systems
+  FROM (SELECT * FROM bm25r UNION ALL SELECT * FROM cosr)
+  GROUP BY doc_id
+)
+SELECT doc_id, rrf_q, n_systems
+FROM fused
+ORDER BY rrf_q DESC, doc_id
+LIMIT {_HYBRID_K}
+"""
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "similarity_filtered_topk": similarity_filtered_topk,
+    "hybrid_retrieval_docs": hybrid_retrieval_docs,
     "embedding_label_centroids": embedding_label_centroids,
     "similarity_pq_recall": similarity_pq_recall,
     "similarity_topk_cosine": similarity_topk_cosine,
@@ -1014,6 +1133,7 @@ QUERIES = {
 ORACLES = {
     "kmeans_embeddings": KMEANS_SQL,
     "similarity_filtered_topk": SIMILARITY_FILTERED_SQL,
+    "hybrid_retrieval_docs": HYBRID_RETRIEVAL_SQL,
     "embedding_label_centroids": LABEL_CENTROIDS_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,
     "similarity_topk_cosine": SIMILARITY_TOPK_SQL,

@@ -251,3 +251,36 @@ def test_bm25_session_bounds_cache_growth(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "close() must unpersist every cached tf relation"
     )
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    """rrf_fuse vs a pure-Python fusion on hand-built rankings:
+    integer scale//(k+rank) contributions, missing ids contribute 0,
+    n_systems counts the rankings an id appeared in, ties break by id."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        rrf_fuse,
+    )
+
+    r1 = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(12, 1), (10, 2), (13, 3)], "doc_id long, rank int"
+    )
+    got = [
+        tuple(r) for r in rrf_fuse([r1, r2], "doc_id", topk=10).collect()
+    ]
+    want = {}
+    for ranking in ([(10, 1), (11, 2), (12, 3)], [(12, 1), (10, 2), (13, 3)]):
+        for d, rk in ranking:
+            s, n = want.get(d, (0, 0))
+            want[d] = (s + 1_000_000 // (60 + rk), n + 1)
+    expect = sorted(
+        ((d, s, n) for d, (s, n) in want.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == [tuple(e) for e in expect]
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], "doc_id")
