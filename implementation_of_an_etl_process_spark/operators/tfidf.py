@@ -425,3 +425,61 @@ def rrf_fuse(
     )
     out = out.orderBy(F.desc("rrf_q"), F.col(id_col).asc())
     return out.limit(topk) if topk is not None else out
+
+
+def retrieval_metrics(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    *,
+    query_col: str = "qid",
+    doc_col: str = "cid",
+    rank_col: str = "rank",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-query retrieval-quality metrics against a relevance set —
+    the eval loop of every retrieval stack (and of this engine's own
+    BM25 / ANN / hybrid rankings): for each query in ``qrels``,
+    the first relevant rank within the top-``k``, the integer
+    reciprocal rank ``mrr_q = scale div first_rel_rank`` (0 when no
+    relevant doc ranks), hits@k, and the query's total relevant count.
+    Queries with zero retrieved relevants still get a row (metrics 0)
+    — silently dropping them would inflate every mean.
+
+    Integer outputs only (the repo's oracle convention); averaging is
+    the caller's one tiny aggregate. At scale: ranking is top-k-sized
+    per query and qrels is the labeled set — the join is
+    qrels-vs-top-k, never corpus-level."""
+    top = ranking.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_r"),
+    )
+    rels = qrels.select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+    ).distinct()
+    per_query_rel = rels.groupBy("_q").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    hits = top.join(rels, ["_q", "_d"]).groupBy("_q").agg(
+        F.min("_r").alias("first_rel_rank"),
+        F.count(F.lit(1)).alias("hits_at_k"),
+    )
+    out = per_query_rel.join(hits, "_q", "left").select(
+        F.col("_q").alias(query_col),
+        F.coalesce("first_rel_rank", F.lit(0)).cast("int").alias(
+            "first_rel_rank"
+        ),
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.expr(
+                f"CAST({int(scale)} AS BIGINT) div first_rel_rank"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mrr_q"),
+        F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+    )
+    return out.orderBy(query_col)

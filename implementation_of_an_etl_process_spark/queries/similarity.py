@@ -1113,10 +1113,97 @@ LIMIT {_HYBRID_K}
 """
 
 
+_EVAL_K = 10
+
+
+def retrieval_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVALUATION as a first-class operator
+    (`operators/tfidf.py::retrieval_metrics`): rank the corpus by
+    exact cosine for the 20 query vectors, define relevance as label
+    agreement (the embeddings table's label column — a query's
+    relevant set is every other vector with its label), and report
+    per-query first-relevant rank, integer MRR (scale div rank),
+    hits@10, and the relevant-set size. Queries whose top-10 contains
+    no relevant doc still get a row with zeros — dropping them would
+    inflate every averaged metric. The oracle replays ranking,
+    relevance join, and metrics in SQL."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        retrieval_metrics,
+    )
+
+    emb = _emb(spark, sf_dir)
+    ranking = S.brute_force_topk(
+        emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        ),
+        query_id="qid",
+        query_vec="qvec",
+        corpus_id="cid",
+        corpus_vec="cvec",
+        k=_EVAL_K,
+    )
+    q_lab = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("_ql")
+    )
+    qrels = (
+        q_lab.join(
+            emb.select(
+                F.col("vec_id").alias("cid"), F.col("label").alias("_cl")
+            ),
+            F.col("_ql") == F.col("_cl"),
+        )
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    return retrieval_metrics(ranking, qrels, k=_EVAL_K)
+
+
+RETRIEVAL_EVAL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, {_QUANT} AS qv, label AS ql FROM embeddings
+  WHERE vec_id < {_N_QUERY_VECS}
+), c AS (
+  SELECT vec_id AS cid, {_QUANT} AS cv, label AS cl FROM embeddings
+), scored AS (
+  SELECT qid, cid,
+         ROUND(
+           CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)]) AS DOUBLE)
+           / (sqrt(CAST(list_sum([x * x FOR x IN qv]) AS DOUBLE))
+              * sqrt(CAST(list_sum([x * x FOR x IN cv]) AS DOUBLE))), 6) AS score
+  FROM q, c WHERE qid <> cid
+), ranked AS (
+  SELECT qid, cid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC)
+              AS INTEGER) AS rank
+  FROM scored
+), top AS (
+  SELECT qid, cid, rank FROM ranked WHERE rank <= {_EVAL_K}
+), qrels AS (
+  SELECT q.qid, c.cid FROM q JOIN c ON q.ql = c.cl AND q.qid <> c.cid
+), per_rel AS (
+  SELECT qid, COUNT(*) AS n_relevant FROM qrels GROUP BY qid
+), hits AS (
+  SELECT t.qid, MIN(t.rank) AS first_rel_rank, COUNT(*) AS hits_at_k
+  FROM top t JOIN qrels r ON t.qid = r.qid AND t.cid = r.cid
+  GROUP BY t.qid
+)
+SELECT p.qid,
+       CAST(COALESCE(h.first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
+       CAST(COALESCE(1000000 // h.first_rel_rank, 0) AS BIGINT) AS mrr_q,
+       CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(p.n_relevant AS BIGINT) AS n_relevant
+FROM per_rel p LEFT JOIN hits h ON p.qid = h.qid
+ORDER BY p.qid
+"""
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "similarity_filtered_topk": similarity_filtered_topk,
     "hybrid_retrieval_docs": hybrid_retrieval_docs,
+    "retrieval_metrics_eval": retrieval_metrics_eval,
     "embedding_label_centroids": embedding_label_centroids,
     "similarity_pq_recall": similarity_pq_recall,
     "similarity_topk_cosine": similarity_topk_cosine,
@@ -1134,6 +1221,7 @@ ORACLES = {
     "kmeans_embeddings": KMEANS_SQL,
     "similarity_filtered_topk": SIMILARITY_FILTERED_SQL,
     "hybrid_retrieval_docs": HYBRID_RETRIEVAL_SQL,
+    "retrieval_metrics_eval": RETRIEVAL_EVAL_SQL,
     "embedding_label_centroids": LABEL_CENTROIDS_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,
     "similarity_topk_cosine": SIMILARITY_TOPK_SQL,
