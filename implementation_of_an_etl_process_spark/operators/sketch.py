@@ -163,3 +163,92 @@ def cms_estimate(
         .groupBy(*keys)
         .agg(F.min(F.coalesce("_cms_cnt", F.lit(0))).alias(out_col))
     )
+
+
+# --- KMV (bottom-k) distinct sketch -----------------------------------------
+
+KMV_SPACE = 1 << 60  # hash domain: first 15 md5 hex chars = 60 bits
+
+
+def _kmv_hash(item: Column) -> Column:
+    """Engine-portable 60-bit item hash (the repo's md5-prefix
+    convention — DuckDB: ``('0x'||substr(md5(x),1,15))::UBIGINT``):
+    uniform on [0, 2^60), so bottom-k order statistics estimate
+    distinct counts."""
+    return F.conv(
+        F.substring(F.md5(item.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, item_col: str, *, k: int = 64
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values / bottom-k) distinct sketch:
+    the sorted k smallest distinct item hashes, plus how many were
+    seen (< k means the group's distinct count is exact). The fourth
+    mergeable sketch in the family (HLL, GK, CMS/Bloom, and this) —
+    KMV additionally supports UNION merging by construction
+    (:func:`kmv_union`) and, unlike HLL++, is engine-exact: the same
+    md5-derived hashes reproduce bit-for-bit in any engine, so the
+    estimate itself can be oracle-hashed.
+
+    Plan shape at 100 TB: distinct on (group, hash), then a rank
+    filter that Spark executes as WindowGroupLimit (map-side top-k
+    per partition BEFORE the exchange), then a k-bounded
+    collect_list — per-group state never exceeds k."""
+    from pyspark.sql import Window
+
+    hd = df.select(
+        F.col(group_col).alias("_g"),
+        _kmv_hash(F.col(item_col)).alias("_h"),
+    ).distinct()
+    w = Window.partitionBy("_g").orderBy("_h")
+    bot = hd.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return bot.groupBy("_g").agg(
+        F.sort_array(F.collect_list("_h")).alias("kmv"),
+        F.count(F.lit(1)).alias("n_seen"),
+    ).select(F.col("_g").alias(group_col), "kmv", "n_seen")
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame, group_col: str, *, k: int = 64
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: exact ``n_seen``
+    when the group saw fewer than k distinct hashes, else the
+    order-statistic estimator ``(k-1) * SPACE div h_(k)`` — integer
+    division on the exact 60-bit hash, so the estimate is
+    deterministic and engine-portable (no float)."""
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * {KMV_SPACE} "
+            f"div element_at(kmv, {k}) AS BIGINT)"
+        )
+    )
+    return sketch.select(
+        group_col, "n_seen", est.alias("est_distinct")
+    )
+
+
+def kmv_union(a: DataFrame, b: DataFrame, group_col: str, *, k: int = 64):
+    """Merge two KMV sketch relations group-wise: bottom-k of the
+    union of hash sets. Exact merge property (bottom-k of A∪B equals
+    bottom-k of bottom-k(A) ∪ bottom-k(B)) makes the sketch closed
+    under union — per-partition sketches roll up to the global one,
+    property-tested in tests/test_sketch.py."""
+    from pyspark.sql import Window
+
+    ex = a.unionByName(b).select(
+        F.col(group_col).alias("_g"), F.explode("kmv").alias("_h")
+    ).distinct()
+    w = Window.partitionBy("_g").orderBy("_h")
+    bot = ex.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return bot.groupBy("_g").agg(
+        F.sort_array(F.collect_list("_h")).alias("kmv"),
+        F.count(F.lit(1)).alias("n_seen"),
+    ).select(F.col("_g").alias(group_col), "kmv", "n_seen")

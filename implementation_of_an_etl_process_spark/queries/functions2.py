@@ -485,8 +485,102 @@ ORDER BY l_returnflag
 """
 
 
+_KMV_K = 64
+
+
+def kmv_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketch (`operators/sketch.py::kmv_sketch`
+    — the fourth mergeable sketch beside HLL/CMS/GK, and the only one
+    whose ESTIMATE is engine-exact, since it is integer order-statistic
+    arithmetic on portable md5 hashes): per corpus source, estimate the
+    distinct BIGRAM count from the k=64 smallest hashes and carry the
+    exact distinct count beside it. Sources with < k distinct bigrams
+    report exactly (n_seen < k); larger ones exercise the
+    ``(k-1) * 2^60 div h_(k)`` estimator. The union-merge closure
+    (partial sketches roll up bit-identically) is property-tested in
+    tests/test_sketch.py."""
+    from implementation_of_an_etl_process_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+    from implementation_of_an_etl_process_spark.plans import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    bigrams = (
+        docs.select("source", toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.col("_t")[i], F.col("_t")[i + F.lit(1)]
+                    ),
+                )
+            ).alias("item"),
+        )
+    )
+    sk = kmv_sketch(bigrams, "source", "item", k=_KMV_K)
+    est = kmv_distinct_estimate(sk, "source", k=_KMV_K)
+    exact = bigrams.groupBy("source").agg(
+        F.count_distinct("item").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            F.col("n_seen").cast("long").alias("n_seen"),
+            F.col("est_distinct").cast("long").alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+KMV_DISTINCT_SQL = rf"""
+WITH l AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), big AS (
+  SELECT DISTINCT source, toks[i] || ' ' || toks[i + 1] AS item
+  FROM l, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+), h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(item), 1, 15))::UBIGINT AS BIGINT) AS hv
+  FROM big
+), r AS (
+  SELECT source, hv,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+  FROM h
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_seen,
+         MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS hk
+  FROM r WHERE rn <= {_KMV_K} GROUP BY source
+), ex AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM h GROUP BY source
+)
+SELECT a.source, a.n_seen,
+       CAST(CASE WHEN a.n_seen < {_KMV_K} THEN a.n_seen
+            ELSE (CAST({_KMV_K - 1} AS HUGEINT) * {1 << 60}) // a.hk
+            END AS BIGINT) AS est_distinct,
+       e.exact_distinct
+FROM agg a JOIN ex e USING (source)
+ORDER BY a.source
+"""
+
+
 QUERIES = {
     "feature_moments_lineitem": feature_moments_lineitem,
+    "kmv_distinct_sources": kmv_distinct_sources,
     "map_funcs_orders": map_funcs_orders,
     "math_funcs_lineitem": math_funcs_lineitem,
     "array_hof_orders": array_hof_orders,
@@ -499,6 +593,7 @@ QUERIES = {
 
 ORACLES = {
     "feature_moments_lineitem": FEATURE_MOMENTS_SQL,
+    "kmv_distinct_sources": KMV_DISTINCT_SQL,
     "map_funcs_orders": MAP_FUNCS_SQL,
     "math_funcs_lineitem": MATH_FUNCS_SQL,
     "array_hof_orders": ARRAY_HOF_SQL,

@@ -290,3 +290,43 @@ def test_cms_probe_column_names_and_collisions(spark):
     # out_col colliding with a probe column is the same error
     with pytest.raises(ValueError, match="reserved"):
         cms_estimate(probes, sk, "v", depth=2, width=8, out_col="cnt")
+
+
+def test_kmv_sketch_estimate_and_union_merge(spark):
+    """KMV bottom-k sketch: (a) groups with < k distinct items report
+    exactly; (b) the order-statistic estimate lands within the
+    documented ~1/sqrt(k) band on a larger group; (c) the sketch is
+    CLOSED under union — bottom-k of the full data equals the merge of
+    two partial sketches, row-identical (the mergeable-rollup
+    property every distributed sketch needs)."""
+    from implementation_of_an_etl_process_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+        kmv_union,
+    )
+
+    rows = [("small", f"s{i}") for i in range(20)]
+    rows += [("big", f"b{i % 3000}") for i in range(6000)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_sketch(df, "g", "item", k=64)
+    est = {
+        r["g"]: (r["n_seen"], r["est_distinct"])
+        for r in kmv_distinct_estimate(sk, "g", k=64).collect()
+    }
+    assert est["small"] == (20, 20)  # < k: exact
+    n, e = est["big"]
+    assert n == 64
+    assert abs(e - 3000) / 3000 < 0.5, e  # ~1/sqrt(64) band, generous
+    # union-merge == sketch of the union, exactly
+    half_a = df.filter(F.crc32(F.col("item")) % 2 == 0)
+    half_b = df.filter(F.crc32(F.col("item")) % 2 == 1)
+    merged = kmv_union(
+        kmv_sketch(half_a, "g", "item", k=64),
+        kmv_sketch(half_b, "g", "item", k=64),
+        "g",
+        k=64,
+    )
+    def rows_of(df):
+        return {(r["g"], tuple(r["kmv"]), r["n_seen"]) for r in df.collect()}
+
+    assert rows_of(merged) == rows_of(sk)
