@@ -386,7 +386,11 @@ def test_zorder_key_monotone_per_dimension(spark, seed):
     rng = random.Random(seed)
     y = rng.randrange(0, 4096)
     xs = sorted(rng.sample(range(4096), 20))
-    rows = [(x, y) for x in xs] + [(y, x) for x in xs]
+    # dedupe: when y happens to be drawn into xs, (y, y) is generated
+    # by BOTH batches and the duplicated input row duplicated its
+    # (correct) key — a test artifact hypothesis found at seed 1946,
+    # not a Morton-injectivity failure
+    rows = sorted({(x, y) for x in xs} | {(y, x) for x in xs})
     df = spark.createDataFrame(rows, "x long, y long")
     got = df.select(
         "x", "y", zorder_key(["x", "y"], bits=12).alias("z")
