@@ -252,3 +252,59 @@ def kmv_union(a: DataFrame, b: DataFrame, group_col: str, *, k: int = 64):
         F.sort_array(F.collect_list("_h")).alias("kmv"),
         F.count(F.lit(1)).alias("n_seen"),
     ).select(F.col("_g").alias(group_col), "kmv", "n_seen")
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str,
+    *,
+    k: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Group-wise Jaccard similarity estimate between two KMV sketch
+    relations (same ``group_col`` domain): over the merged bottom-k
+    ``M = bottom_k(A ∪ B)``, the estimator is ``|M ∩ A ∩ B| / |M|`` —
+    the classic KMV set-resemblance trick (M is a uniform sample of
+    the union, so membership-in-both among M estimates the overlap
+    fraction). Output ``jaccard_q = scale * matches div |M|``: integer
+    arithmetic on exact hashes, so the ESTIMATE itself is
+    deterministic and engine-portable, like everything else in this
+    family. Groups present in only one side get jaccard_q = 0.
+
+    The dedup use: cheap corpus-overlap triage between two sources /
+    two snapshots BEFORE committing to a full MinHash-LSH pass —
+    sketches are k longs per group, so the compare is a broadcast-size
+    join however large the corpora were."""
+    am = a.select(
+        F.col(group_col).alias("_g"), F.col("kmv").alias("_ka")
+    )
+    bm = b.select(
+        F.col(group_col).alias("_g"), F.col("kmv").alias("_kb")
+    )
+    merged = kmv_union(a, b, group_col, k=k).select(
+        F.col(group_col).alias("_g"), F.col("kmv").alias("_km")
+    )
+    j = (
+        merged.join(am, "_g", "left")
+        .join(bm, "_g", "left")
+        .select(
+            "_g",
+            F.size("_km").alias("_m"),
+            F.size(
+                F.array_intersect(
+                    F.array_intersect(
+                        "_km", F.coalesce("_ka", F.array().cast("array<long>"))
+                    ),
+                    F.coalesce("_kb", F.array().cast("array<long>")),
+                )
+            ).alias("_both"),
+        )
+    )
+    return j.select(
+        F.col("_g").alias(group_col),
+        F.col("_m").cast("long").alias("n_merged"),
+        F.col("_both").cast("long").alias("n_in_both"),
+        F.expr(f"CAST(CAST({int(scale)} AS BIGINT) * _both div _m AS BIGINT)")
+        .alias("jaccard_q"),
+    ).orderBy(group_col)

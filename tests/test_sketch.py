@@ -330,3 +330,39 @@ def test_kmv_sketch_estimate_and_union_merge(spark):
         return {(r["g"], tuple(r["kmv"]), r["n_seen"]) for r in df.collect()}
 
     assert rows_of(merged) == rows_of(sk)
+
+
+def test_kmv_jaccard_estimate(spark):
+    """KMV resemblance: the merged-bottom-k membership estimator lands
+    near the true Jaccard on overlapping sets, reports ~0 for disjoint
+    sets and scale for identical ones, and handles one-sided groups."""
+    from implementation_of_an_etl_process_spark.operators.sketch import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    # group "half": |A|=|B|=2000, |A∩B|=1000 -> J = 1000/3000 = 1/3
+    a_rows = [("half", f"x{i}") for i in range(2000)]
+    b_rows = [("half", f"x{i}") for i in range(1000, 3000)]
+    # identical small sets -> J = 1 exactly (sketches are exact < k)
+    a_rows += [("same", f"s{i}") for i in range(30)]
+    b_rows += [("same", f"s{i}") for i in range(30)]
+    # disjoint -> J = 0
+    a_rows += [("disj", f"a{i}") for i in range(500)]
+    b_rows += [("disj", f"b{i}") for i in range(500)]
+    # group only on one side
+    a_rows += [("only_a", f"o{i}") for i in range(10)]
+    a = kmv_sketch(
+        spark.createDataFrame(a_rows, "g string, item string"),
+        "g", "item", k=64,
+    )
+    b = kmv_sketch(
+        spark.createDataFrame(b_rows, "g string, item string"),
+        "g", "item", k=64,
+    )
+    got = {r["g"]: r for r in kmv_jaccard(a, b, "g", k=64).collect()}
+    assert got["same"]["jaccard_q"] == 1_000_000
+    assert got["disj"]["jaccard_q"] == 0
+    assert got["only_a"]["jaccard_q"] == 0
+    j = got["half"]["jaccard_q"] / 1_000_000
+    assert abs(j - 1 / 3) < 0.2, j  # ~1/sqrt(64) band, generous
