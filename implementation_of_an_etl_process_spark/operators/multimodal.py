@@ -1861,7 +1861,7 @@ JPEG_ORIENTED_SCHEMA = T.StructType(
 )
 
 
-def extract_jpeg_oriented_features(df: DataFrame) -> DataFrame:
+def extract_jpeg_oriented_features(df: DataFrame, *, use_native: bool = False) -> DataFrame:
     """Orientation-corrected JPEG decode: parse the Exif APP1
     Orientation tag, decode the stream, apply the display transform,
     and emit features of the UPRIGHT raster (post-transform dims +
@@ -1869,7 +1869,15 @@ def extract_jpeg_oriented_features(df: DataFrame) -> DataFrame:
     vision model, since cameras store rotated pixels + a tag rather
     than rotating. Missing EXIF means orientation 1 (identity), per
     convention. Arrow-batched mapInPandas; payloads never leave the
-    executors."""
+    executors.
+
+    Decodes with the PURE codec by default: this extractor's pixel
+    sums and sha256s are oracle-hashed, and libjpeg's integer IDCT
+    differs by ±1/pixel from the pure float IDCT on general images —
+    ``use_native=True`` opts into :func:`decode_jpeg_auto`'s Pillow
+    fast path for throughput when bit-stable hashes are not required
+    (r12 advice: the auto path made environment decide oracle
+    outputs)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -1877,6 +1885,7 @@ def extract_jpeg_oriented_features(df: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        dec = decode_jpeg_auto if use_native else decode_jpeg
         for batch in batches:
             rows = []
             for mid, p in zip(batch["media_id"], batch["payload"]):
@@ -1885,7 +1894,7 @@ def extract_jpeg_oriented_features(df: DataFrame) -> DataFrame:
                     continue
                 p = bytes(p)
                 o = jpeg_exif_orientation(p) or 1
-                w, h, nc, raster = decode_jpeg_auto(p)
+                w, h, nc, raster = dec(p)
                 arr = raster.reshape(h, w, nc) if nc > 1 else raster
                 up = np.ascontiguousarray(apply_exif_orientation(arr, o))
                 uh, uw = up.shape[:2]
@@ -2508,26 +2517,34 @@ JPEG_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_jpeg_features(df: DataFrame) -> DataFrame:
+def extract_jpeg_features(df: DataFrame, *, use_native: bool = False) -> DataFrame:
     """media rows with JPEG payloads -> decoded features: dimensions,
     component count, exact pixel sum, and the sha256 of the decoded
     raster bytes — only reproducible if marker parsing, Huffman
     decoding, dequantization, and the IDCT are all correct, the same
     strong-check contract as ``extract_png_features``. Arrow-batched
-    mapInPandas; payloads never leave the executors."""
+    mapInPandas; payloads never leave the executors.
+
+    Decodes with the PURE codec by default — the outputs are
+    oracle-hashed and libjpeg's integer IDCT is ±1/pixel off the pure
+    float IDCT on general (non-fixed-point) images, so the native path
+    would make the hashes environment-dependent. ``use_native=True``
+    opts into :func:`decode_jpeg_auto` for throughput where bit-stable
+    hashes are not required (r12 advice)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
 
         import pandas as pd
 
+        dec = decode_jpeg_auto if use_native else decode_jpeg
         for batch in batches:
             rows = []
             for mid, p in zip(batch["media_id"], batch["payload"]):
                 if p is None:
                     rows.append((mid, None, None, None, None, None))
                     continue
-                w, h, nc, raster = decode_jpeg_auto(bytes(p))
+                w, h, nc, raster = dec(bytes(p))
                 rows.append(
                     (
                         mid,

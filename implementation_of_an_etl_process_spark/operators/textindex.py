@@ -508,7 +508,13 @@ def multi_phrase_query_index_df(
         .collect()
     )
     if not buckets:
-        raise ValueError("phrases_df contains no tokenizable phrases")
+        # zero tokenizable phrases is a LEGITIMATE probe set (shingle
+        # extraction over a blank/short benchmark slice produces no
+        # rows) — return the empty result the docstring promises, not
+        # an error (r12 advice: a decontam run must not crash on it)
+        return spark.createDataFrame(
+            [], "phrase string, doc_id long, n_occurrences long"
+        )
     return _phrase_match_kernel(
         spark, path, slots, counts, buckets, k=k, within=within
     )

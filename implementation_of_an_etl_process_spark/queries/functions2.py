@@ -565,8 +565,12 @@ WITH l AS (
          MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS hk
   FROM r WHERE rn <= {_KMV_K} GROUP BY source
 ), ex AS (
+  -- exact over the RAW items (big), not the 60-bit hashes (h): the
+  -- engine side computes count_distinct on the bigrams themselves, so
+  -- a hash collision between distinct bigrams must not desync the
+  -- column labeled "exact" (r12 advice)
   SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
-  FROM h GROUP BY source
+  FROM big GROUP BY source
 )
 SELECT a.source, a.n_seen,
        CAST(CASE WHEN a.n_seen < {_KMV_K} THEN a.n_seen

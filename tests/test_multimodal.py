@@ -1166,3 +1166,67 @@ def test_jpeg_auto_native_equals_pure_on_fixed_point_images():
     native = decode_jpeg_auto(payload, prefer_native=True)
     assert native[:3] == pure[:3]
     assert (native[3] == pure[3]).all()
+
+
+def test_jpeg_native_divergence_on_general_images_is_bounded():
+    """DOCUMENTED DIVERGENCE (r12 advice): on general (non-fixed-point)
+    images libjpeg's integer IDCT legitimately differs from the pure
+    float IDCT by about ±1/pixel — same metadata, near-identical
+    raster, but NOT bit-identical, which is exactly why the
+    oracle-hashed extractors (`extract_jpeg_features`,
+    `extract_jpeg_oriented_features`) default to the pure codec and
+    expose the native path only behind ``use_native=True``."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_jpeg_auto,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    payload = encode_jpeg(img)
+    pure = decode_jpeg(payload)
+    native = decode_jpeg_auto(payload, prefer_native=True)
+    assert native[:3] == pure[:3]  # metadata always agrees
+    diff = np.abs(
+        native[3].astype(np.int16) - pure[3].astype(np.int16)
+    ).max()
+    assert diff <= 2  # close — but any nonzero diff flips a sha256
+
+
+def test_jpeg_extractors_are_pure_codec_by_default(spark):
+    """The oracle-gated extractor must hash the PURE decoder's raster
+    regardless of environment: its sha256 equals decode_jpeg's even
+    when the native kill-switch env var says 'prefer native'."""
+    import hashlib
+    import os
+
+    from implementation_of_an_etl_process_spark.operators import (
+        multimodal as M,
+    )
+
+    import numpy as np
+
+    blocks = np.array([[32, 64], [90, 126]], dtype=np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), np.uint8))
+    payload = M.encode_jpeg(img)
+    _, _, _, raster = M.decode_jpeg(payload)
+    expect = hashlib.sha256(raster.tobytes()).hexdigest()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    old = os.environ.get("SPARK_GRAFT_NATIVE_JPEG")
+    os.environ["SPARK_GRAFT_NATIVE_JPEG"] = "1"
+    try:
+        row = M.extract_jpeg_features(df).first()
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_NATIVE_JPEG", None)
+        else:
+            os.environ["SPARK_GRAFT_NATIVE_JPEG"] = old
+    assert row.raster_sha256 == expect
