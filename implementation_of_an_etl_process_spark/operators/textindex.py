@@ -575,11 +575,24 @@ def _phrase_match_kernel(
         .join(slots, ["phrase", "term"])
     )
     if within:
+        # True ordered slop: slot i may sit anywhere in start+i ..
+        # start+i+W, but every slot must bind a DISTINCT position and
+        # positions must be STRICTLY INCREASING across slots (r12
+        # advice: plain slot-coverage counting let one token satisfy
+        # two slots of a repeated-term phrase, and let W>=2 windows
+        # match inverted term order). Existence of such an assignment
+        # is decided by a greedy fold over the slot-sorted candidates
+        # — take each slot's smallest position past the previous
+        # slot's — which is exact because all slots' windows share one
+        # width (the classic exchange argument). The fold runs on a
+        # per-(phrase,doc,start) array of at most n_slots*(W+1)
+        # candidate pairs, so it adds no corpus-scale state.
         w = int(within)
         starts = ex.select(
             "phrase",
             "doc_id",
             "slot",
+            "pos",
             F.explode(
                 F.sequence(
                     F.col("pos") - F.col("slot") - F.lit(w),
@@ -587,6 +600,33 @@ def _phrase_match_kernel(
                 )
             ).alias("start"),
         ).filter(F.col("start") >= 0)
+        occ = (
+            starts.groupBy("phrase", "doc_id", "start")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("slot", "pos"))
+                ).alias("_sp")
+            )
+            .withColumn(
+                "_ns",
+                F.aggregate(
+                    "_sp",
+                    F.struct(
+                        F.lit(0).alias("nxt"), F.lit(-1).alias("last")
+                    ),
+                    lambda acc, x: F.when(
+                        (x["slot"] == acc["nxt"])
+                        & (x["pos"] > acc["last"]),
+                        F.struct(
+                            (acc["nxt"] + F.lit(1)).alias("nxt"),
+                            x["pos"].alias("last"),
+                        ),
+                    ).otherwise(acc),
+                )["nxt"],
+            )
+            .join(counts, "phrase")
+            .filter(F.col("_ns") == F.col("_n_slots"))
+        )
     else:
         starts = ex.select(
             "phrase",
@@ -594,12 +634,12 @@ def _phrase_match_kernel(
             "slot",
             (F.col("pos") - F.col("slot")).alias("start"),
         ).filter(F.col("start") >= 0)
-    occ = (
-        starts.groupBy("phrase", "doc_id", "start")
-        .agg(F.count_distinct("slot").alias("_ns"))
-        .join(counts, "phrase")
-        .filter(F.col("_ns") == F.col("_n_slots"))
-    )
+        occ = (
+            starts.groupBy("phrase", "doc_id", "start")
+            .agg(F.count_distinct("slot").alias("_ns"))
+            .join(counts, "phrase")
+            .filter(F.col("_ns") == F.col("_n_slots"))
+        )
     out = occ.groupBy("phrase", "doc_id").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )

@@ -462,12 +462,23 @@ WITH l AS (
 ), nslots AS (
   SELECT phrase, COUNT(*) AS n FROM slots GROUP BY phrase
 ), expanded AS (
-  SELECT s.phrase, t.doc_id, s.slot,
+  SELECT s.phrase, t.doc_id, s.slot, t.pos,
          unnest(generate_series(t.pos - s.slot - {_PROX_W},
                                 t.pos - s.slot)) AS start
   FROM tok t JOIN slots s ON t.term = s.term
 ), cov AS (
-  SELECT phrase, doc_id, start, COUNT(DISTINCT slot) AS ns
+  -- replay the engine's greedy fold: slots must bind DISTINCT,
+  -- strictly increasing positions (one token can't fill two slots;
+  -- inverted term order never matches) — acc.s is the next expected
+  -- slot, acc.p the last bound position
+  SELECT phrase, doc_id, start,
+         list_reduce(
+           list_prepend({{'s': 0, 'p': -1}},
+             list_sort(list({{'s': slot, 'p': pos}}))),
+           (acc, x) -> CASE WHEN x.s = acc.s AND x.p > acc.p
+                            THEN {{'s': acc.s + 1, 'p': x.p}}
+                            ELSE acc END
+         ).s AS ns
   FROM expanded
   WHERE start >= 1
   GROUP BY phrase, doc_id, start

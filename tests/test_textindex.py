@@ -317,22 +317,34 @@ def test_delete_crash_leaves_torn_state_guard(spark, docs, tmp_path):
 
 def _brute_phrase(docs_df, phrase, within=0):
     """Independent driver-side phrase counter: pure-Python tokenize +
-    position scan over the collected corpus (test-sized only)."""
+    position scan over the collected corpus (test-sized only).
+
+    Ordered-slop semantics (r12 advice): slot ``i`` binds a position
+    in ``s+i .. s+i+within``, every slot a DISTINCT position, strictly
+    increasing across slots — greedy smallest-feasible per slot, which
+    is exact since all windows share one width."""
     slots = phrase.lower().strip().split()
     counts = {}
     for r in docs_df.select("doc_id", "text").collect():
         toks = [t for t in (r.text or "").lower().strip().split() if t]
         n = 0
         for s in range(len(toks)):
+            last = -1
             ok = True
             for i, term in enumerate(slots):
-                lo, hi = s + i, s + i + within
-                if not any(
-                    0 <= p < len(toks) and toks[p] == term
-                    for p in range(lo, hi + 1)
-                ):
+                lo, hi = max(s + i, last + 1), s + i + within
+                pick = next(
+                    (
+                        p
+                        for p in range(lo, hi + 1)
+                        if 0 <= p < len(toks) and toks[p] == term
+                    ),
+                    None,
+                )
+                if pick is None:
                     ok = False
                     break
+                last = pick
             if ok:
                 n += 1
         if n:
@@ -625,3 +637,28 @@ def test_stats_and_threshold_compaction_policy(spark, docs, tmp_path):
     # a torn index is VISIBLE in stats (no raise)
     open(os.path.join(path, "_pending_append"), "w").write("x\n")
     assert TI.text_index_stats(path)["pending_append"]
+
+
+def test_proximity_requires_distinct_increasing_positions(spark, tmp_path):
+    """Pinned ordered-slop semantics (r12 advice): one token position
+    may not satisfy two slots (repeated-term phrase), and terms
+    appearing in inverted order inside the window must not match."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x t"),        # single 't': "t t" w=1 must NOT match
+            (2, "t x t"),      # "t t" w=1 matches once (0 then 2)
+            (3, "x b a"),      # inverted: "a b" w=2 must NOT match
+            (4, "a x b"),      # ordered inside the window: matches
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=8, store_positions=True)
+
+    tt = dict(_phrase_topk(spark, path, "t t", k=100, within=1))
+    assert tt == {2: 1}, tt
+    ab = dict(_phrase_topk(spark, path, "a b", k=100, within=2))
+    assert ab == {4: 1}, ab
+    # the brute-force reference agrees on every case
+    assert _brute_phrase(docs, "t t", within=1) == {2: 1}
+    assert _brute_phrase(docs, "a b", within=2) == {4: 1}
