@@ -399,6 +399,7 @@ def multi_phrase_query_index(
     *,
     k: int | None = None,
     within: int | None = None,
+    max_term_df: float | int | None = None,
 ) -> DataFrame:
     """Bulk phrase matching in ONE index scan — the benchmark-
     contamination shape: thousands of probe phrases against the corpus
@@ -414,7 +415,19 @@ def multi_phrase_query_index(
     (count desc, doc_id asc). ``within`` applies the same slop-W
     ordered-proximity window to every phrase. Phrases are tokenized
     with the index's own tokenizer; duplicates are dropped; empty
-    phrases raise."""
+    phrases raise.
+
+    ``max_term_df`` is the stopword-probe guard (r12's one measured
+    scale-killer: a head-rank bigram made most of a 2M-doc corpus a
+    candidate — 7.8s/probe, and an unscreened bulk leg ran 339s before
+    being killed): probe phrases ANY of whose terms appears in more
+    than the cutoff's share of indexed docs are DROPPED, with a loud
+    stderr count, before the candidate join — such probes carry no
+    contamination signal (the match set is "most of the corpus") while
+    costing a corpus-scale position explode in any engine. A float in
+    (0, 1] is a fraction of the index's live doc count; an int > 1 is
+    an absolute doc count. None (default) screens nothing — the
+    documented override for exhaustive phrase matching."""
     meta = _load_meta(path)
     _check_marker(path)
     if not meta.get("positions", False):
@@ -449,7 +462,8 @@ def multi_phrase_query_index(
         )
     )
     return _phrase_match_kernel(
-        spark, path, slots_df, counts_df, buckets, k=k, within=within
+        spark, path, slots_df, counts_df, buckets,
+        k=k, within=within, max_term_df=max_term_df,
     )
 
 
@@ -461,6 +475,7 @@ def multi_phrase_query_index_df(
     phrase_col: str = "phrase",
     k: int | None = None,
     within: int | None = None,
+    max_term_df: float | int | None = None,
 ) -> DataFrame:
     """:func:`multi_phrase_query_index` with the probe phrases as a
     DataFRAME — the benchmark-contamination shape at ITS OWN scale:
@@ -478,7 +493,14 @@ def multi_phrase_query_index_df(
     term-level join shuffles phrase slots against the pruned postings
     — both sides bounded by the probe terms' postings, never the
     corpus. Returns (phrase, doc_id, n_occurrences), optionally
-    per-phrase top-k."""
+    per-phrase top-k.
+
+    ``max_term_df`` screens stopword-heavy probes exactly as in
+    :func:`multi_phrase_query_index` — at this path's scale
+    (millions of extracted shingles) the guard is what keeps a
+    Zipf-HEAD probe set from degenerating into a corpus-scale
+    position explode; pass None only for deliberately exhaustive
+    matching."""
     meta = _load_meta(path)
     _check_marker(path)
     if not meta.get("positions", False):
@@ -516,7 +538,8 @@ def multi_phrase_query_index_df(
             [], "phrase string, doc_id long, n_occurrences long"
         )
     return _phrase_match_kernel(
-        spark, path, slots, counts, buckets, k=k, within=within
+        spark, path, slots, counts, buckets,
+        k=k, within=within, max_term_df=max_term_df,
     )
 
 
@@ -529,6 +552,7 @@ def _phrase_match_kernel(
     *,
     k: int | None,
     within: int | None,
+    max_term_df: float | int | None = None,
 ) -> DataFrame:
     """Shared phrase-matching plan behind both multi-phrase entry
     points. ``slots`` is (phrase, slot, term), ``counts`` is (phrase,
@@ -552,6 +576,46 @@ def _phrase_match_kernel(
         .select("doc_id", "term", "positions")
     )
     rel = _apply_tombstones(spark, path, rel)  # merge-on-read deletes
+    if max_term_df is not None:
+        # stopword-probe guard: drop probe phrases whose terms are so
+        # common the "match set" would be most of the corpus. df is
+        # append-fresh from the tombstone-filtered positions relation
+        # (narrow (doc,term) projection of the already-pruned buckets),
+        # same freshness contract as bm25_query_index's idf. The one
+        # driver-side action here is a single dropped-phrase COUNT —
+        # the guard must be LOUD, and the count is a scalar however
+        # large the probe relation is.
+        import sys as _sys
+
+        n_live = int(_load_meta(path)["n_docs"])
+        if isinstance(max_term_df, float) and max_term_df <= 1.0:
+            cutoff = int(max_term_df * n_live)
+        else:
+            cutoff = int(max_term_df)
+        probe_terms = slots.select("term").distinct()
+        hot = (
+            rel.select("doc_id", "term")
+            .join(probe_terms, "term", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > cutoff)
+            .select("term")
+        )
+        dropped = slots.join(hot, "term", "left_semi").select(
+            "phrase"
+        ).distinct()
+        n_dropped = dropped.count()
+        if n_dropped:
+            print(
+                f"multi_phrase_query_index: max_term_df guard dropped "
+                f"{n_dropped} probe phrase(s) containing terms with "
+                f"df > {cutoff} (of {n_live} live docs) — "
+                "stopword-scale probes carry no phrase signal; pass "
+                "max_term_df=None for exhaustive matching",
+                file=_sys.stderr,
+            )
+            slots = slots.join(dropped, "phrase", "left_anti")
+            counts = counts.join(dropped, "phrase", "left_anti")
     term_req = slots.select("phrase", "term").distinct()
     n_req = term_req.groupBy("phrase").agg(
         F.count(F.lit(1)).alias("_n_req")

@@ -501,6 +501,12 @@ ORDER BY phrase, n_occurrences DESC, doc_id
 
 
 _CONTAM_MOD = 97  # "benchmark" = docs with doc_id % 97 == 0
+# stopword-probe guard, ON by default for the contamination path (r12
+# verdict item 2: the unguarded 2M-doc bulk leg ran 339s before being
+# killed on Zipf-HEAD probes): probe bigrams any of whose terms appears
+# in > 80% of live docs are dropped — they make most of the corpus a
+# candidate and carry no contamination signal
+_CONTAM_MAX_TERM_DF = 0.8
 
 
 def contamination_phrase_index_docs(
@@ -514,8 +520,13 @@ def contamination_phrase_index_docs(
     only the <= n_buckets distinct bucket ints), then matched against
     the whole corpus in ONE pruned positions scan. Output is one row
     per probe bigram: how many corpus docs contain it and the total
-    occurrence count — every probe hits at least its source doc, so
-    the row set is exactly the benchmark shingles."""
+    occurrence count — every SURVIVING probe hits at least its source
+    doc. The ``max_term_df`` stopword guard is ON here (the
+    contamination path's default posture): bigrams whose terms sit in
+    > 80% of docs are dropped before the candidate join — the r12
+    full-scale legs measured them as the one probe shape that
+    degenerates to a corpus-scale position explode, while carrying no
+    contamination signal. The oracle replays the identical df screen."""
     import hashlib
     import os
     import tempfile
@@ -549,7 +560,9 @@ def contamination_phrase_index_docs(
             ).alias("phrase")
         )
     )
-    hits = TI.multi_phrase_query_index_df(spark, idx, bench)
+    hits = TI.multi_phrase_query_index_df(
+        spark, idx, bench, max_term_df=_CONTAM_MAX_TERM_DF
+    )
     return (
         hits.groupBy("phrase")
         .agg(
@@ -570,17 +583,29 @@ WITH l AS (
   SELECT DISTINCT toks[i] || ' ' || toks[i + 1] AS phrase
   FROM l, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
   WHERE doc_id % {_CONTAM_MOD} = 0
-), slots AS (
+), allslots AS (
   SELECT phrase,
          unnest(string_split(phrase, ' ')) AS term,
          unnest(generate_series(1, len(string_split(phrase, ' ')))) AS slot
   FROM bench
-), nslots AS (
-  SELECT phrase, COUNT(*) AS n FROM slots GROUP BY phrase
 ), tok AS (
   SELECT doc_id, unnest(toks) AS term,
          unnest(generate_series(1, len(toks))) AS pos
   FROM l
+), tdf AS (
+  -- stopword-probe guard (max_term_df={_CONTAM_MAX_TERM_DF}): per-term
+  -- doc frequency; probe phrases with ANY term above the cutoff drop
+  SELECT term, COUNT(DISTINCT doc_id) AS d FROM tok GROUP BY term
+), slots AS (
+  SELECT a.* FROM allslots a
+  WHERE a.phrase NOT IN (
+    SELECT DISTINCT s.phrase
+    FROM allslots s JOIN tdf USING (term)
+    WHERE tdf.d > CAST(floor({_CONTAM_MAX_TERM_DF} *
+          (SELECT COUNT(*) FROM documents)) AS BIGINT)
+  )
+), nslots AS (
+  SELECT phrase, COUNT(*) AS n FROM slots GROUP BY phrase
 ), cov AS (
   SELECT s.phrase, t.doc_id, t.pos - (s.slot - 1) AS start,
          COUNT(DISTINCT s.slot) AS ns

@@ -662,3 +662,56 @@ def test_proximity_requires_distinct_increasing_positions(spark, tmp_path):
     # the brute-force reference agrees on every case
     assert _brute_phrase(docs, "t t", within=1) == {2: 1}
     assert _brute_phrase(docs, "a b", within=2) == {4: 1}
+
+
+def test_max_term_df_guard_drops_stopword_probes(spark, tmp_path):
+    """The stopword-probe guard (r12 verdict item 2, measured at the
+    2M-doc legs: head-rank probes degenerate to a corpus-scale
+    position explode): probe phrases with ANY term above the df cutoff
+    are dropped; surviving phrases' results are IDENTICAL to the
+    unguarded run; fraction and absolute cutoffs agree; the DataFrame
+    probe path honors the same guard."""
+    rows = [(i, f"common filler{i} word{i % 3}") for i in range(9)]
+    rows.append((9, "rare common pair"))
+    rows.append((10, "rare pair zz"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=8, store_positions=True)
+
+    probes = ["rare pair", "common filler1", "rare common"]
+    # df: common=10/11 docs, rare=2, pair=2 -> cutoff 0.5*11=5 drops
+    # every probe containing 'common'
+    guarded = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in TI.multi_phrase_query_index(
+            spark, path, probes, max_term_df=0.5
+        ).collect()
+    }
+    full = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in TI.multi_phrase_query_index(spark, path, probes).collect()
+    }
+    assert {p for p, _ in guarded} == {"rare pair"}
+    assert guarded == {
+        kv: n for kv, n in full.items() if kv[0] == "rare pair"
+    }
+    assert {p for p, _ in full} == set(probes)  # unguarded is exhaustive
+    # absolute cutoff form: df > 5 docs
+    abs_guarded = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in TI.multi_phrase_query_index(
+            spark, path, probes, max_term_df=5
+        ).collect()
+    }
+    assert abs_guarded == guarded
+    # DataFrame probe path applies the identical screen
+    probes_df = spark.createDataFrame(
+        [(p,) for p in probes], "phrase string"
+    )
+    df_guarded = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in TI.multi_phrase_query_index_df(
+            spark, path, probes_df, max_term_df=0.5
+        ).collect()
+    }
+    assert df_guarded == guarded
