@@ -80,6 +80,31 @@ def main() -> None:
             f"{t:.1f}s ({n_hit} phrases with hits)"
         )
 
+    # guarded bulk leg (r13): the df-cutoff recipe is now ENFORCED by
+    # the operator (max_term_df), not documented in this docstring — a
+    # probe set salted with head-rank (stopword) bigrams must run at
+    # content-probe cost, with the operator printing the dropped count
+    # loudly on stderr
+    salted = content_phrases(400) + [
+        "w1 w2", "w2 w3", "w1 w3", "w3 w4", "w2 w5",
+    ]
+    pdf = spark.createDataFrame([(p,) for p in salted], "phrase string")
+    t0 = time.monotonic()
+    agg = (
+        TI.multi_phrase_query_index_df(spark, idx, pdf, max_term_df=0.05)
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_docs_hit"))
+    )
+    kept = {r["phrase"] for r in agg.collect()}
+    t = time.monotonic() - t0
+    assert not kept & {"w1 w2", "w2 w3", "w1 w3", "w3 w4", "w2 w5"}
+    print(
+        f"guarded bulk (max_term_df=0.05): {len(salted)} probes incl. 5 "
+        f"head-rank bigrams -> {t:.1f}s, {len(kept)} phrases with hits "
+        "(head-rank probes dropped by the operator guard — see the "
+        "stderr count above)"
+    )
+
     # the degenerate stopword regime, one phrase, timed and documented
     t0 = time.monotonic()
     hot = TI.phrase_query_index(spark, idx, "w1 w2", k=50).collect()
