@@ -113,6 +113,11 @@ FAMILY_COVER: dict[str, set[str]] = {
     # round-12 surface: positional tier of the text index
     "phrase-index": {"bm25_index_phrase_docs", "bm25_index_proximity_docs",
                      "contamination_phrase_index_docs"},
+    # round-12/13 surface (r12 verdict item 7): retrieval fusion+eval
+    # and the KMV sketch family must never starve of evidence
+    "retrieval-stack": {"hybrid_retrieval_docs", "retrieval_metrics_eval",
+                        "hybrid_retrieval_eval"},
+    "kmv": {"kmv_distinct_sources"},
 }
 
 _MIN_STALE_LAG = 3  # rule (b) floor: lag never tightens below 3 rounds

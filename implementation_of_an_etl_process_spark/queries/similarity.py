@@ -1123,10 +1123,12 @@ def retrieval_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement (the embeddings table's label column — a query's
     relevant set is every other vector with its label), and report
     per-query first-relevant rank, integer MRR (scale div rank),
-    hits@10, and the relevant-set size. Queries whose top-10 contains
-    no relevant doc still get a row with zeros — dropping them would
-    inflate every averaged metric. The oracle replays ranking,
-    relevance join, and metrics in SQL."""
+    hits@10, the relevant-set size, integer recall@10, and binary
+    NDCG@10 from the fixed-point discount table (shared constants in
+    plan and oracle — no float log in either engine). Queries whose
+    top-10 contains no relevant doc still get a row with zeros —
+    dropping them would inflate every averaged metric. The oracle
+    replays ranking, relevance join, and metrics in SQL."""
     from implementation_of_an_etl_process_spark.operators.tfidf import (
         retrieval_metrics,
     )
@@ -1160,6 +1162,64 @@ def retrieval_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(ranking, qrels, k=_EVAL_K)
 
 
+def hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end eval of the COMPOSED hybrid stack (r12's RRF fusion
+    scored by r13's metrics): the fused BM25+cosine ranking for doc 0
+    is ranked 1..20, relevance is same-``source`` membership (the
+    curation notion of a correct retrieval for the documents table),
+    and `retrieval_metrics` reports first-relevant rank, integer MRR,
+    hits@10, integer recall@10, and fixed-point NDCG@10 — one row, the
+    retrieval-stack health check a pipeline dashboards. The oracle
+    recomposes fusion, ranking, qrels, and every metric in SQL with
+    the same shared constant tables."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        retrieval_metrics,
+    )
+
+    fused = hybrid_retrieval_docs(spark, sf_dir)
+    w = Window.orderBy(F.desc("rrf_q"), F.col("doc_id").asc())
+    ranking = fused.select(
+        F.lit(0).cast("long").alias("qid"),
+        F.col("doc_id").alias("cid"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qsrc = docs.filter(F.col("doc_id") == 0).select(
+        F.col("source").alias("_qs")
+    )
+    qrels = (
+        docs.join(F.broadcast(qsrc), F.col("source") == F.col("_qs"))
+        .filter(F.col("doc_id") != 0)
+        .select(
+            F.lit(0).cast("long").alias("qid"),
+            F.col("doc_id").alias("cid"),
+        )
+    )
+    return retrieval_metrics(ranking, qrels, k=_EVAL_K)
+
+
+def _ndcg_rows() -> tuple[str, str]:
+    """Literal VALUES rows for the shared fixed-point NDCG tables —
+    generated by the SAME helper the operator embeds in its plan, so
+    engine and oracle sum identical constants."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        ndcg_ideal_table,
+        ndcg_weight_table,
+    )
+
+    wt = ", ".join(
+        f"({r + 1}, {w})"
+        for r, w in enumerate(ndcg_weight_table(_EVAL_K))
+    )
+    icg = ", ".join(
+        f"({m + 1}, {iw})"
+        for m, iw in enumerate(ndcg_ideal_table(_EVAL_K))
+    )
+    return wt, icg
+
+
+_NDCG_WT_ROWS, _NDCG_ICG_ROWS = _ndcg_rows()
+
 RETRIEVAL_EVAL_SQL = f"""
 WITH q AS (
   SELECT vec_id AS qid, {_QUANT} AS qv, label AS ql FROM embeddings
@@ -1184,25 +1244,91 @@ WITH q AS (
   SELECT q.qid, c.cid FROM q JOIN c ON q.ql = c.cl AND q.qid <> c.cid
 ), per_rel AS (
   SELECT qid, COUNT(*) AS n_relevant FROM qrels GROUP BY qid
+), wt(r, w) AS (
+  VALUES {_NDCG_WT_ROWS}
+), icg(m, iw) AS (
+  VALUES {_NDCG_ICG_ROWS}
 ), hits AS (
-  SELECT t.qid, MIN(t.rank) AS first_rel_rank, COUNT(*) AS hits_at_k
-  FROM top t JOIN qrels r ON t.qid = r.qid AND t.cid = r.cid
+  SELECT t.qid, MIN(t.rank) AS first_rel_rank, COUNT(*) AS hits_at_k,
+         SUM(w.w) AS dcg
+  FROM top t
+  JOIN qrels r ON t.qid = r.qid AND t.cid = r.cid
+  JOIN wt w ON w.r = t.rank
   GROUP BY t.qid
 )
 SELECT p.qid,
        CAST(COALESCE(h.first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
        CAST(COALESCE(1000000 // h.first_rel_rank, 0) AS BIGINT) AS mrr_q,
        CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
-       CAST(p.n_relevant AS BIGINT) AS n_relevant
-FROM per_rel p LEFT JOIN hits h ON p.qid = h.qid
+       CAST(p.n_relevant AS BIGINT) AS n_relevant,
+       CAST(1000000 * COALESCE(h.hits_at_k, 0) // p.n_relevant AS BIGINT)
+         AS recall_q,
+       CAST(1000000 * COALESCE(h.dcg, 0) // i.iw AS BIGINT) AS ndcg_q
+FROM per_rel p
+LEFT JOIN hits h ON p.qid = h.qid
+JOIN icg i ON i.m = LEAST(p.n_relevant, {_EVAL_K})
 ORDER BY p.qid
 """
+
+
+# the hybrid-eval oracle recomposes the hybrid SQL's fusion CTEs (same
+# text, its final projection dropped), then ranks, joins same-source
+# qrels, and replays every metric with the shared constant tables
+_HYBRID_EVAL_BODY = HYBRID_RETRIEVAL_SQL.rsplit(
+    "SELECT doc_id, rrf_q, n_systems", 1
+)[0]
+
+HYBRID_EVAL_SQL = (
+    _HYBRID_EVAL_BODY
+    + f""", lim AS (
+  SELECT doc_id, rrf_q FROM fused
+  ORDER BY rrf_q DESC, doc_id LIMIT {_HYBRID_K}
+), ranked2 AS (
+  SELECT CAST(0 AS BIGINT) AS qid, doc_id AS cid,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id ASC)
+              AS INTEGER) AS rank
+  FROM lim
+), top2 AS (
+  SELECT qid, cid, rank FROM ranked2 WHERE rank <= {_EVAL_K}
+), qrels2 AS (
+  SELECT CAST(0 AS BIGINT) AS qid, doc_id AS cid FROM documents
+  WHERE source = (SELECT source FROM documents WHERE doc_id = 0)
+    AND doc_id <> 0
+), per_rel2 AS (
+  SELECT qid, COUNT(*) AS n_relevant FROM qrels2 GROUP BY qid
+), wt2(r, w) AS (
+  VALUES {_NDCG_WT_ROWS}
+), icg2(m, iw) AS (
+  VALUES {_NDCG_ICG_ROWS}
+), hits2 AS (
+  SELECT t.qid, MIN(t.rank) AS first_rel_rank, COUNT(*) AS hits_at_k,
+         SUM(w.w) AS dcg
+  FROM top2 t
+  JOIN qrels2 r ON t.qid = r.qid AND t.cid = r.cid
+  JOIN wt2 w ON w.r = t.rank
+  GROUP BY t.qid
+)
+SELECT p.qid,
+       CAST(COALESCE(h.first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
+       CAST(COALESCE(1000000 // h.first_rel_rank, 0) AS BIGINT) AS mrr_q,
+       CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(p.n_relevant AS BIGINT) AS n_relevant,
+       CAST(1000000 * COALESCE(h.hits_at_k, 0) // p.n_relevant AS BIGINT)
+         AS recall_q,
+       CAST(1000000 * COALESCE(h.dcg, 0) // i.iw AS BIGINT) AS ndcg_q
+FROM per_rel2 p
+LEFT JOIN hits2 h ON p.qid = h.qid
+JOIN icg2 i ON i.m = LEAST(p.n_relevant, {_EVAL_K})
+ORDER BY p.qid
+"""
+)
 
 
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "similarity_filtered_topk": similarity_filtered_topk,
     "hybrid_retrieval_docs": hybrid_retrieval_docs,
+    "hybrid_retrieval_eval": hybrid_retrieval_eval,
     "retrieval_metrics_eval": retrieval_metrics_eval,
     "embedding_label_centroids": embedding_label_centroids,
     "similarity_pq_recall": similarity_pq_recall,
@@ -1221,6 +1347,7 @@ ORACLES = {
     "kmeans_embeddings": KMEANS_SQL,
     "similarity_filtered_topk": SIMILARITY_FILTERED_SQL,
     "hybrid_retrieval_docs": HYBRID_RETRIEVAL_SQL,
+    "hybrid_retrieval_eval": HYBRID_EVAL_SQL,
     "retrieval_metrics_eval": RETRIEVAL_EVAL_SQL,
     "embedding_label_centroids": LABEL_CENTROIDS_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,
