@@ -1524,6 +1524,10 @@ def ivfpq_index_stats(path: str) -> dict:
             batches = json.load(f)
     n_cells = len(meta["centroids"])
     files_codes = _nparquet(codes) if os.path.exists(codes) else 0
+    cell_rows = _cell_row_counts(codes)
+    live_cells = [n for n in cell_rows.values() if n > 0]
+    mean_rows = (sum(live_cells) / len(live_cells)) if live_cells else 0.0
+    max_rows = max(live_cells) if live_cells else 0
     return {
         "n_cells": n_cells,
         "m": int(meta["m"]),
@@ -1531,6 +1535,18 @@ def ivfpq_index_stats(path: str) -> dict:
         "residual": bool(meta["residual"]),
         "files_codes": files_codes,
         "files_per_cell": files_codes / max(n_cells, 1),
+        # cell-population skew (r12 verdict item 6): appends run under
+        # a FROZEN coarse model by design, so drifting data piles into
+        # few cells and probe cost degrades — n_probe cells no longer
+        # bound a predictable share of the corpus. Row counts come
+        # from parquet FOOTERS (pyarrow metadata, no Spark, no data
+        # read) and are PHYSICAL: tombstoned rows count until
+        # compaction applies them.
+        "cell_rows_total": sum(live_cells),
+        "cell_rows_max": max_rows,
+        "cell_rows_mean": mean_rows,
+        "cell_skew_ratio": (max_rows / mean_rows) if mean_rows else 0.0,
+        "n_empty_cells": n_cells - len(live_cells),
         "has_tombstones": os.path.exists(dels),
         "files_tombstones": _nparquet(dels) if os.path.exists(dels) else 0,
         "committed_batches": len(batches),
@@ -1538,6 +1554,48 @@ def ivfpq_index_stats(path: str) -> dict:
             os.path.join(path, "_pending_append")
         ),
     }
+
+
+def _cell_row_counts(codes: str) -> dict[int, int]:
+    """Physical row count per ``cell=<n>`` partition directory, read
+    from parquet footers only — O(files) metadata, safe to poll."""
+    import os
+
+    out: dict[int, int] = {}
+    if not os.path.isdir(codes):
+        return out
+    import pyarrow.parquet as pq
+
+    for entry in os.listdir(codes):
+        if not entry.startswith("cell="):
+            continue
+        cell = int(entry.split("=", 1)[1])
+        n = 0
+        d = os.path.join(codes, entry)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        out[cell] = n
+    return out
+
+
+def maybe_retrain_ivfpq_index(path: str, *, max_skew: float = 8.0) -> dict | None:
+    """Report-only retrain advisory (the compaction surface's twin for
+    the MODEL rather than the LAYOUT): appends never move centroids —
+    that is the frozen-model contract that makes encoding deterministic
+    and appends batch-cost — so the only honest remedy for drift is a
+    retrain+rebuild, which this hook never does on its own. Returns
+    the stats dict when the live-cell population skew
+    (``cell_rows_max / cell_rows_mean``) exceeds ``max_skew``, else
+    None. Callers schedule `train_ivf_centroids` + `write_ivfpq_index`
+    on their own maintenance cadence."""
+    stats = ivfpq_index_stats(path)
+    if stats["cell_skew_ratio"] > max_skew:
+        return stats
+    return None
 
 
 def maybe_compact_ivfpq_index(

@@ -742,4 +742,24 @@ def test_stats_and_auto_compaction_uniform_across_trilogy(
     S.delete_from_ivfpq_index(spark, p, [0, 1])
     assert S.ivfpq_index_stats(p)["has_tombstones"]
     assert S.maybe_compact_ivfpq_index(spark, p) is not None
-    assert not S.ivfpq_index_stats(p)["has_tombstones"]
+    st2 = S.ivfpq_index_stats(p)
+    assert not st2["has_tombstones"]
+    # cell-skew surface (r12 verdict item 6): footer-derived physical
+    # counts reconcile with the corpus (post-compaction the two
+    # tombstoned rows are gone), the skew ratio is coherent, and the
+    # report-only retrain advisory fires exactly on threshold crossing
+    assert st2["cell_rows_total"] == emb.count() - 2
+    assert st2["cell_rows_max"] >= st2["cell_rows_mean"] > 0
+    assert st2["cell_skew_ratio"] == (
+        st2["cell_rows_max"] / st2["cell_rows_mean"]
+    )
+    assert 0 <= st2["n_empty_cells"] < st2["n_cells"]
+    assert S.maybe_retrain_ivfpq_index(
+        p, max_skew=st2["cell_skew_ratio"] + 0.01
+    ) is None
+    fired = S.maybe_retrain_ivfpq_index(
+        p, max_skew=st2["cell_skew_ratio"] - 0.01
+    )
+    assert fired is not None and fired["cell_skew_ratio"] == st2[
+        "cell_skew_ratio"
+    ]
