@@ -742,7 +742,10 @@ def phrase_query_index(
     :func:`multi_phrase_query_index` (this is its single-phrase
     projection: same plan, minus the constant phrase column). Repeated
     phrase terms are handled per-slot, overlapping matches all count,
-    and ``within=W`` relaxes adjacency to slop-W ordered proximity.
+    and ``within=W`` relaxes adjacency to slop-W ordered proximity:
+    slot ``i`` binds a DISTINCT position in ``start+i .. start+i+W``,
+    strictly increasing across slots, so one token can't satisfy two
+    slots and inverted term order never matches (r12 advice).
     Returns (doc_id, n_occurrences) ordered by count desc, doc_id asc,
     top-k."""
     return (
