@@ -284,3 +284,53 @@ def test_rrf_fuse_matches_python_reference(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         rrf_fuse([], "doc_id")
+
+
+def test_retrieval_metrics_matches_python_reference(spark):
+    """retrieval_metrics vs a pure-Python eval on hand-built rankings,
+    covering the r13 columns: recall_q (scale * hits div n_relevant)
+    and binary NDCG@k from the fixed-point discount table — plus the
+    zero-hit row, a perfect prefix ranking (ndcg == scale), and
+    n_relevant > k (IDCG capped at the table's k-prefix)."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        ndcg_ideal_table,
+        ndcg_weight_table,
+        retrieval_metrics,
+    )
+
+    K, SCALE = 4, 1_000_000
+    # q1: relevant {100,101}, hits at ranks 1,2 (perfect prefix)
+    # q2: relevant {200,201,202,203,204} (> k), hit at ranks 2 and 4
+    # q3: relevant {300}, no hit in top-k
+    ranking = spark.createDataFrame(
+        [
+            (1, 100, 1), (1, 101, 2), (1, 9, 3), (1, 8, 4),
+            (2, 7, 1), (2, 200, 2), (2, 6, 3), (2, 204, 4),
+            (3, 5, 1), (3, 4, 2), (3, 3, 3), (3, 2, 4),
+        ],
+        "qid long, cid long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 100), (1, 101)]
+        + [(2, c) for c in (200, 201, 202, 203, 204)]
+        + [(3, 300)],
+        "qid long, cid long",
+    )
+    got = {
+        r.qid: r.asDict()
+        for r in retrieval_metrics(ranking, qrels, k=K, scale=SCALE).collect()
+    }
+    wt = ndcg_weight_table(K, SCALE)
+    icg = ndcg_ideal_table(K, SCALE)
+    # q1: dcg = w1+w2, idcg = prefix(min(2,4)) -> ndcg == SCALE exactly
+    assert got[1]["recall_q"] == SCALE * 2 // 2 == SCALE
+    assert got[1]["ndcg_q"] == SCALE * (wt[0] + wt[1]) // icg[1] == SCALE
+    assert got[1]["mrr_q"] == SCALE
+    # q2: hits at ranks 2,4 of 5 relevant; idcg capped at prefix(k)
+    assert got[2]["recall_q"] == SCALE * 2 // 5
+    assert got[2]["ndcg_q"] == SCALE * (wt[1] + wt[3]) // icg[K - 1]
+    assert got[2]["first_rel_rank"] == 2
+    # q3: zero-hit row present, every metric 0, n_relevant kept
+    assert got[3]["hits_at_k"] == 0 and got[3]["recall_q"] == 0
+    assert got[3]["ndcg_q"] == 0 and got[3]["mrr_q"] == 0
+    assert got[3]["n_relevant"] == 1
