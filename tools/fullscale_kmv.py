@@ -21,15 +21,20 @@ collisions the shared Zipf vocabulary adds are part of the truth both
 paths must agree on).
 
 The leg prints an error-vs-k table (k = 64 / 256 / 1024) and the
-triage decision per shard. DECISION THRESHOLD (documented for the
-dedup runbook, recorded in BASELINE_NOTES.md): with k=256 the
-estimator's observed error is well under 0.05 absolute, so
+triage decision per shard. DECISION RECIPE (documented for the dedup
+runbook, measured numbers in BASELINE_NOTES.md round 13 — at 4M
+docs/side the observed max absolute error was 0.056 at k=256 and
+0.026 at k=1024):
   est_jaccard >= 0.10  ->  escalate the shard pair to MinHash-LSH
                            (operators/dedup.py::near_dup_pairs_minhash)
   est_jaccard <  0.10  ->  skip; cross-snapshot near-dup yield too low
                            to pay a banded pass
-(0.10 sits >2x the k=256 error band, so triage can't silently skip a
-shard whose true overlap is at the escalation bar.)
+  |est - 0.10| <= the k's observed error band -> re-sketch at k=1024
+  (or sketch at k=1024 from the start: the sketch pass is the same
+  corpus scan either way; only the k-long state grows)
+Sketch cost is ONE tokenize+distinct pass over each corpus — the same
+scan any overlap method pays — and persists per snapshot (union-merge
+closure), while the compare stays k longs per shard forever.
 
 Usage: python tools/fullscale_kmv.py [n_docs_per_side] [workdir]
 """
