@@ -552,10 +552,14 @@ def test_multi_phrase_df_matches_list_path(spark, docs, tmp_path):
         ).collect()
     ]
     assert got_k == want_k
-    with pytest.raises(ValueError, match="no tokenizable"):
-        TI.multi_phrase_query_index_df(
-            spark, path, spark.createDataFrame([(" ",)], "phrase string")
-        )
+    # a probe relation with zero tokenizable phrases returns the EMPTY
+    # result the docstring promises (r12 advice — a decontam slice of
+    # blank docs must not crash), with the contract schema
+    empty = TI.multi_phrase_query_index_df(
+        spark, path, spark.createDataFrame([(" ",)], "phrase string")
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["phrase", "doc_id", "n_occurrences"]
 
 
 def test_marker_acquisition_is_atomic_across_threads(tmp_path):
