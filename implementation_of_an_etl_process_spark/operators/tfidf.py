@@ -459,6 +459,7 @@ def retrieval_metrics(
     rank_col: str = "rank",
     k: int = 10,
     scale: int = 1_000_000,
+    grade_col: str | None = None,
 ) -> DataFrame:
     """Per-query retrieval-quality metrics against a relevance set —
     the eval loop of every retrieval stack (and of this engine's own
@@ -476,6 +477,14 @@ def retrieval_metrics(
     relevants still get a row (metrics 0) — silently dropping them
     would inflate every mean.
 
+    ``grade_col`` switches NDCG to GRADED relevance (linear gain, the
+    integer-exact convention: gain = the grade itself, not 2^g-1):
+    DCG sums ``grade * w_rank`` over the retrieved relevants; IDCG
+    places the query's grades in descending order against the first
+    weights (per-query window over the qrels, bounded by the labeled
+    set). Grades must be positive integers; hits/recall/MRR keep
+    treating any graded doc as relevant.
+
     Integer outputs only (the repo's oracle convention); averaging is
     the caller's one tiny aggregate. At scale: ranking is top-k-sized
     per query and qrels is the labeled set — the join is
@@ -485,9 +494,21 @@ def retrieval_metrics(
         F.col(doc_col).alias("_d"),
         F.col(rank_col).alias("_r"),
     )
-    rels = qrels.select(
-        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
-    ).distinct()
+    if grade_col is not None:
+        # graded relevance: duplicate labels keep their MAX grade
+        rels = (
+            qrels.select(
+                F.col(query_col).alias("_q"),
+                F.col(doc_col).alias("_d"),
+                F.col(grade_col).cast("long").alias("_g"),
+            )
+            .groupBy("_q", "_d")
+            .agg(F.max("_g").alias("_g"))
+        )
+    else:
+        rels = qrels.select(
+            F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+        ).distinct().withColumn("_g", F.lit(1).cast("long"))
     per_query_rel = rels.groupBy("_q").agg(
         F.count(F.lit(1)).alias("n_relevant")
     )
@@ -501,15 +522,6 @@ def retrieval_metrics(
             "_r int, _w long",
         )
     )
-    ideal = F.broadcast(
-        spark.createDataFrame(
-            [
-                (m + 1, iw)
-                for m, iw in enumerate(ndcg_ideal_table(k, scale))
-            ],
-            "_m int, _iw long",
-        )
-    )
     hits = (
         top.join(rels, ["_q", "_d"])
         .join(wt, "_r")
@@ -517,16 +529,48 @@ def retrieval_metrics(
         .agg(
             F.min("_r").alias("first_rel_rank"),
             F.count(F.lit(1)).alias("hits_at_k"),
-            F.sum("_w").alias("_dcg"),
+            F.sum(F.col("_w") * F.col("_g")).alias("_dcg"),
         )
     )
-    out = (
-        per_query_rel.join(hits, "_q", "left")
-        .withColumn(
-            "_m", F.least(F.col("n_relevant"), F.lit(int(k))).cast("int")
+    if grade_col is not None:
+        # per-query IDCG: grades in descending order against the first
+        # weights — a window over the LABELED set only (qrels-sized)
+        from pyspark.sql import Window
+
+        rw = F.row_number().over(
+            Window.partitionBy("_q").orderBy(
+                F.desc("_g"), F.col("_d").asc()
+            )
         )
-        .join(ideal, "_m")
-    ).select(
+        idcg = (
+            rels.withColumn("_r", rw.cast("int"))
+            .filter(F.col("_r") <= k)
+            .join(wt, "_r")
+            .groupBy("_q")
+            .agg(F.sum(F.col("_w") * F.col("_g")).alias("_iw"))
+        )
+        joined = per_query_rel.join(hits, "_q", "left").join(idcg, "_q")
+    else:
+        # binary: IDCG is the weight table's prefix sum at
+        # min(n_relevant, k) — a k-row broadcast, no window needed
+        ideal = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (m + 1, iw)
+                    for m, iw in enumerate(ndcg_ideal_table(k, scale))
+                ],
+                "_m int, _iw long",
+            )
+        )
+        joined = (
+            per_query_rel.join(hits, "_q", "left")
+            .withColumn(
+                "_m",
+                F.least(F.col("n_relevant"), F.lit(int(k))).cast("int"),
+            )
+            .join(ideal, "_m")
+        )
+    out = joined.select(
         F.col("_q").alias(query_col),
         F.coalesce("first_rel_rank", F.lit(0)).cast("int").alias(
             "first_rel_rank"

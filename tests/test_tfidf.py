@@ -334,3 +334,49 @@ def test_retrieval_metrics_matches_python_reference(spark):
     assert got[3]["hits_at_k"] == 0 and got[3]["recall_q"] == 0
     assert got[3]["ndcg_q"] == 0 and got[3]["mrr_q"] == 0
     assert got[3]["n_relevant"] == 1
+
+
+def test_retrieval_metrics_graded_relevance(spark):
+    """grade_col switches NDCG to graded (linear-gain) relevance: DCG
+    sums grade * w_rank over retrieved relevants, IDCG places the
+    query's grades descending against the first weights, and a
+    perfectly graded-ordered ranking scores exactly scale. Verified
+    against a pure-Python reference, including n_graded > k and
+    duplicate labels keeping their max grade."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        ndcg_weight_table,
+        retrieval_metrics,
+    )
+
+    K, SCALE = 3, 1_000_000
+    # q1 ranking hits grades in perfect desc order -> ndcg == SCALE
+    # q2 ranking hits them in the WORST order; q2 also has 4 labels > k
+    ranking = spark.createDataFrame(
+        [
+            (1, 100, 1), (1, 101, 2), (1, 102, 3),
+            (2, 202, 1), (2, 201, 2), (2, 200, 3),
+        ],
+        "qid long, cid long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [
+            (1, 100, 3), (1, 101, 2), (1, 102, 1),
+            (2, 200, 3), (2, 201, 2), (2, 202, 1), (2, 203, 1),
+            (2, 200, 1),  # duplicate label: max grade (3) must win
+        ],
+        "qid long, cid long, grade int",
+    )
+    got = {
+        r.qid: r.asDict()
+        for r in retrieval_metrics(
+            ranking, qrels, k=K, scale=SCALE, grade_col="grade"
+        ).collect()
+    }
+    wt = ndcg_weight_table(K, SCALE)
+    assert got[1]["ndcg_q"] == SCALE
+    # q2: dcg = 1*w1 + 2*w2 + 3*w3; idcg = 3*w1 + 2*w2 + 1*w3
+    dcg2 = 1 * wt[0] + 2 * wt[1] + 3 * wt[2]
+    idcg2 = 3 * wt[0] + 2 * wt[1] + 1 * wt[2]
+    assert got[2]["ndcg_q"] == SCALE * dcg2 // idcg2 < SCALE
+    assert got[2]["n_relevant"] == 4  # 200,201,202,203 (dedup'd)
+    assert got[2]["recall_q"] == SCALE * 3 // 4
