@@ -116,7 +116,8 @@ FAMILY_COVER: dict[str, set[str]] = {
     # round-12/13 surface (r12 verdict item 7): retrieval fusion+eval
     # and the KMV sketch family must never starve of evidence
     "retrieval-stack": {"hybrid_retrieval_docs", "retrieval_metrics_eval",
-                        "hybrid_retrieval_eval"},
+                        "hybrid_retrieval_eval",
+                        "retrieval_graded_ndcg_eval"},
     "kmv": {"kmv_distinct_sources"},
 }
 

@@ -1162,6 +1162,63 @@ def retrieval_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(ranking, qrels, k=_EVAL_K)
 
 
+def _fused_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid entry's RRF-fused top-20, ranked 1..20 for doc 0 —
+    shared by both eval entries so they score the same retrieval."""
+    fused = hybrid_retrieval_docs(spark, sf_dir)
+    w = Window.orderBy(F.desc("rrf_q"), F.col("doc_id").asc())
+    return fused.select(
+        F.lit(0).cast("long").alias("qid"),
+        F.col("doc_id").alias("cid"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def retrieval_graded_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED-relevance eval of the hybrid ranking (the r13 linear-gain
+    NDCG path under the oracle gate): relevance grades come from
+    metadata agreement with the query doc — 3 when both source and
+    lang match, 2 for source only, 1 for lang only — the tiered
+    notion of 'how right' a retrieval is that a curation pipeline
+    actually has (same collection beats same language). DCG sums
+    grade * w_rank over the retrieved relevants; IDCG places the
+    query's grades descending against the first weights (window over
+    the labeled set only). The oracle replays grading, both sums, and
+    the division with the identical constant tables."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        retrieval_metrics,
+    )
+
+    ranking = _fused_ranking(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q0 = docs.filter(F.col("doc_id") == 0).select(
+        F.col("source").alias("_qs"), F.col("lang").alias("_ql")
+    )
+    qrels = (
+        docs.crossJoin(F.broadcast(q0))
+        .filter(F.col("doc_id") != 0)
+        .filter(
+            (F.col("source") == F.col("_qs"))
+            | (F.col("lang") == F.col("_ql"))
+        )
+        .select(
+            F.lit(0).cast("long").alias("qid"),
+            F.col("doc_id").alias("cid"),
+            F.when(
+                (F.col("source") == F.col("_qs"))
+                & (F.col("lang") == F.col("_ql")),
+                F.lit(3),
+            )
+            .when(F.col("source") == F.col("_qs"), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("grade"),
+        )
+    )
+    return retrieval_metrics(
+        ranking, qrels, k=_EVAL_K, grade_col="grade"
+    )
+
+
 def hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end eval of the COMPOSED hybrid stack (r12's RRF fusion
     scored by r13's metrics): the fused BM25+cosine ranking for doc 0
@@ -1176,13 +1233,7 @@ def hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         retrieval_metrics,
     )
 
-    fused = hybrid_retrieval_docs(spark, sf_dir)
-    w = Window.orderBy(F.desc("rrf_q"), F.col("doc_id").asc())
-    ranking = fused.select(
-        F.lit(0).cast("long").alias("qid"),
-        F.col("doc_id").alias("cid"),
-        F.row_number().over(w).cast("int").alias("rank"),
-    )
+    ranking = _fused_ranking(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     qsrc = docs.filter(F.col("doc_id") == 0).select(
         F.col("source").alias("_qs")
@@ -1324,11 +1375,71 @@ ORDER BY p.qid
 )
 
 
+GRADED_NDCG_SQL = (
+    _HYBRID_EVAL_BODY
+    + f""", lim AS (
+  SELECT doc_id, rrf_q FROM fused
+  ORDER BY rrf_q DESC, doc_id LIMIT {_HYBRID_K}
+), ranked3 AS (
+  SELECT CAST(0 AS BIGINT) AS qid, doc_id AS cid,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id ASC)
+              AS INTEGER) AS rank
+  FROM lim
+), top3 AS (
+  SELECT qid, cid, rank FROM ranked3 WHERE rank <= {_EVAL_K}
+), qm AS (
+  SELECT source AS qs, lang AS ql FROM documents WHERE doc_id = 0
+), qrels3 AS (
+  SELECT CAST(0 AS BIGINT) AS qid, d.doc_id AS cid,
+         CAST(CASE WHEN d.source = qm.qs AND d.lang = qm.ql THEN 3
+                   WHEN d.source = qm.qs THEN 2
+                   ELSE 1 END AS BIGINT) AS g
+  FROM documents d, qm
+  WHERE d.doc_id <> 0 AND (d.source = qm.qs OR d.lang = qm.ql)
+), per_rel3 AS (
+  SELECT qid, COUNT(*) AS n_relevant FROM qrels3 GROUP BY qid
+), wt3(r, w) AS (
+  VALUES {_NDCG_WT_ROWS}
+), ideal3 AS (
+  SELECT qid, SUM(x.g * w.w) AS iw FROM (
+    SELECT qid, g,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY g DESC, cid ASC
+           ) AS INTEGER) AS r
+    FROM qrels3
+  ) x JOIN wt3 w ON w.r = x.r
+  WHERE x.r <= {_EVAL_K}
+  GROUP BY qid
+), hits3 AS (
+  SELECT t.qid, MIN(t.rank) AS first_rel_rank, COUNT(*) AS hits_at_k,
+         SUM(r.g * w.w) AS dcg
+  FROM top3 t
+  JOIN qrels3 r ON t.qid = r.qid AND t.cid = r.cid
+  JOIN wt3 w ON w.r = t.rank
+  GROUP BY t.qid
+)
+SELECT p.qid,
+       CAST(COALESCE(h.first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
+       CAST(COALESCE(1000000 // h.first_rel_rank, 0) AS BIGINT) AS mrr_q,
+       CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(p.n_relevant AS BIGINT) AS n_relevant,
+       CAST(1000000 * COALESCE(h.hits_at_k, 0) // p.n_relevant AS BIGINT)
+         AS recall_q,
+       CAST(1000000 * COALESCE(h.dcg, 0) // i.iw AS BIGINT) AS ndcg_q
+FROM per_rel3 p
+LEFT JOIN hits3 h ON p.qid = h.qid
+JOIN ideal3 i ON i.qid = p.qid
+ORDER BY p.qid
+"""
+)
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "similarity_filtered_topk": similarity_filtered_topk,
     "hybrid_retrieval_docs": hybrid_retrieval_docs,
     "hybrid_retrieval_eval": hybrid_retrieval_eval,
+    "retrieval_graded_ndcg_eval": retrieval_graded_ndcg_eval,
     "retrieval_metrics_eval": retrieval_metrics_eval,
     "embedding_label_centroids": embedding_label_centroids,
     "similarity_pq_recall": similarity_pq_recall,
@@ -1348,6 +1459,7 @@ ORACLES = {
     "similarity_filtered_topk": SIMILARITY_FILTERED_SQL,
     "hybrid_retrieval_docs": HYBRID_RETRIEVAL_SQL,
     "hybrid_retrieval_eval": HYBRID_EVAL_SQL,
+    "retrieval_graded_ndcg_eval": GRADED_NDCG_SQL,
     "retrieval_metrics_eval": RETRIEVAL_EVAL_SQL,
     "embedding_label_centroids": LABEL_CENTROIDS_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,
