@@ -763,3 +763,46 @@ def test_stats_and_auto_compaction_uniform_across_trilogy(
     assert fired is not None and fired["cell_skew_ratio"] == st2[
         "cell_skew_ratio"
     ]
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_phrase_slop_matches_greedy_reference(spark, seed, tmp_path_factory):
+    """Random tiny-vocab corpora vs the pure-Python greedy reference
+    for EVERY (phrase, W) probe: the r13 ordered-slop kernel (distinct,
+    strictly increasing positions per slot) must agree exactly,
+    including repeated-term phrases — tiny vocab maximizes repeats and
+    overlap, the regime where the old coverage-counting semantics were
+    wrong."""
+    import random
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+    from tests.test_textindex import _brute_phrase
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("slop") / f"idx_{seed}")
+    TI.write_text_index(docs, path, n_buckets=4, store_positions=True)
+    phrases = ["a b", "a a", "b a c", "c c a"]
+    for w in (0, 1, 2):
+        got_all = TI.multi_phrase_query_index(
+            spark, path, phrases, within=w or None
+        ).collect()
+        got = {}
+        for r in got_all:
+            got.setdefault(r.phrase, {})[r.doc_id] = r.n_occurrences
+        for p in phrases:
+            assert got.get(p, {}) == _brute_phrase(docs, p, within=w), (
+                seed, p, w,
+            )
