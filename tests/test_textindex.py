@@ -719,3 +719,46 @@ def test_max_term_df_guard_drops_stopword_probes(spark, tmp_path):
         ).collect()
     }
     assert df_guarded == guarded
+
+
+def test_max_term_df_guard_composes_with_within(spark, tmp_path):
+    """The guard screens BEFORE the proximity expansion: a surviving
+    phrase keeps exact slop-W results while stopword probes drop."""
+    # df spread: common in 6/9 docs, pair in 4/9, rare in 2/9
+    docs = spark.createDataFrame(
+        [(i, f"common x{i} y{i}") for i in range(5)]
+        + [
+            (5, "common pair q"),
+            (6, "rare pair z"),
+            (7, "rare w pair"),
+            (8, "pair only"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=8, store_positions=True)
+    probes = ["rare pair", "common pair"]
+    # cutoff int(0.5*9)=4: common (df 6) trips it, pair/rare survive
+    got2 = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in TI.multi_phrase_query_index(
+            spark, path, probes, within=1, max_term_df=0.5
+        ).collect()
+    }
+    assert {p for p, _ in got2} == {"rare pair"}
+    # surviving phrase's slop-1 results match the brute reference
+    # (doc 6 adjacent, doc 7 via the one-slop window)
+    want = _brute_phrase(docs, "rare pair", within=1)
+    assert {d: n for (p, d), n in got2.items()} == want
+    # cutoff int(0.9*9)=8: nothing trips; both phrases match brute
+    got = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in TI.multi_phrase_query_index(
+            spark, path, probes, within=1, max_term_df=0.9
+        ).collect()
+    }
+    assert {p for p, _ in got} == {"rare pair", "common pair"}
+    for p in probes:
+        assert {
+            d: n for (pp, d), n in got.items() if pp == p
+        } == _brute_phrase(docs, p, within=1)
