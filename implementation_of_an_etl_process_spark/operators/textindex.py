@@ -400,6 +400,7 @@ def multi_phrase_query_index(
     k: int | None = None,
     within: int | None = None,
     max_term_df: float | int | None = None,
+    return_positions: bool = False,
 ) -> DataFrame:
     """Bulk phrase matching in ONE index scan — the benchmark-
     contamination shape: thousands of probe phrases against the corpus
@@ -464,6 +465,7 @@ def multi_phrase_query_index(
     return _phrase_match_kernel(
         spark, path, slots_df, counts_df, buckets,
         k=k, within=within, max_term_df=max_term_df,
+        return_positions=return_positions,
     )
 
 
@@ -476,6 +478,7 @@ def multi_phrase_query_index_df(
     k: int | None = None,
     within: int | None = None,
     max_term_df: float | int | None = None,
+    return_positions: bool = False,
 ) -> DataFrame:
     """:func:`multi_phrase_query_index` with the probe phrases as a
     DataFRAME — the benchmark-contamination shape at ITS OWN scale:
@@ -534,12 +537,14 @@ def multi_phrase_query_index_df(
         # extraction over a blank/short benchmark slice produces no
         # rows) — return the empty result the docstring promises, not
         # an error (r12 advice: a decontam run must not crash on it)
-        return spark.createDataFrame(
-            [], "phrase string, doc_id long, n_occurrences long"
-        )
+        schema = "phrase string, doc_id long, n_occurrences long"
+        if return_positions:
+            schema += ", starts array<int>"
+        return spark.createDataFrame([], schema)
     return _phrase_match_kernel(
         spark, path, slots, counts, buckets,
         k=k, within=within, max_term_df=max_term_df,
+        return_positions=return_positions,
     )
 
 
@@ -553,6 +558,7 @@ def _phrase_match_kernel(
     k: int | None,
     within: int | None,
     max_term_df: float | int | None = None,
+    return_positions: bool = False,
 ) -> DataFrame:
     """Shared phrase-matching plan behind both multi-phrase entry
     points. ``slots`` is (phrase, slot, term), ``counts`` is (phrase,
@@ -704,9 +710,15 @@ def _phrase_match_kernel(
             .join(counts, "phrase")
             .filter(F.col("_ns") == F.col("_n_slots"))
         )
-    out = occ.groupBy("phrase", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_occurrences")
-    )
+    aggs = [F.count(F.lit(1)).alias("n_occurrences")]
+    if return_positions:
+        # the match START token offsets, sorted — what span-level
+        # decontamination needs to EXCISE contaminated spans (feed
+        # (start, start + n_slots - 1 + W) spans to
+        # pretrain.remove_duplicate_spans-style cutting) instead of
+        # dropping whole docs. Bounded by the doc's token count.
+        aggs.append(F.sort_array(F.collect_list("start")).alias("starts"))
+    out = occ.groupBy("phrase", "doc_id").agg(*aggs)
     if k is not None:
         # per-phrase top-k without a per-phrase query: rank inside the
         # one aggregate's output (WindowGroupLimit keeps this map-side)

@@ -762,3 +762,43 @@ def test_max_term_df_guard_composes_with_within(spark, tmp_path):
         assert {
             d: n for (pp, d), n in got.items() if pp == p
         } == _brute_phrase(docs, p, within=1)
+
+
+def test_return_positions_gives_excisable_spans(spark, tmp_path):
+    """return_positions=True adds the sorted match-start offsets — the
+    span-level decontamination hook (cut (start, start+len-1+W) spans
+    instead of dropping docs). Starts must equal the brute-force match
+    starts, overlaps included, on both probe paths."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x a b y"), (3, "a a a")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=4, store_positions=True)
+    got = {
+        (r.phrase, r.doc_id): (r.n_occurrences, list(r.starts))
+        for r in TI.multi_phrase_query_index(
+            spark, path, ["a b", "a a"], return_positions=True
+        ).collect()
+    }
+    assert got[("a b", 1)] == (2, [0, 2])
+    assert got[("a b", 2)] == (1, [1])
+    assert got[("a a", 3)] == (2, [0, 1])  # overlapping matches
+    assert ("a a", 1) not in got
+    # DataFrame probe path emits the same schema and values
+    pdf = spark.createDataFrame([("a b",), ("a a",)], "phrase string")
+    got_df = {
+        (r.phrase, r.doc_id): (r.n_occurrences, list(r.starts))
+        for r in TI.multi_phrase_query_index_df(
+            spark, path, pdf, return_positions=True
+        ).collect()
+    }
+    assert got_df == got
+    # empty probe set keeps the widened contract schema
+    empty = TI.multi_phrase_query_index_df(
+        spark,
+        path,
+        spark.createDataFrame([(" ",)], "phrase string"),
+        return_positions=True,
+    )
+    assert empty.columns == ["phrase", "doc_id", "n_occurrences", "starts"]
