@@ -657,32 +657,46 @@ def duplicate_span_stats(
     )
 
 
-def remove_duplicate_spans(
+def excise_token_spans(
     docs: DataFrame,
+    spans: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 50,
-    min_count: int = 2,
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+    one_based: bool = True,
 ) -> DataFrame:
-    """Strict-removal cleanup: rebuild each document's text with every
-    token covered by a duplicated span dropped (the conservative
-    policy — keeping one canonical occurrence per duplicated substring
-    requires a global owner election across documents; callers wanting
-    that join :func:`duplicate_spans` and elect owners themselves).
+    """Rebuild each document's text with every token inside any of the
+    given (id, start, end) token spans dropped — the generic excision
+    primitive behind :func:`remove_duplicate_spans`, and the cutter
+    span-level DECONTAMINATION composes with the positional text
+    index's ``return_positions=True`` match offsets (cut the
+    contaminated n-gram, keep the document). Spans are inclusive;
+    ``one_based=False`` accepts 0-based offsets (the text index's
+    convention) and shifts them once here. Tokenization is the
+    module's shared lower/trim/whitespace-split, identical to the
+    text index's, so offsets line up.
 
     Per-doc span lists are bounded by doc length (collect_list here is
     executor-side per-group state, not a driver collect). The rebuild
     is pure Column work: positions surviving the interval set are kept
     in order and re-joined.
 
-    Output: ``(id, clean_text, n_removed_tokens)``.
-    """
-    spans = duplicate_spans(
-        docs, id_col=id_col, text_col=text_col, k=k, min_count=min_count
-    )
-    sp = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    Output: ``(id, clean_text, n_removed_tokens)`` — one row per input
+    doc; docs with no spans pass through with 0 removed."""
+    off = 0 if one_based else 1
+    sp = spans.select(
+        F.col(id_col),
+        (F.col(start_col) + F.lit(off)).alias("_s"),
+        (F.col(end_col) + F.lit(off)).alias("_e"),
+    ).groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("_s").alias("span_start"),
+                F.col("_e").alias("span_end"),
+            )
+        ).alias("_sp")
     )
     base = docs.select(F.col(id_col), _dup_tokens(text_col).alias("ts"))
     joined = base.join(sp, id_col, "left").withColumn(
@@ -711,6 +725,31 @@ def remove_duplicate_spans(
         (F.size("ts") - F.size(keep_pos)).cast("long").alias(
             "n_removed_tokens"
         ),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Strict-removal cleanup: rebuild each document's text with every
+    token covered by a duplicated span dropped (the conservative
+    policy — keeping one canonical occurrence per duplicated substring
+    requires a global owner election across documents; callers wanting
+    that join :func:`duplicate_spans` and elect owners themselves).
+    Delegates the rebuild to :func:`excise_token_spans`.
+
+    Output: ``(id, clean_text, n_removed_tokens)``.
+    """
+    spans = duplicate_spans(
+        docs, id_col=id_col, text_col=text_col, k=k, min_count=min_count
+    )
+    return excise_token_spans(
+        docs, spans, id_col=id_col, text_col=text_col
     )
 
 

@@ -112,7 +112,8 @@ FAMILY_COVER: dict[str, set[str]] = {
                       "multimodal_exif_orient_decode"},
     # round-12 surface: positional tier of the text index
     "phrase-index": {"bm25_index_phrase_docs", "bm25_index_proximity_docs",
-                     "contamination_phrase_index_docs"},
+                     "contamination_phrase_index_docs",
+                     "curation_span_decontam_stats"},
     # round-12/13 surface (r12 verdict item 7): retrieval fusion+eval
     # and the KMV sketch family must never starve of evidence
     "retrieval-stack": {"hybrid_retrieval_docs", "retrieval_metrics_eval",

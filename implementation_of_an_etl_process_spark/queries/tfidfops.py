@@ -626,6 +626,142 @@ ORDER BY phrase
 """
 
 
+def curation_span_decontam_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPAN-LEVEL decontamination (r13: the surgical alternative to
+    `curation_decontam_stats`' drop-the-doc policy): find every
+    benchmark bigram's match via the positional index
+    (`return_positions=True` — ONE pruned positions scan for all
+    probes), turn the match offsets into token spans, and EXCISE just
+    those spans with `pretrain.excise_token_spans`, keeping the rest
+    of each document. Output is the per-source surgery ledger a
+    curation run reports: docs, docs touched, tokens removed, tokens
+    kept. Benchmark docs themselves get (almost) fully excised — every
+    one of their bigrams is a probe — which is the honest semantics.
+    The oracle recomposes shingles, adjacency matching, span coverage,
+    and the aggregate in SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators import (
+        textindex as TI,
+    )
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        excise_token_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"txtidx_span_{tag}")
+    TI.write_text_index(docs, idx, n_buckets=32, store_positions=True)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    bench = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(_CONTAM_MOD)) == 0)
+        .select(toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.col("_t")[i], F.col("_t")[i + F.lit(1)]
+                    ),
+                )
+            ).alias("phrase")
+        )
+    )
+    hits = TI.multi_phrase_query_index_df(
+        spark, idx, bench, return_positions=True
+    )
+    spans = hits.select(
+        "doc_id", F.explode("starts").alias("span_start")
+    ).select(
+        "doc_id",
+        "span_start",
+        (F.col("span_start") + F.lit(1)).alias("span_end"),
+    )
+    cleaned = excise_token_spans(
+        docs.select("doc_id", "text"), spans, one_based=False
+    )
+    per_doc = cleaned.join(
+        docs.select("doc_id", "source", F.size(toks).alias("_n")),
+        "doc_id",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_removed_tokens") > 0, 1).otherwise(0)
+            ).cast("long").alias("n_docs_touched"),
+            F.sum("n_removed_tokens").alias("tokens_removed"),
+            F.sum(F.col("_n") - F.col("n_removed_tokens")).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_SPAN_DECONTAM_SQL = rf"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), bench AS (
+  SELECT DISTINCT toks[i] || ' ' || toks[i + 1] AS phrase
+  FROM l, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE doc_id % {_CONTAM_MOD} = 0
+), slots AS (
+  SELECT phrase,
+         unnest(string_split(phrase, ' ')) AS term,
+         unnest(generate_series(1, len(string_split(phrase, ' ')))) AS slot
+  FROM bench
+), nslots AS (
+  SELECT phrase, COUNT(*) AS n FROM slots GROUP BY phrase
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM l
+), cov AS (
+  SELECT s.phrase, t.doc_id, t.pos - (s.slot - 1) AS start,
+         COUNT(DISTINCT s.slot) AS ns
+  FROM tok t JOIN slots s ON t.term = s.term
+  WHERE t.pos - (s.slot - 1) >= 1
+  GROUP BY s.phrase, t.doc_id, t.pos - (s.slot - 1)
+), match AS (
+  SELECT DISTINCT c.doc_id, c.start
+  FROM cov c JOIN nslots n USING (phrase)
+  WHERE c.ns = n.n
+), removed AS (
+  SELECT t.doc_id, t.pos
+  FROM tok t JOIN match m
+    ON m.doc_id = t.doc_id AND t.pos BETWEEN m.start AND m.start + 1
+  GROUP BY t.doc_id, t.pos
+), per_doc AS (
+  SELECT l.doc_id, len(l.toks) AS n, COALESCE(r.nr, 0) AS nr
+  FROM l LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS nr FROM removed GROUP BY doc_id
+  ) r USING (doc_id)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.nr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_touched,
+       CAST(SUM(p.nr) AS BIGINT) AS tokens_removed,
+       CAST(SUM(p.n - p.nr) AS BIGINT) AS tokens_kept
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def curation_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark DECONTAMINATION as a composed curation stage: the
     training corpus is screened against the 'benchmark' (every bigram
@@ -1259,6 +1395,7 @@ QUERIES = {
     "bm25_index_phrase_docs": bm25_index_phrase_docs,
     "bm25_index_proximity_docs": bm25_index_proximity_docs,
     "contamination_phrase_index_docs": contamination_phrase_index_docs,
+    "curation_span_decontam_stats": curation_span_decontam_stats,
     "curation_decontam_stats": curation_decontam_stats,
     "curation_pipeline_stats": curation_pipeline_stats,
 }
@@ -1278,6 +1415,7 @@ ORACLES = {
     "bm25_index_phrase_docs": BM25_INDEX_PHRASE_SQL,
     "bm25_index_proximity_docs": BM25_INDEX_PROX_SQL,
     "contamination_phrase_index_docs": CONTAM_PHRASE_SQL,
+    "curation_span_decontam_stats": CURATION_SPAN_DECONTAM_SQL,
     "curation_decontam_stats": CURATION_DECONTAM_SQL,
     "curation_pipeline_stats": CURATION_PIPELINE_SQL,
 }
