@@ -1582,6 +1582,56 @@ def _cell_row_counts(codes: str) -> dict[int, int]:
     return out
 
 
+def retrain_ivfpq_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+    n_cells: int | None = None,
+    n_train: int = 4096,
+    m: int | None = None,
+    n_codes: int | None = None,
+    residual: bool | None = None,
+) -> dict:
+    """The maintenance action :func:`maybe_retrain_ivfpq_index`
+    advises: retrain the coarse centroids and PQ codebooks on the
+    CURRENT corpus and rebuild the index from scratch (overwrite mode
+    — marker-guarded, ledger reset, stale tombstones cleared by the
+    rebuild). The corpus must be caller-provided: codes are lossy, so
+    the original vectors can't be recovered from the index itself —
+    which is also why this can never run implicitly on append.
+    Layout parameters default to the existing index's meta (a retrain
+    fixes the MODEL, not the shape). Returns {"skew_before",
+    "skew_after", "n_cells"}."""
+    before = ivfpq_index_stats(path)
+    meta = _load_ivfpq_meta(path)
+    n_cells = int(n_cells if n_cells is not None else len(meta["centroids"]))
+    m = int(m if m is not None else meta["m"])
+    n_codes = int(n_codes if n_codes is not None else meta["n_codes"])
+    residual = bool(residual if residual is not None else meta["residual"])
+    dim = len(meta["centroids"][0])
+    cents = train_ivf_centroids(
+        corpus, corpus_vec=corpus_vec, corpus_id=corpus_id,
+        n_cells=n_cells, n_train=n_train,
+    )
+    books = train_pq_codebooks_distributed(
+        corpus, corpus_vec=corpus_vec, corpus_id=corpus_id,
+        m=m, n_codes=n_codes, dim=dim, centroids=cents,
+    )
+    write_ivfpq_index(
+        corpus, path, books, cents,
+        corpus_id=corpus_id, corpus_vec=corpus_vec, residual=residual,
+    )
+    after = ivfpq_index_stats(path)
+    return {
+        "skew_before": before["cell_skew_ratio"],
+        "skew_after": after["cell_skew_ratio"],
+        "n_cells": n_cells,
+    }
+
+
 def maybe_retrain_ivfpq_index(path: str, *, max_skew: float = 8.0) -> dict | None:
     """Report-only retrain advisory (the compaction surface's twin for
     the MODEL rather than the LAYOUT): appends never move centroids —

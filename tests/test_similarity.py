@@ -953,3 +953,82 @@ def test_ivfpq_filtered_query_allowed_ids(spark, tmp_path):
         spark, path, queries, emb, allowed_ids=tiny, **kw
     ).collect()
     assert {r["cid"] for r in rows2} == {9, 27}
+
+
+def test_retrain_rebuilds_after_drift(spark, tmp_path):
+    """The full drift lifecycle (r13): an index trained on one region
+    of the space, then fed a drifted append, develops cell skew the
+    stats surface reports and maybe_retrain flags; retrain_ivfpq_index
+    rebuilds on the CURRENT corpus under the marker discipline, the
+    advisory clears (or at least improves), the layout parameters
+    carry over from meta, and queries against the retrained index are
+    row-identical to a fresh one-shot build with the same seeds."""
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+
+    def cluster(center, n, base):
+        return [
+            (
+                base + i,
+                [center + rng.uniform(-0.05, 0.05) for _ in range(dim)],
+            )
+            for i in range(n)
+        ]
+
+    a = spark.createDataFrame(
+        cluster(0.0, 200, 0), "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        cluster(5.0, 200, 1000), "vec_id long, embedding array<float>"
+    )
+    both = a.unionByName(b)
+    path = str(tmp_path / "pq")
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding")
+    cents = S.train_ivf_centroids(a, n_cells=8, n_train=512, **kw)
+    books = S.train_pq_codebooks_distributed(
+        a, m=8, n_codes=16, dim=dim, centroids=cents, **kw
+    )
+    S.write_ivfpq_index(a, path, books, cents, **kw)
+    S.append_ivfpq_index(b, path, corpus_vec="embedding", batch_id=1)
+    drifted = S.ivfpq_index_stats(path)
+    # the drifted batch piles into few cells: the advisory fires at a
+    # modest threshold
+    assert S.maybe_retrain_ivfpq_index(path, max_skew=2.0) is not None
+
+    out = S.retrain_ivfpq_index(
+        spark, path, both, n_train=512, **kw
+    )
+    assert out["n_cells"] == 8  # layout carried over from meta
+    assert out["skew_after"] < out["skew_before"]
+    assert out["skew_before"] == drifted["cell_skew_ratio"]
+    after = S.ivfpq_index_stats(path)
+    assert not after["pending_append"]
+    assert after["cell_rows_total"] == 400
+
+    # retrained index answers queries identically to a one-shot build
+    # (same deterministic trainers, same corpus)
+    oneshot = str(tmp_path / "pq1")
+    cents2 = S.train_ivf_centroids(both, n_cells=8, n_train=512, **kw)
+    books2 = S.train_pq_codebooks_distributed(
+        both, m=8, n_codes=16, dim=dim, centroids=cents2, **kw
+    )
+    S.write_ivfpq_index(both, oneshot, books2, cents2, **kw)
+    q = both.filter(F.col("vec_id") < 5)
+    qkw = dict(
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, n_probe=4, shortlist=25,
+    )
+    got = [
+        tuple(r)
+        for r in S.ivfpq_query_index(spark, path, q, both, **qkw).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in S.ivfpq_query_index(
+            spark, oneshot, q, both, **qkw
+        ).collect()
+    ]
+    assert got == want
