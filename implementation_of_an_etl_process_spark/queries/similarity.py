@@ -1191,25 +1191,21 @@ def retrieval_graded_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranking = _fused_ranking(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    q0 = docs.filter(F.col("doc_id") == 0).select(
-        F.col("source").alias("_qs"), F.col("lang").alias("_ql")
-    )
+    # the query doc's metadata is TWO scalars — fetch once and grade
+    # with literal comparisons (a 1-row crossJoin planned as a
+    # CartesianProduct here, tripping the plan invariants for nothing)
+    row = docs.filter(F.col("doc_id") == 0).select("source", "lang").first()
+    qs, ql = row["source"], row["lang"]
     qrels = (
-        docs.crossJoin(F.broadcast(q0))
-        .filter(F.col("doc_id") != 0)
-        .filter(
-            (F.col("source") == F.col("_qs"))
-            | (F.col("lang") == F.col("_ql"))
-        )
+        docs.filter(F.col("doc_id") != 0)
+        .filter((F.col("source") == qs) | (F.col("lang") == ql))
         .select(
             F.lit(0).cast("long").alias("qid"),
             F.col("doc_id").alias("cid"),
             F.when(
-                (F.col("source") == F.col("_qs"))
-                & (F.col("lang") == F.col("_ql")),
-                F.lit(3),
+                (F.col("source") == qs) & (F.col("lang") == ql), F.lit(3)
             )
-            .when(F.col("source") == F.col("_qs"), F.lit(2))
+            .when(F.col("source") == qs, F.lit(2))
             .otherwise(F.lit(1))
             .alias("grade"),
         )
