@@ -1506,11 +1506,16 @@ def _nparquet(d: str) -> int:
     )
 
 
-def ivfpq_index_stats(path: str) -> dict:
+def ivfpq_index_stats(path: str, *, include_cells: bool = True) -> dict:
     """Read-only operational snapshot of the persisted IVF-PQ index
     (the text index's `text_index_stats` twin): pure filesystem
     metadata, no Spark session, safe to poll. The torn-state marker is
-    REPORTED, not raised, so monitoring can see a wedged index."""
+    REPORTED, not raised, so monitoring can see a wedged index.
+
+    ``include_cells=False`` skips the per-cell row counts (those read
+    one parquet FOOTER per codes file — still metadata-only, but
+    O(files) file opens; the compaction poll path doesn't need them
+    and passes False). The cell fields are then reported as None."""
     import json
     import os
 
@@ -1524,10 +1529,28 @@ def ivfpq_index_stats(path: str) -> dict:
             batches = json.load(f)
     n_cells = len(meta["centroids"])
     files_codes = _nparquet(codes) if os.path.exists(codes) else 0
-    cell_rows = _cell_row_counts(codes)
-    live_cells = [n for n in cell_rows.values() if n > 0]
-    mean_rows = (sum(live_cells) / len(live_cells)) if live_cells else 0.0
-    max_rows = max(live_cells) if live_cells else 0
+    if include_cells:
+        cell_rows = _cell_row_counts(codes)
+        live_cells = [n for n in cell_rows.values() if n > 0]
+        mean_rows = (
+            (sum(live_cells) / len(live_cells)) if live_cells else 0.0
+        )
+        max_rows = max(live_cells) if live_cells else 0
+        cell_fields = {
+            "cell_rows_total": sum(live_cells),
+            "cell_rows_max": max_rows,
+            "cell_rows_mean": mean_rows,
+            "cell_skew_ratio": (max_rows / mean_rows) if mean_rows else 0.0,
+            "n_empty_cells": n_cells - len(live_cells),
+        }
+    else:
+        cell_fields = {
+            "cell_rows_total": None,
+            "cell_rows_max": None,
+            "cell_rows_mean": None,
+            "cell_skew_ratio": None,
+            "n_empty_cells": None,
+        }
     return {
         "n_cells": n_cells,
         "m": int(meta["m"]),
@@ -1542,11 +1565,7 @@ def ivfpq_index_stats(path: str) -> dict:
         # from parquet FOOTERS (pyarrow metadata, no Spark, no data
         # read) and are PHYSICAL: tombstoned rows count until
         # compaction applies them.
-        "cell_rows_total": sum(live_cells),
-        "cell_rows_max": max_rows,
-        "cell_rows_mean": mean_rows,
-        "cell_skew_ratio": (max_rows / mean_rows) if mean_rows else 0.0,
-        "n_empty_cells": n_cells - len(live_cells),
+        **cell_fields,
         "has_tombstones": os.path.exists(dels),
         "files_tombstones": _nparquet(dels) if os.path.exists(dels) else 0,
         "committed_batches": len(batches),
@@ -1583,7 +1602,6 @@ def _cell_row_counts(codes: str) -> dict[int, int]:
 
 
 def retrain_ivfpq_index(
-    spark,
     path: str,
     corpus: DataFrame,
     *,
@@ -1591,6 +1609,7 @@ def retrain_ivfpq_index(
     corpus_vec: str,
     n_cells: int | None = None,
     n_train: int = 4096,
+    pq_n_train: int = 2048,
     m: int | None = None,
     n_codes: int | None = None,
     residual: bool | None = None,
@@ -1603,8 +1622,9 @@ def retrain_ivfpq_index(
     the original vectors can't be recovered from the index itself —
     which is also why this can never run implicitly on append.
     Layout parameters default to the existing index's meta (a retrain
-    fixes the MODEL, not the shape). Returns {"skew_before",
-    "skew_after", "n_cells"}."""
+    fixes the MODEL, not the shape); ``n_train`` sizes the coarse
+    KMeans sample and ``pq_n_train`` the per-subspace codebook sample.
+    Returns {"skew_before", "skew_after", "n_cells"}."""
     before = ivfpq_index_stats(path)
     meta = _load_ivfpq_meta(path)
     n_cells = int(n_cells if n_cells is not None else len(meta["centroids"]))
@@ -1619,6 +1639,7 @@ def retrain_ivfpq_index(
     books = train_pq_codebooks_distributed(
         corpus, corpus_vec=corpus_vec, corpus_id=corpus_id,
         m=m, n_codes=n_codes, dim=dim, centroids=cents,
+        n_train=pq_n_train,
     )
     write_ivfpq_index(
         corpus, path, books, cents,
@@ -1656,7 +1677,7 @@ def maybe_compact_ivfpq_index(
     codes-file count per cell exceeds the threshold or tombstones
     exist; otherwise a cheap filesystem no-op. Returns the compaction
     stats when it ran, None when the index is healthy."""
-    stats = ivfpq_index_stats(path)
+    stats = ivfpq_index_stats(path, include_cells=False)
     if stats["files_per_cell"] <= max_files_per_cell and not stats[
         "has_tombstones"
     ]:

@@ -466,6 +466,7 @@ def multi_phrase_query_index(
         spark, path, slots_df, counts_df, buckets,
         k=k, within=within, max_term_df=max_term_df,
         return_positions=return_positions,
+        n_live_docs=int(meta["n_docs"]),
     )
 
 
@@ -537,7 +538,16 @@ def multi_phrase_query_index_df(
         # extraction over a blank/short benchmark slice produces no
         # rows) — return the empty result the docstring promises, not
         # an error (r12 advice: a decontam run must not crash on it)
-        schema = "phrase string, doc_id long, n_occurrences long"
+        # doc_id type must follow the INDEX's id column (id_col is
+        # caller-chosen and never cast at build), or the empty-probe
+        # frame would type-mismatch the non-empty path in a downstream
+        # union/join — read it from the postings parquet schema
+        # (footer-only, no data scan)
+        id_type = (
+            spark.read.parquet(os.path.join(path, "postings"))
+            .schema["doc_id"].dataType.simpleString()
+        )
+        schema = f"phrase string, doc_id {id_type}, n_occurrences long"
         if return_positions:
             schema += ", starts array<int>"
         return spark.createDataFrame([], schema)
@@ -545,6 +555,7 @@ def multi_phrase_query_index_df(
         spark, path, slots, counts, buckets,
         k=k, within=within, max_term_df=max_term_df,
         return_positions=return_positions,
+        n_live_docs=int(meta["n_docs"]),
     )
 
 
@@ -559,6 +570,7 @@ def _phrase_match_kernel(
     within: int | None,
     max_term_df: float | int | None = None,
     return_positions: bool = False,
+    n_live_docs: int | None = None,
 ) -> DataFrame:
     """Shared phrase-matching plan behind both multi-phrase entry
     points. ``slots`` is (phrase, slot, term), ``counts`` is (phrase,
@@ -593,7 +605,14 @@ def _phrase_match_kernel(
         # large the probe relation is.
         import sys as _sys
 
-        n_live = int(_load_meta(path)["n_docs"])
+        # live doc count comes from the caller's already-loaded meta
+        # (one source of truth per query); fall back to a read only if
+        # the kernel is invoked directly
+        n_live = (
+            int(n_live_docs)
+            if n_live_docs is not None
+            else int(_load_meta(path)["n_docs"])
+        )
         if isinstance(max_term_df, float) and max_term_df <= 1.0:
             cutoff = int(max_term_df * n_live)
         else:

@@ -509,6 +509,37 @@ _CONTAM_MOD = 97  # "benchmark" = docs with doc_id % 97 == 0
 _CONTAM_MAX_TERM_DF = 0.8
 
 
+def _bench_bigrams(docs):
+    """Every consecutive bigram of the 'benchmark' docs
+    (``doc_id % _CONTAM_MOD == 0``), extracted distributively — the
+    shared probe relation behind all three contamination entries (one
+    definition, so the tokenizer and the benchmark rule can't
+    silently diverge between them)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    return (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(_CONTAM_MOD)) == 0)
+        .select(toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("_t")[i],
+                        F.col("_t")[i + F.lit(1)],
+                    ),
+                )
+            ).alias("phrase")
+        )
+    )
+
+
+
+
 def contamination_phrase_index_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -539,27 +570,7 @@ def contamination_phrase_index_docs(
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     idx = os.path.join(tempfile.gettempdir(), f"txtidx_cont_{tag}")
     TI.write_text_index(docs, idx, n_buckets=32, store_positions=True)
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-        lambda t: t != "",
-    )
-    bench = (
-        docs.filter(F.pmod(F.col("doc_id"), F.lit(_CONTAM_MOD)) == 0)
-        .select(toks.alias("_t"))
-        .filter(F.size("_t") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_t") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.col("_t")[i],
-                        F.col("_t")[i + F.lit(1)],
-                    ),
-                )
-            ).alias("phrase")
-        )
-    )
+    bench = _bench_bigrams(docs)
     hits = TI.multi_phrase_query_index_df(
         spark, idx, bench, max_term_df=_CONTAM_MAX_TERM_DF
     )
@@ -639,8 +650,12 @@ def curation_span_decontam_stats(
     curation run reports: docs, docs touched, tokens removed, tokens
     kept. Benchmark docs themselves get (almost) fully excised — every
     one of their bigrams is a probe — which is the honest semantics.
-    The oracle recomposes shingles, adjacency matching, span coverage,
-    and the aggregate in SQL."""
+    The ``max_term_df`` stopword guard is ON at the same cutoff as the
+    sibling contamination entry (one posture for the whole
+    contamination path; stopword-scale probes carry no signal and are
+    the measured scale-killer). The oracle recomposes the df screen,
+    shingles, adjacency matching, span coverage, and the aggregate in
+    SQL."""
     import hashlib
     import os
     import tempfile
@@ -656,27 +671,10 @@ def curation_span_decontam_stats(
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     idx = os.path.join(tempfile.gettempdir(), f"txtidx_span_{tag}")
     TI.write_text_index(docs, idx, n_buckets=32, store_positions=True)
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-        lambda t: t != "",
-    )
-    bench = (
-        docs.filter(F.pmod(F.col("doc_id"), F.lit(_CONTAM_MOD)) == 0)
-        .select(toks.alias("_t"))
-        .filter(F.size("_t") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_t") - 2),
-                    lambda i: F.concat_ws(
-                        " ", F.col("_t")[i], F.col("_t")[i + F.lit(1)]
-                    ),
-                )
-            ).alias("phrase")
-        )
-    )
+    bench = _bench_bigrams(docs)
     hits = TI.multi_phrase_query_index_df(
-        spark, idx, bench, return_positions=True
+        spark, idx, bench, return_positions=True,
+        max_term_df=_CONTAM_MAX_TERM_DF,
     )
     spans = hits.select(
         "doc_id", F.explode("starts").alias("span_start")
@@ -687,6 +685,10 @@ def curation_span_decontam_stats(
     )
     cleaned = excise_token_spans(
         docs.select("doc_id", "text"), spans, one_based=False
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != "",
     )
     per_doc = cleaned.join(
         docs.select("doc_id", "source", F.size(toks).alias("_n")),
@@ -718,17 +720,30 @@ WITH l AS (
   SELECT DISTINCT toks[i] || ' ' || toks[i + 1] AS phrase
   FROM l, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
   WHERE doc_id % {_CONTAM_MOD} = 0
-), slots AS (
+), allslots AS (
   SELECT phrase,
          unnest(string_split(phrase, ' ')) AS term,
          unnest(generate_series(1, len(string_split(phrase, ' ')))) AS slot
   FROM bench
-), nslots AS (
-  SELECT phrase, COUNT(*) AS n FROM slots GROUP BY phrase
 ), tok AS (
   SELECT doc_id, unnest(toks) AS term,
          unnest(generate_series(1, len(toks))) AS pos
   FROM l
+), tdf AS (
+  -- the same stopword-probe guard as the sibling contamination entry
+  -- (max_term_df={_CONTAM_MAX_TERM_DF}): the contamination path's
+  -- default posture is consistent across both entries
+  SELECT term, COUNT(DISTINCT doc_id) AS d FROM tok GROUP BY term
+), slots AS (
+  SELECT a.* FROM allslots a
+  WHERE a.phrase NOT IN (
+    SELECT DISTINCT s.phrase
+    FROM allslots s JOIN tdf USING (term)
+    WHERE tdf.d > CAST(floor({_CONTAM_MAX_TERM_DF} *
+          (SELECT COUNT(*) FROM documents)) AS BIGINT)
+  )
+), nslots AS (
+  SELECT phrase, COUNT(*) AS n FROM slots GROUP BY phrase
 ), cov AS (
   SELECT s.phrase, t.doc_id, t.pos - (s.slot - 1) AS start,
          COUNT(DISTINCT s.slot) AS ns
@@ -786,26 +801,10 @@ def curation_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     idx = os.path.join(tempfile.gettempdir(), f"txtidx_dect_{tag}")
     TI.write_text_index(docs, idx, n_buckets=32, store_positions=True)
+    bench = _bench_bigrams(docs)
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
         lambda t: t != "",
-    )
-    bench = (
-        docs.filter(F.pmod(F.col("doc_id"), F.lit(_CONTAM_MOD)) == 0)
-        .select(toks.alias("_t"))
-        .filter(F.size("_t") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_t") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.col("_t")[i],
-                        F.col("_t")[i + F.lit(1)],
-                    ),
-                )
-            ).alias("phrase")
-        )
     )
     hits = (
         TI.multi_phrase_query_index_df(spark, idx, bench)

@@ -997,9 +997,7 @@ def test_retrain_rebuilds_after_drift(spark, tmp_path):
     # modest threshold
     assert S.maybe_retrain_ivfpq_index(path, max_skew=2.0) is not None
 
-    out = S.retrain_ivfpq_index(
-        spark, path, both, n_train=512, **kw
-    )
+    out = S.retrain_ivfpq_index(path, both, n_train=512, **kw)
     assert out["n_cells"] == 8  # layout carried over from meta
     assert out["skew_after"] < out["skew_before"]
     assert out["skew_before"] == drifted["cell_skew_ratio"]

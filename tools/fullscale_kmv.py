@@ -118,10 +118,16 @@ def main() -> None:
         da.unionByName(db).distinct()
         .groupBy("shard").agg(F.count(F.lit(1)).alias("n_union"))
     )
+    # LEFT join from union: a shard with ZERO intersection (fully
+    # disjoint sides) must appear with exact J = 0, not silently drop
+    # out of the yardstick — that's exactly where the estimator is
+    # most error-prone (union is never empty when any docs exist)
     exact = {
-        r["shard"]: r["n_inter"] / r["n_union"]
-        for r in inter.join(union, "shard").collect()
+        r["shard"]: (r["n_inter"] or 0) / r["n_union"]
+        for r in union.join(inter, "shard", "left").collect()
     }
+    if not exact:
+        raise SystemExit("no shards produced bigrams — corpus too small")
     t_exact = time.monotonic() - t0
     print(
         f"exact per-shard Jaccard ({N_DOCS} docs/side, {N_SHARDS} "
