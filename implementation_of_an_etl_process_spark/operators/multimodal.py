@@ -1676,20 +1676,25 @@ def decode_jpeg_auto(payload: bytes, *, prefer_native: bool | None = None):
     verdict item 6 — the declared production swap point made real).
 
     The pure-Python entropy loop decodes ~48.6 img/s/core; libjpeg
-    via Pillow is orders of magnitude faster. When Pillow is
-    importable (and ``prefer_native`` is not False, or the
-    ``SPARK_GRAFT_NATIVE_JPEG=0`` kill switch is not set) the payload
-    is decoded natively and returned in decode_jpeg's exact
-    (width, height, n_components, raster) convention; otherwise the
-    pure decoder runs unchanged. On this engine's fixed-point test
-    images both decoders produce identical rasters (asserted by
-    tests/test_multimodal.py when Pillow is present)."""
+    via Pillow is orders of magnitude faster. The native path is
+    OPT-IN: pass ``prefer_native=True`` per call, or set
+    ``SPARK_GRAFT_NATIVE_JPEG=1`` process-wide. Since r13 every
+    oracle-gated extractor defaults to the pure codec and takes
+    ``use_native`` per call, so no shipped surface reads the env —
+    the env default is therefore OFF (r13 verdict: an 'on' default
+    documented an intent no surface used, and config state could
+    silently re-route a future caller). The payload is decoded
+    natively in decode_jpeg's exact (width, height, n_components,
+    raster) convention; otherwise the pure decoder runs unchanged.
+    On this engine's fixed-point test images both decoders produce
+    identical rasters (asserted by tests/test_multimodal.py when
+    Pillow is present)."""
     import os as _os
 
     import numpy as np
 
     if prefer_native is None:
-        prefer_native = _os.environ.get("SPARK_GRAFT_NATIVE_JPEG", "1") != "0"
+        prefer_native = _os.environ.get("SPARK_GRAFT_NATIVE_JPEG", "0") == "1"
     image_mod = _native_jpeg_decoder() if prefer_native else None
     if image_mod is None:
         return decode_jpeg(payload)

@@ -681,22 +681,66 @@ def excise_token_spans(
     Per-doc span lists are bounded by doc length (collect_list here is
     executor-side per-group state, not a driver collect). The rebuild
     is pure Column work: positions surviving the interval set are kept
-    in order and re-joined.
+    in order and re-joined. Overlapping/adjacent spans are MERGED
+    (sort + fold) before the keep-list filter — without the merge the
+    per-token ``exists`` scans every raw span, and the heaviest-hit
+    docs (one span per duplicated bigram ⇒ spans ≈ doc length) made
+    the rebuild quadratic in doc length (r13 advice); the merged set
+    is bounded by the number of DISJOINT cut regions instead.
 
     Output: ``(id, clean_text, n_removed_tokens)`` — one row per input
     doc; docs with no spans pass through with 0 removed."""
     off = 0 if one_based else 1
-    sp = spans.select(
-        F.col(id_col),
-        (F.col(start_col) + F.lit(off)).alias("_s"),
-        (F.col(end_col) + F.lit(off)).alias("_e"),
-    ).groupBy(id_col).agg(
-        F.collect_list(
-            F.struct(
-                F.col("_s").alias("span_start"),
-                F.col("_e").alias("span_end"),
-            )
-        ).alias("_sp")
+    span_t = "array<struct<span_start:bigint,span_end:bigint>>"
+    sp = (
+        spans.select(
+            F.col(id_col),
+            (F.col(start_col) + F.lit(off)).cast("long").alias("_s"),
+            (F.col(end_col) + F.lit(off)).cast("long").alias("_e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_s").alias("span_start"),
+                        F.col("_e").alias("span_end"),
+                    )
+                )
+            ).alias("_raw")
+        )
+        # classic interval merge as a fold over the start-sorted list:
+        # a span overlapping or ADJACENT to the running last interval
+        # (start <= last_end + 1 — adjacency merges because excision
+        # is token-granular) extends it; otherwise it opens a new one.
+        # element_at(acc, -1) on the empty accumulator is NULL, so the
+        # overlap predicate is null → the otherwise-branch (append)
+        # runs — no size() special case needed for the first span.
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                "_raw",
+                F.expr(f"CAST(array() AS {span_t})"),
+                lambda acc, s: F.when(
+                    s["span_start"]
+                    <= F.try_element_at(acc, F.lit(-1))["span_end"] + F.lit(1),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                        F.array(
+                            F.struct(
+                                F.try_element_at(acc, F.lit(-1))["span_start"].alias(
+                                    "span_start"
+                                ),
+                                F.greatest(
+                                    F.try_element_at(acc, F.lit(-1))["span_end"],
+                                    s["span_end"],
+                                ).alias("span_end"),
+                            )
+                        ),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("_sp"),
+        )
     )
     base = docs.select(F.col(id_col), _dup_tokens(text_col).alias("ts"))
     joined = base.join(sp, id_col, "left").withColumn(

@@ -392,6 +392,41 @@ def _term_buckets(spark, terms, n_buckets: int) -> list[int]:
     )
 
 
+# Conservative default stopword cutoff for the BULK (DataFrame) probe
+# path: a term present in more than this share of live docs carries no
+# phrase-contamination signal while costing a corpus-scale position
+# explode (r12's measured 339s degenerate regime). Same cutoff the
+# contamination battery entries use (queries/tfidfops.py).
+DEFAULT_BULK_MAX_TERM_DF = 0.8
+
+
+def _validate_max_term_df(v: float | int | None) -> None:
+    """Reject the silently-ambiguous boundary values (r13 advice):
+    int 1 would take the absolute-count branch (drop any probe whose
+    term appears in >1 doc), float >1.0 would be truncated by int()
+    into an absolute count. Only the documented domains pass: None,
+    float in (0, 1], int > 1."""
+    if v is None:
+        return
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise ValueError(
+            f"max_term_df must be None, a float in (0, 1], or an "
+            f"int > 1 — got {v!r}"
+        )
+    if isinstance(v, float):
+        if not (0.0 < v <= 1.0):
+            raise ValueError(
+                f"max_term_df float must be a doc-count FRACTION in "
+                f"(0, 1] — got {v!r}; pass an int > 1 for an absolute "
+                "doc count"
+            )
+    elif v <= 1:
+        raise ValueError(
+            f"max_term_df int must be an absolute doc count > 1 — "
+            f"got {v!r}; pass a float in (0, 1] for a fraction"
+        )
+
+
 def multi_phrase_query_index(
     spark,
     path: str,
@@ -429,6 +464,7 @@ def multi_phrase_query_index(
     (0, 1] is a fraction of the index's live doc count; an int > 1 is
     an absolute doc count. None (default) screens nothing — the
     documented override for exhaustive phrase matching."""
+    _validate_max_term_df(max_term_df)
     meta = _load_meta(path)
     _check_marker(path)
     if not meta.get("positions", False):
@@ -467,6 +503,7 @@ def multi_phrase_query_index(
         k=k, within=within, max_term_df=max_term_df,
         return_positions=return_positions,
         n_live_docs=int(meta["n_docs"]),
+        entry_name="multi_phrase_query_index",
     )
 
 
@@ -478,7 +515,7 @@ def multi_phrase_query_index_df(
     phrase_col: str = "phrase",
     k: int | None = None,
     within: int | None = None,
-    max_term_df: float | int | None = None,
+    max_term_df: float | int | None = DEFAULT_BULK_MAX_TERM_DF,
     return_positions: bool = False,
 ) -> DataFrame:
     """:func:`multi_phrase_query_index` with the probe phrases as a
@@ -500,11 +537,18 @@ def multi_phrase_query_index_df(
     per-phrase top-k.
 
     ``max_term_df`` screens stopword-heavy probes exactly as in
-    :func:`multi_phrase_query_index` — at this path's scale
-    (millions of extracted shingles) the guard is what keeps a
-    Zipf-HEAD probe set from degenerating into a corpus-scale
-    position explode; pass None only for deliberately exhaustive
-    matching."""
+    :func:`multi_phrase_query_index`, and — unlike the list path —
+    it defaults ON here (``DEFAULT_BULK_MAX_TERM_DF`` = 0.8, the
+    contamination entries' cutoff): this is precisely the path where
+    a naive caller feeds 10k+ extracted shingles, and at that scale
+    an unscreened Zipf-HEAD probe set degenerates into a corpus-scale
+    position explode (the one measured scale-killer: 339s before
+    being killed at 2M docs). Pass ``max_term_df=None`` as the
+    explicit, documented opt-out for deliberately exhaustive
+    matching — dropped probes are always counted loudly on stderr,
+    so the default never silently changes a result a caller was
+    watching."""
+    _validate_max_term_df(max_term_df)
     meta = _load_meta(path)
     _check_marker(path)
     if not meta.get("positions", False):
@@ -556,6 +600,7 @@ def multi_phrase_query_index_df(
         k=k, within=within, max_term_df=max_term_df,
         return_positions=return_positions,
         n_live_docs=int(meta["n_docs"]),
+        entry_name="multi_phrase_query_index_df",
     )
 
 
@@ -571,6 +616,7 @@ def _phrase_match_kernel(
     max_term_df: float | int | None = None,
     return_positions: bool = False,
     n_live_docs: int | None = None,
+    entry_name: str = "multi_phrase_query_index",
 ) -> DataFrame:
     """Shared phrase-matching plan behind both multi-phrase entry
     points. ``slots`` is (phrase, slot, term), ``counts`` is (phrase,
@@ -594,6 +640,7 @@ def _phrase_match_kernel(
         .select("doc_id", "term", "positions")
     )
     rel = _apply_tombstones(spark, path, rel)  # merge-on-read deletes
+    _validate_max_term_df(max_term_df)
     if max_term_df is not None:
         # stopword-probe guard: drop probe phrases whose terms are so
         # common the "match set" would be most of the corpus. df is
@@ -626,13 +673,22 @@ def _phrase_match_kernel(
             .filter(F.col("_df") > cutoff)
             .select("term")
         )
-        dropped = slots.join(hot, "term", "left_semi").select(
-            "phrase"
-        ).distinct()
+        dropped = (
+            slots.join(hot, "term", "left_semi")
+            .select("phrase")
+            .distinct()
+            # the guard's df screen (pruned-postings groupBy) would
+            # otherwise run THREE times — once for this eager count
+            # and once inside each left_anti below (r13 advice:
+            # paid-twice at million-shingle scale); persist the
+            # phrase-only relation (tiny vs the postings it was
+            # computed from) so the screen runs exactly once
+            .persist()
+        )
         n_dropped = dropped.count()
         if n_dropped:
             print(
-                f"multi_phrase_query_index: max_term_df guard dropped "
+                f"{entry_name}: max_term_df guard dropped "
                 f"{n_dropped} probe phrase(s) containing terms with "
                 f"df > {cutoff} (of {n_live} live docs) — "
                 "stopword-scale probes carry no phrase signal; pass "
@@ -641,6 +697,8 @@ def _phrase_match_kernel(
             )
             slots = slots.join(dropped, "phrase", "left_anti")
             counts = counts.join(dropped, "phrase", "left_anti")
+        else:
+            dropped.unpersist()
     term_req = slots.select("phrase", "term").distinct()
     n_req = term_req.groupBy("phrase").agg(
         F.count(F.lit(1)).alias("_n_req")

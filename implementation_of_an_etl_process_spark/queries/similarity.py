@@ -1321,9 +1321,18 @@ ORDER BY p.qid
 # the hybrid-eval oracle recomposes the hybrid SQL's fusion CTEs (same
 # text, its final projection dropped), then ranks, joins same-source
 # qrels, and replays every metric with the shared constant tables
-_HYBRID_EVAL_BODY = HYBRID_RETRIEVAL_SQL.rsplit(
+_HYBRID_SPLIT = HYBRID_RETRIEVAL_SQL.rsplit(
     "SELECT doc_id, rrf_q, n_systems", 1
-)[0]
+)
+# fail at IMPORT, loudly, if the donor SQL's final projection is ever
+# reworded — otherwise rsplit returns the whole string and both
+# composed oracles become unparseable with a confusing runtime error
+# (r13 advice)
+assert len(_HYBRID_SPLIT) == 2, (
+    "HYBRID_RETRIEVAL_SQL's final projection was reworded — update "
+    "the rsplit anchor in _HYBRID_EVAL_BODY (queries/similarity.py)"
+)
+_HYBRID_EVAL_BODY = _HYBRID_SPLIT[0]
 
 HYBRID_EVAL_SQL = (
     _HYBRID_EVAL_BODY

@@ -807,7 +807,10 @@ def curation_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: t != "",
     )
     hits = (
-        TI.multi_phrase_query_index_df(spark, idx, bench)
+        # deliberately exhaustive: a decontam LEDGER must count every
+        # contaminated doc, and the oracle below models no df screen —
+        # the loud opt-out the bulk path's guarded default documents
+        TI.multi_phrase_query_index_df(spark, idx, bench, max_term_df=None)
         .select("doc_id")
         .distinct()
         .withColumn("_hit", F.lit(1))

@@ -1143,6 +1143,39 @@ def test_jpeg_auto_dispatch_falls_back_without_native_lib():
             assert (auto[3] == pure[3]).all()
 
 
+def test_jpeg_auto_env_default_is_off(monkeypatch):
+    """r14: the SPARK_GRAFT_NATIVE_JPEG env default is OFF — with the
+    env unset, decode_jpeg_auto must not even feature-detect a native
+    decoder (no shipped surface reads the env since the r13 fix made
+    native per-call opt-in; an 'on' default could silently re-route a
+    future caller). Explicit '1' still turns detection on."""
+    import numpy as np
+
+    from implementation_of_an_etl_process_spark.operators import (
+        multimodal as M,
+    )
+
+    img = np.kron(
+        np.array([[32, 64]], dtype=np.uint8), np.ones((8, 8), np.uint8)
+    )
+    payload = M.encode_jpeg(img)
+    probed = []
+
+    def probe():
+        probed.append(True)
+        return None  # "Pillow absent" — auto falls back to pure
+
+    monkeypatch.setattr(M, "_native_jpeg_decoder", probe)
+    monkeypatch.delenv("SPARK_GRAFT_NATIVE_JPEG", raising=False)
+    pure = M.decode_jpeg(payload)
+    auto = M.decode_jpeg_auto(payload)
+    assert not probed, "env-unset default must stay on the pure codec"
+    assert auto[:3] == pure[:3] and (auto[3] == pure[3]).all()
+    monkeypatch.setenv("SPARK_GRAFT_NATIVE_JPEG", "1")
+    M.decode_jpeg_auto(payload)
+    assert probed, "explicit env opt-in must reach feature detection"
+
+
 def test_jpeg_auto_native_equals_pure_on_fixed_point_images():
     """When Pillow IS present, the native path must agree with the
     pure codec on the engine's fixed-point images (8x8-block-constant

@@ -297,6 +297,47 @@ def test_remove_duplicate_spans_strict_removal(spark):
     assert rows[3]["n_removed_tokens"] == 0
 
 
+def test_excise_token_spans_merges_overlapping_intervals(spark):
+    """r14 (r13 advice): the rebuild merges overlapping/adjacent/
+    duplicate spans into disjoint intervals BEFORE the keep-list
+    filter — the dense case (one 2-token span per bigram, spans ≈ doc
+    length) must excise identically to the naive interval union, and
+    n_removed must count each token once however many spans cover it."""
+    from implementation_of_an_etl_process_spark.operators.pretrain import (
+        excise_token_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+            (2, "k0 k1 k2 k3 k4"),
+            (3, "u0 u1 u2"),
+        ],
+        "doc_id long, text string",
+    )
+    # doc 1: every bigram of tokens 1..6 spanned (overlap chain, out
+    # of order, with a duplicate) + a separate adjacent pair 8-8,9-9
+    spans = spark.createDataFrame(
+        [(1, s, e) for s, e in
+         [(3, 4), (1, 2), (2, 3), (4, 5), (5, 6), (3, 4), (8, 8), (9, 9)]]
+        # doc 2: fully-covering overlaps
+        + [(2, 0, 4), (2, 1, 3), (2, 2, 2)]
+        # doc 3 gets no spans
+        ,
+        "doc_id long, span_start long, span_end long",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in excise_token_spans(docs, spans, one_based=False).collect()
+    }
+    assert rows[1]["clean_text"] == "t0 t7"
+    assert rows[1]["n_removed_tokens"] == 8  # 1..6 and 8..9, each once
+    assert rows[2]["clean_text"] == ""
+    assert rows[2]["n_removed_tokens"] == 5
+    assert rows[3]["clean_text"] == "u0 u1 u2"
+    assert rows[3]["n_removed_tokens"] == 0
+
+
 def test_remove_duplicate_spans_empty_and_whitespace_docs(spark):
     """Empty/whitespace-only docs tokenize to a 0-element array;
     sequence(1, 0) is the DESCENDING [1, 0] and element_at on the empty

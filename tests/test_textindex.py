@@ -525,10 +525,13 @@ def test_multi_phrase_df_matches_list_path(spark, docs, tmp_path):
         [(p,) for p in phrases] + [("   ",), ("",)], "phrase string"
     )
     for w in (None, 2):
+        # max_term_df=None: this is an EXACTNESS comparison against
+        # the unguarded list path (the bulk path defaults the guard
+        # ON since r14; the default itself is pinned below)
         got = [
             tuple(r)
             for r in TI.multi_phrase_query_index_df(
-                spark, path, pdf, within=w
+                spark, path, pdf, within=w, max_term_df=None
             ).collect()
         ]
         want = [
@@ -542,7 +545,7 @@ def test_multi_phrase_df_matches_list_path(spark, docs, tmp_path):
     got_k = [
         tuple(r)
         for r in TI.multi_phrase_query_index_df(
-            spark, path, pdf, k=2
+            spark, path, pdf, k=2, max_term_df=None
         ).collect()
     ]
     want_k = [
@@ -764,6 +767,66 @@ def test_max_term_df_guard_composes_with_within(spark, tmp_path):
         } == _brute_phrase(docs, p, within=1)
 
 
+def test_bulk_path_guard_defaults_on_and_validates(spark, tmp_path):
+    """r14: the DataFrame (bulk) probe path — the 10k-shingle
+    footgun — defaults the stopword guard ON at
+    DEFAULT_BULK_MAX_TERM_DF; the list (interactive) path stays
+    unguarded by default; ambiguous cutoff values raise instead of
+    silently picking a branch (r13 advice)."""
+    docs = spark.createDataFrame(
+        [(i, f"stop u{i} v{i}") for i in range(10)]
+        + [(10, "rare pair z"), (11, "stop pair w")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    TI.write_text_index(docs, path, n_buckets=8, store_positions=True)
+    probes = ["stop pair", "rare pair"]  # both OCCUR (docs 11 / 10)
+    pdf = spark.createDataFrame([(p,) for p in probes], "phrase string")
+    # default: 'stop' df=11/12 > int(0.8*12)=9 -> probe dropped
+    assert TI.DEFAULT_BULK_MAX_TERM_DF == 0.8
+    got_df = {
+        r.phrase
+        for r in TI.multi_phrase_query_index_df(spark, path, pdf).collect()
+    }
+    assert got_df == {"rare pair"}
+    # the list path's default is still exhaustive
+    got_list = {
+        r.phrase
+        for r in TI.multi_phrase_query_index(spark, path, probes).collect()
+    }
+    assert got_list == set(probes)
+    # explicit None is the bulk path's documented opt-out
+    got_none = {
+        r.phrase
+        for r in TI.multi_phrase_query_index_df(
+            spark, path, pdf, max_term_df=None
+        ).collect()
+    }
+    assert got_none == set(probes)
+    # ambiguous boundary values raise loudly on BOTH paths
+    for bad in (1, 0, -3, 1.5, 0.0, -0.5, True, "0.5"):
+        with pytest.raises(ValueError, match="max_term_df"):
+            TI.multi_phrase_query_index(
+                spark, path, probes, max_term_df=bad
+            ).collect()
+        with pytest.raises(ValueError, match="max_term_df"):
+            TI.multi_phrase_query_index_df(
+                spark, path, pdf, max_term_df=bad
+            ).collect()
+    # legal boundary values still work: float 1.0 (fraction: screens
+    # nothing) and int 2 (absolute: df > 2)
+    ok = TI.multi_phrase_query_index(
+        spark, path, probes, max_term_df=1.0
+    )
+    assert {r.phrase for r in ok.collect()} == set(probes)
+    # int 2 is the smallest legal absolute cutoff: 'stop' (df 11) > 2
+    # trips it, 'rare'/'pair' (df 2, not > 2) survive
+    abs2 = TI.multi_phrase_query_index(
+        spark, path, probes, max_term_df=2
+    )
+    assert {r.phrase for r in abs2.collect()} == {"rare pair"}
+
+
 def test_return_positions_gives_excisable_spans(spark, tmp_path):
     """return_positions=True adds the sorted match-start offsets — the
     span-level decontamination hook (cut (start, start+len-1+W) spans
@@ -790,7 +853,7 @@ def test_return_positions_gives_excisable_spans(spark, tmp_path):
     got_df = {
         (r.phrase, r.doc_id): (r.n_occurrences, list(r.starts))
         for r in TI.multi_phrase_query_index_df(
-            spark, path, pdf, return_positions=True
+            spark, path, pdf, return_positions=True, max_term_df=None
         ).collect()
     }
     assert got_df == got

@@ -69,7 +69,9 @@ def main() -> None:
         pdf = spark.createDataFrame([(p,) for p in phrases], "phrase string")
         t0 = time.monotonic()
         agg = (
-            TI.multi_phrase_query_index_df(spark, idx, pdf)
+            # explicit None: this leg measures the UNGUARDED cost of
+            # content-term probes (the guarded 0.05 leg is below)
+            TI.multi_phrase_query_index_df(spark, idx, pdf, max_term_df=None)
             .groupBy("phrase")
             .agg(F.count(F.lit(1)).alias("n_docs_hit"))
         )
