@@ -44,6 +44,45 @@ def test_floor_keys_are_sf_scoped():
     )
 
 
+def test_floor_tightening_requires_idle_start():
+    """r14 (r13 verdict item 3): only low-load captures may tighten
+    the committed floor ledger — a lucky sub-window of a contended run
+    must not become the convergence baseline. None (no /proc) also
+    refuses: an unmeasurable window is not a measured-idle one."""
+    assert bench._may_tighten_floor(0.05, 1.0)
+    assert bench._may_tighten_floor(1.0, 1.0)  # boundary: <= passes
+    assert not bench._may_tighten_floor(1.01, 1.0)
+    assert not bench._may_tighten_floor(17.3, 1.0)
+    assert not bench._may_tighten_floor(None, 1.0)
+    assert bench.FLOOR_MAX_LOAD > 0
+
+
+def test_loadavg_reads_a_number_here():
+    """This container has /proc; the stamp must be a non-negative
+    float so BENCH_r{N}.json windows are self-describing."""
+    v = bench._loadavg()
+    assert isinstance(v, float) and v >= 0.0
+
+
+def test_bench_tmp_is_deterministic_and_fresh(tmp_path, monkeypatch):
+    """The suite-setup scratch paths are per-(prefix, sf) FIXED names
+    (mkdtemp leaked one corpus-sized tree per bench run — r13 advice)
+    and are cleared before reuse."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        p1 = bench._bench_tmp("bench_x", "/root/testdata/sf0.1")
+        p2 = bench._bench_tmp("bench_x", "/root/testdata/sf0.1")
+        assert p1 == p2 and p1.startswith(str(tmp_path))
+        assert p1 != bench._bench_tmp("bench_x", "/root/testdata/sf0.01")
+        os.makedirs(os.path.join(p1, "stale"))
+        assert not os.path.exists(bench._bench_tmp("bench_x", "/root/testdata/sf0.1"))
+    finally:
+        tempfile.tempdir = None
+
+
 def test_thresholds_are_sane():
     """The module constants the convergence check hangs off: spread
     and floor slack must stay > 1 (a <= 1 value would flag every
