@@ -460,6 +460,7 @@ def retrieval_metrics(
     k: int = 10,
     scale: int = 1_000_000,
     grade_col: str | None = None,
+    gain: str = "linear",
 ) -> DataFrame:
     """Per-query retrieval-quality metrics against a relevance set —
     the eval loop of every retrieval stack (and of this engine's own
@@ -485,10 +486,25 @@ def retrieval_metrics(
     set). Grades must be positive integers; hits/recall/MRR keep
     treating any graded doc as relevant.
 
+    ``gain`` selects the graded-gain formulation: ``"linear"``
+    (default — gain = the grade itself) or ``"exp"``, the standard IR
+    burges-style gain ``2^grade - 1`` (r13 verdict item 6). The exp
+    gain stays integer-exact with the same shared-constant discipline:
+    it is ONE 64-bit shift per labeled row (``(1 << g) - 1``), no
+    float ``pow`` in either engine, applied to the grade once so DCG
+    and IDCG (whose descending-grade order is preserved — ``2^g - 1``
+    is monotone) sum identical integers. Grades must fit the shift:
+    1 <= grade <= 62. ``gain="exp"`` requires ``grade_col``.
+
     Integer outputs only (the repo's oracle convention); averaging is
     the caller's one tiny aggregate. At scale: ranking is top-k-sized
     per query and qrels is the labeled set — the join is
     qrels-vs-top-k, never corpus-level."""
+    if gain not in ("linear", "exp"):
+        raise ValueError(f"gain must be 'linear' or 'exp': {gain!r}")
+    if gain == "exp" and grade_col is None:
+        raise ValueError("gain='exp' requires grade_col (binary NDCG "
+                         "has no grades to exponentiate)")
     top = ranking.filter(F.col(rank_col) <= k).select(
         F.col(query_col).alias("_q"),
         F.col(doc_col).alias("_d"),
@@ -505,6 +521,21 @@ def retrieval_metrics(
             .groupBy("_q", "_d")
             .agg(F.max("_g").alias("_g"))
         )
+        if gain == "exp":
+            # one integer shift per labeled row; the python shiftleft()
+            # wrapper only takes a literal shift amount, so call the
+            # SQL function (Column-valued shift). Max-grade then exp
+            # (not the reverse) so duplicate labels resolve identically
+            # under both gains.
+            rels = rels.withColumn(
+                "_g",
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.col("_g").cast("int"),
+                )
+                - F.lit(1).cast("long"),
+            )
     else:
         rels = qrels.select(
             F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")

@@ -118,7 +118,8 @@ FAMILY_COVER: dict[str, set[str]] = {
     # and the KMV sketch family must never starve of evidence
     "retrieval-stack": {"hybrid_retrieval_docs", "retrieval_metrics_eval",
                         "hybrid_retrieval_eval",
-                        "retrieval_graded_ndcg_eval"},
+                        "retrieval_graded_ndcg_eval",
+                        "retrieval_exp_ndcg_eval"},
     "kmv": {"kmv_distinct_sources"},
 }
 

@@ -1215,6 +1215,43 @@ def retrieval_graded_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retrieval_exp_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`retrieval_graded_ndcg_eval` under the standard IR
+    EXPONENTIAL gain (r13 verdict item 6): gain = 2^grade - 1, so the
+    source+lang tier (grade 3 → gain 7) dominates the way the burges
+    formulation intends, while the fixed-point discount table and the
+    integer-division NDCG stay shared verbatim between plan and
+    oracle. The gain is ONE 64-bit shift per labeled row in both
+    engines — no float pow anywhere. Everything else (fused ranking,
+    metadata grading, qrels shape) is identical to the linear entry,
+    so a divergence between the two rows isolates the gain path."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        retrieval_metrics,
+    )
+
+    ranking = _fused_ranking(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = docs.filter(F.col("doc_id") == 0).select("source", "lang").first()
+    qs, ql = row["source"], row["lang"]
+    qrels = (
+        docs.filter(F.col("doc_id") != 0)
+        .filter((F.col("source") == qs) | (F.col("lang") == ql))
+        .select(
+            F.lit(0).cast("long").alias("qid"),
+            F.col("doc_id").alias("cid"),
+            F.when(
+                (F.col("source") == qs) & (F.col("lang") == ql), F.lit(3)
+            )
+            .when(F.col("source") == qs, F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("grade"),
+        )
+    )
+    return retrieval_metrics(
+        ranking, qrels, k=_EVAL_K, grade_col="grade", gain="exp"
+    )
+
+
 def hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end eval of the COMPOSED hybrid stack (r12's RRF fusion
     scored by r13's metrics): the fused BM25+cosine ranking for doc 0
@@ -1439,12 +1476,76 @@ ORDER BY p.qid
 )
 
 
+EXP_NDCG_SQL = (
+    _HYBRID_EVAL_BODY
+    + f""", lim AS (
+  SELECT doc_id, rrf_q FROM fused
+  ORDER BY rrf_q DESC, doc_id LIMIT {_HYBRID_K}
+), ranked4 AS (
+  SELECT CAST(0 AS BIGINT) AS qid, doc_id AS cid,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id ASC)
+              AS INTEGER) AS rank
+  FROM lim
+), top4 AS (
+  SELECT qid, cid, rank FROM ranked4 WHERE rank <= {_EVAL_K}
+), qm AS (
+  SELECT source AS qs, lang AS ql FROM documents WHERE doc_id = 0
+), qrels4 AS (
+  -- same tiered grades as the linear entry; gv is the exp gain the
+  -- operator computes: (1 << g) - 1, an integer shift in both engines
+  SELECT qid, cid, (CAST(1 AS BIGINT) << g) - 1 AS gv FROM (
+    SELECT CAST(0 AS BIGINT) AS qid, d.doc_id AS cid,
+           CAST(CASE WHEN d.source = qm.qs AND d.lang = qm.ql THEN 3
+                     WHEN d.source = qm.qs THEN 2
+                     ELSE 1 END AS BIGINT) AS g
+    FROM documents d, qm
+    WHERE d.doc_id <> 0 AND (d.source = qm.qs OR d.lang = qm.ql)
+  )
+), per_rel4 AS (
+  SELECT qid, COUNT(*) AS n_relevant FROM qrels4 GROUP BY qid
+), wt4(r, w) AS (
+  VALUES {_NDCG_WT_ROWS}
+), ideal4 AS (
+  SELECT qid, SUM(x.gv * w.w) AS iw FROM (
+    SELECT qid, gv,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY gv DESC, cid ASC
+           ) AS INTEGER) AS r
+    FROM qrels4
+  ) x JOIN wt4 w ON w.r = x.r
+  WHERE x.r <= {_EVAL_K}
+  GROUP BY qid
+), hits4 AS (
+  SELECT t.qid, MIN(t.rank) AS first_rel_rank, COUNT(*) AS hits_at_k,
+         SUM(r.gv * w.w) AS dcg
+  FROM top4 t
+  JOIN qrels4 r ON t.qid = r.qid AND t.cid = r.cid
+  JOIN wt4 w ON w.r = t.rank
+  GROUP BY t.qid
+)
+SELECT p.qid,
+       CAST(COALESCE(h.first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
+       CAST(COALESCE(1000000 // h.first_rel_rank, 0) AS BIGINT) AS mrr_q,
+       CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(p.n_relevant AS BIGINT) AS n_relevant,
+       CAST(1000000 * COALESCE(h.hits_at_k, 0) // p.n_relevant AS BIGINT)
+         AS recall_q,
+       CAST(1000000 * COALESCE(h.dcg, 0) // i.iw AS BIGINT) AS ndcg_q
+FROM per_rel4 p
+LEFT JOIN hits4 h ON p.qid = h.qid
+JOIN ideal4 i ON i.qid = p.qid
+ORDER BY p.qid
+"""
+)
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "similarity_filtered_topk": similarity_filtered_topk,
     "hybrid_retrieval_docs": hybrid_retrieval_docs,
     "hybrid_retrieval_eval": hybrid_retrieval_eval,
     "retrieval_graded_ndcg_eval": retrieval_graded_ndcg_eval,
+    "retrieval_exp_ndcg_eval": retrieval_exp_ndcg_eval,
     "retrieval_metrics_eval": retrieval_metrics_eval,
     "embedding_label_centroids": embedding_label_centroids,
     "similarity_pq_recall": similarity_pq_recall,
@@ -1465,6 +1566,7 @@ ORACLES = {
     "hybrid_retrieval_docs": HYBRID_RETRIEVAL_SQL,
     "hybrid_retrieval_eval": HYBRID_EVAL_SQL,
     "retrieval_graded_ndcg_eval": GRADED_NDCG_SQL,
+    "retrieval_exp_ndcg_eval": EXP_NDCG_SQL,
     "retrieval_metrics_eval": RETRIEVAL_EVAL_SQL,
     "embedding_label_centroids": LABEL_CENTROIDS_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,

@@ -380,3 +380,66 @@ def test_retrieval_metrics_graded_relevance(spark):
     assert got[2]["ndcg_q"] == SCALE * dcg2 // idcg2 < SCALE
     assert got[2]["n_relevant"] == 4  # 200,201,202,203 (dedup'd)
     assert got[2]["recall_q"] == SCALE * 3 // 4
+
+
+def test_retrieval_metrics_exp_gain(spark):
+    """r14 (r13 verdict item 6): gain='exp' scores graded NDCG with
+    the standard IR gain 2^grade - 1 — integer shifts, no float pow —
+    while hits/recall/MRR/n_relevant stay gain-independent. Verified
+    against a pure-Python reference on the same fixture as the linear
+    test (worst-order ranking separates the two gains), plus the
+    parameter contract (bad gain, exp-without-grades)."""
+    import pytest
+
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        ndcg_weight_table,
+        retrieval_metrics,
+    )
+
+    K, SCALE = 3, 1_000_000
+    ranking = spark.createDataFrame(
+        [
+            (1, 100, 1), (1, 101, 2), (1, 102, 3),
+            (2, 202, 1), (2, 201, 2), (2, 200, 3),
+        ],
+        "qid long, cid long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [
+            (1, 100, 3), (1, 101, 2), (1, 102, 1),
+            (2, 200, 3), (2, 201, 2), (2, 202, 1), (2, 203, 1),
+            (2, 200, 1),  # duplicate label: max grade wins, THEN exp
+        ],
+        "qid long, cid long, grade int",
+    )
+    got = {
+        r.qid: r.asDict()
+        for r in retrieval_metrics(
+            ranking, qrels, k=K, scale=SCALE, grade_col="grade",
+            gain="exp",
+        ).collect()
+    }
+    wt = ndcg_weight_table(K, SCALE)
+    gv = {1: 1, 2: 3, 3: 7}  # 2^g - 1
+    # q1 perfect desc order: ndcg == SCALE under ANY monotone gain
+    assert got[1]["ndcg_q"] == SCALE
+    # q2 worst order: exp gain penalizes harder than linear
+    dcg2 = gv[1] * wt[0] + gv[2] * wt[1] + gv[3] * wt[2]
+    idcg2 = gv[3] * wt[0] + gv[2] * wt[1] + gv[1] * wt[2]
+    assert got[2]["ndcg_q"] == SCALE * dcg2 // idcg2
+    lin = {
+        r.qid: r["ndcg_q"]
+        for r in retrieval_metrics(
+            ranking, qrels, k=K, scale=SCALE, grade_col="grade"
+        ).collect()
+    }
+    assert got[2]["ndcg_q"] < lin[2] < SCALE
+    # gain-independent columns unchanged
+    assert got[2]["n_relevant"] == 4
+    assert got[2]["recall_q"] == SCALE * 3 // 4
+    assert got[2]["mrr_q"] == SCALE
+    # parameter contract
+    with pytest.raises(ValueError, match="gain"):
+        retrieval_metrics(ranking, qrels, gain="quadratic")
+    with pytest.raises(ValueError, match="grade_col"):
+        retrieval_metrics(ranking, qrels, gain="exp")
