@@ -255,3 +255,100 @@ def test_193_entry_history_composes_five_round_cycle(tmp_path):
         f"entries exceeded the computed {lag + 1}-round re-gate "
         f"cycle: {sorted(overdue)}"
     )
+
+
+def _simulate_growth(root, batches, *, n_start=200, assert_immediate=True):
+    """Drive compute_rotation over a synthetic history that GROWS:
+    n_start entries all green at r1, then one registration batch per
+    round (VERIFY_LOCAL written the round the code lands, CORRECTNESS
+    written for the computed gate). Returns the final registry.
+
+    Asserts per round: the gate composes (no raise), flagships lead,
+    no duplicates, newcomers gate immediately when assert_immediate
+    (else within two rounds — the documented burst drain), and no
+    entry's evidence ever exceeds the CURRENT computed lag."""
+    from implementation_of_an_etl_process_spark.queries.rotation import (
+        read_driver_history,
+        stale_lag,
+    )
+
+    reg = FLAGSHIPS + [f"e{i:03d}" for i in range(n_start - 2)]
+    _write_round(root, 1, {k: GREEN for k in reg})
+    (root / "VERIFY_LOCAL_r01.txt").write_text(
+        "".join(f"OK {k} x\n" for k in reg)
+    )
+    prev_new: set[str] = set()
+    for step, batch in enumerate(batches):
+        rnd = step + 2
+        new = [f"n{rnd:02d}_{j:02d}" for j in range(batch)]
+        reg = reg + new
+        (root / f"VERIFY_LOCAL_r{rnd:02d}.txt").write_text(
+            "".join(f"OK {k} x\n" for k in reg)
+        )
+        gate = compute_rotation(reg, root=str(root))  # must not raise
+        assert gate[:2] == FLAGSHIPS
+        assert len(gate) == min(50, len(reg)) == len(set(gate))
+        if assert_immediate:
+            assert set(new) <= set(gate), (
+                f"round {rnd}: newcomers not gated immediately: "
+                f"{sorted(set(new) - set(gate))}"
+            )
+        # burst bound: anything left over from LAST round's batch is
+        # overdue-HARD now and must be in
+        assert prev_new <= set(gate), (
+            f"round {rnd}: last round's leftovers still ungated"
+        )
+        _write_round(root, rnd, {k: GREEN for k in gate})
+        prev_new = set(new) - set(gate)
+        latest, completed, _ = read_driver_history(str(root))
+        lag = stale_lag(len(reg))
+        overdue = {
+            k for k in reg if latest.get(k, completed) < completed - lag
+        }
+        assert not overdue, (
+            f"round {rnd} (n={len(reg)}, lag={lag}): evidence exceeded "
+            f"the cycle: {sorted(overdue)[:5]}"
+        )
+    return reg
+
+
+def test_growth_200_to_300_gates_newcomers_immediately(tmp_path):
+    """r13 verdict item 7: the computed rotation must keep covering
+    the registry as it grows 200 -> 300 (the next stale_lag widening
+    lands in this range: lag 4 -> 6), with every new entry gated the
+    round it lands — the invariant that has kept never-gated debt at
+    zero since r10. Steady registration (6/round, within the cycle's
+    structural slack of cap*(lag+1) - n spread over lag+1 rounds)."""
+    from implementation_of_an_etl_process_spark.queries.rotation import (
+        stale_lag,
+    )
+
+    assert stale_lag(200) == 4
+    reg = _simulate_growth(tmp_path, [6] * 17, n_start=200)
+    assert len(reg) == 302
+    assert stale_lag(len(reg)) == 6  # widened twice, raise-free
+
+
+def test_growth_bursts_drain_within_two_gates(tmp_path):
+    """Bursty registration (20 entries at once, beyond any round's
+    slack) must not raise: leftovers become overdue-HARD and enter the
+    very next gate — never-gated debt bounded at one round."""
+    _simulate_growth(
+        tmp_path,
+        [0, 20, 0, 0, 20, 0, 0, 0, 20, 0, 0, 0],
+        n_start=200,
+        assert_immediate=False,
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 1946])
+def test_growth_random_profiles_hold_invariants(tmp_path, seed):
+    """Property flavor: random per-round batch sizes (0..6, the
+    sustainable band) over the same 200->300 window — every profile
+    must compose raise-free with immediate gating and bounded
+    staleness."""
+    import random
+
+    rng = random.Random(seed)
+    batches = [rng.randint(0, 6) for _ in range(18)]
+    _simulate_growth(tmp_path, batches, n_start=200)
