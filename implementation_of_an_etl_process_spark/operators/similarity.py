@@ -472,17 +472,36 @@ def _normalized_sample(
     corpus_vec: str,
     corpus_id: str | None,
     n_train: int,
+    sample_mode: str = "head",
 ) -> DataFrame:
-    """Deterministic bounded training sample as a DATAFRAME (first
-    ``n_train`` rows by id when an id column is given), with the vector
-    L2-normalized in-plan to array<double> column ``_nv``. No vector
-    ever reaches the driver — this is the input to the distributed
-    trainers below."""
+    """Deterministic bounded training sample as a DATAFRAME, with the
+    vector L2-normalized in-plan to array<double> column ``_nv``. No
+    vector ever reaches the driver — this is the input to the
+    distributed trainers below.
+
+    ``sample_mode="head"`` (default, the original contract every
+    oracle-gated entry trains under): first ``n_train`` rows by id.
+    ``sample_mode="hash"``: first ``n_train`` by xxhash64(id) — a
+    deterministic spread over the WHOLE id range. Head sampling is
+    wrong exactly when the id order encodes arrival order: appended
+    (newest-id) data never reaches the sample, so a RETRAIN meant to
+    follow post-deployment drift trains on the pre-drift distribution
+    and fixes nothing — measured full-scale in r14: retrain left skew
+    at 8.1 and recall at 0.38 until the retrain path switched to hash
+    sampling (tools/fullscale_ivfpq_lifecycle.py leg 5). Requires an
+    id column."""
+    if sample_mode not in ("head", "hash"):
+        raise ValueError(f"sample_mode must be 'head' or 'hash': "
+                         f"{sample_mode!r}")
     s = corpus.select(
         F.col(corpus_vec).alias("_v"),
         *([F.col(corpus_id).alias("_id")] if corpus_id else []),
     )
-    if corpus_id:
+    if sample_mode == "hash":
+        if not corpus_id:
+            raise ValueError("sample_mode='hash' needs corpus_id")
+        s = s.orderBy(F.xxhash64("_id"), F.col("_id"))
+    elif corpus_id:
         s = s.orderBy("_id")
     s = s.limit(n_train)
     norm = F.sqrt(
@@ -540,6 +559,7 @@ def train_pq_codebooks_distributed(
     max_iter: int = 8,
     dim: int | None = None,
     centroids: list[list[float]] | None = None,
+    sample_mode: str = "head",
 ):
     """PQ codebook training with NO driver-side vector materialization:
     one seeded ``pyspark.ml.clustering.KMeans`` fit per subspace over
@@ -564,7 +584,8 @@ def train_pq_codebooks_distributed(
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
     sample = _normalized_sample(
-        corpus, corpus_vec=corpus_vec, corpus_id=corpus_id, n_train=n_train
+        corpus, corpus_vec=corpus_vec, corpus_id=corpus_id,
+        n_train=n_train, sample_mode=sample_mode,
     )
     if centroids is not None:
         sample = _residualize(sample, centroids)
@@ -613,6 +634,7 @@ def train_ivf_centroids(
     corpus_id: str | None = None,
     seed: int = 42,
     max_iter: int = 8,
+    sample_mode: str = "head",
 ) -> list[list[float]]:
     """Coarse-quantizer centroids for :func:`ivf_topk`, trained with a
     seeded distributed ``pyspark.ml.clustering.KMeans`` on the
@@ -620,12 +642,15 @@ def train_ivf_centroids(
     n_cells x dim centers return to the driver). Data-adapted cells
     balance the inverted lists where the data is clustered — the md5
     ±1-hyperplane default stays available as the engine-portable
-    deterministic oracle path."""
+    deterministic oracle path. ``sample_mode`` picks the bounded
+    training sample (see :func:`_normalized_sample`; retrains pass
+    ``"hash"`` so appended drift reaches the sample)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     sample = _normalized_sample(
-        corpus, corpus_vec=corpus_vec, corpus_id=corpus_id, n_train=n_train
+        corpus, corpus_vec=corpus_vec, corpus_id=corpus_id,
+        n_train=n_train, sample_mode=sample_mode,
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(
         sample.select(array_to_vector(F.col("_nv")).alias("features"))
@@ -1624,6 +1649,15 @@ def retrain_ivfpq_index(
     Layout parameters default to the existing index's meta (a retrain
     fixes the MODEL, not the shape); ``n_train`` sizes the coarse
     KMeans sample and ``pq_n_train`` the per-subspace codebook sample.
+
+    Training SAMPLES here are hash-spread (``sample_mode="hash"``),
+    not the trainers' default first-``n_train``-by-id: retrain exists
+    precisely because drift arrived through appends, and appended rows
+    sit at the TOP of the id range — a head sample contains zero of
+    them, so the "retrained" model reproduces the pre-drift one and
+    repairs nothing (measured full-scale in r14: skew stuck at 8.1,
+    drifted-query recall stuck at 0.38; hash sampling is what makes
+    this function do what its name says).
     Returns {"skew_before", "skew_after", "n_cells"}."""
     before = ivfpq_index_stats(path)
     meta = _load_ivfpq_meta(path)
@@ -1634,12 +1668,12 @@ def retrain_ivfpq_index(
     dim = len(meta["centroids"][0])
     cents = train_ivf_centroids(
         corpus, corpus_vec=corpus_vec, corpus_id=corpus_id,
-        n_cells=n_cells, n_train=n_train,
+        n_cells=n_cells, n_train=n_train, sample_mode="hash",
     )
     books = train_pq_codebooks_distributed(
         corpus, corpus_vec=corpus_vec, corpus_id=corpus_id,
         m=m, n_codes=n_codes, dim=dim, centroids=cents,
-        n_train=pq_n_train,
+        n_train=pq_n_train, sample_mode="hash",
     )
     write_ivfpq_index(
         corpus, path, books, cents,

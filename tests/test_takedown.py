@@ -1,0 +1,163 @@
+"""Cross-index takedown (operators/takedown.py, r13 verdict item 8):
+one doc-id set removed from the corpus parquet AND all three persisted
+indexes in one call, each unit under its own marker, results identical
+to stores that never held the docs, reruns idempotent."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from implementation_of_an_etl_process_spark.operators import similarity as S
+from implementation_of_an_etl_process_spark.operators import textindex as TI
+from implementation_of_an_etl_process_spark.operators.dedup import (
+    incremental_dedup_indexed,
+    write_dedup_index,
+)
+from implementation_of_an_etl_process_spark.operators.takedown import (
+    takedown_docs,
+)
+
+DIM = 8
+
+
+def _docs(spark, ids):
+    rows = [
+        (
+            i,
+            f"alpha{i} beta{i % 5} shared corpus words gamma{i} tail",
+            [float((i * 7 + j * 3) % 11) + 1.0 for j in range(DIM)],
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<float>"
+    )
+
+
+def _build_all(spark, docs, root):
+    corpus = os.path.join(root, "corpus")
+    docs.write.mode("overwrite").parquet(corpus)
+    text_idx = os.path.join(root, "tidx")
+    TI.write_text_index(
+        docs.select("doc_id", "text"), text_idx, n_buckets=8
+    )
+    dedup_idx = os.path.join(root, "didx")
+    write_dedup_index(docs, dedup_idx, "doc_id", "text")
+    ann_idx = os.path.join(root, "aidx")
+    kw = dict(corpus_id="doc_id", corpus_vec="embedding")
+    cents = S.train_ivf_centroids(docs, n_cells=4, n_train=64, **kw)
+    books = S.train_pq_codebooks_distributed(
+        docs, m=4, n_codes=8, dim=DIM, centroids=cents, **kw
+    )
+    S.write_ivfpq_index(docs, ann_idx, books, cents, **kw)
+    return corpus, text_idx, dedup_idx, ann_idx
+
+
+def test_takedown_removes_everywhere_and_is_idempotent(spark, tmp_path):
+    docs = _docs(spark, range(30))
+    corpus, tidx, didx, aidx = _build_all(spark, docs, str(tmp_path))
+    gone = [3, 7]
+    out = takedown_docs(
+        spark, gone,
+        corpus_path=corpus, text_index=tidx,
+        dedup_index=didx, ann_index=aidx,
+    )
+    assert out["text_deleted"] == 2 and out["text_deleted_tokens"] > 0
+    assert out["dedup_deleted"] == 2
+    assert out["ann_deleted"] == 2
+    assert out["corpus_deleted"] == 2
+
+    # corpus: rows physically gone, everything else intact
+    left = spark.read.parquet(corpus)
+    assert left.count() == 28
+    assert left.filter(F.col("doc_id").isin(gone)).count() == 0
+
+    # text index: queries row-identical to an index that never held
+    # the docs (stats were adjusted, not just tombstoned)
+    ref_tidx = str(tmp_path / "tidx_ref")
+    TI.write_text_index(
+        docs.filter(~F.col("doc_id").isin(gone)).select("doc_id", "text"),
+        ref_tidx, n_buckets=8,
+    )
+    got = [
+        tuple(r)
+        for r in TI.bm25_query_index(
+            spark, tidx, ["shared", "alpha3", "gamma7"], k=30
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in TI.bm25_query_index(
+            spark, ref_tidx, ["shared", "alpha3", "gamma7"], k=30
+        ).collect()
+    ]
+    assert got == want
+    assert not any(r[0] in gone for r in got)
+
+    # dedup index: an exact copy of a taken-down doc is NOVEL now
+    probe = spark.createDataFrame(
+        [(100, docs.filter(F.col("doc_id") == 3).first()["text"])],
+        "doc_id long, text string",
+    )
+    v = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_indexed(
+            spark, didx, docs, probe, "doc_id", "text"
+        ).collect()
+    }
+    assert v == {100: "novel"}
+
+    # ANN index: the docs never appear in any top-k
+    q = docs.filter(F.col("doc_id") < 5)
+    hits = S.ivfpq_query_index(
+        spark, aidx, q, left,
+        query_id="doc_id", query_vec="embedding",
+        corpus_id="doc_id", corpus_vec="embedding",
+        k=5, n_probe=4, shortlist=30,
+    ).collect()
+    assert hits and not any(r.cid in gone for r in hits)
+
+    # rerun: every unit no-ops (idempotent recovery contract)
+    again = takedown_docs(
+        spark, gone + [999],
+        corpus_path=corpus, text_index=tidx,
+        dedup_index=didx, ann_index=aidx,
+    )
+    assert again == {
+        "text_deleted": 0, "text_deleted_tokens": 0,
+        "dedup_deleted": 0, "ann_deleted": 0, "corpus_deleted": 0,
+    }
+
+
+def test_takedown_partial_targets_and_contract(spark, tmp_path):
+    """Targets are optional (pass what you materialized); zero targets
+    raise; a held corpus marker collides loudly; a DataFrame id set
+    works (single-column inference included)."""
+    docs = _docs(spark, range(10))
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(corpus)
+    with pytest.raises(ValueError, match="at least one target"):
+        takedown_docs(spark, [1])
+    ids_df = spark.createDataFrame([(2,), (4,)], "some_id long")
+    out = takedown_docs(spark, ids_df, corpus_path=corpus)
+    assert out["corpus_deleted"] == 2
+    assert out["text_deleted"] is None and out["ann_deleted"] is None
+    assert spark.read.parquet(corpus).count() == 8
+    # collision: a concurrent takedown's marker makes the rewrite
+    # refuse instead of racing the swap
+    marker = os.path.join(
+        str(tmp_path), "_pending_takedown." + os.path.basename(corpus)
+    )
+    open(marker, "w").close()
+    with pytest.raises(ValueError, match="collision"):
+        takedown_docs(spark, [5], corpus_path=corpus)
+    os.remove(marker)
+    # unknown-only id set: corpus untouched (no needless rewrite)
+    assert takedown_docs(spark, [999], corpus_path=corpus) == {
+        "text_deleted": None, "text_deleted_tokens": None,
+        "dedup_deleted": None, "ann_deleted": None, "corpus_deleted": 0,
+    }
+    assert spark.read.parquet(corpus).count() == 8
