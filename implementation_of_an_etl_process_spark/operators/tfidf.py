@@ -461,6 +461,7 @@ def retrieval_metrics(
     scale: int = 1_000_000,
     grade_col: str | None = None,
     gain: str = "linear",
+    include_ap: bool = False,
 ) -> DataFrame:
     """Per-query retrieval-quality metrics against a relevance set —
     the eval loop of every retrieval stack (and of this engine's own
@@ -495,6 +496,17 @@ def retrieval_metrics(
     and IDCG (whose descending-grade order is preserved — ``2^g - 1``
     is monotone) sum identical integers. Grades must fit the shift:
     1 <= grade <= 62. ``gain="exp"`` requires ``grade_col``.
+
+    ``include_ap`` adds ``ap_q``, integer average precision@k (MAP's
+    per-query term — the one classic metric missing from the set):
+    for the i-th relevant hit (1-based, in rank order) at rank r the
+    precision contribution is ``scale * i div r``, and
+    ``ap_q = SUM(contributions) div min(n_relevant, k)`` (the
+    trec-style AP@k denominator). Binary like hits/recall/MRR — any
+    labeled doc counts as relevant regardless of grade. The per-hit
+    index is a window over the qrels-joined top-k only (≤ k rows per
+    query), so the scale shape is unchanged; opt-in so existing
+    consumers' schemas stay fixed.
 
     Integer outputs only (the repo's oracle convention); averaging is
     the caller's one tiny aggregate. At scale: ranking is top-k-sized
@@ -553,16 +565,28 @@ def retrieval_metrics(
             "_r int, _w long",
         )
     )
-    hits = (
-        top.join(rels, ["_q", "_d"])
-        .join(wt, "_r")
-        .groupBy("_q")
-        .agg(
-            F.min("_r").alias("first_rel_rank"),
-            F.count(F.lit(1)).alias("hits_at_k"),
-            F.sum(F.col("_w") * F.col("_g")).alias("_dcg"),
+    hitrows = top.join(rels, ["_q", "_d"]).join(wt, "_r")
+    aggs = [
+        F.min("_r").alias("first_rel_rank"),
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.sum(F.col("_w") * F.col("_g")).alias("_dcg"),
+    ]
+    if include_ap:
+        # per-hit index among the query's relevant hits in rank order —
+        # a window over the qrels-joined top-k (≤ k rows per query)
+        from pyspark.sql import Window as _W
+
+        hitrows = hitrows.withColumn(
+            "_hi",
+            F.row_number()
+            .over(_W.partitionBy("_q").orderBy(F.col("_r").asc()))
+            .cast("long"),
+        ).withColumn(
+            "_apc",
+            F.expr(f"CAST({int(scale)} AS BIGINT) * _hi div _r"),
         )
-    )
+        aggs.append(F.sum("_apc").alias("_apsum"))
+    hits = hitrows.groupBy("_q").agg(*aggs)
     if grade_col is not None:
         # per-query IDCG: grades in descending order against the first
         # weights — a window over the LABELED set only (qrels-sized)
@@ -629,5 +653,18 @@ def retrieval_metrics(
         )
         .cast("long")
         .alias("ndcg_q"),
+        *(
+            [
+                F.expr(
+                    f"CAST(coalesce(_apsum, 0) AS BIGINT) div "
+                    f"least(CAST(n_relevant AS BIGINT), "
+                    f"CAST({int(k)} AS BIGINT))"
+                )
+                .cast("long")
+                .alias("ap_q")
+            ]
+            if include_ap
+            else []
+        ),
     )
     return out.orderBy(query_col)

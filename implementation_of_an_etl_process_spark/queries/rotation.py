@@ -105,7 +105,7 @@ FAMILY_COVER: dict[str, set[str]] = {
     "text-index": {"bm25_index_topk_docs", "bm25_index_incremental",
                    "bm25_index_delete_docs"},
     "mor-delete": {"similarity_ivfpq_delete", "incremental_dedup_delete_docs",
-                   "bm25_index_delete_docs"},
+                   "bm25_index_delete_docs", "takedown_all_stores_docs"},
     "media-resample": {"multimodal_resize_ppm", "multimodal_resize_box",
                        "multimodal_wav_resample"},
     "jpeg-advanced": {"multimodal_jpeg420_decode", "multimodal_jpeg_prog_decode",
@@ -119,7 +119,8 @@ FAMILY_COVER: dict[str, set[str]] = {
     "retrieval-stack": {"hybrid_retrieval_docs", "retrieval_metrics_eval",
                         "hybrid_retrieval_eval",
                         "retrieval_graded_ndcg_eval",
-                        "retrieval_exp_ndcg_eval"},
+                        "retrieval_exp_ndcg_eval",
+                        "retrieval_map_eval"},
     "kmv": {"kmv_distinct_sources"},
 }
 

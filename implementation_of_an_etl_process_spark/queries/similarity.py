@@ -1162,6 +1162,49 @@ def retrieval_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(ranking, qrels, k=_EVAL_K)
 
 
+def retrieval_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`retrieval_metrics_eval` with AVERAGE PRECISION@k added
+    (``include_ap=True`` — MAP's per-query term, the one classic IR
+    metric the set was missing): for the i-th relevant hit at rank r
+    the precision contribution is ``scale * i div r``, and ``ap_q``
+    divides the sum by the trec-style ``min(n_relevant, k)``. Same
+    cosine ranking, label-agreement qrels, and constant tables as the
+    base entry, so a divergence between the two rows isolates the AP
+    path; the oracle replays the per-hit index window (over the
+    qrels-joined top-k only) and the identical integer divisions."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        retrieval_metrics,
+    )
+
+    emb = _emb(spark, sf_dir)
+    ranking = S.brute_force_topk(
+        emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        emb.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        ),
+        query_id="qid",
+        query_vec="qvec",
+        corpus_id="cid",
+        corpus_vec="cvec",
+        k=_EVAL_K,
+    )
+    q_lab = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("_ql")
+    )
+    qrels = (
+        q_lab.join(
+            emb.select(
+                F.col("vec_id").alias("cid"), F.col("label").alias("_cl")
+            ),
+            F.col("_ql") == F.col("_cl"),
+        )
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    return retrieval_metrics(ranking, qrels, k=_EVAL_K, include_ap=True)
+
+
 def _fused_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid entry's RRF-fused top-20, ranked 1..20 for doc 0 —
     shared by both eval entries so they score the same retrieval."""
@@ -1348,6 +1391,69 @@ SELECT p.qid,
        CAST(1000000 * COALESCE(h.hits_at_k, 0) // p.n_relevant AS BIGINT)
          AS recall_q,
        CAST(1000000 * COALESCE(h.dcg, 0) // i.iw AS BIGINT) AS ndcg_q
+FROM per_rel p
+LEFT JOIN hits h ON p.qid = h.qid
+JOIN icg i ON i.m = LEAST(p.n_relevant, {_EVAL_K})
+ORDER BY p.qid
+"""
+
+
+# the MAP sibling replays RETRIEVAL_EVAL_SQL with a hitrows CTE (per-hit
+# index = row_number over the qrels-joined top-k in rank order) feeding
+# both the shared aggregates and the AP sum — integer-exact with the
+# same scale constant and the trec-style min(n_relevant, k) denominator
+RETRIEVAL_MAP_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, {_QUANT} AS qv, label AS ql FROM embeddings
+  WHERE vec_id < {_N_QUERY_VECS}
+), c AS (
+  SELECT vec_id AS cid, {_QUANT} AS cv, label AS cl FROM embeddings
+), scored AS (
+  SELECT qid, cid,
+         ROUND(
+           CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, len(qv) + 1)]) AS DOUBLE)
+           / (sqrt(CAST(list_sum([x * x FOR x IN qv]) AS DOUBLE))
+              * sqrt(CAST(list_sum([x * x FOR x IN cv]) AS DOUBLE))), 6) AS score
+  FROM q, c WHERE qid <> cid
+), ranked AS (
+  SELECT qid, cid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC)
+              AS INTEGER) AS rank
+  FROM scored
+), top AS (
+  SELECT qid, cid, rank FROM ranked WHERE rank <= {_EVAL_K}
+), qrels AS (
+  SELECT q.qid, c.cid FROM q JOIN c ON q.ql = c.cl AND q.qid <> c.cid
+), per_rel AS (
+  SELECT qid, COUNT(*) AS n_relevant FROM qrels GROUP BY qid
+), wt(r, w) AS (
+  VALUES {_NDCG_WT_ROWS}
+), icg(m, iw) AS (
+  VALUES {_NDCG_ICG_ROWS}
+), hitrows AS (
+  SELECT t.qid, t.rank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY t.qid ORDER BY t.rank ASC)
+              AS BIGINT) AS hi
+  FROM top t
+  JOIN qrels r ON t.qid = r.qid AND t.cid = r.cid
+), hits AS (
+  SELECT h.qid, MIN(h.rank) AS first_rel_rank, COUNT(*) AS hits_at_k,
+         SUM(w.w) AS dcg,
+         SUM(1000000 * h.hi // h.rank) AS apsum
+  FROM hitrows h
+  JOIN wt w ON w.r = h.rank
+  GROUP BY h.qid
+)
+SELECT p.qid,
+       CAST(COALESCE(h.first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
+       CAST(COALESCE(1000000 // h.first_rel_rank, 0) AS BIGINT) AS mrr_q,
+       CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(p.n_relevant AS BIGINT) AS n_relevant,
+       CAST(1000000 * COALESCE(h.hits_at_k, 0) // p.n_relevant AS BIGINT)
+         AS recall_q,
+       CAST(1000000 * COALESCE(h.dcg, 0) // i.iw AS BIGINT) AS ndcg_q,
+       CAST(COALESCE(h.apsum, 0) // LEAST(p.n_relevant, {_EVAL_K}) AS BIGINT)
+         AS ap_q
 FROM per_rel p
 LEFT JOIN hits h ON p.qid = h.qid
 JOIN icg i ON i.m = LEAST(p.n_relevant, {_EVAL_K})
@@ -1547,6 +1653,7 @@ QUERIES = {
     "retrieval_graded_ndcg_eval": retrieval_graded_ndcg_eval,
     "retrieval_exp_ndcg_eval": retrieval_exp_ndcg_eval,
     "retrieval_metrics_eval": retrieval_metrics_eval,
+    "retrieval_map_eval": retrieval_map_eval,
     "embedding_label_centroids": embedding_label_centroids,
     "similarity_pq_recall": similarity_pq_recall,
     "similarity_topk_cosine": similarity_topk_cosine,
@@ -1568,6 +1675,7 @@ ORACLES = {
     "retrieval_graded_ndcg_eval": GRADED_NDCG_SQL,
     "retrieval_exp_ndcg_eval": EXP_NDCG_SQL,
     "retrieval_metrics_eval": RETRIEVAL_EVAL_SQL,
+    "retrieval_map_eval": RETRIEVAL_MAP_SQL,
     "embedding_label_centroids": LABEL_CENTROIDS_SQL,
     "similarity_pq_recall": PQ_RECALL_SQL,
     "similarity_topk_cosine": SIMILARITY_TOPK_SQL,

@@ -331,6 +331,132 @@ BM25_INDEX_DEL_SQL = _bm25_index_oracle(
 ).replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0")
 
 
+def takedown_all_stores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-INDEX takedown under the driver gate (r13 verdict item 8's
+    composed flow, oracle-gated end to end): materialize all FOUR
+    stores a curation pipeline derives from the corpus — the corpus
+    parquet itself, the BM25 text index, the dedup history index, and
+    the IVF-PQ ANN index over the 1:1 embeddings — then remove every
+    ``doc_id % 7 == 0`` from ALL of them in one
+    ``operators/takedown.py::takedown_docs`` call. The post-takedown
+    BM25 top-k must be row-identical to an index that never held the
+    victims (the oracle scores the closed form over ``documents WHERE
+    doc_id % 7 <> 0`` — the same surviving-corpus contract as
+    ``bm25_index_delete_docs``, now reached through the composed
+    operator). Pinned invariant bits:
+
+    - ``ledger_exact``: each store's removed count equals the victim
+      count (every victim was present everywhere — embeddings share
+      the doc keyspace 1:1 — so all four ledgers must agree).
+    - ``rerun_noop``: the crash-recovery contract — rerunning the SAME
+      takedown removes nothing anywhere (tombstones and the corpus
+      rewrite are idempotent).
+    - ``corpus_rows_ok``: the rewritten corpus parquet holds exactly
+      the survivors.
+    - ``ann_clean``: no tombstoned id surfaces in any post-takedown
+      ANN top-k (the ANN delete is exact for queries, not lazy).
+
+    At 100 TB the three index deletes are id-set-sized tombstone
+    appends and only the corpus rewrite is data-scale (one broadcast
+    anti-join scan) — see the takedown module docstring for the
+    ordering/atomicity story."""
+    import os
+    import shutil
+    import tempfile
+
+    from implementation_of_an_etl_process_spark.operators import (
+        dedup as D,
+        similarity as S,
+        takedown as TD,
+        textindex as TI,
+    )
+    from implementation_of_an_etl_process_spark.queries.similarity import (
+        _EMB_DIM,
+        _emb,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    victims = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        "doc_id"
+    )
+    n_victims = victims.count()
+    n_docs = docs.count()
+    # private per-call root: the corpus swap-rewrite renames directories,
+    # so a fixed shared path would race a concurrent run
+    root = tempfile.mkdtemp(prefix="takedown_")
+    corp = os.path.join(root, "corpus")
+    txt = os.path.join(root, "txtidx")
+    ded = os.path.join(root, "dedupidx")
+    ann = os.path.join(root, "annidx")
+    try:
+        docs.write.parquet(corp)
+        TI.write_text_index(docs, txt, n_buckets=32)
+        D.write_dedup_index(docs, ded, "doc_id", "text")
+        cents = S.train_ivf_centroids(
+            emb, corpus_vec="embedding", corpus_id="vec_id",
+            n_cells=16, n_train=4096,
+        )
+        books = S.train_pq_codebooks_distributed(
+            emb, corpus_vec="embedding", corpus_id="vec_id",
+            m=16, n_codes=64, dim=_EMB_DIM, centroids=cents,
+        )
+        S.write_ivfpq_index(
+            emb, ann, books, cents,
+            corpus_id="vec_id", corpus_vec="embedding",
+        )
+        targets = dict(
+            corpus_path=corp, text_index=txt,
+            dedup_index=ded, ann_index=ann,
+        )
+        ledger = TD.takedown_docs(spark, victims, **targets)
+        ledger_exact = int(
+            ledger["text_deleted"] == n_victims
+            and ledger["dedup_deleted"] == n_victims
+            and ledger["ann_deleted"] == n_victims
+            and ledger["corpus_deleted"] == n_victims
+        )
+        again = TD.takedown_docs(spark, victims, **targets)
+        rerun_noop = int(
+            again["text_deleted"] == 0
+            and again["dedup_deleted"] == 0
+            and again["ann_deleted"] == 0
+            and again["corpus_deleted"] == 0
+        )
+        corpus_rows_ok = int(
+            spark.read.parquet(corp).count() == n_docs - n_victims
+        )
+        got = S.ivfpq_query_index(
+            spark, ann, emb.filter(F.col("vec_id") < 8), emb,
+            query_id="vec_id", query_vec="embedding",
+            corpus_id="vec_id", corpus_vec="embedding",
+            k=5, n_probe=12, shortlist=50,
+        )
+        ann_clean = int(
+            got.filter(F.pmod(F.col("cid"), F.lit(7)) == 0).count() == 0
+        )
+        out = TI.bm25_query_index(
+            spark, txt, list(_BM25_IDX_QUERY), k=_BM25_IDX_K
+        ).select(
+            "*",
+            F.lit(ledger_exact).alias("ledger_exact"),
+            F.lit(rerun_noop).alias("rerun_noop"),
+            F.lit(corpus_rows_ok).alias("corpus_rows_ok"),
+            F.lit(ann_clean).alias("ann_clean"),
+        )
+        # materialize before the index directories disappear
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+TAKEDOWN_ALL_STORES_SQL = _bm25_index_oracle(
+    ",\n       1 AS ledger_exact,\n       1 AS rerun_noop,"
+    "\n       1 AS corpus_rows_ok,\n       1 AS ann_clean"
+).replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0")
+
+
 # two phrases: a plain bigram, and a repeated-term bigram ("table
 # table") — the latter pins per-slot matching (count(distinct slot),
 # not term-level dedup) and overlap counting ("table table table" is
@@ -1394,6 +1520,7 @@ QUERIES = {
     "bm25_index_topk_docs": bm25_index_topk_docs,
     "bm25_index_incremental": bm25_index_incremental,
     "bm25_index_delete_docs": bm25_index_delete_docs,
+    "takedown_all_stores_docs": takedown_all_stores_docs,
     "bm25_index_phrase_docs": bm25_index_phrase_docs,
     "bm25_index_proximity_docs": bm25_index_proximity_docs,
     "contamination_phrase_index_docs": contamination_phrase_index_docs,
@@ -1414,6 +1541,7 @@ ORACLES = {
     "bm25_index_topk_docs": BM25_INDEX_SQL,
     "bm25_index_incremental": BM25_INDEX_INC_SQL,
     "bm25_index_delete_docs": BM25_INDEX_DEL_SQL,
+    "takedown_all_stores_docs": TAKEDOWN_ALL_STORES_SQL,
     "bm25_index_phrase_docs": BM25_INDEX_PHRASE_SQL,
     "bm25_index_proximity_docs": BM25_INDEX_PROX_SQL,
     "contamination_phrase_index_docs": CONTAM_PHRASE_SQL,

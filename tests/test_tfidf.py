@@ -443,3 +443,48 @@ def test_retrieval_metrics_exp_gain(spark):
         retrieval_metrics(ranking, qrels, gain="quadratic")
     with pytest.raises(ValueError, match="grade_col"):
         retrieval_metrics(ranking, qrels, gain="exp")
+
+
+def test_retrieval_metrics_average_precision(spark):
+    """r14: include_ap=True adds integer AP@k — per-hit contribution
+    scale * hit_index div rank, divided by the trec-style
+    min(n_relevant, k) — verified against hand-computed values on the
+    binary fixture (perfect prefix -> SCALE; interleaved hits; the
+    zero-hit row), while the default schema stays ap_q-free."""
+    from implementation_of_an_etl_process_spark.operators.tfidf import (
+        retrieval_metrics,
+    )
+
+    K, SCALE = 4, 1_000_000
+    ranking = spark.createDataFrame(
+        [
+            (1, 100, 1), (1, 101, 2), (1, 9, 3), (1, 8, 4),
+            (2, 7, 1), (2, 200, 2), (2, 6, 3), (2, 204, 4),
+            (3, 5, 1), (3, 4, 2), (3, 3, 3), (3, 2, 4),
+        ],
+        "qid long, cid long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 100), (1, 101)]
+        + [(2, c) for c in (200, 201, 202, 203, 204)]
+        + [(3, 300)],
+        "qid long, cid long",
+    )
+    base = retrieval_metrics(ranking, qrels, k=K, scale=SCALE)
+    assert "ap_q" not in base.columns  # opt-in: existing schemas fixed
+    got = {
+        r.qid: r.asDict()
+        for r in retrieval_metrics(
+            ranking, qrels, k=K, scale=SCALE, include_ap=True
+        ).collect()
+    }
+    # q1: hits at ranks 1,2 (hit indexes 1,2) -> contribs SCALE, SCALE;
+    # denom min(2, 4) = 2 -> perfect prefix scores exactly SCALE
+    assert got[1]["ap_q"] == (SCALE * 1 // 1 + SCALE * 2 // 2) // 2 == SCALE
+    # q2: hits at ranks 2,4 (hit indexes 1,2) -> 500000 + 500000;
+    # denom min(5, 4) = 4 (trec cap at k)
+    assert got[2]["ap_q"] == (SCALE * 1 // 2 + SCALE * 2 // 4) // 4 == 250_000
+    # q3: zero hits -> ap 0, row still present
+    assert got[3]["ap_q"] == 0
+    # other columns unchanged by the opt-in
+    assert got[2]["ndcg_q"] == base.filter("qid = 2").first()["ndcg_q"]
