@@ -1687,7 +1687,7 @@ def retrain_ivfpq_index(
     }
 
 
-def maybe_retrain_ivfpq_index(path: str, *, max_skew: float = 8.0) -> dict | None:
+def maybe_retrain_ivfpq_index(path: str, *, max_skew: float = 4.0) -> dict | None:
     """Report-only retrain advisory (the compaction surface's twin for
     the MODEL rather than the LAYOUT): appends never move centroids —
     that is the frozen-model contract that makes encoding deterministic
@@ -1695,8 +1695,29 @@ def maybe_retrain_ivfpq_index(path: str, *, max_skew: float = 8.0) -> dict | Non
     retrain+rebuild, which this hook never does on its own. Returns
     the stats dict when the live-cell population skew
     (``cell_rows_max / cell_rows_mean``) exceeds ``max_skew``, else
-    None. Callers schedule `train_ivf_centroids` + `write_ivfpq_index`
-    on their own maintenance cadence."""
+    None. Callers schedule :func:`retrain_ivfpq_index` (or
+    `train_ivf_centroids` + `write_ivfpq_index`) on their own
+    maintenance cadence.
+
+    The 4.0 default is MEASURED, not guessed
+    (`tools/fullscale_ivfpq_lifecycle.py` leg 5, BASELINE_NOTES round
+    14): a healthy build of a CLUSTERED corpus already sits at skew
+    ~2.0 (real corpora are never uniform — 32 synth clusters over 64
+    cells at 2M vectors), so an absolute threshold is meaningless and
+    the rule is ~2x the healthy-build skew. At full scale,
+    novel-center append drift raised skew ~+0.2 per 100k rows; 4.0
+    fired once drifted mass reached ~1/3 of the index — the point
+    where drift-locality recall@5 had collapsed 0.505 -> 0.26 and the
+    hot cell held 4.1x the mean (probe cost follows the hot cell).
+    The retrain it advises cost 174.9s at 3.32M rows vs 311.6s for
+    the 2M cold build (0.56x) vs 43.1s for one 100k append — cheap
+    enough to run at fire time, too expensive per append. Lower
+    toward 2-3x healthy skew for latency-sensitive probes; raise
+    `n_cells` instead of `max_skew` when drift adds TIGHT new
+    clusters, since k-means can only split concentrated novel mass so
+    far at fixed cell count (measured: retrain rebalanced 4.12 ->
+    3.80 and recovered recall to 0.32, bounded by two dense novel
+    centers sharing 64 cells)."""
     stats = ivfpq_index_stats(path)
     if stats["cell_skew_ratio"] > max_skew:
         return stats

@@ -241,17 +241,26 @@ def main() -> None:
         )
         return rec, t_q
 
-    MAX_SKEW = 8.0
     st0 = S.ivfpq_index_stats(idx)
+    # the derivation rule this leg exists to measure: a healthy build
+    # of a CLUSTERED corpus already sits at skew ~2 (32 synth clusters
+    # over 64 cells — real corpora are never uniform), so an absolute
+    # threshold is meaningless; fire at 2x the healthy-build skew.
+    # Measured here: novel-center drift adds ~+0.22 skew per 100k rows
+    # at 2.2M/64 cells, so 2x baseline ~ 0.9M drifted rows (~40% of
+    # the corpus) — the advisory fires when drift is a large minority
+    # of the data, not on the first append.
+    MAX_SKEW = 2.0 * st0["cell_skew_ratio"]
     print(
         f"drift leg baseline: skew {st0['cell_skew_ratio']:.2f}, "
         f"max cell {st0['cell_rows_max']} rows "
-        f"(mean {st0['cell_rows_mean']:.0f})",
+        f"(mean {st0['cell_rows_mean']:.0f}); advisory threshold "
+        f"2x baseline = {MAX_SKEW:.2f}",
         flush=True,
     )
     rec0, tq0 = recall_and_time(0, "pre-drift")
     n_drift, fired = 0, None
-    for i in range(12):
+    for i in range(16):
         t0 = time.monotonic()
         S.append_ivfpq_index(
             drift_batch(lo_d + n_drift, 100_000), idx,
