@@ -89,6 +89,11 @@ def _rewrite_corpus(spark, path: str, ids: DataFrame, id_col: str) -> int:
             os.rename(aside, path)  # roll the first rename back
             raise
         shutil.rmtree(aside)
+        # the swap replaced every part file under an unchanged path:
+        # invalidate this session's cached file listings (Spark's
+        # FileStatusCache has no TTL by default), or the next read
+        # through a pre-swap relation dies with FILE_NOT_EXIST
+        spark.catalog.refreshByPath(path)
         return n_hit
     finally:
         # release only if the corpus directory is intact (untouched,

@@ -161,3 +161,33 @@ def test_takedown_partial_targets_and_contract(spark, tmp_path):
         "dedup_deleted": None, "ann_deleted": None, "corpus_deleted": 0,
     }
     assert spark.read.parquet(corpus).count() == 8
+
+
+def test_sequential_takedowns_fresh_reads_see_swapped_corpus(spark, tmp_path):
+    """r14 regression (caught by the full-scale leg): the corpus
+    swap-rewrite replaces every part file under an UNCHANGED path, and
+    Spark's shared FileStatusCache has no TTL — without the operator's
+    refreshByPath, a post-takedown read (or a second takedown whose
+    victims are derived from a fresh read of the corpus) can serve the
+    pre-swap listing and die with FILE_NOT_EXIST. Two sequential
+    takedowns with an interleaved fresh read must both succeed and the
+    final corpus must hold exactly the double-survivors."""
+    docs = _docs(spark, range(40))
+    corpus = os.path.join(str(tmp_path), "corpus")
+    docs.write.parquet(corpus)
+
+    first = takedown_docs(
+        spark, [i for i in range(40) if i % 4 == 0], corpus_path=corpus
+    )
+    assert first["corpus_deleted"] == 10
+    # fresh read AFTER the swap: victims for round two come from the
+    # rewritten corpus itself — the exact shape that hit the stale
+    # listing at full scale
+    alive = spark.read.parquet(corpus)
+    v2 = alive.filter(F.col("doc_id") % 4 == 1).select("doc_id")
+    second = takedown_docs(spark, v2, corpus_path=corpus)
+    assert second["corpus_deleted"] == 10
+    left = sorted(
+        r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()
+    )
+    assert left == [i for i in range(40) if i % 4 in (2, 3)]

@@ -115,17 +115,21 @@ def main() -> None:
             flush=True,
         )
 
+    # victims come from the IMMUTABLE source parquet, never from the
+    # corpus copy: the takedown swap-rewrites `corp`, so any victim
+    # DataFrame derived from it would hold pre-swap file listings
+    stable = spark.read.parquet(src).select("doc_id")
+
     # scenario 1: realistic GDPR batch — ~200 ids (doc_id % 10007 == 3)
-    v1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(10007)) == 3).select(
-        "doc_id"
-    )
+    v1 = stable.filter(F.pmod(F.col("doc_id"), F.lit(10007)) == 3)
     run("gdpr ~200 ids", v1, v1.count())
 
     # scenario 2: bulk decontamination sweep — 1% (doc_id % 100 == 7),
-    # disjoint from scenario 1's survivors-of-interest by construction
-    surviving = spark.read.parquet(corp)
-    v2 = surviving.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 7).select(
-        "doc_id"
+    # minus scenario 1's already-removed ids so the ledger asserts
+    # stay exact (re-deleting a gone id is a no-op by contract)
+    v2 = stable.filter(
+        (F.pmod(F.col("doc_id"), F.lit(100)) == 7)
+        & (F.pmod(F.col("doc_id"), F.lit(10007)) != 3)
     )
     run("bulk 1%", v2, v2.count())
 
