@@ -1715,9 +1715,11 @@ def maybe_retrain_ivfpq_index(path: str, *, max_skew: float = 4.0) -> dict | Non
     toward 2-3x healthy skew for latency-sensitive probes; raise
     `n_cells` instead of `max_skew` when drift adds TIGHT new
     clusters, since k-means can only split concentrated novel mass so
-    far at fixed cell count (measured: retrain rebalanced 4.12 ->
-    3.80 and recovered recall to 0.32, bounded by two dense novel
-    centers sharing 64 cells)."""
+    far at fixed cell count (measured: the 64-cell retrain rebalanced
+    4.12 -> 3.80 / recall 0.32; retraining the SAME corpus at
+    n_cells=128 reached skew 2.67 with the hot cell 2.8x smaller and
+    recall 0.375 at the same probe fraction — better on every axis,
+    see the BASELINE_NOTES round-14 addendum)."""
     stats = ivfpq_index_stats(path)
     if stats["cell_skew_ratio"] > max_skew:
         return stats
