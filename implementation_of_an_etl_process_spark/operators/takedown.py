@@ -41,7 +41,7 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["takedown_docs"]
+__all__ = ["takedown_docs", "verify_takedown"]
 
 
 def _ids_df(spark, doc_ids, id_col: str) -> DataFrame:
@@ -111,6 +111,7 @@ def takedown_docs(
     dedup_index: str | None = None,
     ann_index: str | None = None,
     id_col: str = "doc_id",
+    audit_path: str | None = None,
 ) -> dict:
     """Remove ``doc_ids`` (iterable of ints, or a DataFrame whose
     ``id_col`` — or single column — holds them) from every given
@@ -127,6 +128,13 @@ def takedown_docs(
     is that vector ids share the document keyspace (the embeddings
     were derived one per doc); pass ``ann_index=None`` when they
     don't and tombstone it separately.
+
+    ``audit_path`` appends one JSON line per completed takedown — UTC
+    timestamp, id count, an order-insensitive digest of the id set,
+    and the per-store removed counts — the who/what/when record a
+    GDPR/takedown process has to produce. Append-only local file
+    (one ``os.write`` of one line in O_APPEND mode); a production
+    lake would write this into its commit log instead.
 
     Returns a ledger dict: per-target removed counts (None for
     targets not passed)."""
@@ -180,4 +188,158 @@ def takedown_docs(
         out["corpus_deleted"] = _rewrite_corpus(
             spark, corpus_path, ids, id_col
         )
+    if audit_path is not None:
+        import datetime
+        import json
+
+        # order-insensitive id-set digest: commutative crc32 sum +
+        # count — one tiny job sized by the id set, never the stores
+        agg = ids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.col(id_col).cast("string"))).alias("d"),
+        ).first()
+        line = (
+            json.dumps(
+                {
+                    "ts": datetime.datetime.now(
+                        datetime.timezone.utc
+                    ).isoformat(timespec="seconds"),
+                    "n_ids": int(agg["n"]),
+                    "ids_crc32_sum": int(agg["d"] or 0),
+                    **out,
+                },
+                sort_keys=True,
+            )
+            + "\n"
+        )
+        fd = os.open(audit_path, os.O_CREAT | os.O_APPEND | os.O_WRONLY, 0o644)
+        try:
+            os.write(fd, line.encode())
+        finally:
+            os.close(fd)
+    return out
+
+
+def verify_takedown(
+    spark,
+    doc_ids,
+    *,
+    corpus_path: str | None = None,
+    text_index: str | None = None,
+    dedup_index: str | None = None,
+    ann_index: str | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """The auditor's half of the takedown contract ("prove it's
+    gone"): count what each store still SERVES for ``doc_ids``,
+    through the same live views the queries consume — tombstone-
+    filtered index relations, the rewritten corpus — and never mutate
+    anything. Returns per-store residual counts (distinct victim ids
+    still visible in ANY of the store's relations; row count for the
+    corpus) with ``None`` for stores not passed, plus ``clean``:
+    True iff every passed store serves zero.
+
+    Cost shape matches the takedown itself: each index probe is a
+    broadcast semi-join of the id set against one index scan; the
+    corpus probe is the only data-scale scan. Run it after
+    :func:`takedown_docs` for the audit record, or standalone to
+    answer "does anything still reference these ids?" before one."""
+    targets = (corpus_path, text_index, dedup_index, ann_index)
+    if not any(t is not None for t in targets):
+        raise ValueError(
+            "verify_takedown needs at least one target "
+            "(corpus_path / text_index / dedup_index / ann_index)"
+        )
+    ids = _ids_df(spark, doc_ids, id_col)
+    out: dict = {
+        "corpus_residual": None,
+        "text_residual": None,
+        "dedup_residual": None,
+        "ann_residual": None,
+    }
+    if text_index is not None:
+        from implementation_of_an_etl_process_spark.operators.textindex import (
+            _apply_tombstones,
+        )
+
+        vis = (
+            _apply_tombstones(
+                spark,
+                text_index,
+                spark.read.parquet(os.path.join(text_index, "postings")),
+            )
+            .select("doc_id")
+        )
+        pos = os.path.join(text_index, "positions")
+        if os.path.exists(pos):
+            vis = vis.unionByName(
+                _apply_tombstones(
+                    spark, text_index, spark.read.parquet(pos)
+                ).select("doc_id")
+            )
+        out["text_residual"] = int(
+            vis.join(
+                F.broadcast(ids.select(F.col(id_col).alias("doc_id"))),
+                "doc_id",
+                "left_semi",
+            )
+            .distinct()
+            .count()
+        )
+    if dedup_index is not None:
+        from implementation_of_an_etl_process_spark.operators.dedup import (
+            _dedup_tombstones,
+            _load_meta as _dedup_load_meta,
+        )
+
+        meta = _dedup_load_meta(dedup_index)
+        ded_id = meta["id_col"]
+        vis = (
+            spark.read.parquet(os.path.join(dedup_index, "md5"))
+            .select(ded_id)
+            .unionByName(
+                spark.read.parquet(os.path.join(dedup_index, "bands"))
+                .select(ded_id)
+            )
+        )
+        dead = _dedup_tombstones(spark, dedup_index, meta)
+        if dead is not None:
+            vis = vis.join(F.broadcast(dead), ded_id, "left_anti")
+        out["dedup_residual"] = int(
+            vis.join(
+                F.broadcast(ids.select(F.col(id_col).alias(ded_id))),
+                ded_id,
+                "left_semi",
+            )
+            .distinct()
+            .count()
+        )
+    if ann_index is not None:
+        from implementation_of_an_etl_process_spark.operators.similarity import (
+            _apply_ivfpq_tombstones,
+        )
+
+        vis = _apply_ivfpq_tombstones(
+            spark,
+            ann_index,
+            spark.read.parquet(os.path.join(ann_index, "codes")).select(
+                "cid"
+            ),
+        )
+        out["ann_residual"] = int(
+            vis.join(
+                F.broadcast(ids.select(F.col(id_col).alias("cid"))),
+                "cid",
+                "left_semi",
+            )
+            .distinct()
+            .count()
+        )
+    if corpus_path is not None:
+        out["corpus_residual"] = int(
+            spark.read.parquet(corpus_path)
+            .join(F.broadcast(ids), id_col, "left_semi")
+            .count()
+        )
+    out["clean"] = all(v in (None, 0) for v in out.values())
     return out

@@ -355,6 +355,9 @@ def takedown_all_stores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       the survivors.
     - ``ann_clean``: no tombstoned id surfaces in any post-takedown
       ANN top-k (the ANN delete is exact for queries, not lazy).
+    - ``verified_clean``: the auditor's residual probe
+      (``verify_takedown`` — distinct victim ids still served by any
+      store's live view) reads zero everywhere.
 
     At 100 TB the three index deletes are id-set-sized tombstone
     appends and only the corpus rewrite is data-scale (one broadcast
@@ -426,6 +429,11 @@ def takedown_all_stores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_rows_ok = int(
             spark.read.parquet(corp).count() == n_docs - n_victims
         )
+        # the auditor's half (r14): the residual probe must see zero
+        # victims served by ANY store through the live views
+        verified_clean = int(
+            TD.verify_takedown(spark, victims, **targets)["clean"]
+        )
         got = S.ivfpq_query_index(
             spark, ann, emb.filter(F.col("vec_id") < 8), emb,
             query_id="vec_id", query_vec="embedding",
@@ -443,6 +451,7 @@ def takedown_all_stores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rerun_noop).alias("rerun_noop"),
             F.lit(corpus_rows_ok).alias("corpus_rows_ok"),
             F.lit(ann_clean).alias("ann_clean"),
+            F.lit(verified_clean).alias("verified_clean"),
         )
         # materialize before the index directories disappear
         out = out.localCheckpoint(eager=True)
@@ -453,7 +462,8 @@ def takedown_all_stores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TAKEDOWN_ALL_STORES_SQL = _bm25_index_oracle(
     ",\n       1 AS ledger_exact,\n       1 AS rerun_noop,"
-    "\n       1 AS corpus_rows_ok,\n       1 AS ann_clean"
+    "\n       1 AS corpus_rows_ok,\n       1 AS ann_clean,"
+    "\n       1 AS verified_clean"
 ).replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0")
 
 

@@ -191,3 +191,65 @@ def test_sequential_takedowns_fresh_reads_see_swapped_corpus(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()
     )
     assert left == [i for i in range(40) if i % 4 in (2, 3)]
+
+
+def test_verify_takedown_residuals_and_audit_trail(spark, tmp_path):
+    """r14: the auditor's half of the flow. verify_takedown counts
+    what each store still serves for the id set through the live
+    (tombstone-filtered) views: before the takedown every store shows
+    the full victim set; after it every residual is zero and clean is
+    True. takedown_docs(audit_path=...) appends one JSON line per
+    call — the rerun's line records zero removals (the idempotency
+    evidence in the audit record itself)."""
+    import json
+
+    from implementation_of_an_etl_process_spark.operators.takedown import (
+        verify_takedown,
+    )
+
+    docs = _docs(spark, range(30))
+    corpus, text_idx, dedup_idx, ann_idx = _build_all(
+        spark, docs, str(tmp_path)
+    )
+    victims = [i for i in range(30) if i % 3 == 0]
+    targets = dict(
+        corpus_path=corpus,
+        text_index=text_idx,
+        dedup_index=dedup_idx,
+        ann_index=ann_idx,
+    )
+
+    before = verify_takedown(spark, victims, **targets)
+    assert before["corpus_residual"] == len(victims)
+    assert before["text_residual"] == len(victims)
+    assert before["dedup_residual"] == len(victims)
+    assert before["ann_residual"] == len(victims)
+    assert before["clean"] is False
+
+    audit = os.path.join(str(tmp_path), "takedown_audit.jsonl")
+    led = takedown_docs(spark, victims, audit_path=audit, **targets)
+    assert led["corpus_deleted"] == len(victims)
+
+    after = verify_takedown(spark, victims, **targets)
+    assert after == {
+        "corpus_residual": 0,
+        "text_residual": 0,
+        "dedup_residual": 0,
+        "ann_residual": 0,
+        "clean": True,
+    }
+    # survivors still served (the probe measures the ids, not the store)
+    alive = verify_takedown(spark, [1, 2], **targets)
+    assert alive["corpus_residual"] == 2 and alive["clean"] is False
+
+    takedown_docs(spark, victims, audit_path=audit, **targets)  # rerun
+    lines = [json.loads(x) for x in open(audit).read().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["n_ids"] == len(victims)
+    assert lines[0]["corpus_deleted"] == len(victims)
+    assert lines[1]["corpus_deleted"] == 0  # idempotent rerun, recorded
+    assert lines[0]["ids_crc32_sum"] == lines[1]["ids_crc32_sum"]
+    assert all("ts" in x for x in lines)
+
+    with pytest.raises(ValueError):
+        verify_takedown(spark, victims)
