@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.functions.vectors import (
     float_cosine,
-    int_cosine,
+    int_cosine_pre,
+    int_norm2,
     quantize_vec,
 )
 from implementation_of_an_etl_process_spark.plans import spread
@@ -35,10 +36,22 @@ def _pairs_scored(queries_df, corpus_df, exact_scores: bool):
     """Cross corpus x broadcast(queries), scored. Corpus stays the
     streamed side so parallelism follows corpus partitions."""
     if exact_scores:
-        qd = queries_df.select("qid", quantize_vec("qvec").alias("qv"))
-        cd = corpus_df.select("cid", quantize_vec("cvec").alias("cv"))
+        # quantize AND norm² once per SIDE row: the pair projection
+        # then evaluates only the dot product — int_cosine inline would
+        # re-walk both norms' dim-length lambdas on every pair row
+        # (guide §1.2 per-task work; values bit-identical, see
+        # functions.vectors.int_cosine_pre)
+        qd = queries_df.select(
+            "qid", quantize_vec("qvec").alias("qv")
+        ).withColumn("_qn2", int_norm2(F.col("qv")))
+        cd = corpus_df.select(
+            "cid", quantize_vec("cvec").alias("cv")
+        ).withColumn("_cn2", int_norm2(F.col("cv")))
         return cd.crossJoin(F.broadcast(qd)).withColumn(
-            "score", int_cosine(F.col("qv"), F.col("cv"))
+            "score",
+            int_cosine_pre(
+                F.col("qv"), F.col("cv"), F.col("_qn2"), F.col("_cn2")
+            ),
         )
     return corpus_df.crossJoin(F.broadcast(queries_df)).withColumn(
         "score", float_cosine(F.col("qvec"), F.col("cvec"))
@@ -195,8 +208,20 @@ def ivf_topk(
                 )
             ).alias("cell"),
         )
+    # per-SIDE quantize+norm², per-PAIR dot only (bit-identical values;
+    # see functions.vectors.int_cosine_pre) — the inline int_cosine
+    # form paid 5×dim lambda visits per (corpus row × probing query)
+    cd = cd.withColumn("_cq", quantize_vec("cvec")).withColumn(
+        "_cn2", int_norm2(F.col("_cq"))
+    )
+    qd = qd.withColumn("_qq", quantize_vec("qvec")).withColumn(
+        "_qn2", int_norm2(F.col("_qq"))
+    )
     pairs = cd.join(F.broadcast(qd), "cell").withColumn(
-        "score", int_cosine(quantize_vec("qvec"), quantize_vec("cvec"))
+        "score",
+        int_cosine_pre(
+            F.col("_qq"), F.col("_cq"), F.col("_qn2"), F.col("_cn2")
+        ),
     )
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col("cid"))
@@ -763,6 +788,7 @@ def pq_topk(
     k: int = 5,
     shortlist: int = 50,
     exclude_self: bool = True,
+    pin_shortlist: bool = True,
 ) -> DataFrame:
     """Approximate top-k via PQ asymmetric distance computation with
     exact re-ranking — the production ANN shape at scale:
@@ -824,18 +850,75 @@ def pq_topk(
         .filter(F.col("_r") <= shortlist)
         .drop("_r", "adc")
     )
-    # exact re-rank of the shortlist only
-    cd = corpus.select(
-        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
+    return _exact_rerank(
+        short, corpus, queries,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec, k=k,
+        pin=pin_shortlist,
+    )
+
+
+def _exact_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    pin: bool = True,
+) -> DataFrame:
+    """Exact top-k re-rank of an ADC shortlist (qid, cid) against the
+    true vectors — shared tail of :func:`pq_topk` / :func:`ivfpq_topk`.
+
+    Scores are the oracle-exact quantized-int cosine, restructured so
+    the per-PAIR projection evaluates only the dot product: quantize +
+    norm² are computed once per query (queries are bounded) and once
+    per DISTINCT shortlisted corpus id. The corpus-side semi-join on
+    the shortlist ids keeps that quantize pass shortlist-sized — the
+    full corpus is never quantized (it is only streamed once, probing
+    the broadcast id set, exactly as the previous pair join streamed it
+    probing the broadcast shortlist). Values are bit-identical to the
+    inline ``int_cosine(quantize_vec(q), quantize_vec(c))`` form (see
+    functions.vectors.int_cosine_pre); the win is per-task work — the
+    inline form re-walked 5×dim interpreted lambdas per pair row, and
+    the final (AQE-coalesced, often single-task) stage paid it serially:
+    measured 1.602s → 0.152s for 10k 64-dim pair rows in one task."""
+    # Pin the (bounded: |queries| x shortlist rows) shortlist ONCE —
+    # it feeds both the distinct-cid broadcast below and the re-rank
+    # join, and those live in different AQE stage trees (the broadcast
+    # build), which re-EXECUTES the whole ADC subtree instead of
+    # reusing its exchange (measured: the 16-task ADC scan ran twice
+    # per probe). Same bounded-state contract as the driver-side
+    # queries collect these entry points already make; same pattern as
+    # minhash's candidate materialization (dedup.py). ``pin=False``
+    # keeps the fully lazy single-tree plan for plan introspection
+    # (tests assert the probe filter's PartitionFilters placement on
+    # the un-split plan; the pinned path executes the same subtree).
+    if pin:
+        short = short.localCheckpoint(eager=True)
+    cids = short.select("cid").distinct()
+    cvq = (
+        corpus.select(
+            F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
+        )
+        .join(F.broadcast(cids), "cid", "left_semi")
+        .select("cid", quantize_vec("cvec").alias("_cq"))
+        .withColumn("_cn2", int_norm2(F.col("_cq")))
     )
     qd = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
-    )
+        F.col(query_id).alias("qid"), quantize_vec(query_vec).alias("_qq")
+    ).withColumn("_qn2", int_norm2(F.col("_qq")))
     rescored = (
-        short.join(cd, "cid")
+        short.join(cvq, "cid")
         .join(F.broadcast(qd), "qid")
         .withColumn(
-            "score", int_cosine(quantize_vec("qvec"), quantize_vec("cvec"))
+            "score",
+            int_cosine_pre(
+                F.col("_qq"), F.col("_cq"), F.col("_qn2"), F.col("_cn2")
+            ),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
@@ -938,6 +1021,7 @@ def ivfpq_topk(
     shortlist: int = 50,
     exclude_self: bool = True,
     residual: bool = True,
+    pin_shortlist: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the standard 100 TB / 10^9-vector ANN
     stack (Jégou/Douze/Schmid 2011, IVFADC): coarse inverted lists
@@ -1071,24 +1155,11 @@ def ivfpq_topk(
         .filter(F.col("_r") <= shortlist)
         .drop("_r", "adc")
     )
-    cd = corpus.select(
-        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
-    )
-    qd = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
-    )
-    rescored = (
-        short.join(cd, "cid")
-        .join(F.broadcast(qd), "qid")
-        .withColumn(
-            "score", int_cosine(quantize_vec("qvec"), quantize_vec("cvec"))
-        )
-    )
-    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "cid", "score", "rank")
+    return _exact_rerank(
+        short, corpus, queries,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec, k=k,
+        pin=pin_shortlist,
     )
 
 

@@ -388,11 +388,16 @@ def test_ivfpq_probe_is_partition_pruning(spark, tmp_path):
     n_cells_on_disk = index.select("cell").distinct().count()
 
     q = emb.filter(F.col("vec_id") < 3)
+    # pin_shortlist=False keeps the probe as ONE lazy plan so the scan's
+    # PartitionFilters are introspectable here; the default (pinned)
+    # path executes the identical subtree eagerly (r14: the pin stops
+    # the ADC stage running twice via the broadcast cid side) and its
+    # VALUES are pinned equal to this path below.
     out = S.ivfpq_topk(
         q, emb, index, books, cents,
         query_id="vec_id", query_vec="embedding",
         corpus_id="vec_id", corpus_vec="embedding",
-        k=5, n_probe=4, shortlist=50,
+        k=5, n_probe=4, shortlist=50, pin_shortlist=False,
     )
     plan = explain_str(out)
     # the probe filter must be IN the scan's PartitionFilters clause
@@ -406,6 +411,16 @@ def test_ivfpq_probe_is_partition_pruning(spark, tmp_path):
     probed = {int(v) for v in re.findall(r"\d+", m.group(1).split("IN")[-1])}
     assert 0 < len(probed) < n_cells_on_disk
     assert out.count() == 15  # 3 queries x k
+    # the default (pinned-shortlist) path must return the same rows
+    pinned = S.ivfpq_topk(
+        q, emb, index, books, cents,
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
+        k=5, n_probe=4, shortlist=50,
+    )
+    assert sorted(map(tuple, pinned.collect())) == sorted(
+        map(tuple, out.collect())
+    )
 
 
 def test_per_group_sample_rank_is_map_side_limited(spark):
