@@ -62,6 +62,12 @@ def drop_exact_duplicates(df: DataFrame, keys: list[str], id_col: str) -> DataFr
     return df.join(reps, id_col, "left_semi")
 
 
+def _local_ids(spark, ids, col: str):
+    from implementation_of_an_etl_process_spark.plans import local_rows_df
+
+    return local_rows_df(spark, [(int(i),) for i in ids], f"{col} long")
+
+
 def fingerprint_md5(df: DataFrame, text_col: str, *, normalize: bool = True) -> Column:
     c = F.col(text_col)
     if normalize:
@@ -1463,9 +1469,7 @@ def delete_from_dedup_index(spark, index_path: str, doc_ids) -> dict:
         ids_df = (
             doc_ids
             if isinstance(doc_ids, DataFrame)
-            else spark.createDataFrame(
-                [(int(i),) for i in doc_ids], f"{id_col} long"
-            )
+            else _local_ids(spark, doc_ids, id_col)
         ).select(F.col(id_col).cast("long")).distinct()
         dels = os.path.join(index_path, "_deletes")
         if os.path.exists(dels):

@@ -1309,6 +1309,12 @@ def write_ivfpq_index(
     os.remove(pending_path)  # success: append and overwrite both release
 
 
+def _local_ids(spark, ids, col: str):
+    from implementation_of_an_etl_process_spark.plans import local_rows_df
+
+    return local_rows_df(spark, [(int(i),) for i in ids], f"{col} long")
+
+
 def _load_ivfpq_meta(path: str) -> dict:
     import json
     import os
@@ -1402,7 +1408,7 @@ def delete_from_ivfpq_index(spark, path: str, cids) -> dict:
         ids_df = (
             cids
             if isinstance(cids, DataFrame)
-            else spark.createDataFrame([(int(i),) for i in cids], "cid long")
+            else _local_ids(spark, cids, "cid")
         ).select(F.col("cid").cast("long")).distinct()
         dels = os.path.join(path, "_deletes")
         if os.path.exists(dels):

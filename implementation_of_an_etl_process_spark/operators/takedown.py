@@ -49,8 +49,10 @@ def _ids_df(spark, doc_ids, id_col: str) -> DataFrame:
         src = doc_ids
         col = id_col if id_col in src.columns else src.columns[0]
         return src.select(F.col(col).cast("long").alias(id_col)).distinct()
-    return spark.createDataFrame(
-        [(int(i),) for i in doc_ids], f"{id_col} long"
+    from implementation_of_an_etl_process_spark.plans import local_rows_df
+
+    return local_rows_df(
+        spark, [(int(i),) for i in doc_ids], f"{id_col} long"
     ).distinct()
 
 

@@ -73,6 +73,12 @@ def _acquire_marker(pending_path: str) -> None:
         f.write("append in progress\n")
 
 
+def _local_ids(spark, ids, col: str):
+    from implementation_of_an_etl_process_spark.plans import local_rows_df
+
+    return local_rows_df(spark, [(int(i),) for i in ids], f"{col} long")
+
+
 def _tokens(text_col: str):
     """The corpus tokenizer — IDENTICAL to bm25_topk's (lower, trim,
     whitespace split, drop empties) so index and inline paths score
@@ -380,11 +386,13 @@ def _term_buckets(spark, terms, n_buckets: int) -> list[int]:
     """Bucket ids for a term list via the SAME engine hash the build
     used (Murmur3 via F.hash) — computed on a terms-sized local
     relation, never in Python."""
+    from implementation_of_an_etl_process_spark.plans import local_rows_df
+
     return sorted(
         {
             r.b
-            for r in spark.createDataFrame(
-                [(t,) for t in sorted(set(terms))], "term string"
+            for r in local_rows_df(
+                spark, [(t,) for t in sorted(set(terms))], "term string"
             )
             .select(F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b"))
             .collect()
@@ -488,14 +496,19 @@ def multi_phrase_query_index(
         slot_rows += [(p, i, t) for i, t in enumerate(slots)]
     terms = sorted({t for _, _, t in slot_rows})
     buckets = _term_buckets(spark, terms, meta["n_buckets"])
+    from implementation_of_an_etl_process_spark.plans import local_rows_df
+
+    # probe-sized local relations as JVM literal plans: the pickled-RDD
+    # form ran a 32-Python-task scan stage per aggregate/distinct over
+    # them in the kernel (see plans.local_rows_df)
     slots_df = F.broadcast(
-        spark.createDataFrame(
-            slot_rows, "phrase string, slot int, term string"
+        local_rows_df(
+            spark, slot_rows, "phrase string, slot int, term string"
         )
     )
     counts_df = F.broadcast(
-        spark.createDataFrame(
-            list(n_slots.items()), "phrase string, _n_slots int"
+        local_rows_df(
+            spark, list(n_slots.items()), "phrase string, _n_slots int"
         )
     )
     return _phrase_match_kernel(
@@ -870,9 +883,7 @@ def delete_from_text_index(spark, path: str, doc_ids) -> dict:
     ids_df = (
         doc_ids
         if isinstance(doc_ids, DataFrame)
-        else spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id long"
-        )
+        else _local_ids(spark, doc_ids, "doc_id")
     ).select(F.col("doc_id").cast("long")).distinct()
     postings = spark.read.parquet(os.path.join(path, "postings"))
     dels = os.path.join(path, "_deletes")

@@ -556,14 +556,14 @@ def retrieval_metrics(
         F.count(F.lit(1)).alias("n_relevant")
     )
     spark = ranking.sparkSession
+    from implementation_of_an_etl_process_spark.plans import local_rows_df
+
     wt = F.broadcast(
-        spark.createDataFrame(
-            [
-                (r + 1, w)
-                for r, w in enumerate(ndcg_weight_table(k, scale))
-            ],
+        local_rows_df(
+            spark,
+            [(r + 1, w) for r, w in enumerate(ndcg_weight_table(k, scale))],
             "_r int, _w long",
-        )
+        )  # k-row relation as a JVM literal plan (plans.local_rows_df)
     )
     hitrows = top.join(rels, ["_q", "_d"]).join(wt, "_r")
     aggs = [
@@ -609,11 +609,9 @@ def retrieval_metrics(
         # binary: IDCG is the weight table's prefix sum at
         # min(n_relevant, k) — a k-row broadcast, no window needed
         ideal = F.broadcast(
-            spark.createDataFrame(
-                [
-                    (m + 1, iw)
-                    for m, iw in enumerate(ndcg_ideal_table(k, scale))
-                ],
+            local_rows_df(
+                spark,
+                [(m + 1, iw) for m, iw in enumerate(ndcg_ideal_table(k, scale))],
                 "_m int, _iw long",
             )
         )

@@ -4,6 +4,7 @@ from implementation_of_an_etl_process_spark.plans.shape import (
     explain_str,
     latency_mode,
     leaf_scan_bytes,
+    local_rows_df,
     maybe_broadcast,
     small_leaf_input,
     spread,
@@ -12,6 +13,7 @@ from implementation_of_an_etl_process_spark.plans.shape import (
 __all__ = [
     "spread",
     "explain_str",
+    "local_rows_df",
     "leaf_scan_bytes",
     "maybe_broadcast",
     "latency_mode",

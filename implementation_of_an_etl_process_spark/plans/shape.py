@@ -71,6 +71,49 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def local_rows_df(
+    spark,
+    rows,
+    schema,
+    *,
+    max_literal_rows: int = 1024,
+) -> DataFrame:
+    """A small driver-side row set as a JVM-only literal relation.
+
+    PySpark's ``createDataFrame(list)`` routes local data through a
+    pickled Python RDD spread over ``defaultParallelism`` partitions:
+    every downstream use pays a scan stage of 32 Python-worker tasks
+    (profiled ~0.5s per use on local[32]), and ``coalesce(1)`` on it is
+    pathological (measured 6.4s: the one task pulls every parent
+    partition through the Python I/O channel serially). For probe- and
+    metadata-sized row sets the right plan is a literal struct array
+    inlined over ``range(1)``: one JVM task, no Python workers, and
+    the optimizer can constant-fold it. Falls back to plain
+    ``createDataFrame`` past ``max_literal_rows`` — literal expression
+    trees grow with row count and would bloat planning (guide §7.3).
+
+    ``schema`` is a DDL string (``"term string"``) or a StructType;
+    values are cast to the declared field types exactly as
+    createDataFrame would coerce them.
+    """
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    rows = list(rows)
+    if not rows or len(rows) > max_literal_rows:
+        return spark.createDataFrame(rows, st)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(r, st.fields)
+            ]
+        )
+        for r in rows
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The physical plan as a string (for tests asserting plan shape)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
@@ -103,28 +146,45 @@ def small_leaf_input(df: DataFrame, limit_bytes: int | None = None) -> bool:
         return False
 
 
-class latency_mode:
-    """Context manager: disable AQE for actions run inside the block
-    (restoring the previous setting on exit) — the small-input latency
-    path for operators whose internal pipelines pay more in AQE stage
-    scheduling than they could gain from runtime re-planning. Callers
-    MUST materialize (checkpoint/collect) inside the block; lazy frames
-    escaping the block run under the restored setting.
+#: Shuffle partition count inside a latency block. The block only ever
+#: covers PROVABLY-small materializations (leaf scans under
+#: LATENCY_MODE_LIMIT_BYTES), where 32-partition exchanges are pure
+#: task-scheduling overhead with AQE coalescing off — profiled: the
+#: minhash latency pipeline ran 26 stages × 32 tasks = 775 tasks/query
+#: at sf0.1 with every task sub-5ms. 8 keeps multi-core parallelism for
+#: the block's real work while cutting the task count 4x. Env-tunable;
+#: at cluster scale latency mode never engages (the gate fails open),
+#: so this constant cannot leak into big-data plans.
+LATENCY_MODE_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_LATENCY_SHUFFLE", "8")
+)
 
-    The AQE flag is SESSION-GLOBAL, so nesting/overlap is handled with
+
+class latency_mode:
+    """Context manager: disable AQE (and shrink the static shuffle
+    partition count to LATENCY_MODE_SHUFFLE_PARTITIONS) for actions run
+    inside the block, restoring previous settings on exit — the
+    small-input latency path for operators whose internal pipelines pay
+    more in AQE stage scheduling and per-task overhead than they could
+    gain from runtime re-planning. Callers MUST materialize
+    (checkpoint/collect) inside the block; lazy frames escaping the
+    block run under the restored settings.
+
+    The flags are SESSION-GLOBAL, so nesting/overlap is handled with
     a per-session re-entrancy counter under a lock: only the outermost
-    enter records the true original value and only the last exit
-    restores it (a naive save/restore would re-instate the inner
-    block's "false" as the "original"). Caveat that can't be fixed
+    enter records the true original values and only the last exit
+    restores them (a naive save/restore would re-instate the inner
+    block's values as the "original"). Caveat that can't be fixed
     here: any UNRELATED query running concurrently on the same
     SparkSession (multi-threaded driver, streaming micro-batches)
-    executes with AQE off while a latency block is active — operators
-    use this only around their own small-input materializations, and
-    multi-query drivers should serialize around it."""
+    executes with these settings while a latency block is active —
+    operators use this only around their own small-input
+    materializations, and multi-query drivers should serialize around
+    it."""
 
-    _KEY = "spark.sql.adaptive.enabled"
+    _KEYS = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
     _lock = threading.RLock()
-    #: id(session) -> [depth, original-value]; entry removed at depth 0
+    #: id(session) -> [depth, {key: original-value}]; removed at depth 0
     _active: dict[int, list] = {}
 
     def __init__(self, spark, enabled: bool = True):
@@ -136,9 +196,21 @@ class latency_mode:
             with self._lock:
                 st = self._active.get(id(self._spark))
                 if st is None:
-                    old = self._spark.conf.get(self._KEY, "true")
+                    conf = self._spark.conf
+                    old = {
+                        "spark.sql.adaptive.enabled": conf.get(
+                            "spark.sql.adaptive.enabled", "true"
+                        ),
+                        "spark.sql.shuffle.partitions": conf.get(
+                            "spark.sql.shuffle.partitions", "200"
+                        ),
+                    }
                     self._active[id(self._spark)] = [1, old]
-                    self._spark.conf.set(self._KEY, "false")
+                    conf.set("spark.sql.adaptive.enabled", "false")
+                    conf.set(
+                        "spark.sql.shuffle.partitions",
+                        str(LATENCY_MODE_SHUFFLE_PARTITIONS),
+                    )
                 else:
                     st[0] += 1
         return self
@@ -152,4 +224,5 @@ class latency_mode:
                 st[0] -= 1
                 if st[0] <= 0:
                     del self._active[id(self._spark)]
-                    self._spark.conf.set(self._KEY, st[1])
+                    for k, v in st[1].items():
+                        self._spark.conf.set(k, v)

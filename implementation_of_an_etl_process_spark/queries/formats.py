@@ -17,6 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from implementation_of_an_etl_process_spark.sources.parquet import read_table
 
 _WORKDIR = "/tmp/implementation_of_an_etl_process_formats"
 
@@ -94,7 +95,7 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".tmp"
         (
-            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            read_table(spark, sf_dir, "orders")
             .select(
                 "o_orderkey",
                 "o_custkey",
@@ -163,7 +164,7 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".tmp"
         (
-            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            read_table(spark, sf_dir, "orders")
             .select(
                 "o_orderkey",
                 "o_custkey",
@@ -202,7 +203,7 @@ def nested_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".tmp"
         (
-            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            read_table(spark, sf_dir, "orders")
             .select(
                 F.struct(
                     F.col("o_orderkey").alias("orderkey"),
@@ -257,7 +258,7 @@ def csv_permissive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".tmp"
         (
-            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            read_table(spark, sf_dir, "orders")
             .select(
                 # single unparseable field — no stray numeric token that
                 # could accidentally parse as a valid price column
@@ -331,7 +332,7 @@ def gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".tmp"
         (
-            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            read_table(spark, sf_dir, "documents")
             # NULL text can't round-trip through a line format
             # (concat_ws would silently drop the tab); scope the entry
             # to non-null rows on BOTH sides
@@ -386,7 +387,7 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = _tagged_path(sf_dir, "orders_{tag}.evolved")
     if not os.path.exists(os.path.join(path, "_DONE")):
-        base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        base = read_table(spark, sf_dir, "orders")
         tmp = path + ".tmp"
         gen1 = base.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", "o_custkey", "o_orderstatus"

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.queries.relational import _t
+from implementation_of_an_etl_process_spark.sources.parquet import read_table
 
 
 def map_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +147,7 @@ def topk_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-comparable to the true top-k — serialized "token:count" sorted
     by (count desc, token) with the same deterministic tie-break both
     sides."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     )
@@ -363,7 +364,7 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirms. Levenshtein is the same DP both engines, so exact."""
     from implementation_of_an_etl_process_spark.plans import spread
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
     # The blocking key has only ~25 values: a shuffle join would cap

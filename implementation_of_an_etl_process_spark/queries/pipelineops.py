@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.operators import pipeline as P
+from implementation_of_an_etl_process_spark.sources.parquet import read_table
 
 _BUCKET_SQL = (
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
@@ -21,7 +22,7 @@ _BUCKET_SQL = (
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from implementation_of_an_etl_process_spark.plans import spread
 
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread(read_table(spark, sf_dir, "documents"))
 
 
 # --- vocabulary ------------------------------------------------------------
@@ -411,7 +412,7 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipping most of them — is measured in tests/test_layout.py."""
     from implementation_of_an_etl_process_spark.operators import layout as L
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events")
     day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
     return ev.select(
         "event_id",

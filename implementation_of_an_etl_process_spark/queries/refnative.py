@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from implementation_of_an_etl_process_spark.operators.hypercube import (
     reference_hypercube,
 )
+from implementation_of_an_etl_process_spark.sources.parquet import read_table
 from implementation_of_an_etl_process_spark.sources.binary import (
     read_invoices_bin,
 )
@@ -102,7 +103,7 @@ def reference_native_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin_path = _synth_bin(sf_dir)
     invoices = read_invoices_bin(spark, bin_path)
     contracts = (
-        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        read_table(spark, sf_dir, "orders")
         .select(
             F.col("o_orderkey").cast("int").alias("id"),
             F.col("o_custkey").cast("int").alias("id_client"),
@@ -110,7 +111,7 @@ def reference_native_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clients = (
-        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        read_table(spark, sf_dir, "customer")
         .select(
             F.col("c_custkey").cast("int").alias("id"),
             (F.col("c_custkey") % 5).cast("int").alias("type"),
@@ -189,7 +190,7 @@ def streaming_hypercube_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin_path = _synth_bin(sf_dir)
     invoices = read_invoices_bin(spark, bin_path)
     contracts = (
-        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        read_table(spark, sf_dir, "orders")
         .select(
             F.col("o_orderkey").cast("int").alias("id"),
             F.col("o_custkey").cast("int").alias("id_client"),
@@ -197,7 +198,7 @@ def streaming_hypercube_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clients = (
-        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        read_table(spark, sf_dir, "customer")
         .select(
             F.col("c_custkey").cast("int").alias("id"),
             (F.col("c_custkey") % 5).cast("int").alias("type"),

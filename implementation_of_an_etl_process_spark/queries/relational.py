@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from implementation_of_an_etl_process_spark.plans import maybe_broadcast
+from implementation_of_an_etl_process_spark.plans import maybe_broadcast, spread
+from implementation_of_an_etl_process_spark.sources.parquet import read_table
 
 # Exact, order-independent accumulation type for double measures.
 _DEC = "decimal(20,6)"
@@ -45,7 +46,7 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = read_table(spark, sf_dir, name)
     if name == "events":
         df = normalize_event_ts(df)
     return df
@@ -88,12 +89,23 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    (n_name, c_mktsegment) are functions of custkey, so each
     #    customer contributes exactly one lvl2 row per final group ->
     #    ncustomers = COUNT(*), norders = SUM of lvl2 partials.
+    # spread() the narrow lvl1 projection: the driver's lineitem ships
+    # as ONE single-row-group parquet file, which cannot split — the
+    # decimal-heavy lvl1 partial aggregate otherwise runs on ONE core
+    # (guide §2.5 unsplittable input: repartition right after the
+    # read). Only the 4 needed columns cross the round-robin exchange.
+    # A/B at sf0.1 (interleaved min-of-4): win for this agg-bound
+    # shape; the broadcast-join-bound TPC-H queries measured SLOWER
+    # with a blanket spread, so it stays per-site. At cluster scale
+    # inputs arrive pre-split and spread() is a no-op.
     lvl1 = (
-        lineitem.select(
-            "l_orderkey",
-            F.month("l_shipdate").alias("ship_month"),
-            "l_quantity",
-            "l_extendedprice",
+        spread(
+            lineitem.select(
+                "l_orderkey",
+                F.month("l_shipdate").alias("ship_month"),
+                "l_quantity",
+                "l_extendedprice",
+            )
         )
         .groupBy("l_orderkey", "ship_month")
         .agg(
@@ -161,7 +173,16 @@ ORDER BY 1, 2, 3, 4
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # spread(): single-row-group input file = one scan task; Q1 runs 4
+    # decimal partial sums over ~98% of lineitem, the heaviest per-row
+    # aggregate in the battery — fan the agg out (A/B: 0.97s -> 0.69s
+    # min at sf0.1; the shipdate filter still reaches the scan, plan-
+    # asserted). No-op on pre-split inputs.
+    l = spread(
+        _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02")
+        )
+    )
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(

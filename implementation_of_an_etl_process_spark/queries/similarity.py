@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.operators import dedup as D
+from implementation_of_an_etl_process_spark.sources.parquet import read_table
 from implementation_of_an_etl_process_spark.operators import similarity as S
 from implementation_of_an_etl_process_spark.operators.tfidf import IDF_SCALE
 
@@ -20,7 +21,7 @@ _QUANT = "[CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) FOR x IN embeddin
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_table(spark, sf_dir, "embeddings")
 
 
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,7 +1018,7 @@ def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from implementation_of_an_etl_process_spark.plans import spread
 
     docs = spread(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_table(spark, sf_dir, "documents")
     ).select("doc_id", "text")
     emb = _emb(spark, sf_dir)
     bm25 = bm25_topk(docs, list(_HYBRID_TERMS), k=_HYBRID_POOL)
@@ -1233,7 +1234,7 @@ def retrieval_graded_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ranking = _fused_ranking(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     # the query doc's metadata is TWO scalars — fetch once and grade
     # with literal comparisons (a 1-row crossJoin planned as a
     # CartesianProduct here, tripping the plan invariants for nothing)
@@ -1273,7 +1274,7 @@ def retrieval_exp_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ranking = _fused_ranking(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     row = docs.filter(F.col("doc_id") == 0).select("source", "lang").first()
     qs, ql = row["source"], row["lang"]
     qrels = (
@@ -1310,7 +1311,7 @@ def hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ranking = _fused_ranking(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     qsrc = docs.filter(F.col("doc_id") == 0).select(
         F.col("source").alias("_qs")
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark import streaming as S
+from implementation_of_an_etl_process_spark.sources.parquet import read_table
 from implementation_of_an_etl_process_spark.queries.relational import (
     EVENTS_TUMBLING_SQL,
     normalize_event_ts,
@@ -43,7 +44,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_stream_")
     try:
         (
-            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            normalize_event_ts(read_table(spark, sf_dir, "events"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(stage)
@@ -84,7 +85,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_attrib_")
     try:
         (
-            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            normalize_event_ts(read_table(spark, sf_dir, "events"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(stage)
@@ -150,7 +151,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_totals_")
     try:
         (
-            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            normalize_event_ts(read_table(spark, sf_dir, "events"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(stage)
@@ -195,7 +196,7 @@ def streaming_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_sliding_")
     try:
         (
-            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            normalize_event_ts(read_table(spark, sf_dir, "events"))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(stage)
@@ -249,7 +250,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_dedup_")
     try:
         ev = normalize_event_ts(
-            spark.read.parquet(f"{sf_dir}/events.parquet")
+            read_table(spark, sf_dir, "events")
         ).coalesce(1)
         ev.write.mode("overwrite").parquet(stage)
         ev.write.mode("append").parquet(stage)
@@ -291,7 +292,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="events_session_")
     try:
         (
-            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            normalize_event_ts(read_table(spark, sf_dir, "events"))
             .filter(F.col("user_id") < 200)  # bounded output
             .coalesce(1)
             .write.mode("overwrite")
@@ -389,7 +390,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from implementation_of_an_etl_process_spark.operators import dedup as D
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="stream_ingest_")
     stage = os.path.join(root, "incoming")
     idx = os.path.join(root, "index")
@@ -551,7 +552,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_stats,
     )
 
-    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = read_table(spark, sf_dir, "documents")
     stage = tempfile.mkdtemp(prefix="docs_stream_")
     try:
         batch.select("doc_id", "text").coalesce(1).write.mode(

@@ -121,7 +121,10 @@ ORDER BY c.event_id
 
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    from implementation_of_an_etl_process_spark.plans import local_rows_df
+
+    bands = local_rows_df(
+        spark,
         [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 1e9)],
         "band string, lo double, hi double",
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from implementation_of_an_etl_process_spark.operators import dedup as D
+from implementation_of_an_etl_process_spark.sources.parquet import read_table
 from implementation_of_an_etl_process_spark.operators import text as X
 from implementation_of_an_etl_process_spark.functions.text_exprs import (
     HASH_BASE,
@@ -36,7 +37,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents ships as one small file = one scan partition; expression-
     # heavy text ops (langid runs 20 token-filters per row) serialize
     # without the spread (measured 15.1s -> sub-second at sf0.1)
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread(read_table(spark, sf_dir, "documents"))
 
 
 # --- exact dedup -----------------------------------------------------------

@@ -30,6 +30,7 @@ from implementation_of_an_etl_process_spark.operators.tfidf import (
     IDF_SCALE,
     tfidf_topk_pairs,
 )
+from implementation_of_an_etl_process_spark.sources.parquet import read_table
 
 # Keep in sync between engine call and oracle text.
 _K = 50
@@ -43,7 +44,7 @@ _W_SCALE = 1_000_000
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from implementation_of_an_etl_process_spark.plans import spread
 
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread(read_table(spark, sf_dir, "documents"))
 
 
 def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

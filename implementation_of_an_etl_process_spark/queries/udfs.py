@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from implementation_of_an_etl_process_spark.queries.relational import _t
+from implementation_of_an_etl_process_spark.sources.parquet import read_table
 
 
 def _vowel_count_udf():
@@ -31,7 +32,7 @@ def _vowel_count_udf():
 
 def pandas_udf_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
     vowel_count = _vowel_count_udf()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     return (
         docs.select(
             "doc_id",
@@ -74,7 +75,7 @@ def pandas_grouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate via GROUPED_AGG pandas UDF: nation-weighted
     average account balance (in cents) per market segment."""
     wavg, pcount = _wavg_udf()
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = read_table(spark, sf_dir, "customer").select(
         "c_mktsegment",
         F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
         (F.col("c_nationkey") + 1).cast("long").alias("w"),
@@ -113,7 +114,7 @@ def apply_in_pandas_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator/denominator, so the double ratio is oracle-identical."""
     import pandas as pd  # noqa: F811 — needed inside the worker closure
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),

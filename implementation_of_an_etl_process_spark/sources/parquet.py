@@ -8,6 +8,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 from implementation_of_an_etl_process_spark.schemas import TPCH_TABLES
 
+# Schema memo for the immutable driver-provided tables, keyed by the
+# resolved parquet path. First read per (process, path) infers the
+# schema from the footer exactly as before (so the memo can never
+# diverge from the file); every subsequent read passes it explicitly,
+# which skips the footer-reading Spark job `spark.read.parquet` runs
+# per call — profiled at ~25 ms/table/query-construction on local[32]
+# (hypercube paid 4 of them, q5 six, EVERY bench pass; guide §1.2:
+# don't re-derive what cannot change). The driver's input tables are
+# immutable for the life of a process (bench/verify contract), and the
+# memo holds StructTypes (metadata), never rows.
+_SCHEMA_MEMO: dict[str, object] = {}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``spark.read.parquet(sf_dir/name.parquet)`` with the schema
+    memoized per path — same DataFrame, no per-call footer job."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def load_tables(
     spark: SparkSession,

@@ -98,8 +98,15 @@ def test_whole_stage_codegen_covers_aggregate(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in plan, plan
-    # scan -> filter -> partial aggregate fused into one codegen stage
-    assert "HashAggregate" in plan.split("Exchange")[-1], plan
+    # every HashAggregate is inside a whole-stage-codegen span (the
+    # "*(n)" marker) — r14: the partial agg now sits above the
+    # unsplittable-input spread() repartition rather than fused to the
+    # scan, but it must still be codegen'd, never interpreted
+    import re
+
+    aggs = re.findall(r"^\s*\+?-?\s*(\*\(\d+\) )?HashAggregate",
+                      plan, flags=re.M)
+    assert aggs and all(star for star in (m for m in aggs)), plan
 
 
 def test_events_scan_prunes_props(spark):
@@ -291,20 +298,33 @@ def test_latency_mode_restores_aqe(spark):
     the prior setting on both clean exit and exception."""
     from implementation_of_an_etl_process_spark.plans import latency_mode
 
+    from implementation_of_an_etl_process_spark.plans.shape import (
+        LATENCY_MODE_SHUFFLE_PARTITIONS,
+    )
+
     key = "spark.sql.adaptive.enabled"
+    skey = "spark.sql.shuffle.partitions"
     before = spark.conf.get(key)
+    sbefore = spark.conf.get(skey)
     with latency_mode(spark, True):
         assert spark.conf.get(key) == "false"
+        # r14: the block also shrinks the static shuffle partition
+        # count (AQE coalescing is off inside it, and the block only
+        # covers provably-small materializations)
+        assert spark.conf.get(skey) == str(LATENCY_MODE_SHUFFLE_PARTITIONS)
     assert spark.conf.get(key) == before
+    assert spark.conf.get(skey) == sbefore
     try:
         with latency_mode(spark, True):
             raise RuntimeError("boom")
     except RuntimeError:
         pass
     assert spark.conf.get(key) == before
+    assert spark.conf.get(skey) == sbefore
     # disabled: a no-op
     with latency_mode(spark, False):
         assert spark.conf.get(key) == before
+        assert spark.conf.get(skey) == sbefore
 
 
 def test_latency_mode_nesting_restores_true_original(spark):
