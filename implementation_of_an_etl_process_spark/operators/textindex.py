@@ -511,12 +511,33 @@ def multi_phrase_query_index(
             spark, list(n_slots.items()), "phrase string, _n_slots int"
         )
     )
+    # the slot table is DRIVER data here, so the kernel's per-phrase
+    # requirement relations (distinct (phrase, term); distinct-term
+    # count per phrase) are computable in Python — passing them as
+    # literal relations removes two aggregate+exchange subtrees (and
+    # their AQE stage jobs) from every probe. The DataFrame path keeps
+    # the distributed aggregates (its slot table scales with probes).
+    tr_rows = sorted({(p, t) for p, _, t in slot_rows})
+    nreq: dict[str, int] = {}
+    for p, t in tr_rows:
+        nreq[p] = nreq.get(p, 0) + 1
+    term_req_df = F.broadcast(
+        local_rows_df(spark, tr_rows, "phrase string, term string")
+    )
+    n_req_df = F.broadcast(
+        local_rows_df(
+            spark, sorted(nreq.items()), "phrase string, _n_req int"
+        )
+    )
     return _phrase_match_kernel(
         spark, path, slots_df, counts_df, buckets,
         k=k, within=within, max_term_df=max_term_df,
         return_positions=return_positions,
         n_live_docs=int(meta["n_docs"]),
         entry_name="multi_phrase_query_index",
+        term_req=term_req_df,
+        n_req=n_req_df,
+        probe_terms=terms,
     )
 
 
@@ -630,11 +651,22 @@ def _phrase_match_kernel(
     return_positions: bool = False,
     n_live_docs: int | None = None,
     entry_name: str = "multi_phrase_query_index",
+    term_req: DataFrame | None = None,
+    n_req: DataFrame | None = None,
+    probe_terms: list[str] | None = None,
 ) -> DataFrame:
     """Shared phrase-matching plan behind both multi-phrase entry
     points. ``slots`` is (phrase, slot, term), ``counts`` is (phrase,
     _n_slots); the list path passes them broadcast, the DataFrame path
     passes them as-is (they scale with the probe set).
+
+    ``term_req`` (phrase, term — distinct), ``n_req`` (phrase, _n_req)
+    and ``probe_terms`` may be passed precomputed when the probe set is
+    driver data (the list path): they are pure functions of the slot
+    table, and computing them as literal relations removes two
+    aggregate+exchange subtrees per probe. When omitted they are
+    derived from ``slots`` distributively (the DataFrame path's
+    contract — its probe set never touches the driver).
 
     Intersect-before-positions (the classic phrase-query optimization):
     position arrays are exploded ONLY for (phrase, doc) pairs whose doc
@@ -677,10 +709,21 @@ def _phrase_match_kernel(
             cutoff = int(max_term_df * n_live)
         else:
             cutoff = int(max_term_df)
-        probe_terms = slots.select("term").distinct()
+        from implementation_of_an_etl_process_spark.plans import (
+            local_rows_df,
+        )
+
+        probe_terms_df = (
+            local_rows_df(
+                spark, [(t,) for t in sorted(set(probe_terms))],
+                "term string",
+            )
+            if probe_terms is not None
+            else slots.select("term").distinct()
+        )
         hot = (
             rel.select("doc_id", "term")
-            .join(probe_terms, "term", "left_semi")
+            .join(probe_terms_df, "term", "left_semi")
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > cutoff)
@@ -710,12 +753,20 @@ def _phrase_match_kernel(
             )
             slots = slots.join(dropped, "phrase", "left_anti")
             counts = counts.join(dropped, "phrase", "left_anti")
+            if term_req is not None:
+                # keep the precomputed requirement relations consistent
+                # with the surviving probe set
+                term_req = term_req.join(dropped, "phrase", "left_anti")
+            if n_req is not None:
+                n_req = n_req.join(dropped, "phrase", "left_anti")
         else:
             dropped.unpersist()
-    term_req = slots.select("phrase", "term").distinct()
-    n_req = term_req.groupBy("phrase").agg(
-        F.count(F.lit(1)).alias("_n_req")
-    )
+    if term_req is None:
+        term_req = slots.select("phrase", "term").distinct()
+    if n_req is None:
+        n_req = term_req.groupBy("phrase").agg(
+            F.count(F.lit(1)).alias("_n_req")
+        )
     cand = (
         rel.select("doc_id", "term")
         .join(term_req, "term")
