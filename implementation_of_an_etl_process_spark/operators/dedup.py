@@ -46,17 +46,47 @@ from implementation_of_an_etl_process_spark.plans import spread
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup_groups(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
-    """One row per distinct key tuple: representative (min id) + count."""
-    return df.groupBy(*keys).agg(
-        F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups")
+def exact_dedup_groups(
+    df: DataFrame, keys: list[str], id_col: str, *, keep_keys: bool = True
+) -> DataFrame:
+    """One row per distinct key tuple: representative (min id) + count.
+
+    ``keep_keys=False`` groups by an md5 FINGERPRINT of the key tuple
+    instead of the raw keys and returns only (rep_id, n_dups) — the
+    shuffle then carries 32 hex bytes per group instead of the full
+    key payload (guide §2.3: shuffle keys/metadata, not payloads; a
+    text-keyed dedup at corpus scale otherwise ships every distinct
+    document through the exchange). Same collision acceptance as the
+    minhash hot-bucket guard's md5 grouping (`_dup_member_map`).
+    Multi-key tuples fingerprint their JSON encoding with null fields
+    kept, so (null, 1) can never collide with a different tuple."""
+    if keep_keys:
+        return df.groupBy(*keys).agg(
+            F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups")
+        )
+    if len(keys) == 1:
+        fp = F.md5(F.col(keys[0]).cast("string"))
+    else:
+        fp = F.md5(
+            F.to_json(
+                F.struct(*[F.col(k) for k in keys]),
+                {"ignoreNullFields": "false"},
+            )
+        )
+    return (
+        df.select(fp.alias("_fp"), F.col(id_col))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups")
+        )
+        .select("rep_id", "n_dups")
     )
 
 
 def drop_exact_duplicates(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per key tuple. Deterministic, unlike
     ``dropDuplicates`` (which keeps an arbitrary row per key)."""
-    reps = exact_dedup_groups(df, keys, id_col).select(
+    reps = exact_dedup_groups(df, keys, id_col, keep_keys=False).select(
         F.col("rep_id").alias(id_col)
     )
     return df.join(reps, id_col, "left_semi")

@@ -45,8 +45,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        D.exact_dedup_groups(_docs(spark, sf_dir), ["text"], "doc_id")
-        .select("rep_id", "n_dups")
+        D.exact_dedup_groups(
+            _docs(spark, sf_dir), ["text"], "doc_id", keep_keys=False
+        )
         .orderBy("rep_id")
     )
 
