@@ -101,6 +101,15 @@ def get_spark(
                 pass
         if local_dir:
             builder = builder.config("spark.local.dir", local_dir)
+    # Generic conf passthrough: "k=v;k2=v2" in SPARK_GRAFT_CONF. The
+    # documented hook for host-specific tuning (shuffle codec, adaptive
+    # thresholds) and for A/B measurement without code edits — explicit
+    # extra_conf still wins below.
+    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            if k.strip():
+                builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
