@@ -1096,3 +1096,48 @@ def test_trainer_hash_sample_reaches_appended_ids(spark):
             emb, corpus_vec="embedding", corpus_id=None,
             n_train=10, sample_mode="hash",
         )
+
+
+def test_int_cosine_pre_bit_identical_to_inline(spark):
+    """r14 optimization: the per-side-precomputed cosine
+    (functions.vectors.int_cosine_pre) must be BIT-identical to the
+    inline int_cosine(quantize, quantize) it replaced in every pair
+    plan — norms are functions of one side alone, so where they are
+    evaluated cannot change the value. Random vectors + the null edge;
+    any drift here would silently re-rank ANN results."""
+    import random
+
+    from implementation_of_an_etl_process_spark.functions.vectors import (
+        int_cosine,
+        int_cosine_pre,
+        int_norm2,
+        quantize_vec,
+    )
+
+    rng = random.Random(14)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)],
+         [rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(200)
+    ]
+    rows.append((200, None, [0.1] * 16))
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    base = df.select(
+        "id", int_cosine(quantize_vec("a"), quantize_vec("b")).alias("s")
+    ).collect()
+    pre = (
+        df.withColumn("_aq", quantize_vec("a"))
+        .withColumn("_an", int_norm2(F.col("_aq")))
+        .withColumn("_bq", quantize_vec("b"))
+        .withColumn("_bn", int_norm2(F.col("_bq")))
+        .select(
+            "id",
+            int_cosine_pre(
+                F.col("_aq"), F.col("_bq"), F.col("_an"), F.col("_bn")
+            ).alias("s"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, base)) == sorted(map(tuple, pre))
