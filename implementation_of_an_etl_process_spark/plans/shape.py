@@ -106,7 +106,9 @@ def local_rows_df(
         F.struct(
             *[
                 F.lit(v).cast(f.dataType).alias(f.name)
-                for v, f in zip(r, st.fields)
+                # strict: a short row must fail loudly here exactly as
+                # createDataFrame would, not silently drop fields
+                for v, f in zip(r, st.fields, strict=True)
             ]
         )
         for r in rows
@@ -182,7 +184,6 @@ class latency_mode:
     materializations, and multi-query drivers should serialize around
     it."""
 
-    _KEYS = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
     _lock = threading.RLock()
     #: id(session) -> [depth, {key: original-value}]; removed at depth 0
     _active: dict[int, list] = {}
