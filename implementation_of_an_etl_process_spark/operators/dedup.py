@@ -418,10 +418,18 @@ def minhash_lsh_pairs(
     (a) ``max_shingle_df`` (the stop-shingle df filter needs global
     statistics the subset can't reproduce), (b) ``cache_registry``
     callers, whose contract is a fully lazy plan: they receive the
-    persisted handle and unpersist after materializing the result, and
+    persisted handle and unpersist after materializing the result,
     (c) ``persist_shingles=False``, whose contract is a fully lazy,
     persistence-free plan (the scoped path requires an eager candidate
-    materialization).
+    materialization), and (d) LATENCY-gated inputs (leaf scans proven
+    < 64 MB): there the full shingle table is small by construction,
+    so the scoped path's extra machinery — an eager candidate
+    checkpoint job, a distinct-ids exchange, a semi-join, and a second
+    shingle pass — is pure fixed overhead (guide §1.2/§2.4; r15
+    measured jobs/run 17 -> 14, stages 25 -> 18, tasks 510 -> 390 and
+    wall 2.99 -> 1.88s at sf0.1 from this fold alone). At scale the
+    gate fails open and the scoped path keeps the corpus-sized table
+    unpersisted.
 
     Hot-bucket guard (``collapse_exact``, default on): a corpus with n
     byte-identical copies of one document puts all n in the same
@@ -490,6 +498,11 @@ def minhash_lsh_pairs(
             max_shingle_df is not None
             or cache_registry is not None
             or not persist_shingles
+            # latency-gated (provably small) input: the full shingle
+            # table is bounded, so the diamond persist is safe and the
+            # scoped path's candidate checkpoint + distinct + semi-join
+            # + re-shingle are pure stage overhead (see docstring (d))
+            or latency
         )
         sh = _shingle_table(df, id_col, text_col, k, max_shingle_df)
         if classic_diamond and persist_shingles:
