@@ -60,13 +60,31 @@ def maybe_broadcast(df: DataFrame, limit_bytes: int | None = None) -> DataFrame:
     return F.broadcast(df) if size <= limit else df
 
 
-def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    by: list | None = None,
+) -> DataFrame:
     """Repartition up to the session's default parallelism when the
     input has materially fewer partitions; pass through otherwise (no
-    gratuitous shuffle on already-parallel inputs)."""
+    gratuitous shuffle on already-parallel inputs).
+
+    ``by``: optional columns to HASH-partition on instead of round-robin.
+    Two wins when a (reasonably uniform) key exists (guide §2.4/§2.5):
+    a keyless ``repartition(n)`` first pays a local sort of its input
+    (``spark.sql.execution.sortBeforeRepartition``, needed so task
+    retries reproduce the row-to-partition assignment — hash
+    partitioning is deterministic per row and skips it), and when
+    ``by`` is a subset of a downstream groupBy's keys the aggregation
+    reuses this exchange outright (hash partitioning on a key subset
+    satisfies the aggregate's ClusteredDistribution), deleting its own
+    Exchange from the plan."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= target:
+        if by:
+            cols = [F.col(c) if isinstance(c, str) else c for c in by]
+            return df.repartition(target, *cols)
         return df.repartition(target)
     return df
 

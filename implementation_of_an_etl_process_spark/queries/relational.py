@@ -93,11 +93,15 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as ONE single-row-group parquet file, which cannot split — the
     # decimal-heavy lvl1 partial aggregate otherwise runs on ONE core
     # (guide §2.5 unsplittable input: repartition right after the
-    # read). Only the 4 needed columns cross the round-robin exchange.
-    # A/B at sf0.1 (interleaved min-of-4): win for this agg-bound
-    # shape; the broadcast-join-bound TPC-H queries measured SLOWER
-    # with a blanket spread, so it stays per-site. At cluster scale
-    # inputs arrive pre-split and spread() is a no-op.
+    # read). Only the 4 needed columns cross the exchange. A/B at
+    # sf0.1 (interleaved min-of-4): win for this agg-bound shape; the
+    # broadcast-join-bound TPC-H queries measured SLOWER with a
+    # blanket spread, so it stays per-site. Hash-spread BY the lvl1
+    # grouping key's determining column (guide §2.4): the lvl1
+    # aggregate then reuses this exchange instead of adding its own —
+    # one Exchange total where round-robin paid two plus a local sort.
+    # At cluster scale inputs arrive pre-split and spread() is a no-op
+    # (the aggregate exchange reappears, exactly as before).
     lvl1 = (
         spread(
             lineitem.select(
@@ -105,7 +109,8 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.month("l_shipdate").alias("ship_month"),
                 "l_quantity",
                 "l_extendedprice",
-            )
+            ),
+            by=["l_orderkey"],
         )
         .groupBy("l_orderkey", "ship_month")
         .agg(
@@ -177,11 +182,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal partial sums over ~98% of lineitem, the heaviest per-row
     # aggregate in the battery — fan the agg out (A/B: 0.97s -> 0.69s
     # min at sf0.1; the shipdate filter still reaches the scan, plan-
-    # asserted). No-op on pre-split inputs.
+    # asserted). Hash-spread by the unique-ish l_orderkey: same fan-out
+    # without round-robin's per-task local sort (guide §2.5); the
+    # grouping keys here are 6-valued, so partial aggregation (not
+    # exchange reuse) stays the lever. No-op on pre-split inputs.
     l = spread(
         _t(spark, sf_dir, "lineitem").filter(
             F.col("l_shipdate") <= F.lit("1998-09-02")
-        )
+        ),
+        by=["l_orderkey"],
     )
     return (
         l.groupBy("l_returnflag", "l_linestatus")
