@@ -775,6 +775,24 @@ def encode_pq(
     return cd.mapInPandas(enc, "cid long, codes array<int>")
 
 
+def _codes_matrix(codes_col):
+    """(B, m) int64 codes matrix from an Arrow list<int> column —
+    flatten (offset/null-safe) + reshape over the contiguous values
+    buffer; no per-row Python objects (guide §4.2). Every row carries
+    exactly m codes by construction (encode_pq/encode_ivfpq emit
+    fixed-width lists); the reshape guard turns a violated invariant
+    into a loud error instead of a silent mis-slice."""
+    import numpy as np
+
+    flat = codes_col.flatten().to_numpy(zero_copy_only=False)
+    n = len(codes_col)
+    if n == 0 or flat.size % n:
+        raise ValueError(
+            f"ragged codes column: {flat.size} values over {n} rows"
+        )
+    return flat.astype(np.int64, copy=False).reshape(n, flat.size // n)
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -818,30 +836,41 @@ def pq_topk(
     )
 
     def adc(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        # Arrow-native: see ivfpq_topk's kernel — same flatten+reshape
+        # in place of the per-row .tolist(); identical batches and
+        # argpartition math keep tie survival bit-identical.
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+            codes = _codes_matrix(rb.column(rb.schema.get_field_index("codes")))
+            cids = rb.column(rb.schema.get_field_index("cid")).to_numpy()
             B = len(codes)
             S = np.zeros((B, len(qids)))
             for j in range(m):
                 S += lut[:, j, codes[:, j]].T  # (B, nq)
             if exclude_self:
                 # Same pre-truncation masking as the brute/IVF kernels.
-                S[pdf["cid"].to_numpy()[:, None] == qids[None, :]] = -np.inf
+                S[cids[:, None] == qids[None, :]] = -np.inf
             top = min(shortlist, B)
             idx = np.argpartition(-S, top - 1, axis=0)[:top]
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(qids, top),
-                    "cid": pdf["cid"].to_numpy()[idx.T.ravel()],
-                    "adc": np.take_along_axis(S, idx, axis=0).T.ravel(),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, top), type=pa.int64()),
+                    pa.array(
+                        cids[idx.T.ravel()].astype(np.int64, copy=False),
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        np.take_along_axis(S, idx, axis=0).T.ravel(),
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["qid", "cid", "adc"],
             )
 
-    partial = encoded.mapInPandas(adc, "qid long, cid long, adc double")
+    partial = encoded.mapInArrow(adc, "qid long, cid long, adc double")
     if exclude_self:
         partial = partial.filter(F.col("qid") != F.col("cid"))
     w_adc = W.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid"))
@@ -1099,14 +1128,21 @@ def ivfpq_topk(
     lut = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Qn), m, sub), codebooks)
 
     def adc(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        # Arrow-native kernel (guide §4.2): a list<int> column is one
+        # contiguous values buffer + offsets, so the (B, m) codes
+        # matrix is a flatten + reshape — the previous pandas form
+        # materialized B*m Python ints per batch via .tolist().
+        # Batch composition and the argpartition math are unchanged,
+        # so batch-local shortlist pruning (and thus tie survival at
+        # the cut) is bit-identical to the pandas kernel.
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            cells = pdf["cell"].to_numpy()
-            cids = pdf["cid"].to_numpy()
+            codes = _codes_matrix(rb.column(rb.schema.get_field_index("codes")))
+            cells = rb.column(rb.schema.get_field_index("cell")).to_numpy()
+            cids = rb.column(rb.schema.get_field_index("cid")).to_numpy()
             out_q, out_c, out_s = [], [], []
             for c in np.unique(cells):
                 qs_here = cell_to_q.get(int(c))
@@ -1133,12 +1169,16 @@ def ivfpq_topk(
                 out_s.append(np.take_along_axis(S, idx, axis=0).T.ravel())
             if not out_q:
                 continue
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_q),
-                    "cid": np.concatenate(out_c),
-                    "adc": np.concatenate(out_s),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(
+                        np.concatenate(out_c).astype(np.int64, copy=False),
+                        type=pa.int64(),
+                    ),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ],
+                names=["qid", "cid", "adc"],
             )
 
     probed = sorted({int(c) for cells in q_cells for c in cells})
@@ -1146,7 +1186,7 @@ def ivfpq_topk(
         F.col("cell").isin(probed)  # partition pruning on a cell-
         # partitioned index; a plan-visible filter either way
     )
-    partial = pruned.mapInPandas(adc, "qid long, cid long, adc double")
+    partial = pruned.mapInArrow(adc, "qid long, cid long, adc double")
     if exclude_self:
         partial = partial.filter(F.col("qid") != F.col("cid"))
     w_adc = W.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid"))
