@@ -51,28 +51,47 @@ def exact_dedup_groups(
 ) -> DataFrame:
     """One row per distinct key tuple: representative (min id) + count.
 
-    ``keep_keys=False`` groups by an md5 FINGERPRINT of the key tuple
-    instead of the raw keys and returns only (rep_id, n_dups) — the
-    shuffle then carries 32 hex bytes per group instead of the full
+    ``keep_keys=False`` groups by a 128-bit FINGERPRINT of the key
+    tuple instead of the raw keys and returns only (rep_id, n_dups) —
+    the shuffle then carries 16 bytes per group instead of the full
     key payload (guide §2.3: shuffle keys/metadata, not payloads; a
     text-keyed dedup at corpus scale otherwise ships every distinct
-    document through the exchange). Same collision acceptance as the
-    minhash hot-bucket guard's md5 grouping (`_dup_member_map`).
-    Multi-key tuples fingerprint their JSON encoding with null fields
-    kept, so (null, 1) can never collide with a different tuple."""
+    document through the exchange).
+
+    The fingerprint is a struct of two xxhash64 values over the TYPED
+    key columns under different seed prefixes. Typed hashing makes it
+    collision-free exactly where groupBy is: arrays/structs hash
+    element-wise (the former ``cast('string')`` render merged
+    ['a, b'] with ['a','b']), and float -0.0/NaN normalize the same
+    way UnsafeRow grouping does. Preconditions/limits: MAP-typed keys
+    are rejected (Spark forbids hashing maps — use ``keep_keys=True``);
+    xxhash64 is NOT cryptographic, so adversarially-constructed
+    collisions are conceivable — inputs that need that guarantee
+    should group on the raw keys (``keep_keys=True``). Random-collision
+    odds are the same 2^-128 birthday regime as the previous md5."""
     if keep_keys:
         return df.groupBy(*keys).agg(
             F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups")
         )
-    if len(keys) == 1:
-        fp = F.md5(F.col(keys[0]).cast("string"))
-    else:
-        fp = F.md5(
-            F.to_json(
-                F.struct(*[F.col(k) for k in keys]),
-                {"ignoreNullFields": "false"},
+    for k, t in df.select(*keys).dtypes:
+        if t.startswith("map<"):
+            raise ValueError(
+                f"key column {k!r} is MAP-typed: Spark cannot hash maps "
+                "— use keep_keys=True (raw-key grouping) instead"
             )
-        )
+    # interleave an explicit null marker per key: Spark's hash
+    # expressions SKIP null inputs (the hash passes through unchanged),
+    # so without markers (null, x) and (x, null) would collide — the
+    # marker booleans occupy a fixed mix step per column, making null
+    # placement part of the fingerprint exactly as it is part of the
+    # groupBy key
+    cols: list = []
+    for k in keys:
+        cols += [F.isnull(F.col(k)), F.col(k)]
+    fp = F.struct(
+        F.xxhash64(F.lit(0), *cols).alias("h0"),
+        F.xxhash64(F.lit(1), *cols).alias("h1"),
+    )
     return (
         df.select(fp.alias("_fp"), F.col(id_col))
         .groupBy("_fp")

@@ -922,7 +922,14 @@ def _exact_rerank(
     # reusing its exchange (measured: the 16-task ADC scan ran twice
     # per probe). Same bounded-state contract as the driver-side
     # queries collect these entry points already make; same pattern as
-    # minhash's candidate materialization (dedup.py). ``pin=False``
+    # minhash's candidate materialization (dedup.py). Cluster caveat
+    # (r14 advice): localCheckpoint blocks live on executors with
+    # lineage truncated — losing an executor after the pin makes later
+    # actions on the returned frame fail instead of recomputing.
+    # Acceptable for a bounded |queries| x shortlist relation; a
+    # deployment that must survive executor loss mid-query should use
+    # reliable checkpointing (sc.setCheckpointDir + .checkpoint()) via
+    # ``pin=False`` plus its own materialization. ``pin=False``
     # keeps the fully lazy single-tree plan for plan introspection
     # (tests assert the probe filter's PartitionFilters placement on
     # the un-split plan; the pinned path executes the same subtree).

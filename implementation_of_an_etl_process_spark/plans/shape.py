@@ -111,8 +111,11 @@ def local_rows_df(
     trees grow with row count and would bloat planning (guide §7.3).
 
     ``schema`` is a DDL string (``"term string"``) or a StructType;
-    values are cast to the declared field types exactly as
-    createDataFrame would coerce them.
+    values are coerced with CAST semantics on the literal path — a
+    value that cannot cast becomes NULL (or truncates) silently, where
+    ``createDataFrame`` would raise a verification error (r14 advice:
+    the two paths differ on malformed rows; callers pass well-typed
+    driver data, and arity is still checked strictly either way).
     """
     from pyspark.sql import types as T
 

@@ -15,20 +15,30 @@ from implementation_of_an_etl_process_spark.schemas import TPCH_TABLES
 # which skips the footer-reading Spark job `spark.read.parquet` runs
 # per call — profiled at ~25 ms/table/query-construction on local[32]
 # (hypercube paid 4 of them, q5 six, EVERY bench pass; guide §1.2:
-# don't re-derive what cannot change). The driver's input tables are
-# immutable for the life of a process (bench/verify contract), and the
-# memo holds StructTypes (metadata), never rows.
-_SCHEMA_MEMO: dict[str, object] = {}
+# don't re-derive what cannot change). The memo holds StructTypes
+# (metadata), never rows, and is keyed on (path, mtime) — a table
+# regenerated in-process at the same path (tests, schema-evolution
+# flows) re-infers instead of silently reading the stale schema as
+# nulls (r14 advice). Caveat that remains: a multi-file table whose
+# files disagree on schema bypasses schema merge after the first read
+# — the driver's tables are single-schema by contract.
+_SCHEMA_MEMO: dict[tuple[str, float], object] = {}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``spark.read.parquet(sf_dir/name.parquet)`` with the schema
-    memoized per path — same DataFrame, no per-call footer job."""
+    memoized per (path, mtime) — same DataFrame, no per-call footer
+    job while the file is unchanged, fresh inference the moment it is
+    rewritten."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = _SCHEMA_MEMO.get(path)
+    try:
+        key = (path, os.stat(path).st_mtime)
+    except OSError:
+        key = (path, -1.0)  # let Spark raise its own missing-path error
+    schema = _SCHEMA_MEMO.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_MEMO[path] = df.schema
+        _SCHEMA_MEMO[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
 

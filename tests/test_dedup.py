@@ -36,6 +36,61 @@ def test_exact_dedup_groups_counts(docs):
     assert groups == {1: 2, 3: 1, 4: 1}
 
 
+def test_exact_dedup_fingerprint_typed_injectivity(spark):
+    """r14-advice fix: the fingerprint path must group exactly like
+    groupBy on the raw keys — array keys hash element-wise (the old
+    cast('string') render merged ['a, b'] with ['a','b']), -0.0 and
+    0.0 merge (float normalization), and MAP keys are rejected loudly
+    instead of silently unsupported."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    arr = spark.createDataFrame(
+        [(1, ["a, b"]), (2, ["a", "b"]), (3, ["a", "b"])],
+        "doc_id long, k array<string>",
+    )
+    groups = {
+        r.rep_id: r.n_dups
+        for r in D.exact_dedup_groups(
+            arr, ["k"], "doc_id", keep_keys=False
+        ).collect()
+    }
+    assert groups == {1: 1, 2: 2}  # render-collision must NOT merge 1 into 2
+    flt = spark.createDataFrame(
+        [(1, -0.0), (2, 0.0)], "doc_id long, k double"
+    )
+    fp_groups = sorted(
+        (r.rep_id, r.n_dups)
+        for r in D.exact_dedup_groups(
+            flt, ["k"], "doc_id", keep_keys=False
+        ).collect()
+    )
+    gb_groups = sorted(
+        (r.rep_id, r.n_dups)
+        for r in D.exact_dedup_groups(
+            flt, ["k"], "doc_id", keep_keys=True
+        ).select("rep_id", "n_dups").collect()
+    )
+    assert fp_groups == gb_groups == [(1, 2)]
+    mp = spark.createDataFrame(
+        [(1, {"a": 1})], "doc_id long, k map<string,int>"
+    )
+    with pytest.raises(ValueError, match="MAP-typed"):
+        D.exact_dedup_groups(mp, ["k"], "doc_id", keep_keys=False)
+    # multi-key path goes through the same typed hash
+    two = spark.createDataFrame(
+        [(1, None, "1"), (2, "1", None), (3, "1", None)],
+        "doc_id long, a string, b string",
+    )
+    g2 = {
+        r.rep_id: r.n_dups
+        for r in D.exact_dedup_groups(
+            two, ["a", "b"], "doc_id", keep_keys=False
+        ).collect()
+    }
+    assert g2 == {1: 1, 2: 2}
+
+
 def test_ngram_jaccard_finds_planted_pairs(docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard

@@ -113,9 +113,12 @@ def test_whole_stage_codegen_covers_aggregate(spark):
     # scan, but it must still be codegen'd, never interpreted
     import re
 
-    aggs = re.findall(r"^\s*\+?-?\s*(\*\(\d+\) )?HashAggregate",
-                      plan, flags=re.M)
-    assert aggs and all(star for star in (m for m in aggs)), plan
+    # no line anchor (r14 advice: ':'-spined branch lines like
+    # ':  +- HashAggregate' escaped the old '^\s*\+?-?' prefix) — match
+    # every HashAggregate anywhere in the plan and require its codegen
+    # star
+    aggs = re.findall(r"(\*\(\d+\) )?HashAggregate", plan)
+    assert aggs and all(aggs), plan
 
 
 def test_events_scan_prunes_props(spark):
