@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from implementation_of_an_etl_process_spark.functions.text_exprs import (
+    ngram_join,
+)
+
 __all__ = [
     "word_ngrams",
     "bloom_filter_build",
@@ -50,14 +54,9 @@ def word_ngrams(text: Column | str, n: int, sep: str = " ") -> Column:
     rather than a sequence error.
     """
     t = F.col(text) if isinstance(text, str) else text
-    w = F.split(t, sep)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.array_join(F.slice(w, i, n), sep),
-    )
-    return F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    # zipped shifted-slice build (see text_exprs.ngram_join: 4.7x the
+    # slice-per-index transform, value-identical)
+    return ngram_join(F.split(t, sep), n, sep)
 
 
 def _bloom_probes(value: Column, *, m_bits: int, k: int) -> Column:
@@ -559,13 +558,14 @@ def duplicate_spans(
         .select(
             id_col,
             F.explode(
+                # grams via the zipped shifted-slice build (text_exprs.
+                # ngram_join), indexed by the two-arg transform lambda
+                # (0-based i -> position p = i+1, as before)
                 F.transform(
-                    F.sequence(F.lit(1), F.size("ts") - (k - 1)),
-                    lambda i: F.struct(
-                        i.cast("long").alias("p"),
-                        F.md5(F.array_join(F.slice("ts", i, k), " ")).alias(
-                            "h"
-                        ),
+                    ngram_join(F.col("ts"), k),
+                    lambda g, i: F.struct(
+                        (i + 1).cast("long").alias("p"),
+                        F.md5(g).alias("h"),
                     ),
                 )
             ).alias("w"),
