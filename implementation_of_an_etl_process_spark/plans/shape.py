@@ -137,6 +137,33 @@ def local_rows_df(
     return spark.range(1).select(F.inline(F.array(*structs)))
 
 
+def ordered_emit(df: DataFrame, *cols) -> DataFrame:
+    """Terminal total-order emit for a PROVABLY-SMALL final aggregate.
+
+    ``orderBy`` pays a range-partitioning exchange whose boundary
+    sampling is an extra job per query; when the sort input is a tiny
+    post-aggregate relation, ``coalesce(1).sortWithinPartitions`` emits
+    the identical rows in the identical total order with one task and
+    no sampling pass (guide §2.4 — r15 interleaved A/B mins at sf0.1:
+    hypercube 1.032→0.908s, q1 0.498→0.449, dedup_exact 0.298→0.267;
+    row-for-row equality asserted in the A/B).
+
+    Two safety rules:
+    - Only use this on sorts whose input is a POST-SHUFFLE aggregate —
+      ``coalesce(1)`` merges every pipelined operator up to the previous
+      exchange into one task, so a map-only or window pipeline above it
+      would serialize real work.
+    - Scale: gated on :func:`small_leaf_input` (leaf scans provably
+      under the latency ceiling). Past the gate — or when the input is
+      un-introspectable — it falls OPEN to plain ``orderBy``, because
+      at scale the single reduce task would ingest one partial row per
+      (map task × group) however small the final result is.
+    """
+    if small_leaf_input(df):
+        return df.coalesce(1).sortWithinPartitions(*cols)
+    return df.orderBy(*cols)
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The physical plan as a string (for tests asserting plan shape)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from implementation_of_an_etl_process_spark.plans import maybe_broadcast, spread
+from implementation_of_an_etl_process_spark.plans import (
+    maybe_broadcast,
+    ordered_emit,
+    spread,
+)
 from implementation_of_an_etl_process_spark.sources.parquet import read_table
 
 # Exact, order-independent accumulation type for double measures.
@@ -142,7 +146,10 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl2.o_custkey == cust_dim.c_custkey,
         "inner",
     )
-    return (
+    # ordered_emit: post-aggregate sort of a dim-bounded relation —
+    # same rows/order, no range-sampling pass on small inputs (plain
+    # orderBy past the scale gate); see plans.shape.ordered_emit
+    return ordered_emit(
         post.groupBy(*dims)
         .agg(
             F.sum("_qty").cast("double").alias("sum_qty"),
@@ -150,8 +157,8 @@ def hypercube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("ncustomers"),
             F.sum("_no").alias("norders"),
             F.sum("_n").alias("nitems"),
-        )
-        .orderBy(*dims)
+        ),
+        *dims,
     )
 
 
@@ -192,7 +199,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         by=["l_orderkey"],
     )
-    return (
+    return ordered_emit(
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity", "sum_qty"),
@@ -209,8 +216,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count(F.lit(1)))
             .alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+        ),
+        "l_returnflag",
+        "l_linestatus",
     )
 
 
@@ -294,7 +302,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # local supplier: supplier nation == customer nation
     sup = supplier.select("s_suppkey", "s_nationkey")
-    return (
+    return ordered_emit(
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(ords, lineitem.l_orderkey == ords.o_orderkey)
         .join(maybe_broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
@@ -305,8 +313,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        ),
+        F.col("revenue").desc(),
+        F.col("n_name"),
     )
 
 

@@ -44,11 +44,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    from implementation_of_an_etl_process_spark.plans import ordered_emit
+
+    # post-aggregate terminal sort: see plans.shape.ordered_emit
+    return ordered_emit(
         D.exact_dedup_groups(
             _docs(spark, sf_dir), ["text"], "doc_id", keep_keys=False
-        )
-        .orderBy("rep_id")
+        ),
+        "rep_id",
     )
 
 
