@@ -772,31 +772,37 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     # late line items of finished orders; reused as both the driving
-    # relation (l1) and the anti-join probe set (l3)
+    # relation (l1) and the single-late-supplier aggregate below
     late_f = lineitem.join(
         orders_f, lineitem.l_orderkey == orders_f.o_orderkey, "inner"
     ).filter(
         F.col("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
     ).select("l_orderkey", "l_suppkey")
 
-    l2 = lineitem.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    # EXISTS/NOT-EXISTS as per-order aggregates (r15, guide §2.3
+    # aggregate-before-shuffle): since every l1 row's supplier is one
+    # of its order's suppliers, "some OTHER supplier exists" ⟺ the
+    # order has >= 2 distinct suppliers (min < max), and "no OTHER
+    # LATE supplier" ⟺ the order's late rows share one supplier
+    # (min == max). The former row-level semi/anti joins shipped full
+    # lineitem/late rows through two exchanges with residual
+    # inequality filters; these aggregates partial-combine map-side
+    # and shuffle one narrow row per order. Value-equality A/B'd
+    # row-for-row at sf0.1 (and oracle-gated); mins 0.560 -> 0.537.
+    has_other = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("_mn"), F.max("l_suppkey").alias("_mx"))
+        .filter(F.col("_mn") < F.col("_mx"))
+        .select("l_orderkey")
     )
-    l3 = late_f.select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    single_late = (
+        late_f.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("_mn"), F.max("l_suppkey").alias("_mx"))
+        .filter(F.col("_mn") == F.col("_mx"))
+        .select("l_orderkey")
     )
-    l1 = (
-        late_f.join(  # EXISTS: some other supplier on the same order
-            l2,
-            (F.col("l_orderkey") == F.col("k2"))
-            & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
-        ).join(  # NOT EXISTS: no other LATE supplier on the same order
-            l3,
-            (F.col("l_orderkey") == F.col("k3"))
-            & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
+    l1 = late_f.join(has_other, "l_orderkey", "left_semi").join(
+        single_late, "l_orderkey", "left_semi"
     )
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(_Q21_NATIONS))
     supp = (
@@ -1154,6 +1160,15 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        # prune BEFORE the aggregate (r15, guide §2.3): only red-part
+        # rows can match the partsupp probe below (left join), so
+        # aggregating the rest is wasted shuffle — semi-join first.
+        # Value-equal by left-join semantics; A/B min 0.420 -> 0.364.
+        .join(
+            maybe_broadcast(red_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("_qty"))
