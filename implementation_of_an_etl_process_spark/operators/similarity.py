@@ -255,12 +255,18 @@ def _assign_cells_arrow(
     n_cells = len(centroids)
 
     def assign(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        # Arrow-native (guide §4.2): the (B, dim) matrix is a flatten+
+        # reshape over the list column's values buffer, and the
+        # row-repeated vector column is a zero-copy .take() on the
+        # Arrow array — the pandas form materialized every vector as
+        # Python floats via .tolist(). Same math, same tie-break.
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            X = np.array(pdf[out_vec].tolist(), dtype=np.float64)
+            vec_col_arr = rb.column(rb.schema.get_field_index(out_vec))
+            X = _flat_matrix(vec_col_arr, np.float64)
             Xn = X / np.maximum(
                 np.linalg.norm(X, axis=1, keepdims=True), 1e-30
             )
@@ -270,19 +276,22 @@ def _assign_cells_arrow(
             idx = np.argsort(-S[:, ::-1], axis=1, kind="stable")[:, :n_assign]
             cells = (n_cells - 1 - idx).astype(np.int32)  # (batch, n_assign)
             m = cells.shape[1]
-            yield pd.DataFrame(
-                {
-                    out_id: np.repeat(pdf[out_id].to_numpy(), m),
-                    out_vec: np.repeat(pdf[out_vec].to_numpy(), m),
-                    "cell": cells.ravel(),
-                }
+            rep = np.repeat(np.arange(rb.num_rows, dtype=np.int64), m)
+            ids = rb.column(rb.schema.get_field_index(out_id)).to_numpy()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, m), type=pa.int64()),
+                    vec_col_arr.take(pa.array(rep)),
+                    pa.array(cells.ravel(), type=pa.int32()),
+                ],
+                names=[out_id, out_vec, "cell"],
             )
 
     src = df.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).cast("array<double>").alias(out_vec),
     )
-    return src.mapInPandas(
+    return src.mapInArrow(
         assign, f"{out_id} long, {out_vec} array<double>, cell int"
     )
 
@@ -351,12 +360,16 @@ def ivf_topk_arrow(
     cell_to_q = {c: np.array(v, dtype=np.int64) for c, v in cell_to_q.items()}
 
     def score(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        # Arrow-native: see _assign_cells_arrow — flatten+reshape in
+        # place of the per-row .tolist(); identical batches and math.
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            X = np.array(pdf["cvec"].tolist(), dtype=np.float64)
+            X = _flat_matrix(
+                rb.column(rb.schema.get_field_index("cvec")), np.float64
+            )
             Xn = X / np.maximum(
                 np.linalg.norm(X, axis=1, keepdims=True), 1e-30
             )
@@ -366,7 +379,7 @@ def ivf_topk_arrow(
                 - 1
                 - np.argmax(A[:, ::-1], axis=1)  # ties -> larger cell
             )
-            cids = pdf["cid"].to_numpy()
+            cids = rb.column(rb.schema.get_field_index("cid")).to_numpy()
             out_q, out_c, out_s = [], [], []
             for c in np.unique(cells):
                 qs_here = cell_to_q.get(int(c))
@@ -387,12 +400,16 @@ def ivf_topk_arrow(
                 out_s.append(np.take_along_axis(S, idx, axis=0).T.ravel())
             if not out_q:
                 continue
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_q),
-                    "cid": np.concatenate(out_c),
-                    "score": np.concatenate(out_s),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(
+                        np.concatenate(out_c).astype(np.int64, copy=False),
+                        type=pa.int64(),
+                    ),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ],
+                names=["qid", "cid", "score"],
             )
 
     cd = spread(
@@ -401,7 +418,7 @@ def ivf_topk_arrow(
             F.col(corpus_vec).cast("array<double>").alias("cvec"),
         )
     )
-    partial = cd.mapInPandas(score, "qid long, cid long, score double")
+    partial = cd.mapInArrow(score, "qid long, cid long, score double")
     if exclude_self:
         partial = partial.filter(F.col("qid") != F.col("cid"))
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
@@ -447,17 +464,22 @@ def brute_force_topk_arrow(
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
 
     def score(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        # Arrow-native: see _assign_cells_arrow — flatten+reshape in
+        # place of the per-row .tolist(); identical batches and math
+        # (float32 -> float64 widening is exact either way).
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            C = np.array(pdf["cvec"].tolist(), dtype=np.float64)
+            C = _flat_matrix(
+                rb.column(rb.schema.get_field_index("cvec")), np.float64
+            )
             Cn = C / np.maximum(
                 np.linalg.norm(C, axis=1, keepdims=True), 1e-30
             )
             S = Cn @ Qn.T  # (batch, n_queries)
-            cids = pdf["cid"].to_numpy()
+            cids = rb.column(rb.schema.get_field_index("cid")).to_numpy()
             if exclude_self:
                 # Mask self pairs BEFORE batch-local truncation (a
                 # post-top-k filter can evict the true k-th neighbor).
@@ -465,11 +487,19 @@ def brute_force_topk_arrow(
             top = min(k, len(cids))
             # batch-local top-k per query column
             idx = np.argpartition(-S, top - 1, axis=0)[:top]  # (top, nq)
-            out_q = np.repeat(qids, top)
-            out_c = cids[idx.T.ravel()]
-            out_s = np.take_along_axis(S, idx, axis=0).T.ravel()
-            yield pd.DataFrame(
-                {"qid": out_q, "cid": out_c, "score": out_s}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, top), type=pa.int64()),
+                    pa.array(
+                        cids[idx.T.ravel()].astype(np.int64, copy=False),
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        np.take_along_axis(S, idx, axis=0).T.ravel(),
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["qid", "cid", "score"],
             )
 
     cd = spread(
@@ -477,7 +507,7 @@ def brute_force_topk_arrow(
             F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec")
         )
     )
-    partial = cd.mapInPandas(score, "qid long, cid long, score double")
+    partial = cd.mapInArrow(score, "qid long, cid long, score double")
     if exclude_self:
         partial = partial.filter(F.col("qid") != F.col("cid"))
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
@@ -559,17 +589,24 @@ def _residualize(sample: DataFrame, centroids: list[list[float]]) -> DataFrame:
     n_cells = len(centroids)
 
     def res(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        # Arrow-native: flatten+reshape in, uniform-offset list out —
+        # no per-row Python objects either direction (guide §4.2)
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            X = np.array(pdf["_nv"].tolist(), dtype=np.float64)
+            X = _flat_matrix(
+                rb.column(rb.schema.get_field_index("_nv")), np.float64
+            )
             A = X @ Cn.T
             cells = n_cells - 1 - np.argmax(A[:, ::-1], axis=1)
-            yield pd.DataFrame({"_nv": list(X - Cn[cells])})
+            yield pa.RecordBatch.from_arrays(
+                [_rows_list_array(X - Cn[cells], pa.float64())],
+                names=["_nv"],
+            )
 
-    return sample.mapInPandas(res, "_nv array<double>")
+    return sample.mapInArrow(res, "_nv array<double>")
 
 
 def train_pq_codebooks_distributed(
@@ -751,20 +788,33 @@ def encode_pq(
     m, n_codes, sub = codebooks.shape
 
     def enc(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        # Arrow-native: see _assign_cells_arrow (flatten+reshape in,
+        # uniform-offset list out)
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            X = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            X = _flat_matrix(
+                rb.column(rb.schema.get_field_index("_vec")), np.float64
+            )
             X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 Xj = X[:, j * sub : (j + 1) * sub]
                 d2 = ((Xj[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
                 codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame(
-                {"cid": pdf["_id"].to_numpy(), "codes": list(codes)}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        rb.column(
+                            rb.schema.get_field_index("_id")
+                        ).to_numpy(),
+                        type=pa.int64(),
+                    ),
+                    _rows_list_array(codes, pa.int32()),
+                ],
+                names=["cid", "codes"],
             )
 
     cd = spread(
@@ -772,25 +822,44 @@ def encode_pq(
             F.col(corpus_id).alias("_id"), F.col(corpus_vec).alias("_vec")
         )
     )
-    return cd.mapInPandas(enc, "cid long, codes array<int>")
+    return cd.mapInArrow(enc, "cid long, codes array<int>")
+
+
+def _flat_matrix(list_col, dtype):
+    """(B, d) matrix from an Arrow list column — flatten (offset/
+    null-safe) + reshape over the contiguous values buffer; no per-row
+    Python objects (guide §4.2). Rows must be equal-width (vectors and
+    PQ codes are, by construction); the reshape guard turns a violated
+    invariant into a loud error instead of a silent mis-slice."""
+    import numpy as np
+
+    flat = list_col.flatten().to_numpy(zero_copy_only=False)
+    n = len(list_col)
+    if n == 0 or flat.size % n:
+        raise ValueError(
+            f"ragged list column: {flat.size} values over {n} rows"
+        )
+    return flat.astype(dtype, copy=False).reshape(n, flat.size // n)
 
 
 def _codes_matrix(codes_col):
-    """(B, m) int64 codes matrix from an Arrow list<int> column —
-    flatten (offset/null-safe) + reshape over the contiguous values
-    buffer; no per-row Python objects (guide §4.2). Every row carries
-    exactly m codes by construction (encode_pq/encode_ivfpq emit
-    fixed-width lists); the reshape guard turns a violated invariant
-    into a loud error instead of a silent mis-slice."""
+    """(B, m) int64 PQ-codes matrix from an Arrow list<int> column."""
     import numpy as np
 
-    flat = codes_col.flatten().to_numpy(zero_copy_only=False)
-    n = len(codes_col)
-    if n == 0 or flat.size % n:
-        raise ValueError(
-            f"ragged codes column: {flat.size} values over {n} rows"
-        )
-    return flat.astype(np.int64, copy=False).reshape(n, flat.size // n)
+    return _flat_matrix(codes_col, np.int64)
+
+
+def _rows_list_array(mat, value_type):
+    """The rows of a (B, d) numpy matrix as an Arrow list array —
+    uniform offsets over the raveled values, no per-row objects."""
+    import numpy as np
+    import pyarrow as pa
+
+    b, d = mat.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (b + 1) * d, d, dtype=np.int32), type=pa.int32()),
+        pa.array(mat.ravel(), type=value_type),
+    )
 
 
 def pq_topk(
@@ -1006,12 +1075,16 @@ def encode_ivfpq(
     n_cells = len(centroids)
 
     def enc(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        # Arrow-native: see _assign_cells_arrow (flatten+reshape in,
+        # uniform-offset list out)
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            X = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            X = _flat_matrix(
+                rb.column(rb.schema.get_field_index("_vec")), np.float64
+            )
             Xn = X / np.maximum(
                 np.linalg.norm(X, axis=1, keepdims=True), 1e-30
             )
@@ -1025,12 +1098,18 @@ def encode_ivfpq(
                 Xj = base[:, j * sub : (j + 1) * sub]
                 d2 = ((Xj[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
                 codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "cid": pdf["_id"].to_numpy(),
-                    "cell": cells,
-                    "codes": list(codes),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        rb.column(
+                            rb.schema.get_field_index("_id")
+                        ).to_numpy(),
+                        type=pa.int64(),
+                    ),
+                    pa.array(cells, type=pa.int32()),
+                    _rows_list_array(codes, pa.int32()),
+                ],
+                names=["cid", "cell", "codes"],
             )
 
     cd = spread(
@@ -1038,7 +1117,7 @@ def encode_ivfpq(
             F.col(corpus_id).alias("_id"), F.col(corpus_vec).alias("_vec")
         )
     )
-    return cd.mapInPandas(enc, "cid long, cell int, codes array<int>")
+    return cd.mapInArrow(enc, "cid long, cell int, codes array<int>")
 
 
 def ivfpq_topk(
