@@ -84,16 +84,17 @@ def test_semi_join_plans_as_semi(spark):
 
 
 def test_q21_correlated_stack_plans_as_hash_semi_anti(spark):
-    """q21's EXISTS/NOT-EXISTS stack must plan as hash joins on the
-    orderkey equi part with the suppkey inequality as a residual
-    condition — never a nested-loop/cartesian for the correlation. The
-    anti side probes the big late-lineitem set, so shuffle (SMJ/SHJ) is
-    the expected family there at scale."""
+    """q21's EXISTS/NOT-EXISTS correlation (r15 shape): both predicates
+    are per-order min/max AGGREGATES probed via equi semi-joins — the
+    exchanges carry one narrow partial row per order instead of full
+    lineitem/late rows with residual inequality filters (guide §2.3).
+    Pin: two semi joins, the min/max aggregate pair present, and never
+    a nested-loop/cartesian for the correlation."""
     from implementation_of_an_etl_process_spark.queries import tpch as T
 
     plan = explain_str(T.q21_waiting_orders(spark, SF_ORACLE))
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("LeftSemi") >= 2
+    assert "min(l_suppkey" in plan and "max(l_suppkey" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
