@@ -889,8 +889,13 @@ def _phrase_match_kernel(
             )
         )
         out = out.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
-    return out.orderBy(
-        "phrase", F.desc("n_occurrences"), F.col("doc_id").asc()
+    from implementation_of_an_etl_process_spark.plans import ordered_emit
+
+    # post-aggregate terminal sort (the occurrence groupBy bounds the
+    # row count); ordered_emit skips the range-sampling pass on
+    # provably-small indexes, plain orderBy past the scale gate
+    return ordered_emit(
+        out, "phrase", F.desc("n_occurrences"), F.col("doc_id").asc()
     )
 
 
